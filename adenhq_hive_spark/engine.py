@@ -1,0 +1,137 @@
+"""Engine API: SQL in, reference-shaped result envelope out.
+
+The reference's query tools all return the same row-oriented envelope
+``{success, columns, column_count, rows, row_count}`` (csv_tool.py:368-376,
+excel_tool.py:128-139, bigquery_tool.py:235-243) and enforce a read-only
+SELECT surface via a keyword blocklist (csv_tool.py:333-352; the BigQuery
+variant strips comments first, bigquery_tool.py:27-58).
+
+Here the gate is done properly: parse the statement with Spark's own SQL
+parser and reject anything that is not a pure query (DDL/DML parse to
+``Command``/``*Statement`` plan nodes).  No regex fragility — a literal
+string containing "DROP" passes, an actual ``DROP TABLE`` cannot.
+
+Result materialization is capped (``max_rows``, like bigquery_tool.py's
+clamp at 209-214) with a ``truncated`` flag (bigquery_tool.py:233) so the
+API edge never collects an unbounded result to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import DEFAULT_SF_DIR, register_views
+
+
+class ReadOnlyViolation(Exception):
+    """Raised when a statement is not a read-only query."""
+
+
+@dataclass
+class ResultEnvelope:
+    """The reference's tabular result-set shape (csv_tool.py:71-81)."""
+
+    success: bool
+    columns: list[str] = field(default_factory=list)
+    rows: list[dict[str, Any]] = field(default_factory=list)
+    row_count: int = 0
+    column_count: int = 0
+    truncated: bool = False
+    error: str | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        out = {
+            "success": self.success,
+            "columns": self.columns,
+            "column_count": self.column_count,
+            "rows": self.rows,
+            "row_count": self.row_count,
+            "truncated": self.truncated,
+        }
+        if self.error is not None:
+            out["error"] = self.error
+        return out
+
+
+def assert_read_only(spark: SparkSession, sql: str) -> None:
+    """Reject non-query statements by inspecting the parsed logical plan.
+
+    Queries parse to relational nodes (Project/Aggregate/Sort/...); every
+    write/DDL path in Spark parses to a ``Command`` subclass or a
+    ``*Statement``/``*Command`` node.  Multi-statement input is rejected by
+    the parser itself (it only accepts a single statement).
+    """
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        plan = parser.parsePlan(sql)
+    except Exception as exc:  # ParseException from the JVM
+        raise ReadOnlyViolation(f"SQL failed to parse: {exc}") from exc
+
+    cls_name = plan.getClass().getName()
+    simple = cls_name.rsplit(".", 1)[-1]
+    jvm = spark.sparkContext._jvm
+    is_command = False
+    for marker in (
+        "org.apache.spark.sql.catalyst.plans.logical.Command",
+        "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+    ):
+        try:
+            marker_cls = jvm.java.lang.Class.forName(marker)
+            if marker_cls.isInstance(plan):
+                is_command = True
+                break
+        except Exception:
+            continue
+    if is_command or simple.endswith("Command") or simple.endswith("Statement"):
+        raise ReadOnlyViolation(
+            f"Only read-only queries are allowed; got {simple}. "
+            "Write operations (INSERT/UPDATE/DELETE/CREATE/DROP/ALTER/...) "
+            "are not permitted."
+        )
+
+
+class Engine:
+    """Thin façade: catalog registration + gated SQL + envelope edge.
+
+    ``sql()`` is the reference's ``csv_sql``/``excel_sql``/``run_bigquery_query``
+    surface unified: arbitrary read-only SELECT over the registered tables.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        register_views(spark, sf_dir)
+
+    def df(self, sql: str) -> DataFrame:
+        """Gated SQL → lazy DataFrame (no materialization)."""
+        assert_read_only(self.spark, sql)
+        return self.spark.sql(sql)
+
+    def sql(self, sql: str, max_rows: int = 1000) -> ResultEnvelope:
+        """Gated SQL → materialized envelope, capped at ``max_rows``.
+
+        Collects ``max_rows + 1`` rows to set the truncation flag without
+        counting the full result (bigquery_tool.py:227-233 pattern).
+        """
+        max_rows = max(1, min(int(max_rows), 10_000))  # bigquery_tool.py:209-214 clamp
+        try:
+            df = self.df(sql)
+        except ReadOnlyViolation as exc:
+            return ResultEnvelope(success=False, error=str(exc))
+        try:
+            taken = df.limit(max_rows + 1).collect()
+        except Exception as exc:
+            return ResultEnvelope(success=False, error=f"Query failed: {exc}")
+        truncated = len(taken) > max_rows
+        rows = [r.asDict(recursive=True) for r in taken[:max_rows]]
+        return ResultEnvelope(
+            success=True,
+            columns=list(df.columns),
+            column_count=len(df.columns),
+            rows=rows,
+            row_count=len(rows),
+            truncated=truncated,
+        )

@@ -1,0 +1,1046 @@
+"""Q1-Q60: the declared relational correctness contract (SURVEY.md §2.11).
+
+Every query here reproduces a capability of the reference's SQL surface
+(csv_sql, reference csv_tool.py:273-385; excel_sql, excel_tool.py:473-654;
+run_bigquery_query, bigquery_tool.py:149-275 — all promise "standard SQL")
+or a runtime behavior with a batch image (runtime_logs_tool.py filters,
+event_bus.py pub/sub, shared-state sessionization).
+
+Dialect rules (SURVEY §5.4): one portable SQL string runs on BOTH Spark and
+the DuckDB oracle unless the spec sets ``oracle_sql_str`` (dual-form).
+Determinism discipline, applied throughout:
+
+- every LIMIT is preceded by a total-order ORDER BY (unique tie-break key);
+- money/quantity sums go through DECIMAL (exact, order-independent) and are
+  cast back to DOUBLE, so Spark's partial aggregation order can't change
+  the value: ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)``;
+- averages are computed as exact-decimal-sum / count, then ROUND 4;
+- no double→int CAST (Spark truncates, DuckDB rounds) — FLOOR/CEIL only;
+- computed integer columns are cast explicitly (Spark int vs DuckDB int64);
+- strings cast via VARCHAR(n) (valid in both; Spark ignores into string).
+"""
+
+from __future__ import annotations
+
+from . import QuerySpec, register
+
+# ---- shared SQL fragments -------------------------------------------------
+
+# Exact, order-independent sum of a money/quantity double column.
+def _dsum(expr: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# Exact average: decimal sum / count, rounded to 4.
+def _davg(expr: str, alias: str, scale: int = 4) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT(*), 4) AS {alias}"
+    )
+
+
+Q = register
+
+# ---- scans / projections / predicates (Q1-Q5) -----------------------------
+
+Q(QuerySpec(
+    name="q01",
+    doc="Scan + projection + rename + offset/limit pagination "
+        "(csv_read offset/limit csv_tool.py:57-64; input_mapping rename "
+        "edge.py:276-303).",
+    engine_sql="""
+        SELECT c_custkey AS id, c_name AS name
+        FROM customer
+        ORDER BY c_custkey NULLS LAST
+        LIMIT 50 OFFSET 10
+    """,
+))
+
+Q(QuerySpec(
+    name="q02",
+    doc="Arithmetic + comparison predicate (safe_eval arith/compare, "
+        "safe_eval.py:105-115).",
+    engine_sql="""
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_extendedprice * (1 - l_discount) > 30000 AND l_quantity >= 25
+        ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q03",
+    doc="Chained/boolean predicate with BETWEEN, OR, LIKE "
+        "(safe_eval boolean ops safe_eval.py:117-130).",
+    engine_sql="""
+        SELECT o_orderkey
+        FROM orders
+        WHERE o_totalprice BETWEEN 1000 AND 200000
+          AND (o_orderstatus = 'F' OR o_orderpriority LIKE '1-%')
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q04",
+    doc="IN-list + CASE (safe_eval `in` + ternary, safe_eval.py:125-144).",
+    engine_sql="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus IN ('F','O') THEN 'known' ELSE 'other' END AS st
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q05",
+    doc="Status rollup — runtime-log analog: filter/sort/limit over run "
+        "summaries (runtime_logs_tool.py:127-138; outcome counters "
+        "outcome_aggregator.py:105-110).",
+    engine_sql="""
+        SELECT o_orderstatus AS status, COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY n DESC NULLS LAST, status NULLS LAST
+        LIMIT 10
+    """,
+))
+
+# ---- aggregations (Q6-Q19) ------------------------------------------------
+
+Q(QuerySpec(
+    name="q06",
+    doc="TPC-H Q1 pricing summary — grouped multi-aggregate over the fact "
+        "table (documented GROUP BY surface csv_tool.py:301-303).",
+    engine_sql=f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum("l_quantity", "sum_qty")},
+               {_dsum("l_extendedprice", "sum_base")},
+               {_dsum("l_extendedprice * (1 - l_discount)", "sum_disc")},
+               {_davg("l_quantity", "avg_qty")},
+               COUNT(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q07",
+    doc="Multi-key aggregation: orders by (year, priority).",
+    engine_sql=f"""
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, o_orderpriority,
+               COUNT(*) AS n, {_dsum("o_totalprice", "total")}
+        FROM orders
+        GROUP BY CAST(YEAR(o_orderdate) AS INT), o_orderpriority
+        ORDER BY yr NULLS LAST, o_orderpriority NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q08",
+    doc="Global aggregate, no GROUP BY (csv_info row stats analog, "
+        "csv_tool.py:214-271).",
+    engine_sql=f"""
+        SELECT COUNT(*) AS cnt,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               {_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+    """,
+))
+
+Q(QuerySpec(
+    name="q09",
+    doc="COUNT(DISTINCT) per group.",
+    engine_sql="""
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q10",
+    doc="Two DISTINCT aggregates in one SELECT (Spark expand path).",
+    engine_sql="""
+        SELECT l_linestatus,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q11",
+    doc="HAVING: customers with more than 5 orders.",
+    engine_sql="""
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) > 5
+        ORDER BY o_custkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q12",
+    doc="ROLLUP (year, priority) with GROUPING() + COALESCE labels.",
+    engine_sql=f"""
+        SELECT COALESCE(CAST(yr AS VARCHAR(16)), 'ALL') AS yr_label,
+               COALESCE(o_orderpriority, 'ALL') AS prio_label,
+               CAST(GROUPING(yr) AS INT) AS g_yr,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n, {_dsum("o_totalprice", "total")}
+        FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, o_orderpriority,
+                     o_totalprice
+              FROM orders) t
+        GROUP BY ROLLUP (yr, o_orderpriority)
+        ORDER BY g_yr NULLS LAST, g_prio NULLS LAST,
+                 yr_label NULLS LAST, prio_label NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q13",
+    doc="CUBE over (returnflag, linestatus).",
+    engine_sql=f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               {_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_flag NULLS LAST, g_status NULLS LAST,
+                 flag NULLS LAST, status NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q14",
+    doc="GROUPING SETS ((mktsegment),(nationkey),()) over customer.",
+    engine_sql="""
+        SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+               COALESCE(CAST(c_nationkey AS VARCHAR(16)), 'ALL') AS nat,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg NULLS LAST, g_nat NULLS LAST,
+                 seg NULLS LAST, nat NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q15",
+    doc="Conditional aggregation (SUM(CASE WHEN ...)) — pivot-style wide "
+        "agg; status counters analog (outcome_aggregator.py:405-423).",
+    engine_sql="""
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders
+        GROUP BY CAST(YEAR(o_orderdate) AS INT)
+        ORDER BY yr NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q16",
+    doc="Statistical aggregates: stddev/var/corr (delegated-SQL stats "
+        "surface).",
+    engine_sql="""
+        SELECT 'customer' AS src,
+               ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd,
+               ROUND(VAR_POP(c_acctbal), 4) AS vp,
+               CAST(NULL AS DOUBLE) AS corr_qp
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem' AS src,
+               CAST(NULL AS DOUBLE) AS sd,
+               CAST(NULL AS DOUBLE) AS vp,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp
+        FROM lineitem
+        ORDER BY src NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q17",
+    doc="Exact median per mktsegment — dual-form: Spark PERCENTILE vs "
+        "DuckDB MEDIAN (both exact interpolated).",
+    engine_sql="""
+        SELECT c_mktsegment, ROUND(PERCENTILE(c_acctbal, 0.5), 4) AS med
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT c_mktsegment, ROUND(MEDIAN(c_acctbal), 4) AS med
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q18",
+    doc="Deterministic sorted string_agg of nation names per region — "
+        "dual-form: concat_ws(sort_array(collect_list)) vs "
+        "string_agg(... ORDER BY).",
+    engine_sql="""
+        SELECT r.r_name,
+               concat_ws(',', sort_array(collect_list(n.n_name))) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q19",
+    doc="Weighted aggregate — goal progress Σ(w·x)/Σ(w) "
+        "(goal.py:155-163, outcome_aggregator.py:225-311).",
+    engine_sql="""
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS weighted
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag NULLS LAST
+    """,
+))
+
+# ---- search predicates (Q20-Q22) ------------------------------------------
+
+Q(QuerySpec(
+    name="q20",
+    doc="contains/starts_with/ends_with search — excel_search match types "
+        "(excel_tool.py:748-756), via portable LIKE forms.",
+    engine_sql="""
+        SELECT 'contains' AS mode, p_partkey FROM part WHERE p_name LIKE '%red%'
+        UNION ALL
+        SELECT 'starts' AS mode, p_partkey FROM part WHERE p_name LIKE 'small%'
+        UNION ALL
+        SELECT 'ends' AS mode, p_partkey FROM part WHERE p_name LIKE '%bolt'
+        ORDER BY mode NULLS LAST, p_partkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q21",
+    doc="Case-insensitive search (excel_search case_sensitive=False, "
+        "excel_tool.py:748-756).",
+    engine_sql="""
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE LOWER(p_type) LIKE '%econ%'
+        ORDER BY p_partkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q22",
+    doc="Regex predicate — grep_search (grep_search.py:12-100); dual-form "
+        "rlike vs regexp_matches.",
+    engine_sql="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_name RLIKE '^[a-f]'
+        ORDER BY p_partkey NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE regexp_matches(p_name, '^[a-f]')
+        ORDER BY p_partkey NULLS LAST
+    """,
+))
+
+# ---- joins (Q23-Q34) ------------------------------------------------------
+
+Q(QuerySpec(
+    name="q23",
+    doc="Inner equi-join (excel_sql multi-sheet join surface, "
+        "excel_tool.py:507-508).",
+    engine_sql="""
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q24",
+    doc="4-way star join: revenue per (nation, year).",
+    engine_sql=f"""
+        SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS INT)
+        ORDER BY n.n_name NULLS LAST, yr NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q25",
+    doc="6-way snowflake (TPC-H Q5 shape): local-supplier revenue per "
+        "nation in ASIA.",
+    engine_sql=f"""
+        SELECT n.n_name,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY n.n_name NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q26",
+    doc="Left outer join with COALESCE for null probe side — customers "
+        "including zero-order ones.",
+    engine_sql="""
+        SELECT c.c_custkey, CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                   FROM orders GROUP BY o_custkey) oc
+          ON oc.o_custkey = c.c_custkey
+        ORDER BY c.c_custkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q27",
+    doc="Full outer join of two aggregated event slices (click counts vs "
+        "purchase sums per user).",
+    engine_sql="""
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               CAST(COALESCE(a.n_clicks, 0) AS BIGINT) AS n_clicks,
+               CAST(COALESCE(b.purchase_total, 0.0) AS DOUBLE) AS purchase_total
+        FROM (SELECT user_id, COUNT(*) AS n_clicks
+              FROM events WHERE event_type = 'click' GROUP BY user_id) a
+        FULL OUTER JOIN
+             (SELECT user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_total
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id) b
+          ON a.user_id = b.user_id
+        ORDER BY user_id NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q28",
+    doc="Left semi join via EXISTS: customers with at least one open order.",
+    engine_sql="""
+        SELECT c.c_custkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        ORDER BY c.c_custkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q29",
+    doc="Left anti join via NOT EXISTS: customers with no pending ('P') "
+        "orders.",
+    engine_sql="""
+        SELECT c.c_custkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c.c_custkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q30",
+    doc="Cross join of small dims: region × distinct order status.",
+    engine_sql="""
+        SELECT r.r_name, s.o_orderstatus
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        ORDER BY r.r_name NULLS LAST, s.o_orderstatus NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q31",
+    doc="Theta/range band join against a VALUES-derived size-class table.",
+    engine_sql="""
+        SELECT t.cls, COUNT(*) AS n
+        FROM part p
+        JOIN (VALUES ('small', 0, 15), ('medium', 16, 35), ('large', 36, 100))
+             AS t(cls, lo, hi)
+          ON p.p_size BETWEEN t.lo AND t.hi
+        GROUP BY t.cls
+        ORDER BY t.cls NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q32",
+    doc="Self join: consecutive events of the same user "
+        "(event_id is globally consecutive).",
+    engine_sql="""
+        SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id
+        FROM events e1
+        JOIN events e2 ON e2.event_id = e1.event_id + 1
+                       AND e2.user_id = e1.user_id
+        ORDER BY e1.event_id NULLS LAST
+        LIMIT 200
+    """,
+))
+
+Q(QuerySpec(
+    name="q33",
+    doc="As-of join: for each purchase event, the latest click of the same "
+        "user at or before it; portable window formulation "
+        "(range join + row_number()=1). See operators/asof.py for the "
+        "scalable merge-based implementation.",
+    engine_sql="""
+        SELECT purchase_id, click_id, click_ts
+        FROM (
+          SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                 c.ts AS click_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM events p
+          JOIN events c ON c.user_id = p.user_id
+                        AND c.event_type = 'click'
+                        AND c.ts <= p.ts
+          WHERE p.event_type = 'purchase'
+        ) x
+        WHERE rn = 1
+        ORDER BY purchase_id NULLS LAST
+        LIMIT 2000
+    """,
+))
+
+Q(QuerySpec(
+    name="q34",
+    doc="Interval-overlap join over derived per-user daily activity "
+        "intervals (same day, different users).",
+    engine_sql="""
+        WITH iv AS (
+          SELECT user_id, CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+                 MIN(ts) AS start_ts, MAX(ts) AS end_ts
+          FROM events GROUP BY user_id, CAST(date_trunc('DAY', ts) AS TIMESTAMP)
+        )
+        SELECT a.day, a.user_id AS u1, b.user_id AS u2
+        FROM iv a JOIN iv b
+          ON a.day = b.day AND a.user_id < b.user_id
+         AND a.start_ts < b.end_ts AND b.start_ts < a.end_ts
+        ORDER BY a.day NULLS LAST, u1 NULLS LAST, u2 NULLS LAST
+        LIMIT 500
+    """,
+))
+
+# ---- sorts / top-k / frequency (Q35, Q42, Q43) ----------------------------
+
+Q(QuerySpec(
+    name="q35",
+    doc="Top-k frequency: most common p_brand (pattern analysis, "
+        "builder/query.py:222-283).",
+    engine_sql="""
+        SELECT p_brand, COUNT(*) AS n
+        FROM part
+        GROUP BY p_brand
+        ORDER BY n DESC NULLS LAST, p_brand NULLS LAST
+        LIMIT 10
+    """,
+))
+
+Q(QuerySpec(
+    name="q42",
+    doc="Multi-key mixed asc/desc sort with explicit NULLS LAST "
+        "(runtime_logs sort runtime_logs_tool.py:136).",
+    engine_sql="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        ORDER BY o_orderstatus ASC NULLS LAST, o_totalprice DESC NULLS LAST,
+                 o_orderkey ASC NULLS LAST
+        LIMIT 200
+    """,
+))
+
+Q(QuerySpec(
+    name="q43",
+    doc="Top-k: 25 highest-revenue lineitems (TakeOrderedAndProject path).",
+    engine_sql="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        ORDER BY revenue DESC NULLS LAST,
+                 l_orderkey NULLS LAST, l_linenumber NULLS LAST
+        LIMIT 25
+    """,
+))
+
+# ---- window functions (Q36-Q41) -------------------------------------------
+
+Q(QuerySpec(
+    name="q36",
+    doc="Top-3 orders per customer via row_number (top-k per group).",
+    engine_sql="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) t
+        WHERE rn <= 3
+        ORDER BY o_custkey NULLS LAST, o_totalprice DESC NULLS LAST,
+                 o_orderkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q37",
+    doc="rank / dense_rank / ntile over supplier balances per nation.",
+    engine_sql="""
+        SELECT s_nationkey, s_suppkey,
+               CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rk,
+               CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS drk,
+               CAST(NTILE(4) OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS tile
+        FROM supplier
+        ORDER BY s_nationkey NULLS LAST, rk NULLS LAST, s_suppkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q38",
+    doc="lag/lead: per-user event value deltas (event stream deltas).",
+    engine_sql="""
+        SELECT user_id, event_id,
+               ROUND(value - (LAG(value) OVER w), 4) AS delta_prev,
+               ROUND((LEAD(value) OVER w) - value, 4) AS delta_next
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id NULLS LAST, event_id NULLS LAST
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="q39",
+    doc="first_value / last_value with explicit full frame.",
+    engine_sql="""
+        SELECT user_id, event_id,
+               FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_id,
+               LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+        FROM events
+        ORDER BY user_id NULLS LAST, event_id NULLS LAST
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="q40",
+    doc="Running revenue per customer (ROWS UNBOUNDED PRECEDING; "
+        "exact decimal running sum).",
+    engine_sql="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total
+        FROM orders
+        ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="q41",
+    doc="3-row moving average of order totals per customer "
+        "(exact decimal sum / window count).",
+    engine_sql="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 4) AS mov_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST
+        LIMIT 500
+    """,
+))
+
+# ---- set operations (Q44-Q46) ---------------------------------------------
+
+Q(QuerySpec(
+    name="q44",
+    doc="UNION ALL + UNION (distinct) of tagged nationkey sets "
+        "(fan-in convergence analog, executor.py:1734-1766).",
+    engine_sql="""
+        SELECT 'all' AS tag, CAST(k AS INT) AS k, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION ALL
+          SELECT s_nationkey AS k FROM supplier
+        ) u GROUP BY k
+        UNION ALL
+        SELECT 'distinct' AS tag, CAST(k AS INT) AS k, 1 AS n FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION
+          SELECT s_nationkey AS k FROM supplier
+        ) d
+        ORDER BY tag NULLS LAST, k NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q45",
+    doc="INTERSECT and EXCEPT of customer vs supplier nation keys.",
+    engine_sql="""
+        SELECT 'both' AS tag, CAST(k AS INT) AS k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT
+          SELECT s_nationkey AS k FROM supplier
+        ) i
+        UNION ALL
+        SELECT 'cust_only' AS tag, CAST(k AS INT) AS k FROM (
+          SELECT c_nationkey AS k FROM customer
+          EXCEPT
+          SELECT s_nationkey AS k FROM supplier
+        ) e
+        ORDER BY tag NULLS LAST, k NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q46",
+    doc="DISTINCT dedup + md5 content key (dedup of cumulative lists, "
+        "executor.py:670-679; exact-dedup tier).",
+    engine_sql="""
+        SELECT DISTINCT l_returnflag, l_linestatus,
+               md5(concat(l_returnflag, '|', l_linestatus)) AS row_key
+        FROM lineitem
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+))
+
+# ---- scalar function suites (Q47-Q51) -------------------------------------
+
+Q(QuerySpec(
+    name="q47",
+    doc="String function suite over p_name (documented string surface "
+        "csv_tool.py:301-306; coercion helpers excel_tool.py:792-801).",
+    engine_sql="""
+        SELECT p_partkey,
+               UPPER(p_name) AS up, LOWER(p_name) AS lo,
+               CAST(LENGTH(p_name) AS INT) AS len,
+               TRIM(p_name) AS tr,
+               SUBSTR(p_name, 1, 5) AS sub,
+               REPLACE(p_name, ' ', '_') AS rep,
+               CONCAT(p_brand, ':', p_name) AS cc,
+               LPAD(p_brand, 12, '.') AS pad,
+               CAST(INSTR(p_name, 'a') AS INT) AS pos_a,
+               LEFT(p_name, 3) AS l3, RIGHT(p_name, 3) AS r3,
+               REVERSE(p_brand) AS rev
+        FROM part
+        ORDER BY p_partkey NULLS LAST
+        LIMIT 50
+    """,
+))
+
+Q(QuerySpec(
+    name="q48",
+    doc="Date/time suite over o_orderdate (ISO-timestamp surface, "
+        "excel_tool.py:796-797, time_tool.py:20).",
+    engine_sql="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT) AS y,
+               CAST(MONTH(o_orderdate) AS INT) AS m,
+               CAST(DAY(o_orderdate) AS INT) AS d,
+               CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(EXTRACT(HOUR FROM o_orderdate) AS INT) AS h
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q49",
+    doc="Date arithmetic — dual-form: Spark date_add/datediff vs DuckDB "
+        "INTERVAL/datediff('day').",
+    engine_sql="""
+        SELECT o_orderkey,
+               date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+               CAST(datediff(TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS INT)
+                 AS days_to_y2k
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+    oracle_sql_str="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT)
+                 AS days_to_y2k
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q50",
+    doc="Math function suite (safe_eval arithmetic vocabulary, "
+        "safe_eval.py:36-53,105-115).",
+    engine_sql="""
+        SELECT p_partkey,
+               ABS(p_retailprice - 1000.0) AS a,
+               ROUND(p_retailprice, 1) AS r,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+               ROUND(SQRT(p_retailprice), 4) AS sq,
+               ROUND(POWER(p_size, 2), 4) AS pw,
+               CAST(MOD(p_size, 7) AS INT) AS md,
+               CAST(SIGN(p_retailprice - 1200.0) AS INT) AS sg,
+               LEAST(p_retailprice, 1000.0) AS le,
+               GREATEST(p_retailprice, 1000.0) AS ge
+        FROM part
+        ORDER BY p_partkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q51",
+    doc="CASE / COALESCE / NULLIF / CAST suite (output_cleaner type "
+        "vocabulary, output_cleaner.py:364-388).",
+    engine_sql="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount > 0.05 THEN 'hi'
+                    WHEN l_discount > 0.0  THEN 'lo'
+                    ELSE 'none' END AS disc_band,
+               COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_sentinel,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty_dec,
+               CAST(l_linenumber AS VARCHAR(16)) AS line_str
+        FROM lineitem
+        ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST
+        LIMIT 200
+    """,
+))
+
+# ---- LLM-pipeline tables (Q52-Q55) ----------------------------------------
+
+Q(QuerySpec(
+    name="q52",
+    doc="documents text stats per language (text-analysis tier; "
+        "documents table north star).",
+    engine_sql="""
+        SELECT lang, COUNT(*) AS n,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+               CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+               CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q53",
+    doc="Text dedup clusters by content fingerprint: exact md5 tier plus a "
+        "prefix-shingle fingerprint (first 3 words) that yields real "
+        "clusters on the testdata — dual-form (Spark slice/split are "
+        "1-based like DuckDB list slicing).",
+    engine_sql="""
+        SELECT md5(concat_ws(' ', slice(split(text, ' '), 1, 3))) AS fp,
+               COUNT(*) AS n,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               COUNT(DISTINCT md5(text)) AS n_exact
+        FROM documents
+        GROUP BY md5(concat_ws(' ', slice(split(text, ' '), 1, 3)))
+        HAVING COUNT(*) > 1
+        ORDER BY fp NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+               COUNT(*) AS n,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               COUNT(DISTINCT md5(text)) AS n_exact
+        FROM documents
+        GROUP BY md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+        HAVING COUNT(*) > 1
+        ORDER BY fp NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q54",
+    doc="Embedding array ops per label — dual-form: element_at/size vs "
+        "[1]/len (DuckDB lists are 1-based like element_at).",
+    engine_sql="""
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(CAST(element_at(embedding, 1) AS DOUBLE)), 4) AS avg_c1,
+               CAST(MIN(size(embedding)) AS INT) AS dim
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_c1,
+               CAST(MIN(len(embedding)) AS INT) AS dim
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q55",
+    doc="JSON extraction from events.props — dual-form: get_json_object vs "
+        "json_extract_string (props kept as JSON string like the "
+        "reference's data dicts, event_bus.py:115).",
+    engine_sql="""
+        SELECT event_type,
+               CAST(SUM(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type NULLS LAST
+    """,
+))
+
+# ---- streaming batch images (Q56-Q58) -------------------------------------
+
+Q(QuerySpec(
+    name="q56",
+    doc="Event-bus subscription filter image: type-filtered counts "
+        "(event_bus._matches, event_bus.py:265-288).",
+    engine_sql="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events
+        WHERE event_type IN ('click', 'error', 'purchase')
+        GROUP BY event_type
+        ORDER BY event_type NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q57",
+    doc="Tumbling-window image: hourly per-type counts "
+        "(streaming window batch equivalent).",
+    engine_sql="""
+        SELECT CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS hour, event_type,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+        FROM events
+        GROUP BY CAST(date_trunc('HOUR', ts) AS TIMESTAMP), event_type
+        ORDER BY hour NULLS LAST, event_type NULLS LAST
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="q58",
+    doc="Session windows via portable gap-and-island SQL (30-min gap); "
+        "session semantics of the runtime's execution streams "
+        "(shared_state.py scopes).",
+    engine_sql="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL THEN 1
+                      WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTE THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+        ), sessions AS (
+          SELECT user_id, ts, event_id,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id NULLS LAST, session_id NULLS LAST
+        LIMIT 1000
+    """,
+))
+
+# ---- subqueries (Q59-Q60) -------------------------------------------------
+
+Q(QuerySpec(
+    name="q59",
+    doc="Correlated scalar subquery: customers above their nation's "
+        "average balance.",
+    engine_sql="""
+        SELECT c.c_custkey
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c.c_custkey NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q60",
+    doc="Uncorrelated subquery + IN: orders of the top-10 revenue "
+        "customers.",
+    engine_sql="""
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT o_custkey FROM (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+            FROM orders GROUP BY o_custkey
+            ORDER BY rev DESC NULLS LAST, o_custkey NULLS LAST
+            LIMIT 10
+          ) top10
+        )
+        ORDER BY o_orderkey NULLS LAST
+    """,
+))

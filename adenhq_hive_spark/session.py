@@ -1,0 +1,51 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every default
+here is chosen to also hold on a large multi-executor cluster: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), UTC session
+timezone (oracle comparability — DuckDB timestamps are UTC-naive), Arrow
+enabled for the pandas/UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the current host at test scale; on a real cluster these are
+# deploy-time settings (shuffle partitions ~ 2-3x total cores, driver/executor
+# memory per node class).
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries INT64 TIMESTAMP(NANOS); read as long, convert
+    # in catalog.load_table (Spark has no ns timestamp type).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.ui.enabled": "false",
+    # Bound broadcast joins explicitly; AQE will still pick broadcast for
+    # small dims discovered at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "adenhq_hive_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``spark.driver.memory`` only applies at JVM launch, so the first caller
+    in a process wins; subsequent calls just return the live session.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf.update(overrides)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,66 @@
+"""Run every declared query on Spark and DuckDB at a given SF; report
+mismatches.  Local stand-in for the driver's CORRECTNESS gate.
+
+Usage: python scripts/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+from adenhq_hive_spark.catalog import TABLES
+from adenhq_hive_spark.normalize import normalize
+from adenhq_hive_spark.queries import all_queries
+from adenhq_hive_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.time()
+        try:
+            df = spec.run(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"{name}: SPARK ERROR {str(exc)[:200]}")
+            continue
+        if spec.oracle is None:
+            print(f"{name}: rows-only, {len(rows)} rows, "
+                  f"{time.time() - t0:.2f}s")
+            continue
+        rel = con.execute(spec.oracle)
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+        s_norm = normalize(cols, rows)
+        d_norm = normalize(dcols, drows)
+        ok = s_norm == d_norm
+        if not ok:
+            failures.append(name)
+            s_lines, d_lines = s_norm.splitlines(), d_norm.splitlines()
+            print(f"{name}: MISMATCH ({len(s_lines)-1} vs {len(d_lines)-1} rows)")
+            shown = 0
+            for a, b in zip(s_lines, d_lines):
+                if a != b and shown < 3:
+                    print(f"  spark: {a[:160]}\n  duck : {b[:160]}")
+                    shown += 1
+        else:
+            print(f"{name}: OK {len(rows)} rows, {time.time() - t0:.2f}s")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
