@@ -151,12 +151,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all testdata tables as temp views (idempotent).
+_REGISTERED_MARKER = "spark.spark_graft.registered_sf_dir"
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register all testdata tables as temp views (idempotent, cached).
 
     Mirrors the reference's table-alias registration (csv_tool.py:358
     registers the file as table ``data``; excel_tool.py:603 one view per
     sheet) — here one view per testdata table under its own name.
+    Re-registration is skipped when the same sf_dir is already active on
+    this session (saves ~10 parquet-footer reads per query call).
     """
+    try:
+        if not force and spark.conf.get(_REGISTERED_MARKER, None) == sf_dir:
+            return
+    except Exception:
+        pass
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(_REGISTERED_MARKER, sf_dir)

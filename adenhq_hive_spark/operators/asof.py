@@ -1,0 +1,81 @@
+"""As-of join (point-in-time lookup).
+
+The reference reaches as-of semantics only through its delegated SQL
+surface; Q33 declares the portable range-join + row_number formulation.
+That formulation explodes at scale: each left row joins every earlier
+right row before the window keeps one (O(|L|·|R|) within a key).
+
+This operator is the scale path: UNION both sides tagged, one window
+sorted by (key, ts, side, order_col), and ``last(value, ignoreNulls)``
+carries the most recent right-side attributes forward.  Cost is one
+shuffle on the key and a linear pass — no pair explosion — which is the
+shape that survives 100 TB.
+
+Semantics: for each left row, the right row with the greatest
+``right_ts <= left_ts`` (direction='backward'); ties on right_ts resolve
+to the greatest ``order_col``.  Matches Q33's ORDER BY ts DESC,
+event_id DESC exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row at or before each left row.
+
+    Returns the left rows plus ``asof_<col>`` for each of ``right_values``
+    (NULL when no right row precedes the left row).
+    """
+    if right_values is None:
+        right_values = [c for c in right.columns if c not in (on, right_ts)]
+
+    left_cols = left.columns
+    # side marker: right rows sort before left rows at equal ts, so a
+    # right row with right_ts == left_ts is visible to that left row
+    # (the <= in Q33).
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r.schema[f"__rv_{c}"].dataType).alias(f"__rv_{c}")
+          for c in right_values],
+        *[F.col(c) for c in left_cols],
+    )
+    r = r.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                   if c not in r.columns else F.col(c)
+                   for c in l.columns])
+
+    order = [F.col("__ts"), F.col("__side")]
+    if order_col is not None:
+        # tie-break among right rows at equal ts: greatest order_col wins
+        order.append(F.col(f"__rv_{order_col}"))
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l)
+    for c in right_values:
+        carried = carried.withColumn(
+            f"asof_{c}", F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w)
+        )
+    return carried.filter(F.col("__side") == 1).select(
+        *left_cols, *[f"asof_{c}" for c in right_values]
+    )

@@ -1,0 +1,296 @@
+"""Deduplication tiers for LLM training-data pipelines (driver north star).
+
+Four tiers, all DataFrame-native and deterministic:
+
+1. exact           — content-hash groupBy (one shuffle on the hash).
+2. ngram_jaccard   — exact set-similarity on word n-gram shingles via a
+                     shingle-inverted-index self-join (pairs that share at
+                     least one shingle), then |A∩B| / |A∪B|.
+3. minhash_lsh     — MinHash signatures (xxhash64 with H seeds) + banding;
+                     only same-band-bucket pairs are candidates, then exact
+                     jaccard verification on the candidates. The scale
+                     path: candidate generation cost is bucket-local.
+4. simhash         — 64-bit SimHash per doc computed JVM-side with
+                     higher-order array lambdas; near-dup = small hamming
+                     distance, banded on 4×16-bit chunks for candidate
+                     generation.
+
+Scale notes: every tier shuffles on content-derived keys (hash / shingle /
+band bucket), never on doc_id ranges, so hot documents don't skew a fixed
+partition; shingle explosion is bounded by document token count; LSH keeps
+the pair space sub-quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters: md5 content key → (hash, count, keeper).
+
+    Keeps the minimum id as the canonical representative (deterministic).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per content hash.
+
+    Window-free formulation: aggregate keeper ids, then semi-join — two
+    narrow shuffles on the content hash, no full sort.
+    """
+    keepers = (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def _shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct word k-gram shingles of a text column, computed JVM-side.
+
+    ``sequence`` + ``transform`` + ``slice`` keep this inside whole-stage
+    codegen — no Python UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing a shingle.
+
+    Inverted-index join: explode shingles → self-join on shingle with
+    id_a < id_b → per-pair intersection count; union size from per-doc
+    shingle counts. Pairs sharing zero shingles (jaccard 0) never
+    materialize.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the min over shingles of xxhash64(shingle, seed).
+
+    Computed per-row over the shingle array with ``array_min(transform(...))``
+    — no explode, no shuffle; deterministic across runs and partitionings.
+    """
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        df.select(F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", "sh", F.array(*sig_cols).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified with exact jaccard.
+
+    Banding: ``bands`` bands of ``num_hashes/bands`` rows; docs agreeing on
+    any full band land in the same bucket. Candidates = distinct same-bucket
+    pairs; each candidate is then verified with the true shingle jaccard, so
+    the output has no false positives — LSH only bounds recall.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+
+    band_entries = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        F.transform(
+                            F.sequence(
+                                b * rows + 1, (b + 1) * rows
+                            ),
+                            lambda i: F.element_at("sig", i).cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        band_entries.alias("a")
+        .join(
+            band_entries.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document over word k-gram shingle features,
+    fully JVM-side.
+
+    Shingles (not unigrams) keep word order information — on
+    small-vocabulary corpora unigram SimHash collapses (every doc shares
+    most words). Explode shingles → one xxhash64 per shingle → 64 per-bit +1/-1
+    vote sums in a single groupBy(id) aggregation → pack bits. One
+    shuffle on the doc id; all expressions are plain built-in columns
+    (codegen-friendly, deterministic).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, k)).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation bands the 64-bit hash into 4×16-bit chunks
+    (pigeonhole: distance ≤ 3 guarantees an identical chunk; larger radii
+    trade recall) and only compares same-chunk pairs.
+    """
+    sh = simhash(df, text_col, id_col, k)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (driver north star).
+
+Two tiers:
+
+- ``cosine_topk``     — exact brute-force: broadcast the (small) query set,
+  compute cosine with JVM-side array lambdas (zip_with + aggregate — no
+  Python UDF), rank per query. The correctness baseline.
+- ``lsh_cosine_topk`` — random-hyperplane LSH: sign-bit signatures from a
+  fixed-seed projection matrix, candidates = same-bucket vectors, exact
+  cosine re-rank within buckets. The scale path: candidate generation is
+  bucket-local, so the pair space is sub-quadratic; multiple hash tables
+  recover recall.
+
+Determinism: projection matrix from numpy ``default_rng(42)``; all ranking
+ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` has the same (id_col, vec_col) shape. The query side is
+    broadcast (it is small by construction); the candidate scan stays
+    distributed and Catalyst keeps the whole expression in codegen.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )
+
+
+def _hyperplane_signature(
+    vec_col: str, planes: np.ndarray, table: int
+) -> F.Column:
+    """Sign-bit bucket id for one hash table: packed bits of dot(v, p_i) > 0."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return (sig + F.lit(table * (1 << len(planes)))).cast("long")
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane LSH + exact re-rank.
+
+    Each vector lands in ``n_tables`` buckets (one per table of
+    ``n_planes`` hyperplanes). Queries probe their buckets; exact cosine
+    is computed only for bucket-mates. Recall grows with n_tables and
+    shrinks with n_planes; the (4, 16) default hits ~0.9 recall@5 on the
+    (unclustered, worst-case) random testdata embeddings — clustered
+    real-world embeddings separate better with fewer tables. Measured
+    against ``cosine_topk`` in tests/test_similarity.py.
+    """
+    rng = np.random.default_rng(seed)
+    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+    def bucketize(df: DataFrame, ident: str) -> DataFrame:
+        sigs = F.array(
+            *[_hyperplane_signature(vec_col, planes, t)
+              for t, planes in enumerate(tables)]
+        )
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(f"{ident}_v"),
+            F.explode(sigs).alias("bucket"),
+        )
+
+    vb = bucketize(vectors, "cand_id")
+    qb = bucketize(queries, "query_id")
+    cand = (
+        vb.join(F.broadcast(qb), on="bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _dot(F.col("query_id_v"), F.col("cand_id_v"))
+            / (_norm(F.col("query_id_v")) * _norm(F.col("cand_id_v"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )

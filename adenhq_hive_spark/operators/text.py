@@ -1,0 +1,139 @@
+"""Text-analysis operators for LLM training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting (driver north star; the
+reference's text surface is its tool layer — e.g. excel_search matching,
+excel_tool.py:748-756 — plus LLM prompts, which we replace with
+deterministic heuristics).
+
+All column expressions are built-in pyspark.sql.functions — JVM-side,
+whole-stage-codegen friendly; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons (order matters: first max wins ties via
+# the greatest() + CASE cascade below, so keep a fixed order).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "zh": ["的", "是", "了", "在", "不"],
+}
+
+
+def _marker_hits(text_col: str, markers: list[str]) -> Column:
+    """Number of marker words present in the whitespace token set."""
+    toks = F.split(F.col(text_col), r"\s+")
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-lexicon hits.
+
+    Adds ``lang_pred`` (language code or 'und' when nothing matches).
+    Deterministic tie-break: first language in LANG_MARKERS order wins.
+    """
+    hits = {lang: _marker_hits(text_col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # reversed: earlier langs applied later → they win equal-score ties
+    for lang in reversed(list(hits)):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features: length, word count, mean word length, punctuation ratio,
+    uppercase ratio, digit ratio, stopword ratio (en markers). The
+    composite mirrors common pretrain-filter recipes (Gopher-style rules):
+    penalize too-short/too-long, high symbol ratios, no stopwords.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(t, r"\s+"))
+    mean_wlen = (F.length(F.regexp_replace(t, r"\s+", "")) / n_words).cast("double")
+    punct_ratio = (
+        (n_chars - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))) / n_chars
+    ).cast("double")
+    upper_ratio = (
+        (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / n_chars
+    ).cast("double")
+    digit_ratio = (
+        (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))) / n_chars
+    ).cast("double")
+    stop_ratio = (
+        F.size(
+            F.array_intersect(
+                F.split(t, r"\s+"),
+                F.array(*[F.lit(m) for m in LANG_MARKERS["en"]]),
+            )
+        )
+        / F.greatest(n_words, F.lit(1))
+    ).cast("double")
+
+    score = (
+        F.when((n_words >= 5) & (n_words <= 10_000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio <= 0.3, F.lit(0.1)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        F.round(mean_wlen, 4).alias("q_mean_word_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(upper_ratio, 4).alias("q_upper_ratio"),
+        F.round(digit_ratio, 4).alias("q_digit_ratio"),
+        F.round(stop_ratio, 4).alias("q_stop_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+# A BPE-ish token pattern: word pieces, numbers, or single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + chars/token."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0))
+    return df.select(
+        "*",
+        ws.alias("tok_ws"),
+        bpe.alias("tok_bpe"),
+        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 4).alias("chars_per_tok"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: exact md5, normalized md5 (casefold +
+    whitespace collapse), and a content-sampled rolling fingerprint (min
+    xxhash64 over word 3-gram shingles — a 1-hash MinHash, stable under
+    reordering-free edits)."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+    )
+    rolling = F.when(
+        F.size(shingles) > 0,
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
+    ).otherwise(F.xxhash64(norm))
+    return df.select(
+        "*",
+        F.md5(t).alias("fp_exact"),
+        F.md5(norm).alias("fp_norm"),
+        rolling.alias("fp_rolling"),
+    )

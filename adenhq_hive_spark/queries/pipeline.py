@@ -1,7 +1,362 @@
 """LLM-data-pipeline query set: dedup tiers, similarity search, text
-analysis, multimodal plumbing (driver north star; SURVEY §0, §7 step 7).
+analysis, as-of operator, multimodal plumbing (driver north star;
+SURVEY §0, §7 step 7).
 
-Populated incrementally; see operators/ for the implementations.
+Oracle policy: everything SQL-expressible gets a DuckDB oracle (most in
+dual-form — DuckDB list lambdas vs Spark higher-order functions).
+MinHash/SimHash/LSH depend on xxhash64 (not available in DuckDB) →
+rows-only here, with recall gates vs their exact counterparts in
+tests/test_dedup.py and tests/test_similarity.py.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import decode_media, media_table_from_documents
+from ..operators.similarity import cosine_topk, lsh_cosine_topk
+from ..operators.text import fingerprint, lang_id, quality_score, token_counts
+from . import QuerySpec, register
+
+Q = register
+
+# ---- dedup tiers ----------------------------------------------------------
+
+Q(QuerySpec(
+    name="pl_dedup_exact",
+    doc="Exact dedup keeping min doc_id per content hash "
+        "(operators/dedup.py:dedup_exact; hash-groupBy tier).",
+    builder=lambda spark, sf: dedup_exact(load_table(spark, sf, "documents"))
+    .select("doc_id")
+    .orderBy("doc_id"),
+    engine_sql=None,
+    oracle_sql_str="""
+        SELECT doc_id FROM documents
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        ORDER BY doc_id
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_ngram_jaccard",
+    doc="Exact n-gram Jaccard near-dup pairs (k=3, >=0.5) via "
+        "shingle-inverted-index join (operators/dedup.py:"
+        "ngram_jaccard_pairs); oracle = DuckDB list-lambda formulation.",
+    builder=lambda spark, sf: ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ).orderBy("id_a", "id_b"),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ), ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        sizes AS (SELECT id, len(shs) AS n FROM sh),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = inter.id_a
+        JOIN sizes sb ON sb.id = inter.id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_minhash_lsh",
+    doc="MinHash(32)+LSH(16 bands) near-dup pairs verified with exact "
+        "jaccard (operators/dedup.py:minhash_lsh_pairs). xxhash64-based → "
+        "no SQL oracle; recall vs pl_ngram_jaccard gated in "
+        "tests/test_dedup.py.",
+    builder=lambda spark, sf: minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ).orderBy("id_a", "id_b"),
+    has_oracle=False,
+))
+
+Q(QuerySpec(
+    name="pl_simhash",
+    doc="SimHash-64 near-dup pairs (hamming<=8, 16-bit banded candidates) "
+        "(operators/dedup.py:simhash_pairs). xxhash64-based → rows-only; "
+        "agreement with jaccard tiers gated in tests/test_dedup.py.",
+    builder=lambda spark, sf: simhash_pairs(
+        load_table(spark, sf, "documents"), max_hamming=8
+    ).orderBy("id_a", "id_b"),
+    has_oracle=False,
+))
+
+# ---- similarity search ----------------------------------------------------
+
+def _queries_vecs(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 5)
+
+
+Q(QuerySpec(
+    name="pl_cosine_topk",
+    doc="Exact brute-force cosine top-5 for query vectors vec_id<5 "
+        "(operators/similarity.py:cosine_topk; JVM-side zip_with/aggregate "
+        "dot products, broadcast query side).",
+    builder=lambda spark, sf: cosine_topk(*_queries_vecs(spark, sf), k=5)
+    .orderBy("query_id", "rank"),
+    oracle_sql_str="""
+        SELECT query_id, rank, cand_id, cosine FROM (
+          SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
+                 ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(v.embedding AS DOUBLE[])), 4)
+                   AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])), 4)
+                            DESC, v.vec_id) AS rank
+          FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+          WHERE q.vec_id < 5
+        ) t
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_lsh_topk",
+    doc="Approximate cosine top-5 via random-hyperplane LSH (4 tables x 8 "
+        "planes, seed 42) + exact re-rank (operators/similarity.py:"
+        "lsh_cosine_topk). Recall vs exact gated in tests/test_similarity.py.",
+    builder=lambda spark, sf: lsh_cosine_topk(*_queries_vecs(spark, sf), k=5)
+    .orderBy("query_id", "rank"),
+    has_oracle=False,
+))
+
+# ---- text analysis --------------------------------------------------------
+
+Q(QuerySpec(
+    name="pl_lang_id",
+    doc="Heuristic language-ID confusion counts (operators/text.py:lang_id "
+        "— marker-lexicon argmax, en-first tie-break).",
+    builder=lambda spark, sf: lang_id(load_table(spark, sf, "documents"))
+    .groupBy("lang", "lang_pred")
+    .count()
+    .withColumnRenamed("count", "n")
+    .orderBy("lang", "lang_pred"),
+    oracle_sql_str=r"""
+        WITH h AS (
+          SELECT lang,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['the','and','of','to','is'])) AS h_en,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['der','die','und','ist','nicht'])) AS h_de,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['el','la','que','de','es'])) AS h_es,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['le','la','et','est','les'])) AS h_fr,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['的','是','了','在','不'])) AS h_zh
+          FROM documents
+        )
+        SELECT lang,
+               CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+                    WHEN h_en = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'en'
+                    WHEN h_de = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'de'
+                    WHEN h_es = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'es'
+                    WHEN h_fr = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+               COUNT(*) AS n
+        FROM h
+        GROUP BY lang, lang_pred
+        ORDER BY lang, lang_pred
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_quality",
+    doc="Quality-score features per document (operators/text.py:"
+        "quality_score — Gopher-style length/punct/stopword heuristics).",
+    builder=lambda spark, sf: quality_score(load_table(spark, sf, "documents"))
+    .select("doc_id", "q_words", "q_mean_word_len", "q_punct_ratio",
+            "q_digit_ratio", "q_stop_ratio", "quality_score")
+    .orderBy("doc_id")
+    .limit(500),
+    oracle_sql_str=r"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(string_split_regex(text, '\s+')) AS n_words,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(string_split_regex(text, '\s+')) AS mean_wlen,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                   AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS DOUBLE) / length(text) AS digit_ratio,
+                 CAST(len(list_intersect(string_split_regex(text, '\s+'),
+                      ['the','and','of','to','is'])) AS DOUBLE)
+                   / greatest(len(string_split_regex(text, '\s+')), 1)
+                   AS stop_ratio
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS q_words,
+               ROUND(mean_wlen, 4) AS q_mean_word_len,
+               ROUND(punct_ratio, 4) AS q_punct_ratio,
+               ROUND(digit_ratio, 4) AS q_digit_ratio,
+               ROUND(stop_ratio, 4) AS q_stop_ratio,
+               ROUND(CAST(
+                 (CASE WHEN n_words BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN digit_ratio <= 0.3 THEN 0.1 ELSE 0.0 END)
+                 + (CASE WHEN stop_ratio > 0.0 THEN 0.1 ELSE 0.0 END)
+                 AS DOUBLE), 4) AS quality_score
+        FROM f
+        ORDER BY doc_id
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_tokens",
+    doc="Token counting: whitespace + BPE-ish regex tokens "
+        "(operators/text.py:token_counts).",
+    builder=lambda spark, sf: token_counts(load_table(spark, sf, "documents"))
+    .select("doc_id", "tok_ws", "tok_bpe", "chars_per_tok")
+    .orderBy("doc_id")
+    .limit(500),
+    oracle_sql_str=r"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS INT) AS tok_bpe,
+               ROUND(CAST(length(text) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')), 1), 4)
+                 AS chars_per_tok
+        FROM documents
+        ORDER BY doc_id
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_fingerprint",
+    doc="Document fingerprint dedup groups: normalized md5 tier "
+        "(operators/text.py:fingerprint; fp_rolling is xxhash64-based and "
+        "unit-tested instead).",
+    builder=lambda spark, sf: fingerprint(load_table(spark, sf, "documents"))
+    .groupBy("fp_norm")
+    .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_id"))
+    .orderBy("fp_norm"),
+    oracle_sql_str=r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,
+               COUNT(*) AS n, MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY fp_norm
+    """,
+))
+
+# ---- as-of operator (scale path for Q33) ----------------------------------
+
+Q(QuerySpec(
+    name="pl_asof_operator",
+    doc="Scalable as-of join operator (operators/asof.py: union + "
+        "last-ignoreNulls window — one shuffle, no pair explosion) on the "
+        "same purchase<-click task as q33; oracle = q33's range-join SQL, "
+        "so the two formulations cross-check through DuckDB.",
+    builder=lambda spark, sf: (
+        lambda ev: asof_join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"),
+            ev.filter(F.col("event_type") == "click")
+            .select("user_id", "ts", F.col("event_id").alias("click_id")),
+            on="user_id",
+            right_values=["click_id", "ts"],
+            order_col="click_id",
+        )
+        .filter(F.col("asof_click_id").isNotNull())
+        .select(
+            "purchase_id",
+            F.col("asof_click_id").alias("click_id"),
+            F.col("asof_ts").alias("click_ts"),
+        )
+        .orderBy("purchase_id")
+        .limit(2000)
+    )(load_table(spark, sf, "events")),
+    oracle_sql_str="""
+        SELECT purchase_id, click_id, click_ts
+        FROM (
+          SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                 c.ts AS click_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM events p
+          JOIN events c ON c.user_id = p.user_id
+                        AND c.event_type = 'click'
+                        AND c.ts <= p.ts
+          WHERE p.event_type = 'purchase'
+        ) x
+        WHERE rn = 1
+        ORDER BY purchase_id
+        LIMIT 2000
+    """,
+))
+
+# ---- multimodal plumbing --------------------------------------------------
+
+Q(QuerySpec(
+    name="pl_media_meta",
+    doc="Multimodal column plumbing: binary payload + typed metadata "
+        "(operators/multimodal.py:media_table_from_documents) — per-kind "
+        "byte accounting.",
+    builder=lambda spark, sf: media_table_from_documents(
+        load_table(spark, sf, "documents")
+    )
+    .groupBy("kind")
+    .agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+    )
+    .orderBy("kind"),
+    oracle_sql_str="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               COUNT(*) AS n,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1
+        ORDER BY kind
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_media_decode",
+    doc="Media decode/feature-extract via Arrow-batched mapInPandas "
+        "(operators/multimodal.py:decode_media; codec kernel stubbed with "
+        "a deterministic fake — container has no image/audio libs). "
+        "Rows-only; determinism unit-tested.",
+    builder=lambda spark, sf: decode_media(
+        media_table_from_documents(load_table(spark, sf, "documents"))
+    )
+    .select("media_id", "kind", "width", "height", "n_frames")
+    .orderBy("media_id"),
+    has_oracle=False,
+))

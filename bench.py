@@ -1,0 +1,113 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Plans are executed with the `noop` sink (full pipeline execution, no
+driver-side collect cost) after one warm-up run of q01 to exclude session
+/ JIT startup from per-query numbers.  Progress goes to stderr; stdout is
+exactly the JSON line the driver records as BENCH_r{N}.json.
+
+Optional: --duckdb also times the DuckDB oracle per query (fills the
+BASELINE.md results table; not part of the driver protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01",  # scan + offset/limit
+    "q02",  # predicate scan
+    "q06",  # TPC-H Q1 aggregation
+    "q09",  # count distinct
+    "q13",  # cube
+    "q17",  # exact median
+    "q24",  # 4-way star join
+    "q25",  # 6-way snowflake
+    "q33",  # as-of join
+    "q36",  # window top-k per group
+    "q43",  # global top-k
+    "q53",  # dedup clusters
+    "q57",  # tumbling window image
+    "q58",  # sessionization
+    "q59",  # correlated subquery
+    "q60",  # top-k IN subquery
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from adenhq_hive_spark.queries import all_queries
+    from adenhq_hive_spark.session import get_spark
+
+    do_duck = "--duckdb" in sys.argv
+
+    spark = get_spark("bench")
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warm-up: session init, parquet footer reads, codegen warm paths.
+    specs["q01"].run(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].run(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+        log(f"{name}: {times[name]:.3f}s")
+
+    duck_times: dict[str, float] = {}
+    if do_duck:
+        import duckdb
+
+        from adenhq_hive_spark.catalog import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in names:
+            oracle = specs[name].oracle
+            if oracle is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_times[name] = round(best, 4)
+            log(f"duckdb {name}: {duck_times[name]:.3f}s")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if duck_times:
+        out["duckdb"] = duck_times
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

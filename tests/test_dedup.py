@@ -1,0 +1,89 @@
+"""Dedup-tier tests (SURVEY §5.3): golden behavior on constructed rows +
+recall/precision gates for the approximate tiers vs the exact jaccard
+tier on the real documents testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from adenhq_hive_spark.catalog import load_table
+from adenhq_hive_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(spark, docs):
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_clusters(spark):
+    clusters = exact_duplicate_clusters(_mini_docs(spark)).collect()
+    assert len(clusters) == 1
+    assert clusters[0].n == 3
+    assert clusters[0].keep_id == 1
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    kept = sorted(r.doc_id for r in dedup_exact(_mini_docs(spark)).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_ngram_jaccard_mini(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_mini_docs(spark), threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_ngram_jaccard_real_corpus_bimodal(truth_pairs):
+    # testdata documents carry constructed near-dups: a clear >=0.9 cluster
+    assert len(truth_pairs) >= 5
+
+
+def test_minhash_lsh_recall_and_precision(docs, truth_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # verification step makes false positives impossible
+    assert got <= truth_pairs
+    recall = len(got & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.9, f"minhash-LSH recall {recall:.2f}"
+
+
+def test_simhash_precision(docs, truth_pairs):
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs).collect()}
+    tp = len(got & truth_pairs)
+    assert tp / max(len(got), 1) >= 0.9, "simhash precision"
+    assert tp / len(truth_pairs) >= 0.5, "simhash recall"

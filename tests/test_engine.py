@@ -1,0 +1,78 @@
+"""Engine envelope + read-only gate tests — mirrors the reference's
+csv_sql golden/security tests (test_csv_tool.py:714-790, 824-866)."""
+
+from __future__ import annotations
+
+import pytest
+
+from adenhq_hive_spark.engine import Engine, ReadOnlyViolation, assert_read_only
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_SMOKE)
+
+
+def test_envelope_shape(engine):
+    env = engine.sql(
+        "SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY n DESC, status"
+    )
+    assert env.success
+    assert env.columns == ["status", "n"]
+    assert env.column_count == 2
+    assert env.row_count == len(env.rows) == 3
+    assert not env.truncated
+    assert set(env.rows[0]) == {"status", "n"}
+    d = env.to_dict()
+    assert d["success"] and d["row_count"] == 3
+
+
+def test_truncation_flag(engine):
+    env = engine.sql("SELECT l_orderkey FROM lineitem", max_rows=7)
+    assert env.truncated and env.row_count == 7
+
+
+def test_max_rows_clamp(engine):
+    env = engine.sql("SELECT 1 AS x", max_rows=999_999)
+    assert env.success  # clamped to 10k, no error
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DROP TABLE orders",
+        "DELETE FROM orders",
+        "INSERT INTO orders VALUES (1)",
+        "UPDATE orders SET o_orderstatus = 'X'",
+        "CREATE TABLE t (a INT)",
+        "ALTER TABLE orders ADD COLUMN x INT",
+        "TRUNCATE TABLE orders",
+        "CREATE VIEW v AS SELECT 1",
+    ],
+)
+def test_write_statements_rejected(spark, engine, bad):
+    with pytest.raises(ReadOnlyViolation):
+        assert_read_only(spark, bad)
+    env = engine.sql(bad)
+    assert not env.success and "read-only" in env.error
+
+
+def test_keyword_in_literal_allowed(engine):
+    env = engine.sql("SELECT 'DROP TABLE x' AS s")
+    assert env.success and env.rows == [{"s": "DROP TABLE x"}]
+
+
+def test_parse_error_reported(engine):
+    env = engine.sql("SELEKT nope")
+    assert not env.success and "parse" in env.error.lower()
+
+
+def test_cte_and_subqueries_allowed(spark):
+    assert_read_only(
+        spark,
+        "WITH t AS (SELECT 1 AS a) SELECT * FROM t "
+        "WHERE a IN (SELECT 1)",
+    )

@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: binary column schema, Arrow-batched decode
+determinism, honest stub behavior, frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adenhq_hive_spark.catalog import load_table
+from adenhq_hive_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_media,
+    frame_sample,
+    media_table_from_documents,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_table_from_documents(load_table(spark, SF_SMOKE, "documents"))
+
+
+def _names_types(schema):
+    # simpleString drops nullability (incl. nested struct fields), which is
+    # computed for derived columns and not part of the contract
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def test_media_schema(media):
+    # nullability of computed columns differs from the declared contract;
+    # names and types are what the contract pins
+    assert _names_types(media.schema) == _names_types(MEDIA_SCHEMA)
+    r = media.first()
+    assert isinstance(r.content, (bytes, bytearray))
+    assert r.meta.n_bytes == len(r.content)
+    assert r.meta.mime.startswith("application/x-fake-")
+
+
+def test_decode_deterministic(media):
+    a = {r.media_id: r for r in decode_media(media).collect()}
+    b = {r.media_id: r for r in decode_media(media.repartition(7)).collect()}
+    assert len(a) == len(b) == media.count()
+    for k in a:
+        assert (a[k].width, a[k].height, a[k].n_frames) == (
+            b[k].width, b[k].height, b[k].n_frames)
+        assert a[k].feature == b[k].feature
+        assert len(a[k].feature) == 16
+
+
+def test_decode_schema_and_kinds(media):
+    dec = decode_media(media)
+    assert _names_types(dec.schema) == _names_types(DECODED_SCHEMA)
+    kinds = {r.kind: r for r in dec.collect()}
+    assert kinds["image"].n_frames == 1
+    assert kinds["video"].n_frames >= 1
+
+
+def test_decode_raise_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media.limit(1), decode_stub="raise").collect()
+
+
+def test_frame_sample_only_video(media):
+    dec = decode_media(media)
+    frames = frame_sample(dec, every_nth=4)
+    rows = frames.collect()
+    assert rows
+    vids = {r.media_id for r in dec.filter(F.col("kind") == "video").collect()}
+    assert {r.media_id for r in rows} <= vids
+    for r in rows:
+        assert r.frame_idx % 4 == 0

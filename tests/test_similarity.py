@@ -1,0 +1,59 @@
+"""Similarity-search tests: exact brute-force sanity + LSH recall gate
+(the ANN tier is recall-checked, not hash-checked — SURVEY §2.11
+non-goals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adenhq_hive_spark.catalog import load_table
+from adenhq_hive_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_cosine_identical_vector_is_top(spark, emb):
+    # duplicate vec 0 under a new id → its cosine with vec 0 must be 1.0
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"),
+        "embedding",
+        F.lit(0).alias("label"),
+    )
+    res = cosine_topk(
+        emb.unionByName(clone), emb.filter(F.col("vec_id") == 0), k=1
+    ).collect()
+    assert res[0].cand_id == 9999
+    assert res[0].cosine == 1.0
+
+
+def test_cosine_topk_shape(emb):
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.cand_id != r.query_id
+    for q, rs in per_q.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [x.cosine for x in sorted(rs, key=lambda x: x.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_recall_vs_exact(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id) for r in lsh_cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f} (16 tables x 4 planes)"
