@@ -1,0 +1,220 @@
+"""Excel tool parity: sheet-aware read/info/search/sql with multi-sheet
+joins (reference excel_tool.py:15-789).
+
+Semantics matched:
+
+- first row = header, ``Column_N`` fallback for blank header cells
+  (excel_tool.py:116-119);
+- every sheet registered as a view named after the sheet with spaces →
+  underscores (excel_tool.py:603); the target sheet additionally aliased
+  ``data`` (excel_tool.py:615-617) → cross-sheet joins just work
+  (excel_tool.py:507-508);
+- cell coercion: datetime → ISO-8601 string, other non-primitives → str
+  (excel_tool.py:792-801);
+- ``excel_search`` match types contains/exact/starts_with/ends_with with
+  optional case folding (excel_tool.py:748-756).
+
+The xlsx codec (openpyxl) is not in this container, so file IO is gated
+behind an import-try; all sheet semantics operate on an in-memory
+``{sheet_name: list[list[cell]]}`` workbook (what the codec would
+produce) and are fully tested that way. ``load_workbook_file`` raises a
+clear error when the codec is missing.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine import ReadOnlyViolation, assert_read_only
+
+Workbook = dict[str, list[list[Any]]]  # sheet name -> rows of cells
+
+
+def load_workbook_file(path: str) -> Workbook:
+    """Read an .xlsx into the in-memory workbook shape (needs openpyxl)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without codec
+        raise NotImplementedError(
+            "openpyxl is not installed in this environment; construct the "
+            "Workbook dict directly or install openpyxl for .xlsx IO."
+        ) from exc
+    wb = openpyxl.load_workbook(path, data_only=True)  # pragma: no cover
+    return {  # pragma: no cover
+        ws.title: [list(row) for row in ws.iter_rows(values_only=True)]
+        for ws in wb.worksheets
+    }
+
+
+def sanitize_sheet_name(name: str) -> str:
+    """Sheet → table name: spaces to underscores, strip other specials."""
+    return re.sub(r"[^0-9A-Za-z_]", "", name.replace(" ", "_"))
+
+
+def coerce_cell(v: Any) -> Any:
+    """Excel cell → JSON-safe value: datetime → ISO string, exotic → str."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    return str(v)
+
+
+def _header(cells: list[Any]) -> list[str]:
+    return [
+        str(c) if c not in (None, "") else f"Column_{i + 1}"
+        for i, c in enumerate(cells)
+    ]
+
+
+def sheet_to_df(spark: SparkSession, rows: list[list[Any]]) -> DataFrame:
+    """First row = header (with Column_N fallback), cells coerced."""
+    if not rows:
+        return spark.createDataFrame([], "value STRING")
+    header = _header(rows[0])
+    data = [
+        tuple(coerce_cell(c) for c in (r + [None] * (len(header) - len(r))))
+        for r in rows[1:]
+    ]
+    if not data:
+        schema = ", ".join(f"`{h}` STRING" for h in header)
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(data, header)
+
+
+def register_workbook(
+    spark: SparkSession, workbook: Workbook, target_sheet: str | None = None
+) -> dict[str, str]:
+    """Register every sheet as a temp view; alias the target as ``data``.
+
+    Returns {sheet name: view name}.
+    """
+    names: dict[str, str] = {}
+    first = next(iter(workbook), None)
+    target = target_sheet if target_sheet is not None else first
+    for sheet, rows in workbook.items():
+        df = sheet_to_df(spark, rows)
+        view = sanitize_sheet_name(sheet)
+        df.createOrReplaceTempView(view)
+        names[sheet] = view
+        if sheet == target:
+            df.createOrReplaceTempView("data")
+    return names
+
+
+def excel_sheet_list(workbook: Workbook) -> dict[str, Any]:
+    return {
+        "success": True,
+        "sheets": [
+            {
+                "name": s,
+                "rows": max(len(r) - 1, 0),
+                "columns": len(r[0]) if r else 0,
+            }
+            for s, r in workbook.items()
+        ],
+        "sheet_count": len(workbook),
+    }
+
+
+def excel_read(
+    spark: SparkSession,
+    workbook: Workbook,
+    sheet: str | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> dict[str, Any]:
+    """Sheet scan with offset/limit pagination (csv_read shape)."""
+    sheet = sheet if sheet is not None else next(iter(workbook), None)
+    if sheet not in workbook:
+        return {"success": False, "error": f"Sheet not found: {sheet}"}
+    df = sheet_to_df(spark, workbook[sheet])
+    sliced = df.offset(offset).limit(limit) if offset else df.limit(limit)
+    rows = [r.asDict() for r in sliced.collect()]
+    return {
+        "success": True,
+        "sheet": sheet,
+        "columns": list(df.columns),
+        "column_count": len(df.columns),
+        "rows": rows,
+        "row_count": len(rows),
+        "total_rows": df.count(),
+    }
+
+
+def excel_search(
+    spark: SparkSession,
+    workbook: Workbook,
+    term: str,
+    sheet: str | None = None,
+    match_type: str = "contains",
+    case_sensitive: bool = False,
+) -> dict[str, Any]:
+    """Cell search across a sheet: contains/exact/starts_with/ends_with."""
+    sheet = sheet if sheet is not None else next(iter(workbook), None)
+    if sheet not in workbook:
+        return {"success": False, "error": f"Sheet not found: {sheet}"}
+    rows = workbook[sheet]
+    header = _header(rows[0]) if rows else []
+    needle = term if case_sensitive else term.lower()
+    matches = []
+    for ri, row in enumerate(rows[1:], start=2):  # 1-based + header row
+        for ci, cell in enumerate(row):
+            hay = str(coerce_cell(cell)) if cell is not None else ""
+            if not case_sensitive:
+                hay = hay.lower()
+            hit = (
+                hay == needle
+                if match_type == "exact"
+                else hay.startswith(needle)
+                if match_type == "starts_with"
+                else hay.endswith(needle)
+                if match_type == "ends_with"
+                else needle in hay
+            )
+            if hit:
+                matches.append(
+                    {
+                        "row": ri,
+                        "column": header[ci] if ci < len(header) else f"Column_{ci+1}",
+                        "value": coerce_cell(cell),
+                    }
+                )
+    return {"success": True, "matches": matches, "match_count": len(matches)}
+
+
+def excel_sql(
+    spark: SparkSession,
+    workbook: Workbook,
+    query: str,
+    sheet: str | None = None,
+    max_rows: int = 1000,
+) -> dict[str, Any]:
+    """Read-only SQL over all sheets; target sheet aliased ``data``.
+
+    Cross-sheet joins use the sanitized sheet names as tables.
+    """
+    try:
+        assert_read_only(spark, query)
+    except ReadOnlyViolation as exc:
+        return {"success": False, "error": str(exc)}
+    register_workbook(spark, workbook, sheet)
+    try:
+        df = spark.sql(query)
+        max_rows = max(1, min(int(max_rows), 10_000))
+        taken = df.limit(max_rows + 1).collect()
+    except Exception as exc:
+        return {"success": False, "error": f"Query failed: {exc}"}
+    rows = [r.asDict(recursive=True) for r in taken[:max_rows]]
+    return {
+        "success": True,
+        "columns": list(df.columns),
+        "column_count": len(df.columns),
+        "rows": rows,
+        "row_count": len(rows),
+        "query_truncated": len(taken) > max_rows,
+    }

@@ -1,0 +1,61 @@
+"""DataStore (spillover/intermediate results) tests — pagination, append,
+listing, the distributed load_df path."""
+
+from __future__ import annotations
+
+import pytest
+
+from adenhq_hive_spark.sources.data_tools import DataStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DataStore(spark, str(tmp_path / "store"))
+
+
+@pytest.fixture()
+def numbers(spark):
+    return spark.range(100).withColumnRenamed("id", "n")
+
+
+def test_save_load_paginated(store, numbers):
+    assert store.save_data("nums", numbers)["success"]
+    page = store.load_data("nums", limit=10, offset=95)
+    assert page["success"]
+    assert page["total_rows"] == 100
+    assert page["row_count"] == 5
+    assert not page["has_more"]
+    assert page["columns"] == ["n"]
+
+
+def test_append(store, numbers, spark):
+    store.save_data("nums", numbers)
+    store.append_data("nums", spark.range(5).withColumnRenamed("id", "n"))
+    assert store.load_data("nums", limit=1)["total_rows"] == 105
+    missing = store.append_data("nope", numbers)
+    assert not missing["success"]
+
+
+def test_load_df_distributed_path(store, numbers):
+    store.save_data("nums", numbers)
+    df = store.load_df("nums")
+    assert df.count() == 100
+    assert df.filter("n < 10").count() == 10
+
+
+def test_list_and_delete(store, numbers):
+    store.save_data("a", numbers.limit(3))
+    store.save_data("b", numbers.limit(4))
+    listing = store.list_data_files()
+    assert listing["count"] == 2
+    assert {e["key"] for e in listing["files"]} == {"a", "b"}
+    assert all(e["size_bytes"] > 0 for e in listing["files"])
+    assert store.delete_data("a")["success"]
+    assert store.list_data_files()["count"] == 1
+    assert not store.load_data("a")["success"]
+
+
+def test_key_sanitization(store, numbers):
+    store.save_data("weird/key name!", numbers.limit(2))
+    got = store.load_data("weird/key name!")
+    assert got["success"] and got["total_rows"] == 2
