@@ -1,0 +1,245 @@
+"""GraphSpec → DataFrame pipeline execution.
+
+The reference executes DAGs of nodes over a shared key-value memory with
+conditional edges, priorities, fan-out and terminal nodes
+(GraphSpec edge.py:345-461; executor step loop executor.py:560-;
+edge traversal executor.py:1607-1732).  Here the *analytics* subset of
+that model is kept — nodes transform DataFrames held in a run-scoped
+memory, edge predicates are safe_eval expressions over scalar memory —
+and execution of each node is delegated to Spark (the reference's
+GraphExecutor scheduling job is Catalyst/DAGScheduler's job now,
+SURVEY §3.1).
+
+Node ops:
+
+- ``sql``        — run a gated SQL string; memory DataFrames are visible
+  as temp views under their keys.
+- ``filter``     — safe_eval predicate compiled to Spark SQL
+  (functions/safe_eval.compile_predicate) over the input DataFrame.
+- ``select``     — ``{target: source}`` projection/rename — the
+  reference's input_mapping (edge.py:276-303).
+- ``limit``      — row cap (result-size control, §4).
+- ``union``      — fan-in by name of N input DataFrames
+  (fan-in convergence, executor.py:1734-1766).
+- ``scalar``     — collect a 1x1 result into memory as a Python value so
+  edge predicates can branch on it (memory write, executor.py:814-819).
+- ``python``     — a callable(DataFrame, memory) -> DataFrame for custom
+  operators (tool registration surface, tool_registry.py:34-128).
+
+Semantics matched: memory is write-once per key per step (last write
+wins), conditional edges are evaluated against scalar memory with
+failure→False (edge.py:200-204), highest-priority traversable
+conditional edge wins within a group while unconditional edges always
+traverse (executor.py:1717-1731), execution stops at terminal nodes, a
+missing traversable edge, or ``max_steps`` (edge.py:429).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine import assert_read_only
+from ..functions.safe_eval import compile_predicate, eval_predicate
+
+
+class GraphValidationError(ValueError):
+    pass
+
+
+@dataclass
+class NodeSpec:
+    id: str
+    op: str
+    params: dict[str, Any] = field(default_factory=dict)
+    inputs: list[str] = field(default_factory=list)   # memory keys read
+    output: str | None = None                         # memory key written
+    fn: Callable[..., DataFrame] | None = None        # for op == 'python'
+
+
+@dataclass
+class EdgeSpec:
+    source: str
+    target: str
+    condition: str | None = None   # safe_eval expr over scalar memory
+    priority: int = 0
+
+
+@dataclass
+class GraphSpec:
+    nodes: dict[str, NodeSpec]
+    edges: list[EdgeSpec]
+    entry: str
+    terminals: set[str] = field(default_factory=set)
+    max_steps: int = 100           # edge.py:429 default
+
+    def validate(self) -> None:
+        if self.entry not in self.nodes:
+            raise GraphValidationError(f"entry node missing: {self.entry}")
+        for e in self.edges:
+            for n in (e.source, e.target):
+                if n not in self.nodes:
+                    raise GraphValidationError(f"edge references missing node: {n}")
+        for t in self.terminals:
+            if t not in self.nodes:
+                raise GraphValidationError(f"terminal missing: {t}")
+        for n in self.nodes.values():
+            if n.op == "python" and n.fn is None:
+                raise GraphValidationError(f"python node without fn: {n.id}")
+
+
+@dataclass
+class ExecutionResult:
+    memory: dict[str, Any]
+    steps: list[str]
+    completed: bool
+
+
+class GraphRunner:
+    """Driver-side orchestration only — every node body is a lazy
+    DataFrame transformation; Spark schedules the actual work."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def execute(
+        self, graph: GraphSpec, memory: dict[str, Any] | None = None
+    ) -> ExecutionResult:
+        graph.validate()
+        memory = dict(memory or {})
+        steps: list[str] = []
+        current: str | None = graph.entry
+        while current is not None and len(steps) < graph.max_steps:
+            node = graph.nodes[current]
+            steps.append(current)
+            self._run_node(node, memory)
+            if current in graph.terminals:
+                return ExecutionResult(memory, steps, True)
+            current = self._next_node(graph, current, memory)
+        return ExecutionResult(memory, steps, current is None)
+
+    # -- node ops ---------------------------------------------------------
+
+    def _run_node(self, node: NodeSpec, memory: dict[str, Any]) -> None:
+        op = getattr(self, f"_op_{node.op}", None)
+        if op is None:
+            raise GraphValidationError(f"unknown op: {node.op}")
+        result = op(node, memory)
+        if node.output is not None:
+            memory[node.output] = result
+
+    def _df_inputs(self, node: NodeSpec, memory: dict[str, Any]) -> list[DataFrame]:
+        out = []
+        for k in node.inputs:
+            v = memory.get(k)
+            if not isinstance(v, DataFrame):
+                raise GraphValidationError(
+                    f"node {node.id}: input {k!r} is not a DataFrame"
+                )
+            out.append(v)
+        return out
+
+    def _op_sql(self, node: NodeSpec, memory: dict[str, Any]) -> DataFrame:
+        for k, v in memory.items():
+            if isinstance(v, DataFrame):
+                v.createOrReplaceTempView(k)
+        sql = node.params["query"]
+        assert_read_only(self.spark, sql)
+        return self.spark.sql(sql)
+
+    def _op_filter(self, node: NodeSpec, memory: dict[str, Any]) -> DataFrame:
+        (df,) = self._df_inputs(node, memory)
+        return df.filter(compile_predicate(node.params["condition"]))
+
+    def _op_select(self, node: NodeSpec, memory: dict[str, Any]) -> DataFrame:
+        (df,) = self._df_inputs(node, memory)
+        mapping: dict[str, str] = node.params["mapping"]
+        if not mapping:  # empty mapping = pass-through (edge.py:291-293)
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(src).alias(tgt) for tgt, src in mapping.items()]
+        )
+
+    def _op_limit(self, node: NodeSpec, memory: dict[str, Any]) -> DataFrame:
+        (df,) = self._df_inputs(node, memory)
+        return df.limit(int(node.params["n"]))
+
+    def _op_union(self, node: NodeSpec, memory: dict[str, Any]) -> DataFrame:
+        dfs = self._df_inputs(node, memory)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _op_scalar(self, node: NodeSpec, memory: dict[str, Any]) -> Any:
+        (df,) = self._df_inputs(node, memory)
+        rows = df.limit(1).collect()
+        if not rows:
+            return None
+        return rows[0][0]
+
+    def _op_python(self, node: NodeSpec, memory: dict[str, Any]) -> DataFrame:
+        dfs = self._df_inputs(node, memory)
+        return node.fn(*dfs, memory=memory)
+
+    # -- edge traversal ---------------------------------------------------
+
+    def _next_node(
+        self, graph: GraphSpec, current: str, memory: dict[str, Any]
+    ) -> str | None:
+        out_edges = [e for e in graph.edges if e.source == current]
+        if not out_edges:
+            return None
+        scalar_ctx = {
+            k: v for k, v in memory.items() if not isinstance(v, DataFrame)
+        }
+        # highest-priority traversable conditional wins; unconditional
+        # edges are the fallback (executor.py:1717-1731 ordering)
+        conditional = sorted(
+            (e for e in out_edges if e.condition is not None),
+            key=lambda e: -e.priority,
+        )
+        for e in conditional:
+            if eval_predicate(e.condition, scalar_ctx):
+                return e.target
+        unconditional = sorted(
+            (e for e in out_edges if e.condition is None),
+            key=lambda e: -e.priority,
+        )
+        return unconditional[0].target if unconditional else None
+
+
+def graph_from_json(spec: dict[str, Any]) -> GraphSpec:
+    """Build a GraphSpec from the JSON-ish export shape (agent.json ≈
+    unresolved logical plan, SURVEY §3.1)."""
+    nodes = {
+        n["id"]: NodeSpec(
+            id=n["id"],
+            op=n["op"],
+            params=n.get("params", {}),
+            inputs=n.get("inputs", []),
+            output=n.get("output"),
+        )
+        for n in spec["nodes"]
+    }
+    edges = [
+        EdgeSpec(
+            source=e["source"],
+            target=e["target"],
+            condition=e.get("condition"),
+            priority=e.get("priority", 0),
+        )
+        for e in spec.get("edges", [])
+    ]
+    return GraphSpec(
+        nodes=nodes,
+        edges=edges,
+        entry=spec["entry"],
+        terminals=set(spec.get("terminals", [])),
+        max_steps=spec.get("max_steps", 100),
+    )

@@ -1,0 +1,218 @@
+"""Event-stream operators over the ``events`` table as a file stream.
+
+Mapping from the reference runtime (SURVEY §2.9):
+
+- EventBus pub/sub with type+stream filtering (event_bus.py:184-288)
+  → ``subscribe``: predicate filter on the stream.
+- Per-arrival processing, no event-time semantics (the reference delivers
+  in arrival order and never reorders) → we ADD event-time windows +
+  watermarks as new, documented semantics: late rows beyond the watermark
+  are dropped from aggregates.
+- Entry-point triggers webhook/timer/cron (edge.py:306-342) → source
+  triggers (``availableNow`` for catch-up batches, processing-time for
+  timer-like cadence).
+- SharedStateManager scoped state (shared_state.py:49-128) →
+  ``running_user_state``: per-key state via applyInPandasWithState,
+  checkpointed by the engine.
+- OutcomeAggregator progress rollups (outcome_aggregator.py:59-311) →
+  ``foreach_batch_parquet``: exactly-once-ish batch sink.
+
+Batch/stream parity: every windowed operator here has a batch image in
+the declared query set (q56/q57/q58) — tests assert the streaming results
+equal the batch results on the same data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import SCHEMAS
+
+EVENT_RAW_SCHEMA = SCHEMAS["events"]  # ts as long ns (parquet physical)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the declared
+    schema; ns→µs conversion identical to the batch catalog path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source monitors a DIRECTORY; glob-filter selects the events
+    # table out of the per-table parquet files in the sf dir.
+    raw = (
+        spark.readStream.schema(EVENT_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def subscribe(
+    stream: DataFrame,
+    event_types: list[str] | None = None,
+    user_ids: list[int] | None = None,
+) -> DataFrame:
+    """EventBus subscription image: type + stream(=user) filtering
+    (event_bus._matches, event_bus.py:265-288)."""
+    out = stream
+    if event_types is not None:
+        out = out.filter(F.col("event_type").isin(event_types))
+    if user_ids is not None:
+        out = out.filter(F.col("user_id").isin(user_ids))
+    return out
+
+
+def tumbling_counts(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-type tumbling-window counts with late-data policy (watermark).
+
+    Batch image: q57 (date_trunc('HOUR', ts) grouping).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window per-type counts (bench/feature tier — excluded from
+    the hash contract by design, SURVEY §2.11 non-goals)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("start"), F.col("win.end").alias("end"),
+                "event_type", "n")
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (session_window builtin).
+
+    Batch image: q58's gap-and-island SQL — same 30-minute gap rule.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_USER_STATE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_state(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, value-sum) kept
+    in the checkpointed state store — the SharedMemory/SharedStateManager
+    image (node.py:264-452, shared_state.py:49-128): run-scoped keyed
+    state that survives across triggers.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_USER_STATE_OUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def foreach_batch_parquet(stream: DataFrame, out_dir: str):
+    """Exactly-once-ish sink: append each micro-batch to parquet with the
+    epoch id recorded (foreachBatch; OutcomeAggregator write-through
+    image)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(write)
+
+
+def run_to_completion(
+    stream: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+):
+    """Drive a streaming DataFrame over all currently-available input
+    (availableNow semantics via processAllAvailable) into a memory sink;
+    returns the started query (caller stops it). Checkpointed → a second
+    run with the same checkpoint resumes, not reprocesses (the
+    checkpoint/resume mapping of executor.py:719-738)."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

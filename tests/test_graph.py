@@ -1,0 +1,185 @@
+"""Graph pipeline tests: node ops, conditional branching on scalar
+memory, priorities, fan-in union, max_steps, JSON loading — mirrors the
+reference's executor/edge test themes (test_graph_executor.py,
+test_conditional_edge_direct_key.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from adenhq_hive_spark.catalog import register_views
+from adenhq_hive_spark.plans.graph import (
+    EdgeSpec,
+    GraphRunner,
+    GraphSpec,
+    GraphValidationError,
+    NodeSpec,
+    graph_from_json,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def runner(spark):
+    register_views(spark, SF_SMOKE)
+    return GraphRunner(spark)
+
+
+def test_linear_sql_filter_select(runner, spark):
+    g = GraphSpec(
+        nodes={
+            "load": NodeSpec(
+                "load", "sql",
+                {"query": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"},
+                output="orders_df",
+            ),
+            "keep_big": NodeSpec(
+                "keep_big", "filter",
+                {"condition": "o_totalprice > 100000 and o_orderstatus == 'F'"},
+                inputs=["orders_df"], output="big",
+            ),
+            "shape": NodeSpec(
+                "shape", "select",
+                {"mapping": {"id": "o_orderkey", "total": "o_totalprice"}},
+                inputs=["big"], output="result",
+            ),
+        },
+        edges=[EdgeSpec("load", "keep_big"), EdgeSpec("keep_big", "shape")],
+        entry="load",
+        terminals={"shape"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed and res.steps == ["load", "keep_big", "shape"]
+    df = res.memory["result"]
+    assert df.columns == ["id", "total"]
+    assert df.count() > 0
+    assert df.filter("total <= 100000").count() == 0
+
+
+def test_conditional_branch_on_scalar(runner, spark):
+    def mk(threshold):
+        return GraphSpec(
+            nodes={
+                "count": NodeSpec(
+                    "count", "sql",
+                    {"query": "SELECT COUNT(*) FROM orders"}, output="cnt_df",
+                ),
+                "as_scalar": NodeSpec(
+                    "as_scalar", "scalar", inputs=["cnt_df"], output="n_orders",
+                ),
+                "big_path": NodeSpec(
+                    "big_path", "sql", {"query": "SELECT 'big' AS path"},
+                    output="out",
+                ),
+                "small_path": NodeSpec(
+                    "small_path", "sql", {"query": "SELECT 'small' AS path"},
+                    output="out",
+                ),
+            },
+            edges=[
+                EdgeSpec("count", "as_scalar"),
+                EdgeSpec("as_scalar", "big_path",
+                         condition=f"n_orders > {threshold}", priority=1),
+                EdgeSpec("as_scalar", "small_path"),
+            ],
+            entry="count",
+            terminals={"big_path", "small_path"},
+        )
+
+    r1 = GraphRunner(spark).execute(mk(100))
+    assert r1.steps[-1] == "big_path"
+    r2 = GraphRunner(spark).execute(mk(10**9))
+    assert r2.steps[-1] == "small_path"
+
+
+def test_priority_wins(runner, spark):
+    g = GraphSpec(
+        nodes={
+            "start": NodeSpec("start", "sql", {"query": "SELECT 1 AS one"},
+                              output="d"),
+            "lo": NodeSpec("lo", "sql", {"query": "SELECT 'lo' AS x"}, output="o"),
+            "hi": NodeSpec("hi", "sql", {"query": "SELECT 'hi' AS x"}, output="o"),
+        },
+        edges=[
+            EdgeSpec("start", "lo", condition="1 == 1", priority=0),
+            EdgeSpec("start", "hi", condition="1 == 1", priority=5),
+        ],
+        entry="start",
+        terminals={"lo", "hi"},
+    )
+    assert GraphRunner(spark).execute(g).steps[-1] == "hi"
+
+
+def test_union_fan_in(runner, spark):
+    g = GraphSpec(
+        nodes={
+            "a": NodeSpec("a", "sql",
+                          {"query": "SELECT c_custkey AS k FROM customer LIMIT 5"},
+                          output="da"),
+            "b": NodeSpec("b", "sql",
+                          {"query": "SELECT s_suppkey AS k FROM supplier LIMIT 5"},
+                          output="db"),
+            "merge": NodeSpec("merge", "union", inputs=["da", "db"],
+                              output="merged"),
+        },
+        edges=[EdgeSpec("a", "b"), EdgeSpec("b", "merge")],
+        entry="a",
+        terminals={"merge"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.memory["merged"].count() == 10
+
+
+def test_max_steps_cap(runner, spark):
+    g = GraphSpec(
+        nodes={
+            "loop": NodeSpec("loop", "sql", {"query": "SELECT 1 AS x"},
+                             output="d"),
+        },
+        edges=[EdgeSpec("loop", "loop")],
+        entry="loop",
+        max_steps=7,
+    )
+    res = GraphRunner(spark).execute(g)
+    assert not res.completed
+    assert len(res.steps) == 7
+
+
+def test_write_sql_rejected_in_node(runner, spark):
+    g = GraphSpec(
+        nodes={"bad": NodeSpec("bad", "sql", {"query": "DROP TABLE orders"})},
+        edges=[],
+        entry="bad",
+    )
+    with pytest.raises(Exception, match="read-only"):
+        GraphRunner(spark).execute(g)
+
+
+def test_validation_errors(spark):
+    with pytest.raises(GraphValidationError, match="entry"):
+        GraphRunner(spark).execute(
+            GraphSpec(nodes={}, edges=[], entry="nope")
+        )
+
+
+def test_graph_from_json_roundtrip(runner, spark):
+    g = graph_from_json(
+        {
+            "entry": "load",
+            "terminals": ["top"],
+            "max_steps": 10,
+            "nodes": [
+                {"id": "load", "op": "sql",
+                 "params": {"query": "SELECT p_partkey, p_retailprice FROM part"},
+                 "output": "parts"},
+                {"id": "top", "op": "sql",
+                 "params": {"query": "SELECT * FROM parts ORDER BY p_retailprice DESC LIMIT 3"},
+                 "output": "top3"},
+            ],
+            "edges": [{"source": "load", "target": "top"}],
+        }
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    assert res.memory["top3"].count() == 3

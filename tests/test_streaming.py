@@ -1,0 +1,172 @@
+"""Streaming tests: batch/stream parity (streaming windowed results must
+equal the declared batch images), stateful operator, foreachBatch sink,
+checkpoint resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adenhq_hive_spark.catalog import load_table
+from adenhq_hive_spark.streaming.events import (
+    foreach_batch_parquet,
+    read_event_stream,
+    run_to_completion,
+    running_user_state,
+    session_counts,
+    sliding_counts,
+    subscribe,
+    tumbling_counts,
+)
+
+from .conftest import SF_SMOKE
+
+@pytest.fixture()
+def stream(spark):
+    return read_event_stream(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_stream_is_streaming(stream):
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_subscribe_filter_parity(spark, stream, batch_events, tmp_path):
+    q = run_to_completion(
+        subscribe(stream, event_types=["click", "error"])
+        .groupBy("event_type")
+        .count(),
+        "sub_counts",
+        str(tmp_path / "ck"),
+    )
+    try:
+        got = {
+            r.event_type: r["count"]
+            for r in spark.sql("SELECT * FROM sub_counts").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.event_type: r["count"]
+        for r in batch_events.filter(
+            F.col("event_type").isin(["click", "error"])
+        ).groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_tumbling_parity_with_q57(spark, stream, batch_events, tmp_path):
+    q = run_to_completion(
+        tumbling_counts(stream), "tumbling", str(tmp_path / "ck")
+    )
+    try:
+        got = {
+            (r.hour, r.event_type): (r.n, r.total)
+            for r in spark.sql("SELECT * FROM tumbling").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.hour, r.event_type): (r.n, r.total)
+        for r in batch_events.groupBy(
+            F.date_trunc("HOUR", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_sliding_windows_cover(spark, stream, tmp_path):
+    q = run_to_completion(
+        sliding_counts(stream, "10 minutes", "5 minutes"),
+        "sliding",
+        str(tmp_path / "ck"),
+    )
+    try:
+        rows = spark.sql("SELECT * FROM sliding").collect()
+    finally:
+        q.stop()
+    assert rows
+    # every window is exactly 10 minutes and aligned to the 5-minute slide
+    for r in rows:
+        assert (r.end - r.start).total_seconds() == 600
+        assert r.start.minute % 5 == 0
+
+
+def test_session_window_parity_with_q58(spark, stream, batch_events, tmp_path):
+    q = run_to_completion(
+        session_counts(stream), "sessions", str(tmp_path / "ck")
+    )
+    try:
+        got = spark.sql("SELECT * FROM sessions").collect()
+    finally:
+        q.stop()
+    # q58's gap-and-island batch formulation (same 30-min gap)
+    from adenhq_hive_spark.queries import all_queries
+
+    batch = all_queries()["q58"].run(spark, SF_SMOKE).collect()
+    # session counts per user must match exactly
+    got_per_user = {}
+    for r in got:
+        got_per_user[r.user_id] = got_per_user.get(r.user_id, 0) + 1
+    want_per_user = {}
+    for r in batch:
+        want_per_user[r.user_id] = want_per_user.get(r.user_id, 0) + 1
+    assert got_per_user == want_per_user
+    # and the multiset of per-session event counts must match
+    assert sorted((r.user_id, r.n_events) for r in got) == sorted(
+        (r.user_id, r.n_events) for r in batch
+    )
+
+
+def test_running_user_state(spark, stream, batch_events, tmp_path):
+    q = run_to_completion(
+        running_user_state(stream),
+        "user_state",
+        str(tmp_path / "ck"),
+        output_mode="update",
+    )
+    try:
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM user_state GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.user_id: r.n for r in rows}
+    want = {
+        r.user_id: r["count"]
+        for r in batch_events.groupBy("user_id").count().collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink_and_resume(spark, stream, tmp_path):
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = foreach_batch_parquet(
+        subscribe(stream, event_types=["purchase"]), out
+    ).option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    n1 = written.count()
+    assert n1 > 0
+    assert "epoch_id" in written.columns
+    # resume from checkpoint: no new input → no duplicate reprocessing
+    q2 = foreach_batch_parquet(
+        subscribe(read_event_stream(spark, SF_SMOKE), ["purchase"]), out
+    ).option("checkpointLocation", ck).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == n1
