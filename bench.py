@@ -36,6 +36,10 @@ HEADLINE = [
     "q58",  # sessionization
     "q59",  # correlated subquery
     "q60",  # top-k IN subquery
+    "pl_ngram_jaccard",  # exact near-dup pairs
+    "pl_minhash_lsh",    # minhash+LSH near-dup
+    "pl_cosine_topk",    # brute-force ANN baseline
+    "pl_quality",        # text quality scoring
 ]
 
 
