@@ -135,3 +135,22 @@ class Engine:
             row_count=len(rows),
             truncated=truncated,
         )
+
+    def describe_dataset(self, with_row_counts: bool = True) -> dict:
+        """Catalog listing: tables, column schemas, optional row counts
+        (reference describe_dataset, bigquery_tool.py:277-392)."""
+        tables = []
+        for t in self.spark.catalog.listTables():
+            cols = [
+                {"name": c.name, "type": c.dataType}
+                for c in self.spark.catalog.listColumns(t.name)
+            ]
+            entry = {"table": t.name, "columns": cols}
+            if with_row_counts:
+                entry["row_count"] = self.spark.table(t.name).count()
+            tables.append(entry)
+        return {
+            "success": True,
+            "tables": sorted(tables, key=lambda e: e["table"]),
+            "table_count": len(tables),
+        }

@@ -1,0 +1,71 @@
+"""UDF/tool registry: named function registration + module discovery
+(reference tool_registry.py:34-218 — Tool{name, description, parameters}
+records, sync/async executor wrapping, module scanning).
+
+Spark-first, "registering a tool" means registering a UDF into the
+session so it becomes callable from any SQL/DataFrame expression; the
+registry keeps the reference's metadata shape so a catalog of available
+operators can be listed (tool_registry list surface).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class ToolSpec:
+    name: str
+    description: str
+    fn: Callable[..., Any]
+    return_type: str = "string"
+    vectorized: bool = False  # True → pandas_udf (Arrow batches)
+    parameters: dict[str, Any] = field(default_factory=dict)
+
+
+class ToolRegistry:
+    """Session-scoped registry of named UDFs."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tools: dict[str, ToolSpec] = {}
+
+    def register(self, spec: ToolSpec) -> None:
+        """Register (or replace) a tool and expose it as a SQL UDF."""
+        if spec.vectorized:
+            from pyspark.sql.functions import pandas_udf
+
+            udf = pandas_udf(spec.return_type)(spec.fn)
+            self.spark.udf.register(spec.name, udf)
+        else:
+            self.spark.udf.register(spec.name, spec.fn, spec.return_type)
+        self._tools[spec.name] = spec
+
+    def register_module(self, module_name: str, attr: str = "TOOLS") -> int:
+        """Module discovery (tool_registry.py:130-218): import a module
+        and register every ToolSpec in its ``TOOLS`` list."""
+        mod = importlib.import_module(module_name)
+        specs = getattr(mod, attr, [])
+        for spec in specs:
+            self.register(spec)
+        return len(specs)
+
+    def list_tools(self) -> list[dict[str, Any]]:
+        return [
+            {
+                "name": t.name,
+                "description": t.description,
+                "return_type": t.return_type,
+                "vectorized": t.vectorized,
+                "parameters": t.parameters,
+            }
+            for t in sorted(self._tools.values(), key=lambda t: t.name)
+        ]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tools

@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
@@ -89,12 +90,47 @@ def ngram_jaccard_pairs(
     id_a < id_b → per-pair intersection count; union size from per-doc
     shingle counts. Pairs sharing zero shingles (jaccard 0) never
     materialize.
+
+    ``max_shingle_df`` is the scale knob: a shingle appearing in ``d``
+    documents generates O(d²) join rows, so one boilerplate phrase shared
+    by a million documents would dominate the shuffle. With the cap set,
+    shingles above the document-frequency cap are dropped from CANDIDATE
+    generation only — surviving pairs are still verified with their full
+    shingle sets, so reported jaccard values stay exact; only pairs whose
+    overlap is exclusively ultra-common shingles (low-signal pairs) can
+    be missed. Leave None for exhaustive-exact (the oracle-checked mode).
     """
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_ex = ex.join(rare, "shingle")
+        cand = (
+            cand_ex.alias("a")
+            .join(cand_ex.alias("b"), on="shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        with_sets = (
+            cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        )
+        inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            with_sets.withColumn("jaccard", F.round(inter_sz / union_sz, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), on="shingle")

@@ -1,0 +1,54 @@
+"""Skew-mitigation helpers for hot-key joins and partitioned layouts.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+runtime skew; these helpers cover the cases AQE cannot: a broadcast-
+ineligible dimension joined on a key whose distribution is known-skewed
+(salting), and writing date-partitioned layouts so downstream scans
+partition-prune (SURVEY §7 risk register: partition by date keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the left (skewed) side salted.
+
+    The left side gets a deterministic salt in [0, salt) (hash of the
+    full row via monotonically-increasing spread would be nondeterministic
+    — use a hash of all columns); the right side is exploded ``salt``
+    ways so every (key, salt) bucket finds its match. One hot key now
+    spreads over ``salt`` reducers. Output columns = a plain join's.
+
+    Correctness is layout-independent: tests assert equality with the
+    unsalted join.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_salted = left.withColumn("__salt", salt_col.cast("int"))
+    r_exploded = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = l_salted.join(r_exploded, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Write with a ``dt=YYYY-MM-DD`` partition column so future scans
+    with date predicates partition-prune instead of reading everything
+    (PartitionFilters in the scan node, not a post-filter)."""
+    (
+        df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )

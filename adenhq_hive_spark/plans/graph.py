@@ -58,6 +58,10 @@ class NodeSpec:
     inputs: list[str] = field(default_factory=list)   # memory keys read
     output: str | None = None                         # memory key written
     fn: Callable[..., DataFrame] | None = None        # for op == 'python'
+    # column-level read allowlist per input key — the reference's memory
+    # permission scoping (node.py:436-452), enforced as column pruning
+    # before the node body sees the DataFrame (SURVEY §2.2 mapping)
+    allowed_columns: dict[str, list[str]] = field(default_factory=dict)
 
 
 @dataclass
@@ -139,6 +143,9 @@ class GraphRunner:
                 raise GraphValidationError(
                     f"node {node.id}: input {k!r} is not a DataFrame"
                 )
+            allowed = node.allowed_columns.get(k)
+            if allowed is not None:
+                v = v.select(*allowed)  # permission scoping = column pruning
             out.append(v)
         return out
 

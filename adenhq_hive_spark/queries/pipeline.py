@@ -360,3 +360,22 @@ Q(QuerySpec(
     .orderBy("media_id"),
     has_oracle=False,
 ))
+
+
+# ---- approximate sketches (bench-only tier) --------------------------------
+
+Q(QuerySpec(
+    name="pl_approx_distinct",
+    doc="approx_count_distinct (HyperLogLog++) per returnflag — sketch "
+        "implementations differ across engines, so this is rows-only by "
+        "design (SURVEY §2.11 non-goals); accuracy vs exact distinct is "
+        "gated in tests/test_logs_guard.py.",
+    builder=lambda spark, sf: load_table(spark, sf, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+        F.approx_count_distinct("l_partkey").alias("approx_part"),
+    )
+    .orderBy("l_returnflag"),
+    has_oracle=False,
+))

@@ -1044,3 +1044,155 @@ Q(QuerySpec(
         ORDER BY o_orderkey NULLS LAST
     """,
 ))
+
+# ---- extended coverage (Q61-Q68) ------------------------------------------
+
+Q(QuerySpec(
+    name="q61",
+    doc="String suite 2: split_part/translate/repeat/rpad/instr — all "
+        "portable names in both dialects.",
+    engine_sql="""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS first_word,
+               split_part(p_brand, '#', 2) AS brand_num,
+               translate(p_name, 'aeiou', '.....') AS devowel,
+               repeat(p_brand, 2) AS twice,
+               rpad(p_brand, 12, '.') AS padded,
+               CAST(instr(p_name, 'e') AS INT) AS pos_e
+        FROM part
+        ORDER BY p_partkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q62",
+    doc="Date suite 2: quarter / last_day / make_date / day-of-week "
+        "(dual-form: Spark 1=Sunday vs DuckDB 0=Sunday).",
+    engine_sql="""
+        SELECT o_orderkey,
+               CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               make_date(CAST(YEAR(o_orderdate) AS INT), 1, 1) AS year_start,
+               CAST(DAYOFWEEK(o_orderdate) - 1 AS INT) AS dow
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+    oracle_sql_str="""
+        SELECT o_orderkey,
+               CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               make_date(CAST(YEAR(o_orderdate) AS INT), 1, 1) AS year_start,
+               CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q63",
+    doc="Boolean aggregates + try_cast (graceful coercion, output_cleaner "
+        "type repair analog).",
+    engine_sql="""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_discount > 0.09) AS any_deep_discount,
+               CAST(SUM(CASE WHEN try_cast(l_linestatus AS INT) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_status
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q64",
+    doc="NULL aggregation semantics: COUNT(col) skips NULLs, SUM of "
+        "all-NULL is NULL, COALESCE at the aggregate level.",
+    engine_sql="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               COUNT(NULLIF(o_orderpriority, '5-LOW')) AS n_not_low,
+               CAST(COALESCE(SUM(CAST(NULLIF(o_totalprice, o_totalprice)
+                                      AS DECIMAL(18,4))), 0) AS DOUBLE)
+                 AS sum_of_nulls
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q65",
+    doc="Two-level aggregation: average per-customer order count and "
+        "spend (aggregate of aggregates).",
+    engine_sql="""
+        SELECT COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 4)
+                 AS avg_orders_per_cust,
+               ROUND(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 4)
+                 AS avg_spend_per_cust
+        FROM (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+          FROM orders GROUP BY o_custkey
+        ) per_cust
+    """,
+))
+
+Q(QuerySpec(
+    name="q66",
+    doc="Array explode with position — dual-form: posexplode (0-based, "
+        "+1) vs unnest + generate_subscripts (1-based).",
+    engine_sql="""
+        SELECT vec_id, CAST(pos + 1 AS BIGINT) AS pos,
+               ROUND(CAST(val AS DOUBLE), 4) AS val
+        FROM embeddings
+        LATERAL VIEW posexplode(embedding) t AS pos, val
+        WHERE vec_id < 3
+        ORDER BY vec_id NULLS LAST, pos NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS val
+        FROM embeddings
+        WHERE vec_id < 3
+        ORDER BY vec_id NULLS LAST, pos NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q67",
+    doc="Correlated EXISTS on two columns: users who had an error after "
+        "a purchase (event-sequence predicate).",
+    engine_sql="""
+        SELECT DISTINCT p.user_id
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = p.user_id
+                        AND e.event_type = 'error'
+                        AND e.ts > p.ts)
+        ORDER BY p.user_id NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q68",
+    doc="HAVING over multiple aggregates with CASE: high-value volatile "
+        "customers.",
+    engine_sql="""
+        SELECT o_custkey,
+               COUNT(*) AS n,
+               CAST(MAX(o_totalprice) - MIN(o_totalprice) AS DOUBLE) AS spread
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3
+           AND MAX(o_totalprice) - MIN(o_totalprice) >
+               CASE WHEN COUNT(*) > 10 THEN 300000 ELSE 150000 END
+        ORDER BY o_custkey NULLS LAST
+    """,
+))

@@ -86,3 +86,32 @@ class DataStore:
             return {"success": False, "error": f"No data for key: {key}"}
         shutil.rmtree(path)
         return {"success": True, "key": key}
+
+    def truncate_with_spillover(
+        self, key: str, df: DataFrame, max_rows: int = 100,
+        max_chars: int = 3_000,
+    ) -> dict[str, Any]:
+        """Result-size control (event_loop_node.py:88-89, 1943-2040 image):
+        return at most ``max_rows`` rows with long string cells truncated
+        to ``max_chars``; the FULL untruncated result is spilled to the
+        store under ``key`` for paginated retrieval."""
+        from pyspark.sql import functions as F
+
+        self.save_data(key, df)
+        truncated_cols = [
+            F.when(
+                F.length(c) > max_chars,
+                F.concat(F.substring(F.col(c), 1, max_chars), F.lit("…")),
+            ).otherwise(F.col(c)).alias(c)
+            if t == "string" else F.col(c)
+            for c, t in df.dtypes
+        ]
+        preview = df.select(*truncated_cols).limit(max_rows + 1).collect()
+        rows = [r.asDict(recursive=True) for r in preview[:max_rows]]
+        return {
+            "success": True,
+            "rows": rows,
+            "row_count": len(rows),
+            "truncated": len(preview) > max_rows,
+            "spillover_key": key,
+        }

@@ -183,3 +183,26 @@ def test_graph_from_json_roundtrip(runner, spark):
     res = GraphRunner(spark).execute(g)
     assert res.completed
     assert res.memory["top3"].count() == 3
+
+
+def test_allowed_columns_scoping(runner, spark):
+    g = GraphSpec(
+        nodes={
+            "load": NodeSpec(
+                "load", "sql",
+                {"query": "SELECT c_custkey, c_name, c_acctbal FROM customer"},
+                output="cust",
+            ),
+            "scoped": NodeSpec(
+                "scoped", "select", {"mapping": {}}, inputs=["cust"],
+                output="visible",
+                allowed_columns={"cust": ["c_custkey", "c_name"]},
+            ),
+        },
+        edges=[EdgeSpec("load", "scoped")],
+        entry="load",
+        terminals={"scoped"},
+    )
+    res = GraphRunner(spark).execute(g)
+    # acctbal is pruned before the node body ever sees the frame
+    assert res.memory["visible"].columns == ["c_custkey", "c_name"]

@@ -1,0 +1,108 @@
+"""Physical-plan regression tests: the 100 TB posture, locked in.
+
+These assert the plan SHAPES that matter at scale — filter pushdown,
+column pruning, broadcast dimension joins, partial aggregation,
+partition pruning, whole-stage codegen — so a refactor that silently
+turns a pruned broadcast plan into a full-scan shuffle join fails CI,
+not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adenhq_hive_spark.catalog import load_table
+from adenhq_hive_spark.operators.skew import salted_join, write_date_partitioned
+from adenhq_hive_spark.queries import all_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_pushdown_and_pruning(spark):
+    plan = _plan(QUERIES["q06"].run(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 6 needed columns are read from the 11-column table
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_quantity" in scan and "l_orderkey" not in scan and "l_tax" not in scan
+
+
+def test_q06_partial_aggregation(spark):
+    plan = _plan(QUERIES["q06"].run(spark, SF_SMOKE))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q24_broadcasts_all_dims(spark):
+    plan = _plan(QUERIES["q24"].run(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q25_snowflake_broadcasts(spark):
+    plan = _plan(QUERIES["q25"].run(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q43_topk_is_take_ordered(spark):
+    plan = _plan(QUERIES["q43"].run(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 25
+
+
+def test_whole_stage_codegen_on_scan_pipeline(spark):
+    df = QUERIES["q06"].run(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages are rendered as "*(N) Operator" in the final plan —
+    # the scan→filter→partial-agg pipeline must be fused
+    assert "*(1)" in final
+    assert "isFinalPlan=true" in final
+
+
+def test_semi_anti_join_shapes(spark):
+    semi = _plan(QUERIES["q28"].run(spark, SF_SMOKE))
+    anti = _plan(QUERIES["q29"].run(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _plan(QUERIES["pl_cosine_topk"].run(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_join_equivalence(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("q"))
+    )
+    salted = (
+        salted_join(li, orders, on="l_orderkey", salt=8)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_day")
+    write_date_partitioned(events, out)
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("dt") == "2024-01-05")
+    plan = _plan(one_day)
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert one_day.count() > 0
+    # partition pruning: only one directory's files are scanned
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "dt" in scan
