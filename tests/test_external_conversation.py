@@ -1,0 +1,80 @@
+"""Tests for the external row-source/sink adapters and the conversation
+store (append-only seq log with cursor reads)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from adenhq_hive_spark.operators.conversation import ConversationStore
+from adenhq_hive_spark.sources.external import (
+    external_sink,
+    external_source,
+    rows_to_df,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+class TestExternal:
+    def test_rows_to_df_drops_and_nulls(self, spark):
+        df = rows_to_df(
+            spark,
+            [{"id": 1, "title": "a", "extra": "x"}, {"id": 2}],
+            SCHEMA,
+        )
+        rows = {r.id: r.title for r in df.collect()}
+        assert rows == {1: "a", 2: None}
+        assert df.columns == ["id", "title"]
+
+    def test_rows_to_df_strict(self, spark):
+        with pytest.raises(ValueError, match="extra"):
+            rows_to_df(spark, [{"id": 1, "extra": 2}], SCHEMA, strict=True)
+
+    def test_external_source_pagination(self, spark):
+        def fetch(page, q):
+            return [{"id": page * 10 + i, "title": f"{q}-{i}"} for i in range(2)]
+
+        df = external_source(spark, fetch, SCHEMA, pages=[1, 2, 3], q="spark")
+        assert df.count() == 6
+        assert df.filter("id = 21").collect()[0].title == "spark-1"
+
+    def test_external_sink_batches(self, spark):
+        sent: list[list] = []
+        df = rows_to_df(spark, [{"id": i, "title": "t"} for i in range(7)], SCHEMA)
+        n = external_sink(df, sent.append, batch_size=3)
+        assert n == 7
+        assert [len(b) for b in sent] == [3, 3, 1]
+        assert sent[0][0] == {"id": 0, "title": "t"}
+
+
+class TestConversationStore:
+    def test_append_seq_and_cursor(self, spark, tmp_path):
+        store = ConversationStore(spark, str(tmp_path / "conv"))
+        r1 = store.append("c1", [{"role": "user", "content": "hi"},
+                                 {"role": "assistant", "content": "hello"}])
+        assert (r1["first_seq"], r1["appended"]) == (0, 2)
+        r2 = store.append("c1", [{"role": "user", "content": "more"}])
+        assert r2["first_seq"] == 2
+        store.append("c2", [{"role": "user", "content": "other conv"}])
+
+        page = store.read("c1", after_seq=-1, limit=2)
+        assert [m["seq"] for m in page["messages"]] == [0, 1]
+        assert page["cursor"] == 1
+        rest = store.read("c1", after_seq=page["cursor"])
+        assert [m["content"] for m in rest["messages"]] == ["more"]
+        # cursor past the end returns empty, cursor unchanged
+        empty = store.read("c1", after_seq=99)
+        assert empty["count"] == 0 and empty["cursor"] == 99
+
+    def test_distributed_path(self, spark, tmp_path):
+        store = ConversationStore(spark, str(tmp_path / "conv"))
+        store.append("c1", [{"role": "user", "content": f"m{i}"} for i in range(5)])
+        df = store.as_df("c1")
+        assert df.count() == 5
+        assert df.filter("role = 'user'").count() == 5
