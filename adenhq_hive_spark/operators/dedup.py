@@ -4,8 +4,9 @@ Four tiers, all DataFrame-native and deterministic:
 
 1. exact           — content-hash groupBy (one shuffle on the hash).
 2. ngram_jaccard   — exact set-similarity on word n-gram shingles via a
-                     shingle-inverted-index self-join (pairs that share at
-                     least one shingle), then |A∩B| / |A∪B|.
+                     shingle inverted index (posting-list pair expansion:
+                     pairs that share at least one shingle), then
+                     |A∩B| / |A∪B|.
 3. minhash_lsh     — MinHash signatures (xxhash64 with H seeds) + banding;
                      only same-band-bucket pairs are candidates, then exact
                      jaccard verification on the candidates. The scale
@@ -105,21 +106,28 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))
+    # Posting-list formulation (faster than an explode×explode self-join:
+    # shingles are computed once and there is one fewer shuffle): group
+    # doc ids per shingle, expand ordered in-group pairs JVM-side.
+    postings = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     if max_shingle_df is not None:
-        rare = (
-            ex.groupBy("shingle")
-            .count()
-            .filter(F.col("count") <= max_shingle_df)
-            .select("shingle")
-        )
-        cand_ex = ex.join(rare, "shingle")
-        cand = (
-            cand_ex.alias("a")
-            .join(cand_ex.alias("b"), on="shingle")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    pair_struct = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    pairs = (
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_struct)).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    if max_shingle_df is not None:
+        # candidates only; verify with the FULL shingle sets so the cap
+        # never changes a reported jaccard value
+        cand = pairs.dropDuplicates(["id_a", "id_b"])
         with_sets = (
             cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
             .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -131,13 +139,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
@@ -203,7 +205,6 @@ def minhash_lsh_pairs(
 
     band_entries = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -221,28 +222,32 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # posting-list pair expansion per (band, bucket) — signatures are
+    # computed once; the heavy shingle arrays join in only for the
+    # verification step, after candidate dedup
+    postings = band_entries.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    pair_struct = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
     cand = (
-        band_entries.alias("a")
-        .join(
-            band_entries.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_struct)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sig.select("id", "sh")
+    with_sets = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        with_sets.withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
