@@ -379,3 +379,51 @@ Q(QuerySpec(
     .orderBy("l_returnflag"),
     has_oracle=False,
 ))
+
+
+# ---- sliding windows (oracle via window-expansion SQL) ---------------------
+
+Q(QuerySpec(
+    name="pl_sliding_window",
+    doc="Sliding-window counts (10-min width, 5-min slide) over events — "
+        "engine uses the native window() expansion; oracle is the "
+        "window-expansion SQL harness (SURVEY §2.11: sliding windows have "
+        "no single portable SQL, so the oracle generates window starts "
+        "and range-joins). Range starts one slide before the data so "
+        "boundary windows match Spark's epoch-aligned expansion.",
+    builder=lambda spark, sf: load_table(spark, sf, "events")
+    .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+    .agg(F.count("*").alias("n"))
+    .select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n",
+    )
+    .orderBy("win_start", "event_type"),
+    oracle_sql_str="""
+        SELECT CAST(w.ws AS TIMESTAMP) AS win_start, e.event_type,
+               COUNT(*) AS n
+        FROM events e
+        JOIN (SELECT range AS ws
+              FROM range(TIMESTAMP '2023-12-31 23:55:00',
+                         TIMESTAMP '2024-04-01 00:00:00',
+                         INTERVAL 5 MINUTE)) w
+          ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 10 MINUTE
+        GROUP BY w.ws, e.event_type
+        ORDER BY win_start, event_type
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_ivf_topk",
+    doc="Approximate cosine top-5 via IVF partitioning (16 centroids, "
+        "probe 4 — FAISS-IVF shape; operators/similarity.py:"
+        "ivf_cosine_topk). K-means training is seeded but iterative → "
+        "rows-only; recall vs exact gated in tests/test_similarity.py.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity", fromlist=["ivf_cosine_topk"]
+    ).ivf_cosine_topk(*_queries_vecs(spark, sf), k=5)
+    .orderBy("query_id", "rank"),
+    has_oracle=False,
+))

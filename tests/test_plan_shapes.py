@@ -106,3 +106,20 @@ def test_date_partitioned_write_prunes(spark, tmp_path):
     # partition pruning: only one directory's files are scanned
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "dt" in scan
+
+
+def test_limit_queries_stable_across_parallelism(spark):
+    """Every LIMIT query must be totally ordered: identical rows at any
+    shuffle parallelism (the driver's session may differ from ours)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in ("q36", "q42", "q43", "q33"):
+                rows = [tuple(r) for r in QUERIES[name].run(spark, SF_SMOKE).collect()]
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} changed under different parallelism"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

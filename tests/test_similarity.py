@@ -57,3 +57,20 @@ def test_lsh_recall_vs_exact(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"LSH recall {recall:.2f} (16 tables x 4 planes)"
+
+
+def test_ivf_recall_vs_exact(emb):
+    from adenhq_hive_spark.operators.similarity import ivf_cosine_topk
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in ivf_cosine_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random (worst-case) embeddings with a 4/16 scan fraction
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"

@@ -170,3 +170,26 @@ def test_foreach_batch_sink_and_resume(spark, stream, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == n1
+
+
+def test_processing_time_trigger_cadence(spark, stream, tmp_path):
+    # timer/cron entry-point image (agent_runtime.py:382-516): a
+    # processing-time trigger drains the available input on a cadence
+    q = (
+        subscribe(stream, event_types=["signup"])
+        .groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("timer_img")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM timer_img").collect()
+        assert got and got[0]["count"] > 0
+        assert q.isActive  # keeps ticking until stopped, unlike availableNow
+    finally:
+        q.stop()
