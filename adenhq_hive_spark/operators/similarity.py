@@ -236,3 +236,70 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cosine")
     )
+
+
+def cosine_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup tier of
+    an LLM data pipeline): all (id_a < id_b) pairs with cosine >= threshold.
+
+    method='exact' — O(n²) self-join, the oracle-checkable baseline.
+    method='lsh'   — hyperplane-LSH candidates (same tables/planes as
+    lsh_cosine_topk) with exact verification: sub-quadratic at scale,
+    no false positives, recall bounded by the LSH parameters.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    if method == "exact":
+        cand = (
+            v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+            .join(
+                v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+                on=F.col("id_a") < F.col("id_b"),
+            )
+        )
+    elif method == "lsh":
+        n_planes = lsh_kwargs.get("n_planes", 4)
+        n_tables = lsh_kwargs.get("n_tables", 16)
+        seed = lsh_kwargs.get("seed", 42)
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        tables = [rng.standard_normal((n_planes, 64)) for _ in range(n_tables)]
+        sigs = F.array(
+            *[_hyperplane_signature("v", planes, t)
+              for t, planes in enumerate(tables)]
+        )
+        buck = v.select("id", "v", F.explode(sigs).alias("bucket"))
+        cand = (
+            buck.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        "bucket")
+            .join(
+                buck.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                            "bucket"),
+                on="bucket",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -427,3 +427,27 @@ Q(QuerySpec(
     .orderBy("query_id", "rank"),
     has_oracle=False,
 ))
+
+
+Q(QuerySpec(
+    name="pl_cosine_dedup",
+    doc="Embedding-cosine near-dup pairs (semantic dedup tier): exact "
+        "all-pairs cosine >= 0.45 (operators/similarity.py:"
+        "cosine_dedup_pairs); oracle = DuckDB brute force. The LSH "
+        "variant is recall-gated in tests/test_similarity.py.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity", fromlist=["cosine_dedup_pairs"]
+    ).cosine_dedup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45)
+    .orderBy("id_a", "id_b"),
+    oracle_sql_str="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.45
+        ORDER BY id_a, id_b
+    """,
+))

@@ -74,3 +74,16 @@ def test_ivf_recall_vs_exact(emb):
     recall = len(exact & approx) / len(exact)
     # random (worst-case) embeddings with a 4/16 scan fraction
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_cosine_dedup_lsh_vs_exact(emb):
+    from adenhq_hive_spark.operators.similarity import cosine_dedup_pairs
+
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_dedup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           cosine_dedup_pairs(emb, threshold=0.4, method="lsh").collect()}
+    assert lsh <= exact  # verification: no false positives
+    assert exact, "threshold too high: no pairs to compare"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.6, f"LSH dedup recall {recall:.2f}"
