@@ -31,6 +31,11 @@ _DEFAULTS = {
     # Bound broadcast joins explicitly; AQE will still pick broadcast for
     # small dims discovered at runtime.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Testdata tables are single small parquet files; default 128m gives a
+    # 1-partition scan. 8m restores scan parallelism locally; a real
+    # cluster deploy overrides this (files there are many and HDFS-block
+    # sized, so the default is already right).
+    "spark.sql.files.maxPartitionBytes": "8m",
 }
 
 
