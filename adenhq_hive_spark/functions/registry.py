@@ -55,6 +55,26 @@ class ToolRegistry:
             self.register(spec)
         return len(specs)
 
+    def register_udtf(
+        self, name: str, cls: type, return_type: str, description: str = ""
+    ) -> None:
+        """Register a table function (UDTF): one input row → many output
+        rows, callable in SQL FROM/LATERAL position. The reference's
+        closest analog is a tool returning a row list (§1.1 envelope);
+        here the rows come back as a proper relation."""
+        from pyspark.sql.functions import udtf
+
+        wrapped = udtf(cls, returnType=return_type)
+        self.spark.udtf.register(name, wrapped)
+        self._tools[name] = ToolSpec(
+            name=name,
+            description=description or f"UDTF {name}",
+            fn=cls,
+            return_type=return_type,
+            vectorized=False,
+            parameters={"kind": "udtf"},
+        )
+
     def list_tools(self) -> list[dict[str, Any]]:
         return [
             {

@@ -62,6 +62,10 @@ class NodeSpec:
     # permission scoping (node.py:436-452), enforced as column pruning
     # before the node body sees the DataFrame (SURVEY §2.2 mapping)
     allowed_columns: dict[str, list[str]] = field(default_factory=dict)
+    # per-node retry with exponential backoff (executor.py:826-880:
+    # 1s * 2^n; a retry is not a new graph step)
+    retries: int = 0
+    backoff_base_s: float = 1.0
 
 
 @dataclass
@@ -112,18 +116,28 @@ class GraphRunner:
     def execute(
         self, graph: GraphSpec, memory: dict[str, Any] | None = None
     ) -> ExecutionResult:
+        """Fan-out traversal: every traversable out-edge enqueues its
+        target (parallel branches, executor.py:1686-1991 — branches here
+        run sequentially on the driver; Spark parallelizes inside each
+        node's job). A node re-runs if re-enqueued (feedback loops),
+        bounded by max_steps; reaching any terminal completes the run.
+        """
         graph.validate()
         memory = dict(memory or {})
         steps: list[str] = []
-        current: str | None = graph.entry
-        while current is not None and len(steps) < graph.max_steps:
+        queue: list[str] = [graph.entry]
+        while queue and len(steps) < graph.max_steps:
+            current = queue.pop(0)
             node = graph.nodes[current]
             steps.append(current)
             self._run_node(node, memory)
             if current in graph.terminals:
                 return ExecutionResult(memory, steps, True)
-            current = self._next_node(graph, current, memory)
-        return ExecutionResult(memory, steps, current is None)
+            nxt = self._next_nodes(graph, current, memory)
+            for t in nxt:
+                if t not in queue:
+                    queue.append(t)
+        return ExecutionResult(memory, steps, not queue)
 
     # -- node ops ---------------------------------------------------------
 
@@ -131,7 +145,20 @@ class GraphRunner:
         op = getattr(self, f"_op_{node.op}", None)
         if op is None:
             raise GraphValidationError(f"unknown op: {node.op}")
-        result = op(node, memory)
+        attempt = 0
+        while True:
+            try:
+                result = op(node, memory)
+                break
+            except GraphValidationError:
+                raise  # structural errors never retry
+            except Exception:
+                if attempt >= node.retries:
+                    raise
+                import time as _time
+
+                _time.sleep(node.backoff_base_s * (2 ** attempt))
+                attempt += 1
         if node.output is not None:
             memory[node.output] = result
 
@@ -196,29 +223,35 @@ class GraphRunner:
 
     # -- edge traversal ---------------------------------------------------
 
-    def _next_node(
+    def _next_nodes(
         self, graph: GraphSpec, current: str, memory: dict[str, Any]
-    ) -> str | None:
+    ) -> list[str]:
+        """Traversable targets: the highest-priority satisfied conditional
+        edge (one branch per conditional group, executor.py:1717-1731)
+        plus ALL unconditional edges (fan-out)."""
         out_edges = [e for e in graph.edges if e.source == current]
         if not out_edges:
-            return None
+            return []
         scalar_ctx = {
             k: v for k, v in memory.items() if not isinstance(v, DataFrame)
         }
-        # highest-priority traversable conditional wins; unconditional
-        # edges are the fallback (executor.py:1717-1731 ordering)
+        targets: list[str] = []
         conditional = sorted(
             (e for e in out_edges if e.condition is not None),
             key=lambda e: -e.priority,
         )
         for e in conditional:
             if eval_predicate(e.condition, scalar_ctx):
-                return e.target
+                targets.append(e.target)
+                break
         unconditional = sorted(
             (e for e in out_edges if e.condition is None),
             key=lambda e: -e.priority,
         )
-        return unconditional[0].target if unconditional else None
+        targets.extend(
+            e.target for e in unconditional if e.target not in targets
+        )
+        return targets
 
 
 def graph_from_json(spec: dict[str, Any]) -> GraphSpec:

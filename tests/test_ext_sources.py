@@ -131,3 +131,20 @@ class TestRegistry:
         df = spark.createDataFrame([("abc",), ("de",)], ["x"])
         got = [r.n for r in df.select(F.expr("vec_len(x)").alias("n")).collect()]
         assert got == [3, 2]
+
+
+def test_udtf_registration(spark):
+    from adenhq_hive_spark.functions.registry import ToolRegistry
+
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield (i, w)
+
+    reg = ToolRegistry(spark)
+    reg.register_udtf("split_words", SplitWords, "pos int, word string")
+    rows = spark.sql(
+        "SELECT * FROM split_words('the quick fox')"
+    ).collect()
+    assert [(r.pos, r.word) for r in rows] == [(0, "the"), (1, "quick"), (2, "fox")]
+    assert reg.list_tools()[0]["parameters"] == {"kind": "udtf"}

@@ -206,3 +206,72 @@ def test_allowed_columns_scoping(runner, spark):
     res = GraphRunner(spark).execute(g)
     # acctbal is pruned before the node body ever sees the frame
     assert res.memory["visible"].columns == ["c_custkey", "c_name"]
+
+
+def test_diamond_fan_out_fan_in(runner, spark):
+    # entry fans out to two branches; the merge node sees both outputs
+    # (parallel fan-out + convergence, executor.py:1686-1991 image)
+    g = GraphSpec(
+        nodes={
+            "start": NodeSpec("start", "sql",
+                              {"query": "SELECT 1 AS seed"}, output="seed"),
+            "br_a": NodeSpec("br_a", "sql",
+                             {"query": "SELECT 'a' AS branch"}, output="da"),
+            "br_b": NodeSpec("br_b", "sql",
+                             {"query": "SELECT 'b' AS branch"}, output="db"),
+            "merge": NodeSpec("merge", "union", inputs=["da", "db"],
+                              output="merged"),
+        },
+        edges=[
+            EdgeSpec("start", "br_a"),
+            EdgeSpec("start", "br_b"),
+            EdgeSpec("br_a", "merge"),
+            EdgeSpec("br_b", "merge"),
+        ],
+        entry="start",
+        terminals={"merge"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    assert set(res.steps) == {"start", "br_a", "br_b", "merge"}
+    assert res.steps.count("merge") == 1  # convergence: merge ran once
+    got = sorted(r.branch for r in res.memory["merged"].collect())
+    assert got == ["a", "b"]
+
+
+def test_node_retry_with_backoff(runner, spark):
+    attempts = {"n": 0}
+
+    def flaky(memory):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return spark.createDataFrame([(attempts["n"],)], ["tries"])
+
+    g = GraphSpec(
+        nodes={
+            "flaky": NodeSpec("flaky", "python", fn=flaky, output="out",
+                              retries=3, backoff_base_s=0.01),
+        },
+        edges=[],
+        entry="flaky",
+        terminals={"flaky"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    assert res.memory["out"].collect()[0].tries == 3
+    assert len(res.steps) == 1  # retries are not new steps
+
+
+def test_node_retry_exhausted(runner, spark):
+    def always_fails(memory):
+        raise RuntimeError("permanent")
+
+    g = GraphSpec(
+        nodes={"bad": NodeSpec("bad", "python", fn=always_fails,
+                               retries=1, backoff_base_s=0.01)},
+        edges=[],
+        entry="bad",
+    )
+    with pytest.raises(RuntimeError, match="permanent"):
+        GraphRunner(spark).execute(g)
