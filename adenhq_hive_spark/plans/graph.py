@@ -74,6 +74,10 @@ class EdgeSpec:
     target: str
     condition: str | None = None   # safe_eval expr over scalar memory
     priority: int = 0
+    # failure-handling edge (reference on-failure edges,
+    # test_on_failure_edges.py theme): taken ONLY when the source node
+    # exhausts its retries; normal traversal ignores it
+    on_failure: bool = False
 
 
 @dataclass
@@ -130,7 +134,24 @@ class GraphRunner:
             current = queue.pop(0)
             node = graph.nodes[current]
             steps.append(current)
-            self._run_node(node, memory)
+            try:
+                self._run_node(node, memory)
+            except GraphValidationError:
+                raise
+            except Exception as exc:
+                failure_edges = [
+                    e for e in graph.edges
+                    if e.source == current and e.on_failure
+                ]
+                if not failure_edges:
+                    raise
+                # error recorded as scalar memory so downstream predicates
+                # can branch on it (executor failure-path memory writes)
+                memory[f"{current}__error"] = str(exc)
+                queue.extend(
+                    e.target for e in failure_edges if e.target not in queue
+                )
+                continue
             if current in graph.terminals:
                 return ExecutionResult(memory, steps, True)
             nxt = self._next_nodes(graph, current, memory)
@@ -229,7 +250,9 @@ class GraphRunner:
         """Traversable targets: the highest-priority satisfied conditional
         edge (one branch per conditional group, executor.py:1717-1731)
         plus ALL unconditional edges (fan-out)."""
-        out_edges = [e for e in graph.edges if e.source == current]
+        out_edges = [
+            e for e in graph.edges if e.source == current and not e.on_failure
+        ]
         if not out_edges:
             return []
         scalar_ctx = {
@@ -273,6 +296,7 @@ def graph_from_json(spec: dict[str, Any]) -> GraphSpec:
             target=e["target"],
             condition=e.get("condition"),
             priority=e.get("priority", 0),
+            on_failure=e.get("on_failure", False),
         )
         for e in spec.get("edges", [])
     ]

@@ -1196,3 +1196,52 @@ Q(QuerySpec(
         ORDER BY o_custkey NULLS LAST
     """,
 ))
+
+Q(QuerySpec(
+    name="q69",
+    doc="Pivot: returnflag x linestatus quantity matrix — engine uses the "
+        "native DataFrame pivot; the portable SQL image is conditional "
+        "aggregation (one column per pivot value), which is also the "
+        "oracle form.",
+    engine_sql=f"""
+        SELECT l_returnflag,
+               {_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", "qty_F")},
+               {_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END", "qty_O")}
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q70",
+    doc="Unpivot/melt: wide per-status counts back to long (engine: "
+        "stack(); oracle: UNION ALL — the portable unpivot image).",
+    engine_sql="""
+        SELECT o_custkey, metric, CAST(val AS BIGINT) AS val
+        FROM (
+          SELECT o_custkey,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+          FROM orders GROUP BY o_custkey
+        ) w
+        LATERAL VIEW stack(2, 'n_f', n_f, 'n_o', n_o) t AS metric, val
+        ORDER BY o_custkey NULLS LAST, metric NULLS LAST
+        LIMIT 500
+    """,
+    oracle_sql_str="""
+        WITH w AS (
+          SELECT o_custkey,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, metric, val FROM (
+          SELECT o_custkey, 'n_f' AS metric, n_f AS val FROM w
+          UNION ALL
+          SELECT o_custkey, 'n_o' AS metric, n_o AS val FROM w
+        ) u
+        ORDER BY o_custkey NULLS LAST, metric NULLS LAST
+        LIMIT 500
+    """,
+))

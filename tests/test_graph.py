@@ -275,3 +275,48 @@ def test_node_retry_exhausted(runner, spark):
     )
     with pytest.raises(RuntimeError, match="permanent"):
         GraphRunner(spark).execute(g)
+
+
+def test_on_failure_edge(runner, spark):
+    def boom(memory):
+        raise RuntimeError("node blew up")
+
+    g = GraphSpec(
+        nodes={
+            "risky": NodeSpec("risky", "python", fn=boom, output="x",
+                              retries=1, backoff_base_s=0.01),
+            "recover": NodeSpec("recover", "sql",
+                                {"query": "SELECT 'recovered' AS status"},
+                                output="out"),
+        },
+        edges=[EdgeSpec("risky", "recover", on_failure=True)],
+        entry="risky",
+        terminals={"recover"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    assert res.steps == ["risky", "recover"]
+    assert "node blew up" in res.memory["risky__error"]
+    assert res.memory["out"].collect()[0].status == "recovered"
+
+
+def test_on_failure_edge_not_taken_on_success(runner, spark):
+    g = GraphSpec(
+        nodes={
+            "fine": NodeSpec("fine", "sql", {"query": "SELECT 1 AS a"},
+                             output="d"),
+            "normal": NodeSpec("normal", "sql", {"query": "SELECT 2 AS b"},
+                               output="o"),
+            "handler": NodeSpec("handler", "sql", {"query": "SELECT 3 AS c"},
+                                output="h"),
+        },
+        edges=[
+            EdgeSpec("fine", "normal"),
+            EdgeSpec("fine", "handler", on_failure=True),
+        ],
+        entry="fine",
+        terminals={"normal", "handler"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.steps == ["fine", "normal"]
+    assert "handler" not in res.steps

@@ -123,3 +123,38 @@ def test_limit_queries_stable_across_parallelism(spark):
             assert a == b, f"{name} changed under different parallelism"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing: co-located join without an Exchange on either side —
+    the pre-partitioning strategy for repeated big-big joins at scale."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("b_li"))
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("b_orders"))
+    try:
+        joined = spark.table("b_li").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("l_orderkey").count()
+        # disable broadcast so the join strategy itself is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # neither join input needs an Exchange: buckets are co-located
+        assert "Exchange hashpartitioning(l_orderkey" not in join_section
+        assert "Exchange hashpartitioning(o_orderkey" not in join_section
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
