@@ -39,6 +39,8 @@ HEADLINE = [
     "pl_ngram_jaccard",  # exact near-dup pairs
     "pl_minhash_lsh",    # minhash+LSH near-dup
     "pl_cosine_topk",    # brute-force ANN baseline
+    "pl_cosine_dedup",   # semantic dedup pairs
+    "pl_sliding_window", # sliding-window expansion
     "pl_quality",        # text quality scoring
 ]
 

@@ -193,3 +193,60 @@ def test_processing_time_trigger_cadence(spark, stream, tmp_path):
         assert q.isActive  # keeps ticking until stopped, unlike availableNow
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Documented new semantics (the reference never reorders or drops —
+    SURVEY §2.9): rows later than the watermark are excluded from
+    finalized windowed aggregates."""
+    import datetime as dt
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("start"), "n")
+    )
+    # batch 1: two rows in window [10:00, 10:05) + one row far ahead that
+    # advances the watermark past that window
+    write_batch("b1", [
+        (1, t0 + dt.timedelta(minutes=1), 1, 1.0),
+        (2, t0 + dt.timedelta(minutes=2), 1, 1.0),
+        (3, t0 + dt.timedelta(minutes=40), 1, 1.0),
+    ])
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName("wm")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-finalized 10:00 window
+        _time.sleep(0.1)
+        write_batch("b2", [(4, t0 + dt.timedelta(minutes=3), 1, 1.0)])
+        q.processAllAvailable()
+        # one more batch so any (wrongly) accepted late row would flush
+        write_batch("b3", [(5, t0 + dt.timedelta(minutes=80), 1, 1.0)])
+        q.processAllAvailable()
+        rows = {r.start: r.n for r in spark.sql("SELECT * FROM wm").collect()}
+    finally:
+        q.stop()
+    # the 10:00 window finalized with 2 rows; the late event_id=4 was dropped
+    assert rows.get(dt.datetime(2024, 6, 1, 10, 0)) == 2
