@@ -1245,3 +1245,76 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="q71",
+    doc="Distribution window functions: percent_rank / cume_dist over "
+        "customer balances per segment (portable names).",
+    engine_sql="""
+        SELECT c_mktsegment, c_custkey,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment NULLS LAST, c_custkey NULLS LAST
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="q72",
+    doc="Bag semantics set ops: EXCEPT ALL keeps duplicate multiplicity "
+        "(lineitem suppkeys minus 'R'-flag suppkeys).",
+    engine_sql="""
+        SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n FROM (
+          SELECT l_suppkey AS k FROM lineitem
+          EXCEPT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        ) e
+        GROUP BY k
+        ORDER BY k NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q73",
+    doc="Date formatting — dual-form: Spark date_format pattern letters vs "
+        "DuckDB strftime percent codes.",
+    engine_sql="""
+        SELECT o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM') AS ym,
+               date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS full_ts
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+    oracle_sql_str="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_ts
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="q74",
+    doc="JSON construction — dual-form: to_json(struct(...)) vs "
+        "to_json(struct_pack(...)); round-trips through the q55 "
+        "extraction path.",
+    engine_sql="""
+        SELECT o_orderkey,
+               to_json(struct(o_orderkey AS k, o_orderstatus AS s)) AS payload
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+    oracle_sql_str="""
+        SELECT o_orderkey,
+               to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS payload
+        FROM orders
+        ORDER BY o_orderkey NULLS LAST
+        LIMIT 100
+    """,
+))
