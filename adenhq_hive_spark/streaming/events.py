@@ -216,3 +216,46 @@ def run_to_completion(
     )
     q.processAllAvailable()
     return q
+
+
+def dedup_stream(stream: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by key within the
+    watermark horizon (the ingest-dedup tier of an LLM pipeline — at-
+    least-once sources become effectively-once). State for a key is kept
+    until the watermark passes it, so memory is bounded."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(
+        keys or ["event_id"]
+    )
+
+
+def purchase_click_join(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range: each purchase
+    joins clicks of the same user within the preceding ``horizon``
+    (the streaming image of the as-of/attribution join; state on both
+    sides bounded by watermark + range condition)."""
+    p = (
+        purchases.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND "
+            f"c_ts >= p_ts - INTERVAL {horizon}"
+        ),
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the pure layers — a test
+dimension the reference lacks entirely (SURVEY §5.1 'Absent').
+
+Targets: JSON repair (round-trip under mangling), normalization (hash
+invariance under row/column permutation), safe_eval (python-eval parity
+on the arithmetic/boolean fragment), page-range parsing (bounds)."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adenhq_hive_spark.functions.json_repair import repair_json
+from adenhq_hive_spark.functions.safe_eval import eval_predicate, safe_eval
+from adenhq_hive_spark.normalize import result_hash
+from adenhq_hive_spark.sources.pdf_tool import parse_page_range
+
+# -- JSON repair ------------------------------------------------------------
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+        max_size=30,
+    ),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=10,
+)
+
+
+@given(json_values)
+@settings(max_examples=150, deadline=None)
+def test_repair_clean_json_roundtrip(value):
+    assert repair_json(json.dumps(value)) == value
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=8), json_scalars, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_repair_fenced_and_prose_wrapped(obj):
+    text = json.dumps(obj)
+    assert repair_json(f"```json\n{text}\n```") == obj
+    assert repair_json(f"Sure thing! {text} hope that helps") == obj
+
+
+# -- normalization ----------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=10),
+    ),
+    max_size=20,
+)
+
+
+@given(rows_strategy, st.randoms())
+@settings(max_examples=100, deadline=None)
+def test_hash_invariant_under_row_permutation(rows, rnd):
+    cols = ["a", "b", "c"]
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    assert result_hash(cols, rows) == result_hash(cols, shuffled)
+
+
+@given(rows_strategy)
+@settings(max_examples=50, deadline=None)
+def test_hash_invariant_under_column_permutation(rows):
+    cols = ["a", "b", "c"]
+    perm = [2, 0, 1]
+    permuted_cols = [cols[i] for i in perm]
+    permuted_rows = [tuple(r[i] for i in perm) for r in rows]
+    assert result_hash(cols, rows) == result_hash(permuted_cols, permuted_rows)
+
+
+# -- safe_eval parity -------------------------------------------------------
+
+small_ints = st.integers(min_value=-50, max_value=50)
+
+
+@given(small_ints, small_ints, small_ints)
+@settings(max_examples=200, deadline=None)
+def test_safe_eval_matches_python_arithmetic(x, y, z):
+    ctx = {"x": x, "y": y, "z": z}
+    for expr in (
+        "x + y * z",
+        "(x - y) * 2 + z",
+        "x < y < z",
+        "x == y or y != z",
+        "x if x > y else y",
+        "abs(x) + max(y, z) + min(x, z)",
+        "x in [y, z] and not (y is None)",
+    ):
+        assert safe_eval(expr, ctx) == eval(expr, {"__builtins__": {}},
+                                            dict(ctx, abs=abs, max=max, min=min))
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_eval_predicate_never_raises(garbage):
+    # edge predicates must degrade to False, never crash the traversal
+    assert eval_predicate(garbage, {}) in (True, False)
+
+
+# -- page ranges ------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_page_range_always_in_bounds(n_pages, a, b):
+    lo, hi = min(a, b), max(a, b)
+    pages = parse_page_range(f"{lo}-{hi}", n_pages)
+    assert all(0 <= p < n_pages for p in pages)
+    assert pages == sorted(set(pages))
+    expected = [p - 1 for p in range(lo, min(hi, n_pages) + 1)]
+    assert pages == expected

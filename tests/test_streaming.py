@@ -250,3 +250,81 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         q.stop()
     # the 10:00 window finalized with 2 rows; the late event_id=4 was dropped
     assert rows.get(dt.datetime(2024, 6, 1, 10, 0)) == 2
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Re-delivered events (same event_id) are emitted once."""
+    import datetime as dt
+
+    from adenhq_hive_spark.streaming.events import dedup_stream
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1) for i in range(5)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+    # redelivery: same ids again plus one new event
+    spark.createDataFrame(
+        rows + [(99, t0 + dt.timedelta(minutes=9), 1)], schema
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        dedup_stream(stream).writeStream.outputMode("append")
+        .format("memory").queryName("dd")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM dd").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [0, 1, 2, 3, 4, 99]
+
+
+def test_stream_stream_join_matches_batch(spark, stream, batch_events, tmp_path):
+    from adenhq_hive_spark.streaming.events import purchase_click_join
+
+    purchases = subscribe(stream, event_types=["purchase"])
+    clicks = subscribe(read_event_stream(spark, SF_SMOKE), ["click"])
+    q = (
+        purchase_click_join(purchases, clicks)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+    finally:
+        q.stop()
+    b = batch_events
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in b.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("u"), F.col("ts").alias("p_ts"))
+        .join(
+            b.filter(F.col("event_type") == "click").select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("u2"), F.col("ts").alias("c_ts")),
+            F.expr("u = u2 AND c_ts <= p_ts AND "
+                   "c_ts >= p_ts - INTERVAL 1 HOUR"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
