@@ -163,6 +163,12 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     Re-registration is skipped when the same sf_dir is already active on
     this session (saves ~10 parquet-footer reads per query call).
     """
+    # Timestamp semantics guard: collected timestamps and every
+    # year()/date_trunc() result depend on the session timezone. The
+    # DuckDB oracle is UTC-naive, so a non-UTC driver session would shift
+    # every timestamp-valued result. Set it here (runtime-settable) so
+    # the contract holds on sessions we don't configure.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         if not force and spark.conf.get(_REGISTERED_MARKER, None) == sf_dir:
             return

@@ -158,3 +158,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_timestamp_queries_survive_non_utc_session(spark, ducks):
+    """register_views pins UTC at runtime, so timestamp results match the
+    UTC-naive oracle even when the driver session starts non-UTC."""
+    from adenhq_hive_spark.normalize import normalize
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("q48", "q57"):
+            spec = QUERIES[name]
+            df = spec.run(spark, SF_SMOKE)
+            s = normalize(df.columns, [tuple(r) for r in df.collect()])
+            rel = ducks.execute(spec.oracle)
+            d = normalize([x[0] for x in rel.description], rel.fetchall())
+            assert s == d, f"{name} shifted under non-UTC session"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
