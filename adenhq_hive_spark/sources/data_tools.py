@@ -87,6 +87,43 @@ class DataStore:
         shutil.rmtree(path)
         return {"success": True, "key": key}
 
+    def compact(self, key: str, target_file_bytes: int = 128 * 1024 * 1024
+                ) -> dict[str, Any]:
+        """Compact a key's small files into ~target-sized parquet files.
+
+        The small-file problem is the classic failure mode of streaming/
+        append-heavy stores at scale (every foreachBatch append adds
+        files; a million 1 MB files kill scan planning). Rewrites through
+        a staging directory then swaps, so readers never see a partial
+        state on local filesystems.
+        """
+        path = self._path(key)
+        if not os.path.exists(path):
+            return {"success": False, "error": f"No data for key: {key}"}
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        n_before = sum(
+            1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-size // target_file_bytes))  # ceil division
+        staging = path + "__compact_tmp"
+        self.spark.read.parquet(path).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        old = path + "__old"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+        return {
+            "success": True,
+            "key": key,
+            "files_before": n_before,
+            "files_after": n_files,
+        }
+
     def truncate_with_spillover(
         self, key: str, df: DataFrame, max_rows: int = 100,
         max_chars: int = 3_000,

@@ -59,3 +59,19 @@ def test_key_sanitization(store, numbers):
     store.save_data("weird/key name!", numbers.limit(2))
     got = store.load_data("weird/key name!")
     assert got["success"] and got["total_rows"] == 2
+
+
+def test_compact_small_files(store, spark):
+    # simulate append-heavy usage: many tiny files
+    for i in range(6):
+        store.save_data("frag", spark.range(i * 10, i * 10 + 10), mode="append") \
+            if i else store.save_data("frag", spark.range(0, 10))
+    before = store.load_data("frag", limit=1)["total_rows"]
+    res = store.compact("frag")
+    assert res["success"]
+    assert res["files_after"] < res["files_before"]
+    after = store.load_df("frag")
+    assert after.count() == before
+    assert sorted(r.id for r in after.collect()) == list(range(60))
+    missing = store.compact("nope")
+    assert not missing["success"]
