@@ -1318,3 +1318,20 @@ Q(QuerySpec(
         LIMIT 100
     """,
 ))
+
+Q(QuerySpec(
+    name="q75",
+    doc="Forward-looking window frame: average of the NEXT 3 order totals "
+        "per customer (ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING, exact "
+        "decimal sum / count).",
+    engine_sql="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                     / NULLIF(COUNT(*) OVER w, 0), 4) AS next3_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+        ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST
+        LIMIT 500
+    """,
+))

@@ -177,3 +177,35 @@ def test_timestamp_queries_survive_non_utc_session(spark, ducks):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a pathologically hot key is split into
+    multiple reducer tasks at runtime (the no-manual-salting path;
+    operators/skew.salted_join is the fallback for when AQE cannot)."""
+    skewed = spark.range(0, 200_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",  # 90% key 0
+        "id AS payload",
+    )
+    dim = spark.range(0, 200_000).selectExpr("id AS k", "id * 2 AS attr")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = skewed.join(dim, "k")
+        joined.collect()  # execute THIS plan so AQE finalizes it
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE did not mark the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
