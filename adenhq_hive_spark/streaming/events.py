@@ -259,3 +259,90 @@ def purchase_click_join(
             f"c_ts >= p_ts - INTERVAL {horizon}"
         ),
     ).select("purchase_id", "click_id", "p_ts", "c_ts")
+
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ts", T.LongType()),   # epoch micros
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def stateful_sessions(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom sessionization with explicit keyed state + event-time
+    timeouts — the full applyInPandasWithState surface (vs the
+    session_window builtin in ``session_counts``).
+
+    A session closes two ways, mirroring the reference's execution-stream
+    lifecycle (streams end on terminal events or inactivity): (a) a new
+    event arrives after the gap → the finished session is emitted
+    immediately; (b) the event-time watermark passes last_ts + gap →
+    the timeout fires and the pending session is emitted. State per user
+    is O(1) (start, last, count).
+    """
+    import datetime as _dt
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _us(ts) -> int:
+        return int(ts.value // 1000) if hasattr(ts, "value") else int(
+            ts.timestamp() * 1_000_000
+        )
+
+    def _dtv(us: int):
+        return _dt.datetime.utcfromtimestamp(us / 1_000_000)
+
+    def update(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start": [_dtv(start)],
+                 "session_end": [_dtv(last)], "n_events": [n]}
+            )
+            return
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(_us(t) for t in pdf["ts"])
+        ts_list.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out = {"user_id": [], "session_start": [], "session_end": [],
+               "n_events": []}
+        for t in ts_list:
+            if last is not None and t - last > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start"].append(_dtv(start))
+                out["session_end"].append(_dtv(last))
+                out["n_events"].append(n)
+                start, last, n = t, t, 1
+            elif start is None:
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # epoch millis
+        yield pd.DataFrame(out)
+
+    return (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

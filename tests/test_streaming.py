@@ -328,3 +328,38 @@ def test_stream_stream_join_matches_batch(spark, stream, batch_events, tmp_path)
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_sessions_match_batch_islands(spark, stream, tmp_path):
+    """The explicit-state sessionizer agrees with q58's gap-and-island
+    batch formulation for every session it emits; only each user's final
+    (still-pending, not-yet-timed-out) session may be missing."""
+    from adenhq_hive_spark.queries import all_queries
+    from adenhq_hive_spark.streaming.events import stateful_sessions
+
+    q = run_to_completion(
+        stateful_sessions(stream), "st_sessions", str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM st_sessions").collect()
+        }
+    finally:
+        q.stop()
+    batch = all_queries()["q58"].run(spark, SF_SMOKE).collect()
+    batch_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+    }
+    # everything emitted must be a true session
+    assert got <= batch_sessions
+    # at most one (the final pending) session per user may be missing
+    missing = batch_sessions - got
+    per_user = {}
+    for u, *_ in missing:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert all(v <= 1 for v in per_user.values()), per_user
+    # and the bulk of sessions did get emitted
+    assert len(got) >= len(batch_sessions) - 15
