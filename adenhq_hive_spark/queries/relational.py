@@ -1335,3 +1335,37 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="q76",
+    doc="Argmax over array elements: each vector's max component and its "
+        "1-based position (explode + ranked window) — dual-form "
+        "(posexplode vs unnest+generate_subscripts).",
+    engine_sql="""
+        SELECT vec_id, CAST(pos + 1 AS BIGINT) AS pos,
+               ROUND(CAST(val AS DOUBLE), 4) AS max_val
+        FROM (
+          SELECT vec_id, pos, val,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY val DESC, pos) AS rn
+          FROM embeddings
+          LATERAL VIEW posexplode(embedding) t AS pos, val
+          WHERE vec_id < 100
+        ) x
+        WHERE rn = 1
+        ORDER BY vec_id NULLS LAST
+    """,
+    oracle_sql_str="""
+        SELECT vec_id, pos, max_val FROM (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                 ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS max_val,
+                 unnest(embedding) AS raw_val
+          FROM embeddings
+          WHERE vec_id < 100
+        ) e
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY raw_val DESC, pos) = 1
+        ORDER BY vec_id NULLS LAST
+    """,
+))
