@@ -137,3 +137,27 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_norm"),
         rolling.alias("fp_rolling"),
     )
+
+
+# pandas imported at module level so the pandas_udf type hints (stringified
+# by `from __future__ import annotations`) resolve in module globals
+import pandas as _pd  # noqa: E402
+
+pd = _pd
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — Spark
+    has no NFC builtin, so this is the documented slow-path escape hatch
+    (pair with lower/trim/regexp_replace builtins for the cheap parts)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return nfc

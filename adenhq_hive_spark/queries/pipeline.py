@@ -451,3 +451,60 @@ Q(QuerySpec(
         ORDER BY id_a, id_b
     """,
 ))
+
+
+# ---- vocabulary + normalization (LLM preprocessing staples) ----------------
+
+Q(QuerySpec(
+    name="pl_vocab",
+    doc="Corpus vocabulary: top-100 tokens with counts and document "
+        "frequency (tokenizer-building / corpus-stats staple; explode + "
+        "two-level aggregation).",
+    builder=lambda spark, sf: load_table(spark, sf, "documents")
+    .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    .groupBy("tok")
+    .agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    .orderBy(F.desc("n"), "tok")
+    .limit(100),
+    oracle_sql_str="""
+        SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) t
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 100
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_normalize_text",
+    doc="Text normalization tier: NFC + casefold + whitespace collapse, "
+        "with before/after distinct counts (preprocessing before any "
+        "dedup tier). Spark has no NFC builtin, so NFC runs as an "
+        "Arrow-batched pandas UDF (the documented slow-path escape "
+        "hatch); oracle uses DuckDB nfc_normalize.",
+    builder=lambda spark, sf: load_table(spark, sf, "documents")
+    .select(
+        __import__(
+            'adenhq_hive_spark.operators.text', fromlist=['nfc_normalize_udf']
+        ).nfc_normalize_udf()(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("norm")
+    )
+    .agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("norm").alias("n_distinct_norm"),
+        F.round(F.avg(F.length("norm")), 4).alias("avg_len"),
+    ),
+    oracle_sql_str=r"""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT nfc_normalize(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct_norm,
+               ROUND(AVG(length(nfc_normalize(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g')))))), 4) AS avg_len
+        FROM documents
+    """,
+))
