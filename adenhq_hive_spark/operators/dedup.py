@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
@@ -104,6 +105,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
     )
+    if cache_shingles:
+        # materialize shingles once instead of recomputing per branch
+        # (sizes / postings / verification) — same lineage tradeoff as
+        # minhash_lsh_pairs(cache_signatures=True)
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     # Posting-list formulation (faster than an explode×explode self-join:
