@@ -1369,3 +1369,20 @@ Q(QuerySpec(
         ORDER BY vec_id NULLS LAST
     """,
 ))
+
+Q(QuerySpec(
+    name="q77",
+    doc="nth_value with explicit full frame: each user's 2nd event id "
+        "alongside first/last (frame-sensitive analytic completeness, "
+        "extends q39).",
+    engine_sql="""
+        SELECT user_id, event_id,
+               NTH_VALUE(event_id, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_id
+        FROM events
+        ORDER BY user_id NULLS LAST, event_id NULLS LAST
+        LIMIT 300
+    """,
+))
