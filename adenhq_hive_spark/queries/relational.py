@@ -1386,3 +1386,18 @@ Q(QuerySpec(
         LIMIT 300
     """,
 ))
+
+Q(QuerySpec(
+    name="q78",
+    doc="INTERSECT ALL (bag semantics): per-key multiplicity is "
+        "min(left, right) — completes the q45/q72 set-op family.",
+    engine_sql="""
+        SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        ) i
+        GROUP BY k
+        ORDER BY k NULLS LAST
+    """,
+))

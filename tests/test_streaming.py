@@ -363,3 +363,26 @@ def test_stateful_sessions_match_batch_islands(spark, stream, tmp_path):
     assert all(v <= 1 for v in per_user.values()), per_user
     # and the bulk of sessions did get emitted
     assert len(got) >= len(batch_sessions) - 15
+
+
+def test_sliding_parity_with_batch(spark, stream, batch_events, tmp_path):
+    q = run_to_completion(
+        sliding_counts(stream, "10 minutes", "5 minutes"),
+        "sliding_parity",
+        str(tmp_path / "ck"),
+    )
+    try:
+        got = {
+            (r.start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM sliding_parity").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window"]["start"], r.event_type): r.n
+        for r in batch_events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("window"),
+            "event_type",
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
