@@ -18,6 +18,7 @@ ties broken by vec_id.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,20 +83,36 @@ def cosine_topk(
     )
 
 
-def _hyperplane_signature(
-    vec_col: str, planes: np.ndarray, table: int
-) -> F.Column:
-    """Sign-bit bucket id for one hash table: packed bits of dot(v, p_i) > 0."""
-    bits = []
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return (sig + F.lit(table * (1 << len(planes)))).cast("long")
+def _hyperplane_buckets(df: DataFrame, vec_col: str, tensor: np.ndarray):
+    """Bucket ids for ALL hash tables in one vectorized pass.
+
+    ``tensor`` is (n_tables, n_planes, dim). One numpy tensor is broadcast
+    to executors and each Arrow batch computes every table's sign-bit
+    signature with a single einsum — replacing the previous per-element
+    SQL-literal expression tree (~n_tables·n_planes·dim literal nodes,
+    interpreted per row). Returns an array<long> column of one bucket id
+    per table; bucket id = table·2^p + packed sign bits, so tables never
+    collide. Raises on embedding-dimension mismatch instead of padding.
+    """
+    n_tables, n_planes, dim = tensor.shape
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    offsets = (np.arange(n_tables, dtype=np.int64) << n_planes)
+    bt = df.sparkSession.sparkContext.broadcast(tensor)
+
+    @F.pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        T = bt.value
+        mat = np.array(list(v), dtype=np.float64)
+        if mat.ndim != 2 or mat.shape[1] != T.shape[2]:
+            raise ValueError(
+                f"embedding dim {mat.shape[1] if mat.ndim == 2 else '?'} "
+                f"!= LSH projection dim {T.shape[2]}"
+            )
+        bits = np.einsum("nd,tpd->ntp", mat, T) > 0
+        packed = bits.astype(np.int64) @ weights + offsets[None, :]
+        return pd.Series(packed.tolist())
+
+    return sigs(F.col(vec_col))
 
 
 def lsh_cosine_topk(
@@ -120,17 +137,13 @@ def lsh_cosine_topk(
     against ``cosine_topk`` in tests/test_similarity.py.
     """
     rng = np.random.default_rng(seed)
-    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+    tensor = rng.standard_normal((n_tables, n_planes, dim))
 
     def bucketize(df: DataFrame, ident: str) -> DataFrame:
-        sigs = F.array(
-            *[_hyperplane_signature(vec_col, planes, t)
-              for t, planes in enumerate(tables)]
-        )
         return df.select(
             F.col(id_col).alias(ident),
             F.col(vec_col).alias(f"{ident}_v"),
-            F.explode(sigs).alias("bucket"),
+            F.explode(_hyperplane_buckets(df, vec_col, tensor)).alias("bucket"),
         )
 
     vb = bucketize(vectors, "cand_id")
@@ -258,20 +271,26 @@ def cosine_dedup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     if method == "exact":
-        return _cosine_pairs_matrix(v, threshold)
+        return _cosine_pairs_blocked(v, threshold)
     elif method == "lsh":
         n_planes = lsh_kwargs.get("n_planes", 4)
         n_tables = lsh_kwargs.get("n_tables", 16)
         seed = lsh_kwargs.get("seed", 42)
-        import numpy as np
+        dim = lsh_kwargs.get("dim")
+        if dim is None:
+            # infer from the data: one-row lookup, not a full collect
+            first = v.select(F.size("v").alias("d")).first()
+            if first is None:
+                return v.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine double"
+                )
+            dim = int(first.d)
 
         rng = np.random.default_rng(seed)
-        tables = [rng.standard_normal((n_planes, 64)) for _ in range(n_tables)]
-        sigs = F.array(
-            *[_hyperplane_signature("v", planes, t)
-              for t, planes in enumerate(tables)]
+        tensor = rng.standard_normal((n_tables, n_planes, dim))
+        buck = v.select(
+            "id", "v", F.explode(_hyperplane_buckets(v, "v", tensor)).alias("bucket")
         )
-        buck = v.select("id", "v", F.explode(sigs).alias("bucket"))
         cand = (
             buck.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                         "bucket")
@@ -299,46 +318,105 @@ def cosine_dedup_pairs(
     )
 
 
-def _cosine_pairs_matrix(v: DataFrame, threshold: float) -> DataFrame:
-    """Exact all-pairs cosine via blocked matrix products.
+def _cosine_pairs_blocked(
+    v: DataFrame,
+    threshold: float,
+    n_blocks: int | None = None,
+    target_block_rows: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine as a distributed blocked pair-join.
 
     Higher-order-function dot products are NOT whole-stage-codegen'd, so
     an n² expression-based pair scan is interpreted per element (~100 µs
-    per 64-dim pair). The vectorized path broadcasts the (small) unit
-    matrix and lets each Arrow batch do one BLAS matmul against it —
-    O(n²·d) FLOPs at memory bandwidth instead of interpreter speed,
-    >100× faster at n=2000. At larger n, switch method='lsh' (candidate
-    pruning) — the broadcast matrix is the IVF/LSH re-rank building
-    block, not an n²-forever strategy.
+    per 64-dim pair). Instead: hash ids into B blocks, materialize the
+    B·(B+1)/2 block-pair manifest (built from ``spark.range`` — nothing
+    is collected to the driver), ship each block to the ~B pairs it
+    participates in, and run one float64 BLAS matmul per block pair
+    inside ``applyInPandas``. Peak task memory is two blocks
+    (2 · target_block_rows · d · 8 bytes), independent of n; shuffle
+    volume is n·B rows. O(n²·d) FLOPs at memory bandwidth — the exact
+    tier stays distributed; above ~10⁶ rows switch method='lsh'
+    (candidate pruning) since exact all-pairs is quadratic by definition.
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    rows = v.select("id", "v").collect()
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     spark = v.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    if n_blocks is None:
+        n = v.count()
+        n_blocks = max(1, -(-n // target_block_rows))
+    B = int(n_blocks)
 
-    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in it:
-            bids = pdf["id"].to_numpy(dtype=np.int64)
-            bmat = np.array(list(pdf["v"]), dtype=np.float64)
-            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = np.round(bmat @ all_mat.T, 4)
-            keep = (bids[:, None] < all_ids[None, :]) & (sims >= threshold)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[ai],
-                    "id_b": all_ids[bj],
-                    "cosine": sims[ai, bj],
-                }
+    # Manifest: (block, pair_id, side). Off-diagonal pair (i, j<-i covers
+    # i<j) gets block i as side 0 and block j as side 1; diagonal pairs
+    # get one copy with side 0 and self-join in the UDF. Built from
+    # range() so the plan has no driver-collected LocalTableScan.
+    pairs = (
+        spark.range(B * B)
+        .select(
+            F.col("id").cast("int").alias("pair_id"),
+            (F.col("id") / B).cast("int").alias("i"),
+            F.pmod(F.col("id"), F.lit(B)).cast("int").alias("j"),
+        )
+        .filter(F.col("j") >= F.col("i"))
+    )
+    manifest = pairs.select(
+        "pair_id",
+        F.explode(
+            F.when(
+                F.col("i") == F.col("j"),
+                F.array(F.struct(F.col("i").alias("block"),
+                                 F.lit(0).alias("side"))),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("i").alias("block"), F.lit(0).alias("side")),
+                    F.struct(F.col("j").alias("block"), F.lit(1).alias("side")),
+                )
             )
+        ).alias("m"),
+    ).select("pair_id", F.col("m.block").alias("block"), F.col("m.side").alias("side"))
 
-    return v.mapInPandas(block, schema="id_a long, id_b long, cosine double")
+    tagged = v.withColumn(
+        "block", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    ).join(F.broadcast(manifest), on="block")
+
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        diagonal = (pid // B) == (pid % B)
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if len(left) == 0 or (not diagonal and len(right) == 0):
+            return empty
+        ids_l = left["id"].to_numpy(dtype=np.int64)
+        mat_l = np.array(list(left["v"]), dtype=np.float64)
+        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
+        if diagonal:  # one copy of the block; self all-pairs
+            ids_r, mat_r = ids_l, mat_l
+        else:
+            ids_r = right["id"].to_numpy(dtype=np.int64)
+            mat_r = np.array(list(right["v"]), dtype=np.float64)
+            mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+        sims = np.round(mat_l @ mat_r.T, 4)
+        keep = (ids_l[:, None] < ids_r[None, :]) & (sims >= threshold)
+        ai, bj = np.nonzero(keep)
+        # hash blocks don't order ids, so a cross-block pair can land with
+        # the larger id on the left; emit the (min, max) orientation too.
+        # On the diagonal the upper triangle already covers every pair.
+        if diagonal:
+            ri = rj = np.array([], dtype=np.int64)
+        else:
+            keep_rev = (ids_l[:, None] > ids_r[None, :]) & (sims >= threshold)
+            ri, rj = np.nonzero(keep_rev)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([ids_l[ai], ids_r[rj]]),
+                "id_b": np.concatenate([ids_r[bj], ids_l[ri]]),
+                "cosine": np.concatenate([sims[ai, bj], sims[ri, rj]]),
+            }
+        )
+
+    return (
+        tagged.groupBy("pair_id")
+        .applyInPandas(block_pair, schema="id_a long, id_b long, cosine double")
+    )

@@ -76,6 +76,46 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_cosine_dedup_is_distributed(spark):
+    """The exact semantic-dedup tier must not collect vectors to the
+    driver: its lineage is parquet scan → block manifest (range) →
+    applyInPandas, so the plan contains no LocalTableScan (driver-side
+    materialized data) and the vector input is a real FileScan."""
+    df = QUERIES["pl_cosine_dedup"].run(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert "FileScan parquet" in plan
+    assert "FlatMapGroupsInPandas" in plan  # blocked BLAS pair kernel
+    assert "Range (" in plan  # manifest generated distributively
+
+
+def test_cosine_dedup_blocked_multiblock_equivalence(spark):
+    """Forcing many small blocks (B > 1, cross-block pairs in both id
+    orientations) must give identical pairs to the single-block path."""
+    from adenhq_hive_spark.operators.similarity import (
+        _cosine_pairs_blocked,
+    )
+
+    v = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    )
+    one = _cosine_pairs_blocked(v, 0.45, n_blocks=1)
+    many = _cosine_pairs_blocked(v, 0.45, n_blocks=7)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_lsh_plan_has_no_literal_projections(spark):
+    """LSH signatures come from one broadcast tensor + Arrow matmul, not
+    thousands of per-plane literal array expressions in the plan."""
+    df = QUERIES["pl_lsh_topk"].run(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # the old implementation embedded every plane element as a literal —
+    # the analyzed plan would contain hundreds of float literals
+    assert plan.count("0.") < 100
+    assert "ArrowEvalPython" in _plan(df)
+
+
 def test_salted_join_equivalence(spark):
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, SF_SMOKE, "orders").select(
