@@ -64,10 +64,15 @@ def clean_output_udf(provider: str | BatchFn = "heuristic"):
             missing = out.isna() & col.notna()
             if missing.any():
                 fixed = fn(col[missing].tolist())
-                out.loc[missing] = [
-                    None if v is None else json.dumps(repair_json(v), sort_keys=True)
-                    for v in fixed
-                ]
+
+                def reparse(v: str | None) -> str | None:
+                    # mirror the heuristic tier: if the provider's repaired
+                    # text is still unparseable, the row is NULL — not the
+                    # JSON string 'null'
+                    r = None if v is None else repair_json(v)
+                    return None if r is None else json.dumps(r, sort_keys=True)
+
+                out.loc[missing] = [reparse(v) for v in fixed]
         return out
 
     return _clean

@@ -44,18 +44,23 @@ def asof_join(
     # side marker: right rows sort before left rows at equal ts, so a
     # right row with right_ts == left_ts is visible to that left row
     # (the <= in Q33).
+    #
+    # All right values travel in ONE struct and a single
+    # last(ignoreNulls) carries that struct: every asof_* column comes
+    # from the same (most recent) right row, and a NULL attribute on
+    # that row stays NULL instead of being back-filled from an older row.
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("__rv"),
     )
+    rv_type = r.schema["__rv"].dataType
     l = left.select(
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(r.schema[f"__rv_{c}"].dataType).alias(f"__rv_{c}")
-          for c in right_values],
+        F.lit(None).cast(rv_type).alias("__rv"),
         *[F.col(c) for c in left_cols],
     )
     r = r.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -65,17 +70,17 @@ def asof_join(
     order = [F.col("__ts"), F.col("__side")]
     if order_col is not None:
         # tie-break among right rows at equal ts: greatest order_col wins
-        order.append(F.col(f"__rv_{order_col}"))
+        order.append(F.col("__rv").getField(order_col))
     w = (
         Window.partitionBy("__key")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l)
-    for c in right_values:
-        carried = carried.withColumn(
-            f"asof_{c}", F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w)
-        )
+    carried = r.unionByName(l).withColumn(
+        "__rv_asof", F.last(F.col("__rv"), ignorenulls=True).over(w)
+    )
     return carried.filter(F.col("__side") == 1).select(
-        *left_cols, *[f"asof_{c}" for c in right_values]
+        *left_cols,
+        *[F.col("__rv_asof").getField(c).alias(f"asof_{c}")
+          for c in right_values],
     )

@@ -30,7 +30,20 @@ def salted_join(
 
     Correctness is layout-independent: tests assert equality with the
     unsalted join.
+
+    Only left-preserving join types are supported: the right side is
+    replicated ``salt`` ways, so right/full-outer would emit each
+    unmatched right row once per salt replica.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            f"exploded {salt}x, which would duplicate unmatched right rows "
+            "under right/full outer joins. Use inner/left/semi/anti."
+        )
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_salted = left.withColumn("__salt", salt_col.cast("int"))
     r_exploded = right.withColumn(

@@ -39,11 +39,15 @@ def parse_page_range(spec: str | None, n_pages: int) -> list[int]:
         if "-" in item:
             lo_s, _, hi_s = item.partition("-")
             lo = int(lo_s) if lo_s.strip() else 1
-            hi = int(hi_s) if hi_s.strip() else n_pages
+            hi = int(hi_s) if hi_s.strip() else max(n_pages, lo)
         else:
             lo = hi = int(item)
         if lo < 1 or hi < lo:
             raise ValueError(f"bad page range item: {item!r}")
+        if lo > n_pages:
+            # whole item starts past the end ('9-' or '9-12' on a 4-page
+            # doc): clamped to an empty selection, per the docstring
+            continue
         for p in range(lo, min(hi, n_pages) + 1):
             idx = p - 1
             if idx not in pages:

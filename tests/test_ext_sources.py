@@ -47,6 +47,8 @@ class TestPdf:
         assert parse_page_range("-2", 4) == [0, 1]
         assert parse_page_range("1-2,2-3", 4) == [0, 1, 2]  # dedup, ordered
         assert parse_page_range("9-12", 4) == []  # clamped away
+        assert parse_page_range("9-", 4) == []  # open range past end: empty
+        assert parse_page_range("1,9-", 4) == [0]  # only the in-range item
         with pytest.raises(ValueError):
             parse_page_range("0", 4)
         with pytest.raises(ValueError):
@@ -77,6 +79,18 @@ class TestLLMOperators:
         got = {r.id: r.c for r in
                df.select("id", clean_output_udf()("raw").alias("c")).collect()}
         assert got[1] == '{"ok": true}' and got[2] is None
+
+    def test_clean_output_provider_unrecoverable_is_null(self, spark):
+        """When the provider's repaired text is still unparseable the row
+        must be NULL, like the heuristic tier — not the JSON string
+        'null'."""
+        df = spark.createDataFrame(
+            [(1, "hopeless"), (2, "also hopeless")], ["id", "raw"]
+        )
+        prov = lambda batch: ["still not json!!" for _ in batch]
+        got = {r.id: r.c for r in
+               df.select("id", clean_output_udf(prov)("raw").alias("c")).collect()}
+        assert got == {1: None, 2: None}
 
     def test_judge_heuristic(self, spark):
         df = spark.createDataFrame(

@@ -134,6 +134,41 @@ def test_salted_join_equivalence(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_left_outer_equivalence_and_rejects_right(spark):
+    li = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(F.col("c_custkey").alias("o_orderkey"), "c_name")
+        .limit(100)
+    )
+    plain = li.join(dim, "o_orderkey", "left")
+    salted = salted_join(li, dim, on="o_orderkey", how="left", salt=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    for bad in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(li, dim, on="o_orderkey", how=bad)
+
+
+def test_asof_join_null_attribute_stays_null(spark):
+    """The carried right values must all come from the SAME most-recent
+    right row: a NULL attribute on that row stays NULL instead of being
+    back-filled from an older right row."""
+    from adenhq_hive_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, "old-price", "old-note"),
+         (1, 20, "new-price", None)],       # newest row: note is NULL
+        ["k", "ts", "price", "note"],
+    )
+    left = spark.createDataFrame([(1, 25, "probe")], ["k", "ts", "tag"])
+    row = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_values=["price", "note"],
+    ).collect()[0]
+    assert row.asof_price == "new-price"
+    assert row.asof_note is None  # not "old-note"
+
+
 def test_date_partitioned_write_prunes(spark, tmp_path):
     events = load_table(spark, SF_SMOKE, "events")
     out = str(tmp_path / "events_by_day")
