@@ -108,6 +108,7 @@ class ExecutionResult:
     memory: dict[str, Any]
     steps: list[str]
     completed: bool
+    paused: bool = False  # stopped at a node boundary, resumable
 
 
 class GraphRunner:
@@ -118,19 +119,69 @@ class GraphRunner:
         self.spark = spark
 
     def execute(
-        self, graph: GraphSpec, memory: dict[str, Any] | None = None
+        self,
+        graph: GraphSpec,
+        memory: dict[str, Any] | None = None,
+        checkpoint_dir: str | None = None,
+        pause_after: int | None = None,
     ) -> ExecutionResult:
         """Fan-out traversal: every traversable out-edge enqueues its
         target (parallel branches, executor.py:1686-1991 — branches here
         run sequentially on the driver; Spark parallelizes inside each
         node's job). A node re-runs if re-enqueued (feedback loops),
         bounded by max_steps; reaching any terminal completes the run.
+
+        With ``checkpoint_dir``, state is persisted at every node
+        boundary (scalars+cursor as JSON, DataFrames as Parquet — see
+        plans/checkpoint.py), so a killed run resumes via :meth:`resume`
+        from the last completed node, re-running at most the node that
+        was in flight.  ``pause_after`` stops this invocation after N
+        node executions (the reference's paused_at semantics,
+        executor.py:719-738) and returns ``paused=True``.
         """
         graph.validate()
-        memory = dict(memory or {})
-        steps: list[str] = []
-        queue: list[str] = [graph.entry]
+        store = None
+        if checkpoint_dir is not None:
+            from .checkpoint import CheckpointStore
+
+            store = CheckpointStore(self.spark, checkpoint_dir)
+        return self._run_loop(
+            graph, dict(memory or {}), [], [graph.entry], store, pause_after
+        )
+
+    def resume(
+        self,
+        graph: GraphSpec,
+        checkpoint_dir: str,
+        pause_after: int | None = None,
+    ) -> ExecutionResult:
+        """Continue a checkpointed run from its cursor. The node that was
+        in flight when the run stopped (if any) is still at the head of
+        the persisted queue and re-runs; completed nodes do not."""
+        from .checkpoint import CheckpointStore
+
+        graph.validate()
+        store = CheckpointStore(self.spark, checkpoint_dir)
+        memory, steps, queue, completed = store.load()
+        if completed:
+            return ExecutionResult(memory, steps, True)
+        return self._run_loop(graph, memory, steps, queue, store, pause_after)
+
+    def _run_loop(
+        self,
+        graph: GraphSpec,
+        memory: dict[str, Any],
+        steps: list[str],
+        queue: list[str],
+        store,
+        pause_after: int | None,
+    ) -> ExecutionResult:
+        ran_this_call = 0
         while queue and len(steps) < graph.max_steps:
+            if pause_after is not None and ran_this_call >= pause_after:
+                if store is not None:
+                    memory = store.save(memory, steps, queue, completed=False)
+                return ExecutionResult(memory, steps, False, paused=True)
             current = queue.pop(0)
             node = graph.nodes[current]
             steps.append(current)
@@ -151,14 +202,25 @@ class GraphRunner:
                 queue.extend(
                     e.target for e in failure_edges if e.target not in queue
                 )
+                ran_this_call += 1
+                if store is not None:
+                    memory = store.save(memory, steps, queue, completed=False)
                 continue
+            ran_this_call += 1
             if current in graph.terminals:
+                if store is not None:
+                    memory = store.save(memory, steps, queue, completed=True)
                 return ExecutionResult(memory, steps, True)
             nxt = self._next_nodes(graph, current, memory)
             for t in nxt:
                 if t not in queue:
                     queue.append(t)
-        return ExecutionResult(memory, steps, not queue)
+            if store is not None:
+                memory = store.save(memory, steps, queue, completed=False)
+        completed = not queue
+        if store is not None:
+            memory = store.save(memory, steps, queue, completed=completed)
+        return ExecutionResult(memory, steps, completed)
 
     # -- node ops ---------------------------------------------------------
 

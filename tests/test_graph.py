@@ -320,3 +320,91 @@ def test_on_failure_edge_not_taken_on_success(runner, spark):
     res = GraphRunner(spark).execute(g)
     assert res.steps == ["fine", "normal"]
     assert "handler" not in res.steps
+
+
+# -- checkpoint / pause / resume (executor.py:719-738 semantics) ----------
+
+
+def _ckpt_graph(fail_once: dict | None = None):
+    """3-node linear graph; optional python node that crashes on its
+    first invocation (simulating a killed run mid-DAG)."""
+
+    def maybe_crash(df, memory):
+        if fail_once is not None and not fail_once.get("crashed"):
+            fail_once["crashed"] = True
+            raise RuntimeError("simulated executor loss")
+        return df.limit(50)
+
+    return GraphSpec(
+        nodes={
+            "load": NodeSpec(
+                "load", "sql",
+                {"query": "SELECT o_orderkey, o_totalprice FROM orders"},
+                output="base",
+            ),
+            "shrink": NodeSpec(
+                "shrink", "python", inputs=["base"], output="small",
+                fn=maybe_crash,
+            ),
+            "count": NodeSpec(
+                "count", "sql",
+                {"query": "SELECT COUNT(*) AS n FROM small"},
+                output="final",
+            ),
+            "tally": NodeSpec(
+                "tally", "scalar", inputs=["final"], output="n_rows",
+            ),
+        },
+        edges=[EdgeSpec("load", "shrink"), EdgeSpec("shrink", "count"),
+               EdgeSpec("count", "tally")],
+        entry="load",
+        terminals={"tally"},
+    )
+
+
+def test_pause_and_resume_identical_result(runner, spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    baseline = GraphRunner(spark).execute(_ckpt_graph())
+    paused = GraphRunner(spark).execute(
+        _ckpt_graph(), checkpoint_dir=ckpt, pause_after=2
+    )
+    assert paused.paused and not paused.completed
+    assert paused.steps == ["load", "shrink"]
+    resumed = GraphRunner(spark).resume(_ckpt_graph(), ckpt)
+    assert resumed.completed and not resumed.paused
+    assert resumed.steps == baseline.steps
+    assert resumed.memory["n_rows"] == baseline.memory["n_rows"] == 50
+
+
+def test_crash_mid_dag_resumes_from_last_boundary(runner, spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt_crash")
+    fail_once = {}
+    g = _ckpt_graph(fail_once)
+    with pytest.raises(RuntimeError, match="simulated executor loss"):
+        GraphRunner(spark).execute(g, checkpoint_dir=ckpt)
+    assert fail_once["crashed"]
+    # resume re-runs ONLY the in-flight node (shrink), not load
+    resumed = GraphRunner(spark).resume(g, ckpt)
+    assert resumed.completed
+    assert resumed.steps == ["load", "shrink", "count", "tally"]
+    assert resumed.memory["n_rows"] == 50
+
+
+def test_resume_completed_run_is_noop(runner, spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt_done")
+    done = GraphRunner(spark).execute(_ckpt_graph(), checkpoint_dir=ckpt)
+    assert done.completed
+    again = GraphRunner(spark).resume(_ckpt_graph(), ckpt)
+    assert again.completed and again.memory["n_rows"] == done.memory["n_rows"]
+
+
+def test_checkpoint_truncates_lineage(runner, spark, tmp_path):
+    """After a boundary, memory DataFrames are parquet-backed reads —
+    the resumed plan re-reads files instead of replaying upstream ops."""
+    ckpt = str(tmp_path / "ckpt_lineage")
+    paused = GraphRunner(spark).execute(
+        _ckpt_graph(), checkpoint_dir=ckpt, pause_after=1
+    )
+    plan = paused.memory["base"]._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert str(tmp_path) in plan  # reads the checkpoint, not the source
