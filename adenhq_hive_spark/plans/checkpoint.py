@@ -64,8 +64,10 @@ class CheckpointStore:
         completed: bool,
     ) -> dict[str, Any]:
         """Persist state; returns ``memory`` with every DataFrame swapped
-        for its Parquet-backed read (lineage truncation)."""
-        out = dict(memory)
+        for its Parquet-backed read (lineage truncation). A plain dict is
+        copied; any other MutableMapping (e.g. a shared-state view) is
+        updated in place so its scope semantics survive."""
+        out = dict(memory) if isinstance(memory, dict) else memory
         df_keys: list[str] = []
         for key, value in memory.items():
             if not isinstance(value, DataFrame):

@@ -145,8 +145,13 @@ class GraphRunner:
             from .checkpoint import CheckpointStore
 
             store = CheckpointStore(self.spark, checkpoint_dir)
+        # a plain dict is copied (caller's dict stays untouched); any other
+        # MutableMapping — e.g. shared_state.StreamMemory — is used as-is
+        # so writes resolve through its scope hierarchy
+        if memory is None or isinstance(memory, dict):
+            memory = dict(memory or {})
         return self._run_loop(
-            graph, dict(memory or {}), [], [graph.entry], store, pause_after
+            graph, memory, [], [graph.entry], store, pause_after
         )
 
     def resume(
