@@ -132,13 +132,29 @@ SCHEMAS: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its declared schema.
 
     Reading with an explicit schema (not ``inferSchema``/footer merge) keeps
     the scan single-pass; parquet column pruning + predicate pushdown then
-    apply per query.
+    apply per query. The analyzed DataFrame is cached per (session,
+    sf_dir, table): testdata paths are immutable within a run, and reusing
+    the relation skips repeated file-listing/footer work in per-query
+    fixed overhead (lazy plan only — no data is cached).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -341,7 +341,16 @@ def _cosine_pairs_blocked(
     spark = v.sparkSession
     if n_blocks is None:
         n = v.count()
-        n_blocks = max(1, -(-n // target_block_rows))
+        # two lower bounds on B: blocks must fit in task memory
+        # (n/B <= target_block_rows), and B(B+1)/2 pair-groups should
+        # keep every core busy (~2x parallelism), else a 32-core machine
+        # idles on a handful of giant matmuls
+        b_mem = -(-n // target_block_rows)
+        par = spark.sparkContext.defaultParallelism
+        # parallelism bound only while blocks stay >=1024 rows — tiny
+        # inputs do one matmul rather than paying per-group overhead
+        b_par = min(int((4 * par) ** 0.5) + 1, max(1, n // 1024))
+        n_blocks = max(1, min(max(b_mem, b_par), n))
     B = int(n_blocks)
 
     # Manifest: (block, pair_id, side). Off-diagonal pair (i, j<-i covers

@@ -389,8 +389,11 @@ Q(QuerySpec(
         "engine uses the native window() expansion; oracle is the "
         "window-expansion SQL harness (SURVEY §2.11: sliding windows have "
         "no single portable SQL, so the oracle generates window starts "
-        "and range-joins). Range starts one slide before the data so "
-        "boundary windows match Spark's epoch-aligned expansion.",
+        "and range-joins). Range bounds derive from min/max(ts) — one "
+        "slide before the first event's 5-min bucket (time_bucket is "
+        "epoch-aligned for minute intervals, same as Spark's window()) "
+        "through the last event — so the oracle tracks the data instead "
+        "of hardcoding the testdata's time range.",
     builder=lambda spark, sf: load_table(spark, sf, "events")
     .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
     .agg(F.count("*").alias("n"))
@@ -401,14 +404,22 @@ Q(QuerySpec(
     )
     .orderBy("win_start", "event_type"),
     oracle_sql_str="""
+        WITH bounds AS (
+            SELECT time_bucket(INTERVAL 5 MINUTE, MIN(ts))
+                     - INTERVAL 5 MINUTE AS lo,
+                   MAX(ts) AS hi
+            FROM events
+        ),
+        w AS (  -- range() takes only constants: index a generous slide
+                -- count (200k x 5 min ~ 2 years), filter to the data
+            SELECT b.lo + k.range * INTERVAL 5 MINUTE AS ws
+            FROM bounds b, range(0, 200000) k
+            WHERE b.lo + k.range * INTERVAL 5 MINUTE <= b.hi
+        )
         SELECT CAST(w.ws AS TIMESTAMP) AS win_start, e.event_type,
                COUNT(*) AS n
         FROM events e
-        JOIN (SELECT range AS ws
-              FROM range(TIMESTAMP '2023-12-31 23:55:00',
-                         TIMESTAMP '2024-04-01 00:00:00',
-                         INTERVAL 5 MINUTE)) w
-          ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 10 MINUTE
+        JOIN w ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 10 MINUTE
         GROUP BY w.ws, e.event_type
         ORDER BY win_start, event_type
     """,
