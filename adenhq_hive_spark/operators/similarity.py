@@ -50,28 +50,59 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` has the same (id_col, vec_col) shape. The query side is
-    broadcast (it is small by construction); the candidate scan stays
-    distributed and Catalyst keeps the whole expression in codegen.
+    ``queries`` has the same (id_col, vec_col) shape. The (small) query
+    side is broadcast as one numpy matrix; the candidate scan stays
+    distributed, each Arrow batch scores ALL queries with one BLAS
+    matmul and keeps a batch-local top-k, and a final window pass merges
+    the per-batch winners (k·n_batches rows, not n·q).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    spark = vectors.sparkSession
+    # The query side is bounded-small by construction (it rides a
+    # broadcast either way); materializing it as one numpy matrix lets
+    # every Arrow batch of the DISTRIBUTED candidate scan do a single
+    # BLAS matmul against all queries at once, instead of evaluating an
+    # interpreted (non-codegen) higher-order dot per (candidate, query).
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
     v = vectors.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
     )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                4,
-            ).alias("cosine"),
-        )
+
+    def partial_topk(it):
+        ids_q, mat_q = bq.value
+        nq = len(ids_q)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat_q @ mat.T, 4)           # (nq, batch)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                row = sims[qi]
+                mask = ids != ids_q[qi]                  # drop self-match
+                cand_ids, cand_sims = ids[mask], row[mask]
+                # batch-local top-k by (cosine desc, cand_id asc): the
+                # global winner is in some batch's local top-k
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), ids_q[qi]))
+                out_c.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = v.mapInPandas(
+        partial_topk, schema="query_id long, cand_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")

@@ -71,9 +71,14 @@ def test_semi_anti_join_shapes(spark):
     assert "LeftAnti" in anti
 
 
-def test_cosine_topk_broadcasts_queries(spark):
+def test_cosine_topk_is_distributed_batch_scan(spark):
+    """Brute-force top-k: one Arrow-batch BLAS scan over a real file
+    scan (queries ride a numpy broadcast) — no n x q pair explosion in
+    the plan, and no driver-materialized candidate side."""
     plan = _plan(QUERIES["pl_cosine_topk"].run(spark, SF_SMOKE))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "FileScan parquet" in plan
+    assert "LocalTableScan" not in plan
 
 
 def test_cosine_dedup_is_distributed(spark):
