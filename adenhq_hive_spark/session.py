@@ -29,8 +29,18 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
     # Bound broadcast joins explicitly; AQE will still pick broadcast for
-    # small dims discovered at runtime.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # small dims discovered at runtime. 16m (not higher): at 64m the
+    # sf1 bench broadcast a pruned 6M-row FACT table in q25 — parquet
+    # size estimates undercount decoded width, so a generous threshold
+    # turns into a driver-side fact broadcast at exactly the scale where
+    # it hurts most. Dims (customer at 10x = ~7 MB) still broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
+    # Shuffled hash join over sort-merge when the per-partition build
+    # side fits memory: skips two full sorts on fact-fact joins (q25's
+    # orders-lineitem leg went 6.0s -> 1.5s at sf1) and AQE still
+    # re-plans to broadcast/skew variants at runtime. SMJ remains the
+    # fallback when the build side cannot hash locally.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Testdata tables are single small parquet files; default 128m gives a
     # 1-partition scan. 8m restores scan parallelism locally; a real
     # cluster deploy overrides this (files there are many and HDFS-block

@@ -227,7 +227,7 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             plan = _plan(joined)
         finally:
             spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+                "spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024)
             )
         join_section = plan.split("HashAggregate")[-1]
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
