@@ -14,40 +14,60 @@ Semantics matched:
 - ``excel_search`` match types contains/exact/starts_with/ends_with with
   optional case folding (excel_tool.py:748-756).
 
-The xlsx codec (openpyxl) is not in this container, so file IO is gated
-behind an import-try; all sheet semantics operate on an in-memory
-``{sheet_name: list[list[cell]]}`` workbook (what the codec would
-produce) and are fully tested that way. ``load_workbook_file`` raises a
-clear error when the codec is missing.
+File IO runs on the pure-stdlib SpreadsheetML codec (sources/
+xlsx_codec.py — zipfile + xml.etree over the public ECMA-376 format);
+when openpyxl is available it is preferred for its richer date/style
+handling. All sheet semantics operate on an in-memory
+``{sheet_name: list[list[cell]]}`` workbook and are tested both in
+memory and through real .xlsx files round-tripped on disk.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..engine import ReadOnlyViolation, assert_read_only
+from . import xlsx_codec
 
 Workbook = dict[str, list[list[Any]]]  # sheet name -> rows of cells
 
 
 def load_workbook_file(path: str) -> Workbook:
-    """Read an .xlsx into the in-memory workbook shape (needs openpyxl)."""
+    """Read an .xlsx into the in-memory workbook shape.
+
+    openpyxl when present (date/style fidelity), else the stdlib
+    SpreadsheetML codec (date-formatted cells stay serial numbers).
+    """
     try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without codec
-        raise NotImplementedError(
-            "openpyxl is not installed in this environment; construct the "
-            "Workbook dict directly or install openpyxl for .xlsx IO."
-        ) from exc
+        import openpyxl
+    except ImportError:
+        return xlsx_codec.read_workbook(path)
     wb = openpyxl.load_workbook(path, data_only=True)  # pragma: no cover
     return {  # pragma: no cover
         ws.title: [list(row) for row in ws.iter_rows(values_only=True)]
         for ws in wb.worksheets
     }
+
+
+def save_workbook_file(path: str, workbook: Workbook) -> None:
+    """Write the in-memory workbook shape to an .xlsx file."""
+    try:
+        import openpyxl
+    except ImportError:
+        xlsx_codec.write_workbook(path, workbook)
+        return
+    wb = openpyxl.Workbook()  # pragma: no cover
+    wb.remove(wb.active)  # pragma: no cover
+    for name, rows in workbook.items():  # pragma: no cover
+        ws = wb.create_sheet(title=name)
+        for row in rows:
+            ws.append(row)
+    wb.save(path)  # pragma: no cover
 
 
 def sanitize_sheet_name(name: str) -> str:
@@ -185,6 +205,87 @@ def excel_search(
                     }
                 )
     return {"success": True, "matches": matches, "match_count": len(matches)}
+
+
+def excel_write(
+    path: str,
+    columns: list[str],
+    rows: list[dict[str, Any]],
+    sheet: str = "Sheet1",
+) -> dict[str, Any]:
+    """Create a new .xlsx with one header row + data rows (reference
+    excel_tool.py:148-228 envelope: columns dict-projected per row,
+    missing keys as empty string)."""
+    if not xlsx_codec.is_xlsx_path(path):
+        return {"success": False,
+                "error": "File must have .xlsx or .xlsm extension"}
+    if not columns:
+        return {"success": False, "error": "columns cannot be empty"}
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    grid: list[list[Any]] = [list(columns)]
+    for row in rows:
+        grid.append([coerce_cell(row.get(c, "")) for c in columns])
+    save_workbook_file(path, {sheet: grid})
+    return {
+        "success": True,
+        "path": path,
+        "sheet_name": sheet,
+        "columns": list(columns),
+        "column_count": len(columns),
+        "rows_written": len(rows),
+    }
+
+
+def excel_append(
+    path: str,
+    rows: list[dict[str, Any]],
+    sheet: str | None = None,
+) -> dict[str, Any]:
+    """Append dict rows to an existing sheet under its header row
+    (reference excel_tool.py:231-330: keys matched to existing headers,
+    missing keys empty)."""
+    if not os.path.exists(path):
+        return {"success": False,
+                "error": f"File not found: {path}. Use excel_write first."}
+    if not rows:
+        return {"success": False, "error": "rows cannot be empty"}
+    workbook = load_workbook_file(path)
+    target = sheet if sheet is not None else next(iter(workbook), None)
+    if target not in workbook:
+        return {
+            "success": False,
+            "error": f"Sheet '{sheet}' not found. "
+                     f"Available sheets: {list(workbook)}",
+        }
+    grid = workbook[target]
+    if not grid or all(c in (None, "") for c in grid[0]):
+        return {"success": False,
+                "error": "Excel file has no headers in the first row"}
+    header = [str(c) if c is not None else "" for c in grid[0]]
+    for row in rows:
+        grid.append([coerce_cell(row.get(c, "")) for c in header])
+    save_workbook_file(path, workbook)
+    return {
+        "success": True,
+        "path": path,
+        "sheet_name": target,
+        "rows_appended": len(rows),
+        "total_rows": len(grid) - 1,
+    }
+
+
+def excel_info(path: str) -> dict[str, Any]:
+    """File metadata + per-sheet dimensions (reference
+    excel_tool.py:333-417 shape)."""
+    if not os.path.exists(path):
+        return {"success": False, "error": f"File not found: {path}"}
+    workbook = load_workbook_file(path)
+    info = excel_sheet_list(workbook)
+    info["path"] = path
+    info["file_size_bytes"] = os.path.getsize(path)
+    return info
 
 
 def excel_sql(

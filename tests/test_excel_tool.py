@@ -15,8 +15,12 @@ from adenhq_hive_spark.sources.excel_tool import (
     excel_search,
     excel_sheet_list,
     excel_sql,
+    excel_append,
+    excel_info,
+    excel_write,
     load_workbook_file,
     register_workbook,
+    save_workbook_file,
     sanitize_sheet_name,
 )
 
@@ -123,6 +127,93 @@ def test_datetime_cells_coerced_in_sql(spark):
     assert res["rows"] == [{"when": "2024-05-01T09:30:00", "what": "standup"}]
 
 
-def test_workbook_file_needs_codec():
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        load_workbook_file("/tmp/nonexistent.xlsx")
+# -- real-file IO through the stdlib SpreadsheetML codec ------------------
+
+
+def test_roundtrip_workbook_file(tmp_path, workbook):
+    path = str(tmp_path / "book.xlsx")
+    save_workbook_file(path, workbook)
+    back = load_workbook_file(path)
+    assert back == workbook
+
+
+def test_roundtrip_types_and_escaping(tmp_path):
+    wb = {
+        "S & P <types>": [
+            ["s", "i", "f", "b", "none", "esc"],
+            ["hello world", 42, 2.5, True, None, "a<b>&\"c'"],
+            ["  spaced  ", -7, 0.125, False, None, "línea ünïcode"],
+        ]
+    }
+    path = str(tmp_path / "types.xlsx")
+    save_workbook_file(path, wb)
+    back = load_workbook_file(path)
+    assert back == wb
+
+
+def test_excel_write_append_info(tmp_path, spark):
+    path = str(tmp_path / "crm.xlsx")
+    w = excel_write(
+        path,
+        columns=["name", "amount"],
+        rows=[{"name": "acme", "amount": 100}, {"name": "globex", "amount": 250}],
+    )
+    assert w["success"] and w["rows_written"] == 2
+    a = excel_append(path, rows=[{"name": "initech", "amount": 75}])
+    assert a["success"] and a["rows_appended"] == 1 and a["total_rows"] == 3
+    info = excel_info(path)
+    assert info["success"] and info["sheet_count"] == 1
+    assert info["sheets"][0] == {"name": "Sheet1", "rows": 3, "columns": 2}
+    assert info["file_size_bytes"] > 0
+    # full loop: file -> workbook -> SQL
+    wb = load_workbook_file(path)
+    res = excel_sql(spark, wb, "SELECT SUM(amount) AS total FROM data")
+    assert res["success"] and res["rows"][0]["total"] == 425
+
+
+def test_excel_write_append_errors(tmp_path):
+    assert "error" in excel_write(str(tmp_path / "x.txt"), ["a"], [])
+    assert "error" in excel_write(str(tmp_path / "x.xlsx"), [], [])
+    assert "error" in excel_append(str(tmp_path / "missing.xlsx"), [{"a": 1}])
+    path = str(tmp_path / "ok.xlsx")
+    excel_write(path, ["a"], [{"a": 1}])
+    assert "error" in excel_append(path, [])
+    assert "not found" in excel_append(path, [{"a": 1}], sheet="Nope")["error"]
+
+
+def test_sparse_and_shared_strings_xlsx(tmp_path):
+    """Hand-built xlsx exercising shared strings, rich-text runs, sparse
+    cells, booleans and formula-string cells — the read paths a foreign
+    writer (real Excel) produces."""
+    import zipfile
+
+    path = str(tmp_path / "foreign.xlsx")
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            '</Types>')
+        z.writestr("_rels/.rels",
+            f'<Relationships xmlns="{P}"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>')
+        z.writestr("xl/workbook.xml",
+            f'<workbook xmlns="{M}" xmlns:r="{R}"><sheets><sheet name="Q1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{P}"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/sharedStrings.xml",
+            f'<sst xmlns="{M}" count="2" uniqueCount="2">'
+            '<si><t>plain</t></si>'
+            '<si><r><t>rich</t></r><r><t xml:space="preserve"> text</t></r></si></sst>')
+        z.writestr("xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{M}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="A2"><v>3.5</v></c><c r="B2" t="b"><v>1</v></c>'
+            '<c r="C2" t="str"><v>=SUM result</v></c></row>'
+            '</sheetData></worksheet>')
+    wb = load_workbook_file(path)
+    assert wb == {"Q1": [["plain", None, "rich text"], [3.5, True, "=SUM result"]]}
