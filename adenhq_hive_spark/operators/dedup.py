@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a reused stage once and cut its lineage.
+
+    When the session has a reliable checkpoint directory configured
+    (``sc.setCheckpointDir`` — HDFS/object store on a cluster), use a
+    reliable checkpoint: blocks survive executor loss, the correct
+    default for long cluster runs. Otherwise ``localCheckpoint`` —
+    executor-local blocks, faster, but an executor loss kills the job
+    instead of recomputing; acceptable in local mode and opt-out via the
+    callers' cache flags."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def exact_duplicate_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -109,7 +125,7 @@ def ngram_jaccard_pairs(
         # materialize shingles once instead of recomputing per branch
         # (sizes / postings / verification) — same lineage tradeoff as
         # minhash_lsh_pairs(cache_signatures=True)
-        sh = sh.localCheckpoint(eager=True)
+        sh = _materialize(sh)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     # Posting-list formulation (faster than an explode×explode self-join:
@@ -207,17 +223,17 @@ def minhash_lsh_pairs(
     pairs; each candidate is then verified with the true shingle jaccard, so
     the output has no false positives — LSH only bounds recall.
 
-    ``cache_signatures`` materializes the signature stage once
-    (localCheckpoint) instead of recomputing it in the banding and both
-    verification branches (~1.5x end-to-end). It trades lineage: on
-    executor loss the checkpointed blocks are gone and the job fails
-    instead of recomputing — set False (or use a reliable checkpoint dir)
-    for long fault-sensitive cluster runs.
+    ``cache_signatures`` materializes the signature stage once instead of
+    recomputing it in the banding and both verification branches (~1.5x
+    end-to-end). With a reliable checkpoint dir configured on the session
+    the materialization survives executor loss (the cluster default);
+    without one it is a localCheckpoint — faster, but executor loss fails
+    the job. Set False to keep pure lineage.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     if cache_signatures:
-        sig = sig.localCheckpoint(eager=True)
+        sig = _materialize(sig)
 
     band_entries = sig.select(
         "id",

@@ -1,0 +1,236 @@
+"""Pure-stdlib PDF text extraction (no pypdf needed).
+
+PDF is a public ISO standard (ISO 32000). This codec implements the
+subset needed to extract text from straightforward, non-encrypted PDFs
+— the kind produced by report generators and office exporters:
+
+- object discovery by scanning ``N G obj … endobj`` (no reliance on the
+  xref table, which tolerates mildly damaged files; cross-reference
+  STREAMS (PDF 1.5 compressed object streams) are not parsed — their
+  text lives in object streams this scanner cannot see);
+- page order via the /Root → /Pages → /Kids tree walk;
+- content streams: raw or /FlateDecode (zlib);
+- text operators inside BT…ET: Tj, ' , " (show string), TJ (array
+  show), with Td/TD/T* treated as line breaks;
+- literal strings with escapes/nested parens and hex strings, decoded
+  as Latin-1 (no CMap/ToUnicode handling — multi-byte CID fonts come
+  out garbled and that limitation is documented, not hidden).
+
+The tool layer (pdf_tool._extract_kernel) prefers pypdf when installed;
+this codec turns the ``mode='real'`` path from a NotImplementedError
+seam into working extraction for the common case.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+
+
+def _objects(content: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}
+
+
+def _dict_part(body: bytes) -> bytes:
+    i = body.find(b"stream")
+    return body if i < 0 else body[:i]
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    data = m.group(1)
+    if b"/FlateDecode" in _dict_part(body):
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    if b"/Filter" in _dict_part(body):
+        return None  # unsupported filter (DCT, LZW, ...)
+    return data
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Walk /Root -> /Pages -> /Kids for document page order; fall back
+    to object-number order over /Type /Page objects."""
+    pages_root = None
+    for body in objs.values():
+        d = _dict_part(body)
+        if b"/Catalog" in d:
+            m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", d)
+            if m:
+                pages_root = int(m.group(1))
+                break
+
+    ordered: list[int] = []
+
+    def walk(num: int) -> None:
+        body = objs.get(num)
+        if body is None:
+            return
+        d = _dict_part(body)
+        if re.search(rb"/Type\s*/Page\b(?!s)", d):
+            ordered.append(num)
+            return
+        m = re.search(rb"/Kids\s*\[(.*?)\]", d, re.DOTALL)
+        if m:
+            for ref in _REF_RE.finditer(m.group(1)):
+                walk(int(ref.group(1)))
+
+    if pages_root is not None:
+        walk(pages_root)
+    if not ordered:
+        ordered = sorted(
+            n for n, b in objs.items()
+            if re.search(rb"/Type\s*/Page\b(?!s)", _dict_part(b))
+        )
+    return ordered
+
+
+def _content_streams(page_body: bytes, objs: dict[int, bytes]) -> bytes:
+    d = _dict_part(page_body)
+    m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", d)
+    refs: list[int] = []
+    if m:
+        refs = [int(m.group(1))]
+    else:
+        m = re.search(rb"/Contents\s*\[(.*?)\]", d, re.DOTALL)
+        if m:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+    out = b""
+    for r in refs:
+        body = objs.get(r)
+        if body is None:
+            continue
+        data = _stream_data(body)
+        if data:
+            out += data + b"\n"
+    return out
+
+
+def _decode_literal(raw: bytes) -> str:
+    """PDF literal string body (inside parens): backslash escapes and
+    octal codes, Latin-1 decoded."""
+    out = bytearray()
+    i = 0
+    esc = {b"n"[0]: 10, b"r"[0]: 13, b"t"[0]: 9, b"b"[0]: 8, b"f"[0]: 12,
+           b"("[0]: 40, b")"[0]: 41, b"\\"[0]: 92}
+    while i < len(raw):
+        c = raw[i]
+        if c == 92 and i + 1 < len(raw):  # backslash
+            nxt = raw[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            if 48 <= nxt <= 55:  # octal, up to 3 digits
+                j = i + 1
+                code = 0
+                while j < len(raw) and j < i + 4 and 48 <= raw[j] <= 55:
+                    code = code * 8 + (raw[j] - 48)
+                    j += 1
+                out.append(code & 0xFF)
+                i = j
+                continue
+            if nxt in (10, 13):  # line continuation
+                i += 2
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+def _tokenize_strings(segment: bytes):
+    """Yield (kind, value) for string/hex-string/operator tokens in a
+    content-stream slice."""
+    i = 0
+    n = len(segment)
+    while i < n:
+        c = segment[i]
+        if c == 40:  # ( literal string, nesting + escapes
+            depth = 1
+            j = i + 1
+            buf = bytearray()
+            while j < n and depth:
+                ch = segment[j]
+                if ch == 92 and j + 1 < n:
+                    buf += segment[j:j + 2]
+                    j += 2
+                    continue
+                if ch == 40:
+                    depth += 1
+                elif ch == 41:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf.append(ch)
+                j += 1
+            yield ("str", _decode_literal(bytes(buf)))
+            i = j + 1
+        elif c == 60 and i + 1 < n and segment[i + 1] != 60:  # <hex>
+            j = segment.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", segment[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            i = j + 1
+        else:
+            m = re.match(rb"[A-Za-z'\"*]+", segment[i:])
+            if m:
+                yield ("op", m.group(0))
+                i += len(m.group(0))
+            else:
+                i += 1
+
+
+def _extract_text(stream: bytes) -> str:
+    """Text from one page's content stream: show-string operators emit
+    text, Td/TD/T*/'/" start new lines."""
+    lines: list[str] = []
+    cur: list[str] = []
+    pending: list[str] = []  # strings seen since the last operator
+
+    def newline() -> None:
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    for bt in re.finditer(rb"BT(.*?)ET", stream, re.DOTALL):
+        for kind, val in _tokenize_strings(bt.group(1)):
+            if kind == "str":
+                pending.append(val)
+            else:
+                op = val
+                if op == b"Tj":
+                    cur.extend(pending)
+                elif op == b"TJ":
+                    cur.extend(pending)
+                elif op in (b"'", b'"'):
+                    newline()
+                    cur.extend(pending)
+                elif op in (b"Td", b"TD", b"T*"):
+                    newline()
+                pending.clear()
+        newline()
+    return "\n".join(lines)
+
+
+def extract_pages(content: bytes) -> list[str]:
+    """Text of every page, in document order. Unsupported structures
+    (encrypted files, xref/object streams, exotic filters) yield empty
+    page text rather than wrong text."""
+    objs = _objects(content)
+    return [
+        _extract_text(_content_streams(objs[p], objs))
+        for p in _page_order(objs)
+    ]

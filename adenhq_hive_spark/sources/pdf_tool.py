@@ -66,7 +66,13 @@ PDF_PAGES_SCHEMA = T.StructType(
 
 
 def _extract_kernel(content: bytes, pages_spec: str | None, mode: str) -> list[tuple[int, str, int]]:
-    """(page_idx, text, n_pages) per selected page. The ONLY codec seam."""
+    """(page_idx, text, n_pages) per selected page.
+
+    mode='real': pypdf when installed, else the stdlib codec
+    (sources/pdf_codec.py — Flate + classic text operators; encrypted /
+    xref-stream files yield empty page text, documented there).
+    mode='fake': deterministic pseudo-pages for pipeline tests.
+    """
     try:
         import pypdf  # noqa: F401
         has_pypdf = True
@@ -81,10 +87,16 @@ def _extract_kernel(content: bytes, pages_spec: str | None, mode: str) -> list[t
             (i, reader.pages[i].extract_text() or "", n)
             for i in parse_page_range(pages_spec, n)
         ]
-    if mode == "raise" or (mode == "real" and not has_pypdf):
+    if mode == "real":
+        from . import pdf_codec
+
+        pages = pdf_codec.extract_pages(content)
+        n = len(pages)
+        return [(i, pages[i], n) for i in parse_page_range(pages_spec, n)]
+    if mode == "raise":
         raise NotImplementedError(
-            "pypdf is not installed; use mode='fake' for pipeline tests or "
-            "install pypdf for real extraction."
+            "mode='raise' forces the codec-missing path; use mode='real' "
+            "(pypdf or the stdlib codec) or mode='fake'."
         )
     # deterministic fake: 4 pseudo-pages derived from the content hash
     digest = hashlib.sha256(content).hexdigest()

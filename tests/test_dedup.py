@@ -87,3 +87,25 @@ def test_simhash_precision(docs, truth_pairs):
     tp = len(got & truth_pairs)
     assert tp / max(len(got), 1) >= 0.9, "simhash precision"
     assert tp / len(truth_pairs) >= 0.5, "simhash recall"
+
+
+def test_materialize_uses_reliable_checkpoint_when_configured(spark, tmp_path):
+    """With sc.setCheckpointDir set (the cluster deployment posture),
+    reused stages take a reliable checkpoint that survives executor
+    loss; results are unchanged."""
+    import os
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    baseline = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, cache_shingles=False).collect())
+    )
+    ck = str(tmp_path / "reliable_ck")
+    spark.sparkContext.setCheckpointDir(ck)
+    got = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, cache_shingles=True).collect())
+    )
+    assert got == baseline
+    assert any(os.scandir(ck)), "no checkpoint data written to reliable dir"
