@@ -41,6 +41,24 @@ def _norm(a: F.Column) -> F.Column:
     )
 
 
+def _pair_cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Vectorized cosine of row-aligned vector pairs: one einsum per
+    Arrow batch instead of an interpreted higher-order fold per row
+    (the candidate re-rank hot path of the LSH/IVF tiers). Built lazily
+    — pandas_udf needs an active session to parse its return type."""
+
+    @F.pandas_udf("double")
+    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        A = np.array(list(x), dtype=np.float64)
+        B = np.array(list(y), dtype=np.float64)
+        dots = np.einsum("nd,nd->n", A, B)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        return pd.Series(np.round(dots / (na * nb), 4))
+
+    return cos(a, b)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -187,11 +205,7 @@ def lsh_cosine_topk(
     scored = cand.select(
         "query_id",
         "cand_id",
-        F.round(
-            _dot(F.col("query_id_v"), F.col("cand_id_v"))
-            / (_norm(F.col("query_id_v")) * _norm(F.col("cand_id_v"))),
-            4,
-        ).alias("cosine"),
+        _pair_cosine(F.col("query_id_v"), F.col("cand_id_v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
@@ -203,6 +217,27 @@ def lsh_cosine_topk(
     )
 
 
+def _train_spherical_kmeans(
+    mat: np.ndarray, k: int, seed: int, iters: int = 20
+) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd on the unit sphere):
+    cosine assignment, mean + renormalize update. Input rows must be
+    unit vectors; returns (k, dim) unit centroids."""
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)),
+                               replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for j in range(len(centroids)):
+            members = mat[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids /= norms
+    return centroids
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -212,19 +247,21 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_train_rows: int = 65_536,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF (inverted-file) partitioning.
 
-    Build: k-means over L2-normalized vectors (cosine == euclidean on the
-    unit sphere), every vector assigned to its nearest centroid's posting
-    list. Query: probe the ``n_probe`` nearest centroids and exact-re-rank
-    only their posting lists — the scan fraction is ~n_probe/n_centroids,
-    the knob real ANN systems (FAISS IVF) expose. Training is the one
-    driver-coordinated step (iterative k-means); assignment, probing and
-    re-ranking are pure DataFrame ops.
+    Build: spherical k-means trained driver-side on a BOUNDED sample
+    (``max_train_rows`` — the FAISS-IVF pattern: training subsamples,
+    assignment is the distributed full pass), every vector assigned to
+    its nearest centroid's posting list by one Arrow-batch matmul
+    against the broadcast (k, dim) centroid matrix. Query: probe the
+    ``n_probe`` nearest centroids and exact-re-rank only their posting
+    lists — scan fraction ~n_probe/n_centroids, the knob real ANN
+    systems expose. Replaces the earlier MLlib KMeans fit (an iterative
+    many-job driver loop) and interpreted per-centroid dot expressions.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    spark = vectors.sparkSession
 
     def unit(df: DataFrame, ident: str) -> DataFrame:
         n = _norm(F.col(vec_col))
@@ -236,31 +273,32 @@ def ivf_cosine_topk(
     v = unit(vectors, "cand_id")
     q = unit(queries, "query_id")
 
-    train = v.select(array_to_vector("cand_id_v").alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    centroids = v.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], ["centroid_id", "centroid"]
+    sample = np.array(
+        [r[0] for r in v.select("cand_id_v").limit(max_train_rows).collect()],
+        dtype=np.float64,
     )
+    centroids = _train_spherical_kmeans(sample, n_centroids, seed)
+    bc = spark.sparkContext.broadcast(centroids)
 
-    def assign(df: DataFrame, ident: str, probes: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            ident,
-            f"{ident}_v",
-            "centroid_id",
-            _dot(F.col(f"{ident}_v"), F.col("centroid")).alias("cdot"),
-        )
-        w = Window.partitionBy(ident).orderBy(
-            F.col("cdot").desc(), F.col("centroid_id")
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probes)
-            .select(ident, f"{ident}_v", "centroid_id")
-        )
+    def scores_of(series: pd.Series) -> np.ndarray:
+        mat = np.array(list(series), dtype=np.float64)
+        return mat @ bc.value.T
 
-    postings = assign(v, "cand_id", 1)           # each vector in ONE list
-    probes = assign(q, "query_id", n_probe)      # each query probes n lists
+    @F.pandas_udf("int")
+    def nearest(vcol: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(scores_of(vcol), axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_list(vcol: pd.Series) -> pd.Series:
+        s = scores_of(vcol)
+        # top n_probe by (score desc, centroid_id asc)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(s.shape[1]), s.shape), -s), axis=1
+        )[:, :n_probe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    postings = v.withColumn("centroid_id", nearest("cand_id_v"))
+    probes = q.withColumn("centroid_id", F.explode(probe_list("query_id_v")))
     cand = (
         postings.join(F.broadcast(probes), on="centroid_id")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -269,8 +307,7 @@ def ivf_cosine_topk(
     scored = cand.select(
         "query_id",
         "cand_id",
-        # inputs are unit vectors: cosine is the plain dot product
-        F.round(_dot(F.col("query_id_v"), F.col("cand_id_v")), 4).alias("cosine"),
+        _pair_cosine(F.col("query_id_v"), F.col("cand_id_v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
@@ -339,11 +376,7 @@ def cosine_dedup_pairs(
         cand.select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                4,
-            ).alias("cosine"),
+            _pair_cosine(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

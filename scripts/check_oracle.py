@@ -1,7 +1,7 @@
 """Run every declared query on Spark and DuckDB at a given SF; report
 mismatches.  Local stand-in for the driver's CORRECTNESS gate.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [--only q01,q02,...]
 """
 
 from __future__ import annotations
@@ -18,7 +18,13 @@ from adenhq_hive_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -28,6 +34,8 @@ def main() -> int:
         )
     failures = []
     for name, spec in sorted(all_queries().items()):
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             df = spec.run(spark, sf_dir)
