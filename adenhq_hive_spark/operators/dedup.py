@@ -29,19 +29,23 @@ from pyspark.sql import functions as F
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Materialize a reused stage once and cut its lineage.
+    """Mark a reused stage for one-shot materialization.
 
     When the session has a reliable checkpoint directory configured
     (``sc.setCheckpointDir`` — HDFS/object store on a cluster), use a
-    reliable checkpoint: blocks survive executor loss, the correct
-    default for long cluster runs. Otherwise ``localCheckpoint`` —
-    executor-local blocks, faster, but an executor loss kills the job
-    instead of recomputing; acceptable in local mode and opt-out via the
-    callers' cache flags."""
+    reliable checkpoint: blocks survive executor loss AND the (often
+    long) lineage is cut, the correct default for long cluster runs.
+    Otherwise ``persist(MEMORY_AND_DISK)``: lazy (no extra eager job —
+    an eager localCheckpoint of the shingle+signature stage cost more
+    than the recompute it saved at small scale), spills instead of
+    OOMing, and on executor loss the blocks recompute from lineage
+    rather than failing the job as localCheckpoint would."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_duplicate_clusters(
