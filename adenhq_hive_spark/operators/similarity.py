@@ -59,12 +59,16 @@ def _pair_cosine(a: F.Column, b: F.Column) -> F.Column:
     return cos(a, b)
 
 
+_TOPK_SCHEMA = "query_id long, rank int, cand_id long, cosine double"
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -73,14 +77,34 @@ def cosine_topk(
     distributed, each Arrow batch scores ALL queries with one BLAS
     matmul and keeps a batch-local top-k, and a final window pass merges
     the per-batch winners (k·n_batches rows, not n·q).
+
+    The query side must be driver-bounded: ids must be integral (the
+    broadcast matrix contract) and at most ``max_queries`` rows are
+    collected — a larger query set raises instead of silently OOMing
+    the driver. For query sets beyond the cap, use the LSH/IVF tiers,
+    which keep the query side distributed.
     """
     spark = vectors.sparkSession
-    # The query side is bounded-small by construction (it rides a
-    # broadcast either way); materializing it as one numpy matrix lets
-    # every Arrow batch of the DISTRIBUTED candidate scan do a single
-    # BLAS matmul against all queries at once, instead of evaluating an
-    # interpreted (non-codegen) higher-order dot per (candidate, query).
-    qrows = queries.select(id_col, vec_col).collect()
+    id_type = dict(queries.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"cosine_topk requires an integral query id column; "
+            f"{id_col!r} is {id_type!r}"
+        )
+    # The query side must be bounded-small (it rides a broadcast either
+    # way); materializing it as one numpy matrix lets every Arrow batch
+    # of the DISTRIBUTED candidate scan do a single BLAS matmul against
+    # all queries at once, instead of evaluating an interpreted
+    # (non-codegen) higher-order dot per (candidate, query).
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk query side exceeds max_queries={max_queries}; "
+            "raise the cap explicitly or use lsh_cosine_topk/"
+            "ivf_cosine_topk, which keep the query side distributed"
+        )
+    if not qrows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -273,10 +297,14 @@ def ivf_cosine_topk(
     v = unit(vectors, "cand_id")
     q = unit(queries, "query_id")
 
+    # Training sample is hard-bounded by limit(); the driver never sees
+    # more than max_train_rows vectors regardless of input size.
     sample = np.array(
         [r[0] for r in v.select("cand_id_v").limit(max_train_rows).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     centroids = _train_spherical_kmeans(sample, n_centroids, seed)
     bc = spark.sparkContext.broadcast(centroids)
 

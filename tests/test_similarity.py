@@ -87,3 +87,26 @@ def test_cosine_dedup_lsh_vs_exact(emb):
     assert exact, "threshold too high: no pairs to compare"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.6, f"LSH dedup recall {recall:.2f}"
+
+
+def test_cosine_topk_guards(spark, emb):
+    from adenhq_hive_spark.operators.similarity import ivf_cosine_topk
+
+    # over-cap query side raises instead of collecting unbounded
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(emb, emb, k=1, max_queries=3)
+    # non-integral id column raises with a clear contract message
+    with pytest.raises(ValueError, match="integral"):
+        cosine_topk(
+            emb,
+            emb.limit(1).withColumn("vec_id", F.col("vec_id").cast("string")),
+            k=1,
+        )
+    # empty query side returns a typed empty frame, not a crash
+    out = cosine_topk(emb, emb.filter(F.lit(False)), k=3)
+    assert out.columns == ["query_id", "rank", "cand_id", "cosine"]
+    assert out.count() == 0
+    # empty vector side in IVF: typed empty frame, no kmeans crash
+    empty_ivf = ivf_cosine_topk(emb.filter(F.lit(False)), emb.limit(2), k=3)
+    assert empty_ivf.columns == ["query_id", "rank", "cand_id", "cosine"]
+    assert empty_ivf.count() == 0
