@@ -54,11 +54,16 @@ def _fast_money(sql: str) -> str:
     whole-query cost on TPC-H Q1 at 6M rows). Equivalent exact plan that
     stays inside whole-stage codegen:
 
-    - per row: quantize to a scaled integer q = CAST(x*10000 + 0.5 AS
-      BIGINT) (round-half-up; requires x >= 0, which holds for every
-      money/quantity column in the contract). For this data (<= 4 decimal
-      digits of true precision) q equals the decimal cast bit-for-bit.
-    - per group: two BIGINT sums over q DIV 1e6 and q % 1e6. The hi/lo
+    - per row: quantize to a scaled integer q = CAST(x*10000 +
+      sign-aware half AS BIGINT). CAST(double AS BIGINT) truncates
+      toward zero, so the half must carry the operand's sign
+      (+0.5 for x >= 0, -0.5 for x < 0) to round half away from zero —
+      the same HALF_UP rule as Spark's decimal cast, for either sign.
+      For this data (<= 4 decimal digits of true precision) q equals
+      the decimal cast bit-for-bit.
+    - per group: two BIGINT sums over q DIV 1e6 and q % 1e6. Spark's
+      DIV truncates toward zero and % takes the dividend's sign, so
+      (q DIV d)*d + (q % d) == q for negative q too. The hi/lo
       split keeps each partial < 9.2e18 out to ~1e12 rows per group --
       overflow-proof far past 100 TB, where a single SUM(q) would not be.
     - finalize: recombine hi*1e6 + lo in DECIMAL(38,0) (one decimal op per
@@ -69,7 +74,11 @@ def _fast_money(sql: str) -> str:
     """
 
     def repl(m: re.Match[str]) -> str:
-        q = f"CAST(({m.group(1)}) * 10000 + 0.5 AS BIGINT)"
+        x = m.group(1)
+        q = (
+            f"CAST(({x}) * 10000 + "
+            f"(CASE WHEN ({x}) < 0 THEN -0.5 ELSE 0.5 END) AS BIGINT)"
+        )
         return (
             f"(CAST(CAST(SUM({q} DIV 1000000) AS DECIMAL(38,0)) * 1000000"
             f" + SUM({q} % 1000000) AS DOUBLE) / 10000)"

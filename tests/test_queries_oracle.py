@@ -52,3 +52,28 @@ def test_rows_only_runs(spark, name):
     df = spec.run(spark, SF_SMOKE)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_fast_money_sign_safe(spark):
+    """The scaled-BIGINT money-sum rewrite must match the portable
+    decimal form for NEGATIVE values too (sign-aware round-half-up) —
+    the contract columns happen to be non-negative, but the rewrite
+    applies to every _QM call site, so it must not be a silent trap."""
+    from adenhq_hive_spark.queries.relational import _fast_money
+
+    vals = [
+        -1.00005, -0.99995, -123.45675, -0.00005, 0.0, 0.00005,
+        123.45675, 0.99995, 1.00005, -7e8, 7e8, -0.12345, 0.12345,
+    ]
+    spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], "g int, x double"
+    ).createOrReplaceTempView("fm_probe")
+    decimal_sql = (
+        "SELECT g, CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS s "
+        "FROM fm_probe GROUP BY g"
+    )
+    fast_sql = _fast_money(decimal_sql)
+    assert fast_sql != decimal_sql, "rewrite did not fire"
+    dec = {r.g: r.s for r in spark.sql(decimal_sql).collect()}
+    fast = {r.g: r.s for r in spark.sql(fast_sql).collect()}
+    assert fast == dec, f"{fast} != {dec}"
