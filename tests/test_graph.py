@@ -408,3 +408,55 @@ def test_checkpoint_truncates_lineage(runner, spark, tmp_path):
     plan = paused.memory["base"]._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan
     assert str(tmp_path) in plan  # reads the checkpoint, not the source
+
+
+def test_checkpoint_crash_mid_write_keeps_previous_state(spark, tmp_path):
+    """A changed DataFrame key is written to a NEW versioned dir; a crash
+    before the manifest swap leaves the previous manifest pointing at its
+    intact parquet — never at a half-rewritten one."""
+    from adenhq_hive_spark.plans.checkpoint import CheckpointStore
+
+    ckpt = str(tmp_path / "store")
+    store = CheckpointStore(spark, ckpt)
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    store.save({"d": df1}, ["n1"], [], False)
+    manifest_before = open(store.manifest_path).read()
+
+    # simulate a crash mid-save of a CHANGED df: the new versioned write
+    # happens, but the process dies before the manifest rename
+    df2 = spark.range(99).withColumnRenamed("id", "x")
+    df2.write.mode("overwrite").parquet(str(tmp_path / "store/df_d_v2.parquet"))
+    # (no manifest swap — crash point)
+
+    assert open(store.manifest_path).read() == manifest_before
+    fresh = CheckpointStore(spark, ckpt)
+    memory, steps, queue, completed = fresh.load()
+    assert steps == ["n1"]
+    assert memory["d"].count() == 10  # previous state, fully intact
+
+
+def test_checkpoint_rewrites_changed_df_and_gcs_old_version(spark, tmp_path):
+    """Identity tracking holds strong references (no id() address-reuse
+    hazard): a new DataFrame object is rewritten even if it aliases the
+    old address, unchanged objects are skipped, and superseded parquet
+    versions are GCed after the manifest swap."""
+    import os
+
+    from adenhq_hive_spark.plans.checkpoint import CheckpointStore
+
+    ckpt = str(tmp_path / "store2")
+    store = CheckpointStore(spark, ckpt)
+    out1 = store.save({"d": spark.range(5)}, ["a"], [], False)
+    dirs1 = {n for n in os.listdir(ckpt) if n.endswith(".parquet")}
+    # unchanged (same object): no new version
+    out2 = store.save({"d": out1["d"]}, ["a", "b"], [], False)
+    assert {n for n in os.listdir(ckpt) if n.endswith(".parquet")} == dirs1
+    # changed (new object): new version written, old version GCed
+    out3 = store.save(
+        {"d": out2["d"].filter("id < 3")}, ["a", "b", "c"], [], False
+    )
+    dirs3 = {n for n in os.listdir(ckpt) if n.endswith(".parquet")}
+    assert dirs3 != dirs1 and len(dirs3) == 1
+    assert out3["d"].count() == 3
+    fresh_mem, *_ = CheckpointStore(spark, ckpt).load()
+    assert fresh_mem["d"].count() == 3
