@@ -12,6 +12,7 @@ explicit schema also avoids a footer-sampling pass over thousands of files.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,7 +133,13 @@ SCHEMAS: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by the live SparkSession OBJECT (weakly): entries die with their
+# session, so a new session that happens to reuse a dead session's address
+# can never receive DataFrames bound to the old (stopped) session, and the
+# cache cannot grow across session lifetimes.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -145,12 +152,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the relation skips repeated file-listing/footer work in per-query
     fixed overhead (lazy plan only — no data is cached).
     """
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

@@ -137,9 +137,11 @@ Q(QuerySpec(
 
 Q(QuerySpec(
     name="pl_lsh_topk",
-    doc="Approximate cosine top-5 via random-hyperplane LSH (4 tables x 8 "
-        "planes, seed 42) + exact re-rank (operators/similarity.py:"
-        "lsh_cosine_topk). Recall vs exact gated in tests/test_similarity.py.",
+    doc="Approximate cosine top-5 via random-hyperplane LSH (16 tables x 4 "
+        "planes, seed 42 — the shipped defaults; ~0.9 recall@5 on the "
+        "unclustered random testdata) + exact re-rank (operators/"
+        "similarity.py:lsh_cosine_topk). Recall vs exact gated in "
+        "tests/test_similarity.py.",
     builder=lambda spark, sf: lsh_cosine_topk(*_queries_vecs(spark, sf), k=5)
     .orderBy("query_id", "rank"),
     has_oracle=False,

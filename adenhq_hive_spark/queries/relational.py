@@ -1256,10 +1256,11 @@ Q(QuerySpec(
 
 _QM(
     name="q69",
-    doc="Pivot: returnflag x linestatus quantity matrix — engine uses the "
-        "native DataFrame pivot; the portable SQL image is conditional "
-        "aggregation (one column per pivot value), which is also the "
-        "oracle form.",
+    doc="Pivot: returnflag x linestatus quantity matrix via conditional "
+        "aggregation (one column per pivot value) on BOTH sides — the "
+        "same shape Spark's native DataFrame pivot lowers to with an "
+        "explicit value list, minus a distinct-values scan, and it "
+        "keeps the money sums on the scaled-BIGINT fast path.",
     engine_sql=f"""
         SELECT l_returnflag,
                {_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", "qty_F")},
