@@ -5,9 +5,10 @@ subset needed to extract text from straightforward, non-encrypted PDFs
 — the kind produced by report generators and office exporters:
 
 - object discovery by scanning ``N G obj … endobj`` (no reliance on the
-  xref table, which tolerates mildly damaged files; cross-reference
-  STREAMS (PDF 1.5 compressed object streams) are not parsed — their
-  text lives in object streams this scanner cannot see);
+  xref table, which tolerates mildly damaged files), then expanding any
+  PDF 1.5 compressed object streams (``/Type /ObjStm``, the layout the
+  majority of modern generators emit): each stream's ``/N`` pair table
+  is parsed and its embedded objects join the object map;
 - page order via the /Root → /Pages → /Kids tree walk;
 - content streams: raw or /FlateDecode (zlib);
 - text operators inside BT…ET: Tj, ' , " (show string), TJ (array
@@ -32,7 +33,42 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 
 
 def _objects(content: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}
+    _expand_object_streams(objs)
+    return objs
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Inline the objects packed in PDF 1.5 compressed object streams.
+
+    An ``/Type /ObjStm`` stream holds ``/N`` objects: the first
+    ``/First`` bytes are N (objnum, offset) integer pairs, the rest the
+    concatenated object bodies (never streams, per spec).  Top-level
+    objects win on number collision — an incremental update writes the
+    replacement at top level."""
+    for body in list(objs.values()):
+        d = _dict_part(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        data = _stream_data(body)
+        mn = re.search(rb"/N\s+(\d+)", d)
+        mf = re.search(rb"/First\s+(\d+)", d)
+        if data is None or mn is None or mf is None:
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(n)
+            ]
+        except ValueError:
+            continue
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            objs.setdefault(num, data[first + off:first + end])
 
 
 def _dict_part(body: bytes) -> bytes:
@@ -175,14 +211,36 @@ def _tokenize_strings(segment: bytes):
                 j += 1
             yield ("str", _decode_literal(bytes(buf)))
             i = j + 1
-        elif c == 60 and i + 1 < n and segment[i + 1] != 60:  # <hex>
+        elif c == 60 and i + 1 < n and segment[i + 1] == 60:  # << dict >>
+            # one token to the matching >> (tagged-PDF marked content,
+            # e.g. "<</MCID 0>> BDC"), so its body is never mistaken for
+            # a hex string
+            depth = 0
+            j = i
+            while j + 1 < n:
+                if segment[j] == 60 and segment[j + 1] == 60:
+                    depth += 1
+                    j += 2
+                elif segment[j] == 62 and segment[j + 1] == 62:
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            i = j if j > i else n
+        elif c == 60:  # <hex>
             j = segment.find(b">", i)
             if j < 0:
                 break
             hx = re.sub(rb"\s", b"", segment[i + 1:j])
             if len(hx) % 2:
                 hx += b"0"
-            yield ("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            try:
+                yield ("str",
+                       bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            except (ValueError, UnicodeDecodeError):
+                pass  # malformed token: drop it, never crash the page
             i = j + 1
         else:
             m = re.match(rb"[A-Za-z'\"*]+", segment[i:])

@@ -228,3 +228,46 @@ class TestPdfStdlibCodec:
         )
         assert extract_pages(body) == [""]
         assert extract_pages(b"%PDF-1.7 nothing here") == []
+
+    def test_tagged_pdf_marked_content_dicts(self):
+        """<</MCID 0>> BDC inside BT..ET (Word/LibreOffice tagged PDFs)
+        must tokenize as a dict, not crash as a malformed hex string."""
+        from adenhq_hive_spark.sources.pdf_codec import extract_pages
+
+        ops = (b"BT /F1 12 Tf <</MCID 0>> BDC (Tagged text) Tj EMC "
+               b"<< /Nested << /Deep 1 >> >> BDC (More) Tj EMC ET")
+        pages = extract_pages(self._pdf([ops], False))
+        assert pages == ["Tagged textMore"]
+        # malformed hex string is dropped, not raised
+        bad = b"BT (ok) Tj <zz> Tj ET"
+        assert extract_pages(self._pdf([bad], False)) == ["ok"]
+
+    def test_object_stream_pdf_15(self):
+        """PDF 1.5 compressed object streams: catalog/pages/page dicts
+        packed in a /Type /ObjStm are discovered and their text extracted."""
+        import zlib
+
+        from adenhq_hive_spark.sources.pdf_codec import extract_pages
+
+        packed = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        ]
+        bodies = b""
+        header = []
+        for num, body in packed:
+            header.append(f"{num} {len(bodies)}".encode())
+            bodies += body + b" "
+        head = b" ".join(header) + b" "
+        stm = zlib.compress(head + bodies)
+        content = b"BT (from objstm) Tj ET"
+        pdf = (
+            b"%%PDF-1.5\n"
+            b"4 0 obj\n<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            b"%%%%EOF\n"
+            % (len(head), len(stm), stm, len(content), content)
+        )
+        assert extract_pages(pdf) == ["from objstm"]
