@@ -3,17 +3,28 @@ with typed metadata (the reference's multimodal surface is vision_tool.py:
 image URL/base64 → annotation rows; vision_tool.py:115-349).
 
 The Spark-side plumbing — schema, partition-preserving mapInPandas, Arrow
-batch shapes, annotation output schema — is real and tested.  The actual
-codec work (pillow/ffmpeg et al.) is NOT available in this container, so
-the decode kernel is stubbed: ``decode_stub='fake'`` produces a
-deterministic fake decode (dimensions/bytes derived from the content hash)
-and ``decode_stub='raise'`` raises NotImplementedError where a real codec
-would run.  Swapping in a real codec touches ONLY ``_decode_kernel``.
+batch shapes, annotation output schema — is real and tested.  Metadata
+decode is ALSO real: ``parse_media_meta`` parses PNG / JPEG / GIF
+(static + animated, frame-counting block walk) / WAV containers with the
+stdlib per their public specs — no pillow/ffmpeg needed for
+width/height/format/frame-count.  Pixel/sample DECODING (pixel arrays,
+resampling) still needs codec libs absent from this container; that seam
+stays honest: ``decode_stub='raise'`` raises NotImplementedError, and
+``decode_stub='fake'`` keeps the old hash-derived pseudo-decode for
+payloads that are not real media (e.g. text bytes standing in).
+
+``synthetic_media_table`` generates structurally valid payloads with the
+stdlib (full PNG with CRCs + zlib IDAT; JPEG SOI/APP0/SOF0 marker stream;
+GIF89a with per-frame image descriptors + LZW sub-blocks; PCM WAV), so
+the real parser path is testable — and DuckDB-oracle-checkable, because
+every dimension is a pure function of media_id.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,6 +54,7 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
@@ -73,23 +85,172 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_kernel(content: bytes, kind: str, mode: str) -> tuple[int, int, int, list[float]]:
-    """The ONLY place a real codec would plug in.
+# ---- stdlib media encoders (synthetic fixtures, deterministic) ------------
 
-    mode='fake': deterministic pseudo-decode from the sha256 of the bytes.
-    mode='raise': the honest stub for the missing codec libraries.
+
+def _encode_png(w: int, h: int) -> bytes:
+    """Fully valid 8-bit grayscale PNG (correct CRCs, complete IDAT)."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"\x00" * (h * (w + 1))  # filter byte + scanline per row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_jpeg(w: int, h: int) -> bytes:
+    """JPEG marker stream: SOI + APP0(JFIF) + SOF0 carrying dimensions +
+    EOI. Structurally valid for metadata parsers; no entropy-coded scan."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def _encode_gif(w: int, h: int, n_frames: int) -> bytes:
+    """GIF89a with ``n_frames`` image descriptors, each with minimal LZW
+    data sub-blocks — parseable by a spec-conforming block walker."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + b"\x00\x00\x00"  # no GCT
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02\x01\x00\x00"  # LZW min code, 1-byte block, terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _encode_wav(n_samples: int) -> bytes:
+    """PCM WAV, 1 channel, 8 kHz, 8-bit: fmt + data chunks."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = b"\x00" * n_samples
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---- stdlib media parsers (the real metadata-decode path) ------------------
+
+
+def parse_media_meta(content: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, n_frames) parsed from real container bytes
+    with the stdlib, or None if the payload is not recognized media.
+
+    PNG: IHDR fields. JPEG: first SOFn marker's dimensions. GIF: logical
+    screen descriptor + a full block walk counting image descriptors
+    (animated GIFs report their frame count). WAV: fmt/data chunk walk,
+    frames = data bytes / block align.
+    """
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
+        w, h = struct.unpack(">II", content[16:24])
+        return ("png", w, h, 1)
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            seglen = struct.unpack(">H", content[i + 2:i + 4])[0]
+            if marker in range(0xC0, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(content):
+                    h, w = struct.unpack(">HH", content[i + 5:i + 9])
+                    return ("jpeg", w, h, 1)
+                break
+            i += 2 + seglen
+        return None
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 13:
+        w, h = struct.unpack("<HH", content[6:10])
+        flags = content[10]
+        i = 13
+        if flags & 0x80:
+            i += 3 * (2 << (flags & 0x07))  # global color table
+        frames = 0
+
+        def skip_subblocks(j: int) -> int:
+            while j < len(content) and content[j] != 0:
+                j += 1 + content[j]
+            return j + 1
+
+        while i < len(content):
+            b = content[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21 and i + 1 < len(content):  # extension
+                i = skip_subblocks(i + 2)
+            elif b == 0x2C and i + 9 < len(content):  # image descriptor
+                frames += 1
+                lflags = content[i + 9]
+                i += 10
+                if lflags & 0x80:
+                    i += 3 * (2 << (lflags & 0x07))
+                i = skip_subblocks(i + 1)  # LZW min code size, then blocks
+            else:
+                break
+        return ("gif", w, h, max(frames, 1))
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        i = 12
+        block_align, data_size = 1, 0
+        while i + 8 <= len(content):
+            tag = content[i:i + 4]
+            size = struct.unpack("<I", content[i + 4:i + 8])[0]
+            if tag == b"fmt " and i + 22 <= len(content):
+                block_align = struct.unpack("<H", content[i + 20:i + 22])[0]
+            elif tag == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)
+        return ("wav", 0, 0, data_size // max(block_align, 1))
+    return None
+
+
+def _byte_histogram(content: bytes, bins: int = 16) -> list[float]:
+    """Normalized 16-bin byte histogram — a real, deterministic feature."""
+    counts = [0] * bins
+    for b in content:
+        counts[b * bins // 256] += 1
+    n = max(len(content), 1)
+    return [c / n for c in counts]
+
+
+def _decode_kernel(
+    content: bytes, kind: str, mode: str
+) -> tuple[str, int, int, int, list[float]]:
+    """The codec seam: (format, width, height, n_frames, feature).
+
+    mode='real': stdlib container parse (parse_media_meta) + byte-histogram
+    feature; unrecognized payloads report ('unknown', 0, 0, 0).
+    mode='fake': deterministic pseudo-decode from the sha256 of the bytes
+    (for payloads that are not real media).
+    mode='raise': the honest stub for missing pixel/sample codec libraries.
     """
     if mode == "raise":
         raise NotImplementedError(
             "No codec libraries in this container; install pillow/ffmpeg "
-            "and implement _decode_kernel for real media."
+            "and implement _decode_kernel for pixel/sample decode."
         )
+    if mode == "real":
+        meta = parse_media_meta(content)
+        fmt, width, height, n_frames = meta or ("unknown", 0, 0, 0)
+        return fmt, width, height, n_frames, _byte_histogram(content)
     digest = hashlib.sha256(content).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     n_frames = 1 if kind == "image" else 1 + digest[2] % 32
     feature = [b / 255.0 for b in digest[:16]]
-    return width, height, n_frames, feature
+    return "fake", width, height, n_frames, feature
 
 
 def decode_media(
@@ -108,10 +269,14 @@ def decode_media(
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
+                "format": [],
                 "width": [], "height": [], "n_frames": [], "feature": [],
             }
             for content, kind in zip(pdf["content"], pdf["kind"]):
-                w, h, nf, feat = _decode_kernel(bytes(content), kind, decode_stub)
+                fmt, w, h, nf, feat = _decode_kernel(
+                    bytes(content), kind, decode_stub
+                )
+                out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_frames"].append(nf)
@@ -120,6 +285,57 @@ def decode_media(
 
     pruned = media.select("media_id", "kind", "content")
     return pruned.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def synthetic_media_table(docs: DataFrame) -> DataFrame:
+    """Media table with REAL container payloads (see the stdlib encoders):
+    kind by media_id % 3 — image (png/jpeg/gif cycling by media_id//3),
+    audio (wav), video (animated gif). Every dimension is a pure function
+    of media_id, so a SQL oracle can verify the real parser:
+
+        width    = 64 + media_id % 192        (0 for audio)
+        height   = 64 + (media_id * 7) % 192  (0 for audio)
+        n_frames = image 1 | audio 1000 + (media_id % 50) * 100
+                           | video 2 + media_id % 10
+
+    Generation is a fixture path (synthetic bytes per row in Python);
+    production data arrives already encoded — the 100 TB-relevant side is
+    the parser, which runs in the same Arrow-batched kernel as any codec.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "content": [], "meta": []}
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 64 + mid % 192, 64 + (mid * 7) % 192
+                if mid % 3 == 0:
+                    kind = "image"
+                    fmt = ("png", "jpeg", "gif")[(mid // 3) % 3]
+                    content = {
+                        "png": _encode_png,
+                        "jpeg": _encode_jpeg,
+                        "gif": lambda a, b: _encode_gif(a, b, 1),
+                    }[fmt](w, h)
+                    mime = f"image/{fmt}"
+                elif mid % 3 == 1:
+                    kind = "audio"
+                    content = _encode_wav(1000 + (mid % 50) * 100)
+                    mime = "audio/wav"
+                else:
+                    kind = "video"
+                    content = _encode_gif(w, h, 2 + mid % 10)
+                    mime = "image/gif"  # animated gif as the video stand-in
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["content"].append(content)
+                rows["meta"].append(
+                    {"source": "synthetic", "mime": mime,
+                     "n_bytes": len(content)}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_nth: int = 4) -> DataFrame:

@@ -21,7 +21,11 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_media, media_table_from_documents
+from ..operators.multimodal import (
+    decode_media,
+    media_table_from_documents,
+    synthetic_media_table,
+)
 from ..operators.similarity import cosine_topk, lsh_cosine_topk
 from ..operators.text import fingerprint, lang_id, quality_score, token_counts
 from . import QuerySpec, register
@@ -351,16 +355,40 @@ Q(QuerySpec(
 
 Q(QuerySpec(
     name="pl_media_decode",
-    doc="Media decode/feature-extract via Arrow-batched mapInPandas "
-        "(operators/multimodal.py:decode_media; codec kernel stubbed with "
-        "a deterministic fake — container has no image/audio libs). "
-        "Rows-only; determinism unit-tested.",
+    doc="REAL media metadata decode via Arrow-batched mapInPandas: "
+        "stdlib PNG/JPEG/GIF(animated, frame-counted)/WAV container "
+        "parsing (operators/multimodal.py:parse_media_meta) over "
+        "structurally valid synthetic payloads (synthetic_media_table). "
+        "The oracle recomputes every dimension from its media_id formula, "
+        "so a parser regression hash-mismatches.",
     builder=lambda spark, sf: decode_media(
-        media_table_from_documents(load_table(spark, sf, "documents"))
+        synthetic_media_table(load_table(spark, sf, "documents")),
+        decode_stub="real",
     )
-    .select("media_id", "kind", "width", "height", "n_frames")
+    .select("media_id", "kind", "format", "width", "height", "n_frames")
     .orderBy("media_id"),
-    has_oracle=False,
+    oracle_sql_str="""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               CASE WHEN doc_id % 3 = 0 THEN
+                      CASE (doc_id // 3) % 3 WHEN 0 THEN 'png'
+                                             WHEN 1 THEN 'jpeg'
+                                             ELSE 'gif' END
+                    WHEN doc_id % 3 = 1 THEN 'wav'
+                    ELSE 'gif' END AS format,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                         ELSE 64 + doc_id % 192 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                         ELSE 64 + (doc_id * 7) % 192 END AS INT) AS height,
+               CAST(CASE doc_id % 3
+                      WHEN 0 THEN 1
+                      WHEN 1 THEN 1000 + (doc_id % 50) * 100
+                      ELSE 2 + doc_id % 10 END AS INT) AS n_frames
+        FROM documents
+        ORDER BY media_id
+    """,
 ))
 
 

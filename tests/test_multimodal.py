@@ -72,3 +72,37 @@ def test_frame_sample_only_video(media):
     assert {r.media_id for r in rows} <= vids
     for r in rows:
         assert r.frame_idx % 4 == 0
+
+
+def test_real_decode_parses_synthetic_containers(spark):
+    """synthetic_media_table emits structurally valid PNG/JPEG/GIF/WAV;
+    decode_stub='real' must recover every dimension from the BYTES (the
+    stdlib container parsers), matching the generation formulas."""
+    from adenhq_hive_spark.operators.multimodal import synthetic_media_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    media = synthetic_media_table(docs)
+    rows = {r.media_id: r for r in
+            decode_media(media, decode_stub="real").collect()}
+    assert len(rows) == 60
+    for mid, r in rows.items():
+        if mid % 3 == 0:
+            assert r.kind == "image"
+            assert r.format == ("png", "jpeg", "gif")[(mid // 3) % 3]
+            assert (r.width, r.height, r.n_frames) == (
+                64 + mid % 192, 64 + (mid * 7) % 192, 1)
+        elif mid % 3 == 1:
+            assert (r.format, r.width, r.height) == ("wav", 0, 0)
+            assert r.n_frames == 1000 + (mid % 50) * 100
+        else:
+            assert r.format == "gif"
+            assert r.n_frames == 2 + mid % 10
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_real_decode_unknown_payload_reports_unknown(spark, media):
+    """Non-media bytes through the real parser: honest 'unknown', no crash."""
+    r = decode_media(media.limit(3), decode_stub="real").collect()
+    assert all(x.format == "unknown" for x in r)
+    assert all((x.width, x.height, x.n_frames) == (0, 0, 0) for x in r)
