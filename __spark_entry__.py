@@ -35,15 +35,16 @@ from adenhq_hive_spark.queries import all_queries
 # case, arrays, maps, streaming images, subqueries, pivot, percent_rank,
 # nth_value, then the LLM-pipeline tier.
 _CORE = [
-    "q01", "q02", "q06", "q09", "q13", "q17", "q18", "q19", "q22",
+    "q01", "q02", "q06", "q09", "q13", "q17", "q22",
     "q24", "q25", "q26", "q28", "q29", "q30", "q31", "q32", "q33",
     "q34", "q35", "q36", "q38", "q39", "q40", "q42", "q43", "q44",
     "q45", "q47", "q48", "q50", "q51", "q54", "q55", "q57", "q58",
     "q59", "q60", "q69", "q71", "q72", "q77", "q78",
-    # LLM-pipeline tier
+    # LLM-pipeline tier (incl. the driver-visible ANN recall gates;
+    # q18/q19 yield their slots — the agg family keeps q06/q09/q13/q17)
     "pl_dedup_exact", "pl_ngram_jaccard", "pl_cosine_dedup",
     "pl_cosine_topk", "pl_quality", "pl_sliding_window",
-    "pl_asof_operator",
+    "pl_asof_operator", "pl_lsh_recall", "pl_ivf_recall",
 ]
 
 

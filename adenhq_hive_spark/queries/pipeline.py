@@ -151,6 +151,63 @@ Q(QuerySpec(
     has_oracle=False,
 ))
 
+def _recall_vs_exact(approx, exact, threshold: float):
+    """recall@k of an approximate top-k against the exact tier, computed
+    entirely in-DataFrame (no driver math): left-join exact pairs to
+    approx pairs, aggregate hit fraction, emit one constant-shaped row —
+    (n_exact, recall_ok) — that a constant SQL oracle hash-matches, so an
+    ANN recall regression becomes driver-visible, not just test-visible."""
+    hits = exact.select("query_id", "cand_id").join(
+        approx.select("query_id", "cand_id").withColumn("hit", F.lit(1)),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    return hits.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+    ).select(
+        "n_exact",
+        (F.col("n_hit") / F.col("n_exact") >= threshold).alias("recall_ok"),
+    )
+
+
+Q(QuerySpec(
+    name="pl_lsh_recall",
+    doc="Driver-visible LSH quality gate: recall@5 of pl_lsh_topk's "
+        "configuration vs the exact tier, in-engine (no driver math); "
+        "the oracle pins (n_exact=25, recall_ok=true) — the measured "
+        "recall is ~0.9+ on the unclustered random testdata, gated here "
+        "at >= 0.7 (the same bound as tests/test_similarity.py).",
+    builder=lambda spark, sf: _recall_vs_exact(
+        lsh_cosine_topk(*_queries_vecs(spark, sf), k=5),
+        cosine_topk(*_queries_vecs(spark, sf), k=5),
+        threshold=0.7,
+    ),
+    oracle_sql_str="""
+        SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS recall_ok
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_ivf_recall",
+    doc="Driver-visible IVF quality gate: recall@5 of pl_ivf_topk's "
+        "configuration (16 centroids, 4 probes — 1/4 scan fraction) vs "
+        "the exact tier, in-engine; oracle pins (n_exact=25, "
+        "recall_ok=true) at the >= 0.5 worst-case-random bound from "
+        "tests/test_similarity.py.",
+    builder=lambda spark, sf: _recall_vs_exact(
+        __import__(
+            "adenhq_hive_spark.operators.similarity",
+            fromlist=["ivf_cosine_topk"],
+        ).ivf_cosine_topk(*_queries_vecs(spark, sf), k=5),
+        cosine_topk(*_queries_vecs(spark, sf), k=5),
+        threshold=0.5,
+    ),
+    oracle_sql_str="""
+        SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS recall_ok
+    """,
+))
+
 # ---- text analysis --------------------------------------------------------
 
 Q(QuerySpec(
