@@ -217,3 +217,81 @@ def test_sparse_and_shared_strings_xlsx(tmp_path):
             '</sheetData></worksheet>')
     wb = load_workbook_file(path)
     assert wb == {"Q1": [["plain", None, "rich text"], [3.5, True, "=SUM result"]]}
+
+
+def test_date_styled_cells_read_as_iso(tmp_path):
+    """Foreign workbook with a styles.xml: built-in date formats (14, 22),
+    a custom date numFmt (164), and a plain number style — date-styled
+    serials come back as ISO strings, numbers stay numbers."""
+    import zipfile
+
+    path = str(tmp_path / "dates.xlsx")
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            '</Types>')
+        z.writestr("_rels/.rels",
+            f'<Relationships xmlns="{P}"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>')
+        z.writestr("xl/workbook.xml",
+            f'<workbook xmlns="{M}" xmlns:r="{R}"><sheets><sheet name="D" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{P}"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/styles.xml",
+            f'<styleSheet xmlns="{M}">'
+            '<numFmts count="2">'
+            '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/>'
+            '<numFmt numFmtId="165" formatCode="#,##0.00"/></numFmts>'
+            '<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>'
+            '<xf numFmtId="22"/><xf numFmtId="164"/></cellXfs></styleSheet>')
+        z.writestr("xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{M}"><sheetData>'
+            # 45292 = 2024-01-01; 45292.5 = noon; style 3 = custom 164
+            '<row r="1"><c r="A1" s="1"><v>45292</v></c>'
+            '<c r="B1" s="2"><v>45292.5</v></c>'
+            '<c r="C1" s="3"><v>45292</v></c>'
+            '<c r="D1"><v>45292</v></c></row>'
+            "</sheetData></worksheet>")
+    wb = load_workbook_file(path)
+    (a, b, c, d), = wb["D"]
+    assert a == "2024-01-01T00:00:00"
+    assert b == "2024-01-01T12:00:00"
+    assert c == "2024-01-01T00:00:00"  # custom yyyy-mm-dd numFmt
+    assert d == 45292  # unstyled serial stays a number
+
+
+def test_date_roundtrip_through_excel_sql(tmp_path, spark):
+    """write_workbook with datetime/date values → styled serials; reading
+    back yields ISO strings that feed excel_sql date functions."""
+    import datetime as dt
+
+    from adenhq_hive_spark.sources.xlsx_codec import (
+        read_workbook,
+        write_workbook,
+    )
+
+    path = str(tmp_path / "rt_dates.xlsx")
+    write_workbook(path, {
+        "Log": [
+            ["day", "when", "amount"],
+            [dt.date(2024, 3, 5), dt.datetime(2024, 3, 5, 14, 30), 10.5],
+            [dt.date(2024, 3, 6), dt.datetime(2024, 3, 6, 9, 15), 4.5],
+        ],
+    })
+    wb = read_workbook(path)
+    assert wb["Log"][1][0] == "2024-03-05T00:00:00"
+    assert wb["Log"][1][1] == "2024-03-05T14:30:00"
+    res = excel_sql(
+        spark, wb,
+        "SELECT CAST(SUBSTR(day, 1, 10) AS DATE) AS d, amount "
+        "FROM data ORDER BY d",
+        sheet="Log",
+    )
+    assert res["success"], res.get("error")
+    assert [str(r["d"]) for r in res["rows"]] == ["2024-03-05", "2024-03-06"]
