@@ -48,6 +48,18 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize AND truncate lineage — required inside iterative
+    loops, where a persist-only materialization leaves the logical plan
+    growing multiplicatively per round and Catalyst re-analysis comes to
+    dominate the runtime. Reliable checkpoint when a checkpoint dir is
+    configured (cluster default), else localCheckpoint."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def exact_duplicate_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -370,4 +382,134 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Resolve an undirected edge list into connected components:
+    (node, cluster_id) with cluster_id = the component's minimum node id.
+
+    Alternating Large-Star / Small-Star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — a public
+    algorithm): each round is two groupBy-join passes, and the edge set
+    provably converges to per-component stars in O(log n) rounds — the
+    scale path for duplicate-CLUSTER resolution at 100 TB, where
+    label-propagation's O(diameter) rounds and GraphX's RDD shuffles
+    both hurt. Every round's frontier is persisted and the loop stops on
+    a fixed-point signature (count + order-insensitive hash), raising if
+    ``max_rounds`` is hit without convergence.
+
+    Input: any (id_a, id_b) pair frame (near-dup pairs from the jaccard/
+    minhash/simhash/cosine tiers). Nodes with no edges are absent from
+    the output — join the full corpus with a COALESCE to keep singletons
+    (see pl_dup_clusters).
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    cur = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        mins = s.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        return (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        s = sym(e).filter(F.col("v") < F.col("u"))
+        mins = s.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            s.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u").alias("u"), F.col("m").alias("v")))
+        )
+        return out.filter(F.col("u") != F.col("v"))
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive and overflow-free under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    cur = _cut_lineage(cur)
+    prev_sig = signature(cur)
+    for _ in range(max_rounds):
+        nxt = _cut_lineage(canon(small_star(large_star(cur))))
+        sig = signature(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # at the fixed point every component is a star around its minimum:
+    # each node's smallest neighbor IS the cluster id
+    return (
+        sym(cur)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mn")).alias("cluster_id"),
+        )
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: near-dup pairs resolved
+    into transitive clusters (connected_components), singletons keeping
+    their own id. ``pairs`` defaults to the exact n-gram jaccard tier;
+    pass the minhash/simhash/cosine tiers' pairs at scale."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+        )
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        df.select(id_col)
+        .join(
+            labels.withColumnRenamed("node", id_col), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
     )

@@ -17,6 +17,7 @@ from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.dedup import (
     dedup_exact,
+    dup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -79,6 +80,58 @@ Q(QuerySpec(
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
         ORDER BY id_a, id_b
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_dup_clusters",
+    doc="Near-dup PAIRS resolved into transitive duplicate CLUSTERS: "
+        "alternating Large-Star/Small-Star contraction (O(log n) rounds "
+        "— operators/dedup.py:connected_components) over the exact "
+        "jaccard tier's pairs; every doc labeled with its component-min "
+        "cluster id, singletons keeping their own. Oracle: DuckDB "
+        "recursive-CTE transitive closure over the same pairs.",
+    builder=lambda spark, sf: dup_clusters(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ).orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ), ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        sizes AS (SELECT id, len(shs) AS n FROM sh),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+        )
+        SELECT d.doc_id,
+               COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (
+          SELECT src AS doc_id, MIN(dst) AS cluster_id
+          FROM reach GROUP BY src
+        ) m USING (doc_id)
+        ORDER BY d.doc_id
     """,
 ))
 

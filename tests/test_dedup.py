@@ -109,3 +109,63 @@ def test_materialize_uses_reliable_checkpoint_when_configured(spark, tmp_path):
     )
     assert got == baseline
     assert any(os.scandir(ck)), "no checkpoint data written to reliable dir"
+
+
+def test_connected_components_vs_union_find(spark):
+    """Star-contraction CC must match a reference union-find on a random
+    graph with chains, cliques, and singleton-adjacent shapes."""
+    import random
+
+    from adenhq_hive_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 1)]           # long chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260))
+              for _ in range(80)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {
+        n: find(n) for n in {x for e in edges for x in e} if n != find(n)
+        or any(find(m) == n for m in parent)
+    }
+    expected = {n: find(n) for n in {x for e in edges for x in e}}
+
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            spark.createDataFrame(
+                [(a, b) for a, b in edges], "id_a long, id_b long"
+            )
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    """A~B and B~C near-dups land in one cluster keyed by min id; unique
+    docs keep their own id."""
+    from adenhq_hive_spark.operators.dedup import dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " one"),
+        (2, base + " one two"),          # ~ 1
+        (3, base + " one two three"),    # ~ 2 (and transitively 1)
+        (50, "completely unrelated text about spark query engines")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(docs).collect()}
+    assert got[50] == 50
+    assert got[1] == got[2] == got[3] == 1
