@@ -10,7 +10,7 @@ whole-stage-codegen friendly; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons (order matters: first max wins ties via
@@ -161,3 +161,57 @@ def nfc_normalize_udf():
         )
 
     return nfc
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, entirely JVM-side.
+
+    tf = in-doc term count (lowercased whitespace tokens); idf =
+    ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style); ties broken by
+    term. One explode + two hash aggregations + a broadcast of the
+    (term, df) side? No — df joins back on term (shuffle on term, the
+    same key the aggregation produced, so AQE reuses the partitioning),
+    and the scalar N rides a 1-row broadcast cross join. Top-k via
+    row_number window partitioned by doc — the per-group-top-k shape
+    TakeOrderedAndProject can't cover (per-key, not global).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    tf = ex.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("rnk").alias("rnk"),
+            "term",
+            "tfidf",
+        )
+    )
