@@ -97,15 +97,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark has no ns
-    # timestamp, so the raw read is LongType (with
-    # spark.sql.legacy.parquet.nanosAsLong=true) and load_table converts
-    # ns → µs TimestampType. DuckDB applies the same floor-truncation when
-    # casting TIMESTAMP_NS → TIMESTAMP, so both engines see identical µs.
+    # Logical schema (what every consumer sees). The PHYSICAL ts type has
+    # varied across testdata generator versions — TIMESTAMP(NANOS) vs
+    # TIMESTAMP(MICROS) — so the events read path detects the unit from the
+    # parquet footer (events_ts_unit below) instead of hardcoding either.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -131,6 +130,49 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Raw read schema for ns-era events files: Spark has no ns timestamp, so
+# with spark.sql.legacy.parquet.nanosAsLong=true the column reads as LongType
+# and load_table converts ns → µs. DuckDB applies the same floor-truncation
+# when casting TIMESTAMP_NS → TIMESTAMP, so both engines see identical µs.
+EVENTS_SCHEMA_NS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical ts unit ('ns' or 'us') of an events parquet, from the footer.
+
+    One driver-side footer read per path (cached) — on a cluster this is a
+    single metadata fetch, not a data scan. Detecting beats hardcoding: the
+    testdata generator has emitted both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across versions, and reading ns data as µs (or vice
+    versa) is silently wrong by 1000×.
+    """
+    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                n for n in os.listdir(path) if n.endswith(".parquet")
+            )
+            if parts:
+                target = os.path.join(path, parts[0])
+        ts_type = pq.read_schema(target).field("ts").type
+        unit = getattr(ts_type, "unit", "ns") or "ns"
+        _EVENTS_TS_UNIT_CACHE[path] = unit
+    return unit
 
 
 # Keyed by the live SparkSession OBJECT (weakly): entries die with their
@@ -164,9 +206,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_unit(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(SCHEMAS[name]).parquet(path)
+        raw = spark.read.schema(EVENTS_SCHEMA_NS).parquet(path)
         # Integer ns→µs floor-division keeps full precision (a double
         # division at 1.7e18 would not); matches DuckDB's ns→µs cast.
         return raw.withColumn(

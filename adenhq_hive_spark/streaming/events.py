@@ -33,24 +33,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import SCHEMAS
-
-EVENT_RAW_SCHEMA = SCHEMAS["events"]  # ts as long ns (parquet physical)
+from ..catalog import EVENTS_SCHEMA_NS, SCHEMAS, events_ts_unit
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the declared
-    schema; ns→µs conversion identical to the batch catalog path."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema; the physical ts unit (ns-era vs µs-era testdata) is detected
+    from the parquet footer, conversion identical to the batch catalog
+    path."""
+    import os
+
     # The file source monitors a DIRECTORY; glob-filter selects the events
     # table out of the per-table parquet files in the sf dir.
+    if events_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NS)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     raw = (
-        spark.readStream.schema(EVENT_RAW_SCHEMA)
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+    return raw.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
