@@ -631,6 +631,49 @@ Q(QuerySpec(
 ))
 
 Q(QuerySpec(
+    name="pl_tfidf",
+    doc="Top-5 TF-IDF terms per document (corpus-analysis / keyword-"
+        "extraction staple; operators/text.py:tfidf_top_terms). One "
+        "explode + two hash aggregations + a term-keyed join that reuses "
+        "the aggregation's partitioning, scalar N on a 1-row broadcast, "
+        "per-doc top-k via row_number — all JVM-side. Oracle: same "
+        "formulation in DuckDB SQL (smoothed sklearn-style idf).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["tfidf_top_terms"]
+    ).tfidf_top_terms(
+        load_table(spark, sf, "documents"), text_col="text",
+        id_col="doc_id", k=5,
+    ).orderBy("doc_id", "rnk"),
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM ex WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                                + 1.0), 4) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, rnk, term, tfidf
+        FROM (
+          SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rnk
+          FROM scored
+        ) t
+        WHERE rnk <= 5
+        ORDER BY doc_id, rnk
+    """,
+))
+
+Q(QuerySpec(
     name="pl_normalize_text",
     doc="Text normalization tier: NFC + casefold + whitespace collapse, "
         "with before/after distinct counts (preprocessing before any "

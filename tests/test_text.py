@@ -91,3 +91,35 @@ def test_fingerprint_rolling_stable_under_suffix_edit(spark):
     assert {k: v.fp_rolling for k, v in rows.items()} == {
         k: v.fp_rolling for k, v in again.items()
     }
+
+
+def test_tfidf_top_terms_golden(spark):
+    import math
+
+    from adenhq_hive_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2 -> apple wins
+    assert [r.term for r in sorted(by_doc[1], key=lambda r: r.rnk)] == [
+        "apple", "banana"
+    ]
+    # smoothed sklearn idf: tf * (ln((N+1)/(df+1)) + 1)
+    exp_apple = round(2 * (math.log((3 + 1) / (1 + 1)) + 1.0), 4)
+    apple = next(r for r in by_doc[1] if r.term == "apple")
+    assert apple.tfidf == pytest.approx(exp_apple, abs=1e-4)
+    # k=2 cap per doc, ties broken by term (doc 2: banana before cherry
+    # only if tfidf ties — banana df=2, cherry df=2, both tf=1 -> tie)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    d2 = [r.term for r in sorted(by_doc[2], key=lambda r: r.rnk)]
+    assert d2 == ["banana", "cherry"]
