@@ -1,0 +1,218 @@
+"""Training-data curation operators: decontamination, PII redaction,
+deterministic splits, sequence packing, mixture sampling.
+
+These are the corpus-hygiene steps a large-scale LLM training pipeline
+runs between raw ingestion and tokenization (the reference delegates all
+relational work to embedded engines — csv_tool.py:358, bigquery_tool.py:149
+— and has no curation tier; this module is the Spark-native extension the
+driver brief asks for beyond reference parity).
+
+Scale posture (100 TB):
+
+- Every operator is pure built-in-function DataFrame code — no Python in
+  the hot path, whole-stage-codegen eligible end to end.
+- ``decontaminate`` is the only shuffle-heavy op: one explode per side,
+  a distinct on the (much smaller) eval n-gram set, and a semi-join keyed
+  on the n-gram — the same inverted-index shape as the n-gram dedup tier
+  (dedup.py:ngram_jaccard_pairs). The eval side is the small side by
+  construction (benchmarks are ~1e3-1e6 docs vs 1e9+ train docs); Spark's
+  AQE will broadcast it when it fits.
+- ``hash_split`` / ``mixture_sample`` are stateless per-row filters on an
+  md5 prefix — embarrassingly parallel, no shuffle at all, and stable
+  under re-runs / re-partitioning (the split follows the ROW, not the
+  partition layout, unlike ``df.sample`` / ``randomSplit``).
+- ``pack_sequences`` windows WITHIN a partition key (default: source) so
+  the running token sum never forms a single global ordering — each
+  domain packs independently, which is also what you want semantically
+  (no cross-domain documents inside one context window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Redaction patterns: RE2-compatible (no lookaround/backrefs) so the exact
+# same pattern string runs on Spark (java.util.regex) and DuckDB (RE2) —
+# the oracle contract depends on this.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def _word_ngrams(text_col: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) of ``text_col``, lowercased.
+
+    transform(sequence(...)) keeps the whole construction inside codegen;
+    documents shorter than n words yield an empty array.
+    """
+    toks = F.split(F.lower(text_col), " ")
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty array.
+    return F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train-doc ids sharing at least one word ``n``-gram with the eval set.
+
+    The benchmark-decontamination primitive (detect eval-set leakage in a
+    pretraining corpus). Inverted-index shape: explode both sides to
+    n-grams, distinct the eval side (small by construction), semi-join
+    train grams against it, distinct the surviving ids. No pairwise doc
+    comparison ever materializes.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    return (
+        train_grams.join(eval_grams, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train rows with eval-overlapping documents removed (anti-join of
+    :func:`contaminated_ids`)."""
+    bad = contaminated_ids(train, eval_df, id_col, text_col, n)
+    return train.join(bad, id_col, "left_anti")
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Append match counts per PII class and a redacted text column.
+
+    Counts are taken BEFORE redaction (regexp_count on the original);
+    redaction applies the patterns in PII_PATTERNS order, each class
+    replaced by its ``<CLASS>`` tag. Pure JVM expressions — at corpus
+    scale this is a map-only stage with zero shuffle.
+    """
+    out = df
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, red)
+
+
+def _md5_prefix(id_col: Column, width: int) -> Column:
+    return F.substring(F.md5(id_col.cast("string")), 1, width)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: dict[str, str] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment.
+
+    Each row's split follows ``md5(cast(id))`` — stable across runs,
+    engines, partitionings and cluster sizes (unlike ``randomSplit``,
+    which depends on partition layout). ``boundaries`` maps split name →
+    EXCLUSIVE upper bound on the first-4-hex-chars prefix, checked in
+    ascending order; the last bucket catches the rest. Default:
+    train < 'cccd' (~80%), val < 'e666' (~10%), test = rest (~10%).
+
+    Comparison happens in hex-string space so the oracle (DuckDB md5 +
+    the same substring compare) is bit-identical — no integer parsing of
+    hex needed on either engine.
+    """
+    if boundaries is None:
+        boundaries = {"train": "cccd", "val": "e666"}
+    prefix = _md5_prefix(F.col(id_col), 4)
+    expr: Column | None = None
+    items = list(boundaries.items())
+    # Build nested when() in declaration order.
+    for name, bound in items:
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    assert expr is not None
+    return df.withColumn(split_col, expr.otherwise(F.lit("test")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk packing manifest: assign each document to a
+    fixed-token-budget chunk within its ``partition_col`` group.
+
+    The streaming packing used for LLM pretraining (documents are
+    concatenated in a deterministic order and the token stream is cut
+    every ``max_tokens``): a document lands in the chunk where its FIRST
+    token falls, i.e. ``floor(exclusive_running_sum / max_tokens)``.
+    Windowing is partitioned by ``partition_col`` — no global sort, each
+    domain packs independently and in parallel.
+
+    Output: (partition_col, id_col, n_tokens, chunk_id).
+    """
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    ).alias("n_tokens")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(partition_col, id_col, toks)
+    return base.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(max_tokens)
+        ),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_hex: dict[str, str],
+    default_hex: str = "ffff",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Deterministic domain re-weighting: keep a row iff its md5 prefix
+    falls under its domain's threshold.
+
+    ``rates_hex`` maps domain → exclusive 4-hex-char upper bound (e.g.
+    '8000' ≈ 50 % keep, '4000' ≈ 25 %); unlisted domains use
+    ``default_hex`` ('ffff' ≈ keep ~all). This is how mixture weights
+    (e.g. up-sample wiki, down-sample common-crawl) are applied
+    reproducibly: the decision is a pure function of the row, so adding
+    executors or re-running yields the same corpus.
+    """
+    prefix = _md5_prefix(F.col(id_col), 4)
+    thr: Column = F.lit(default_hex)
+    for dom, bound in rates_hex.items():
+        thr = F.when(F.col(domain_col) == dom, F.lit(bound)).otherwise(thr)
+    return df.filter(prefix < thr)

@@ -604,6 +604,200 @@ Q(QuerySpec(
 ))
 
 
+# ---- corpus curation (training-data hygiene tier) --------------------------
+
+def _curation():
+    from ..operators import curation
+
+    return curation
+
+
+Q(QuerySpec(
+    name="pl_decontaminate",
+    doc="Benchmark decontamination: train docs (source != 'src0') that "
+        "share NO 5-word-gram with the eval split (source = 'src0') — "
+        "inverted-index semi/anti-join shape, no pairwise comparison "
+        "(operators/curation.py:decontaminate). Oracle: DuckDB "
+        "list-lambda n-gram CTE.",
+    builder=lambda spark, sf: _curation().decontaminate(
+        load_table(spark, sf, "documents").filter(F.col("source") != "src0"),
+        load_table(spark, sf, "documents").filter(F.col("source") == "src0"),
+        n=5,
+    ).select("doc_id").orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH g AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+4], ' '))))
+               AS gram
+          FROM documents
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        bad AS (SELECT DISTINCT doc_id FROM g
+                WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev))
+        SELECT doc_id FROM documents
+        WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_pii_redact",
+    doc="PII redaction over deterministically-augmented text (each doc "
+        "gets an email / phone / IPv4 by doc_id % 3 so the scrubber has "
+        "real matches): per-class regexp_count + tag replacement, pure "
+        "JVM map stage (operators/curation.py:pii_redact; patterns are "
+        "RE2-compatible so the identical strings run on DuckDB).",
+    builder=lambda spark, sf: _curation().pii_redact(
+        load_table(spark, sf, "documents").withColumn(
+            "aug",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit(" contact u"), F.col("doc_id"),
+                             F.lit("@test.org")),
+                ).when(
+                    F.col("doc_id") % 3 == 1,
+                    F.concat(
+                        F.lit(" call 555-"),
+                        F.lpad((F.col("doc_id") * 7 % 1000).cast("string"),
+                               3, "0"),
+                        F.lit("-"),
+                        F.lpad((F.col("doc_id") * 13 % 10000).cast("string"),
+                               4, "0"),
+                    ),
+                ).otherwise(
+                    F.concat(F.lit(" ip 10.0."),
+                             (F.col("doc_id") % 256).cast("string"),
+                             F.lit(".1")),
+                ),
+            ),
+        ),
+        text_col="aug",
+    ).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5("redacted").alias("red_md5"),
+    ).orderBy("doc_id"),
+    oracle_sql_str=r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3
+                   WHEN 0 THEN ' contact u' || doc_id || '@test.org'
+                   WHEN 1 THEN ' call 555-'
+                        || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                   ELSE ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 END AS aug
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS n_email,
+               len(regexp_extract_all(aug,
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+               len(regexp_extract_all(aug,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+               md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'))
+                 AS red_md5
+        FROM aug
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_hash_split",
+    doc="Deterministic md5-routed train/val/test split (~80/10/10): the "
+        "assignment follows the row (md5 hex prefix vs boundary strings), "
+        "so it is reproducible across engines, runs and partitionings — "
+        "unlike randomSplit (operators/curation.py:hash_split). Map-only, "
+        "zero shuffle before the count.",
+    builder=lambda spark, sf: _curation().hash_split(
+        load_table(spark, sf, "documents")
+    ).groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    ).orderBy("split"),
+    oracle_sql_str="""
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        GROUP BY split
+        ORDER BY split
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_pack_sequences",
+    doc="Sequence-packing manifest (concat-and-chunk, 512-token budget): "
+        "each doc lands in the chunk where its first token falls — "
+        "floor(exclusive running token sum / budget), windowed WITHIN "
+        "source so no global sort exists at any scale "
+        "(operators/curation.py:pack_sequences).",
+    builder=lambda spark, sf: _curation().pack_sequences(
+        load_table(spark, sf, "documents"), max_tokens=512
+    ).orderBy("source", "doc_id"),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM documents
+        )
+        SELECT source, doc_id, n_tokens,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512) AS BIGINT) AS chunk_id
+        FROM t
+        ORDER BY source, doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_mixture_sample",
+    doc="Deterministic domain re-weighting: keep a row iff its md5 prefix "
+        "falls under its source's threshold (src0 ~12.5%, src1 ~50%, "
+        "src2 ~75%, rest kept) — how mixture weights are applied "
+        "reproducibly; pure per-row filter, zero shuffle before the "
+        "count (operators/curation.py:mixture_sample).",
+    builder=lambda spark, sf: _curation().mixture_sample(
+        load_table(spark, sf, "documents"),
+        {"src0": "2000", "src1": "8000", "src2": "c000"},
+    ).groupBy("source").agg(F.count("*").alias("n")).orderBy("source"),
+    oracle_sql_str="""
+        SELECT source, COUNT(*) AS n
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE source WHEN 'src0' THEN '2000'
+                          WHEN 'src1' THEN '8000'
+                          WHEN 'src2' THEN 'c000'
+                          ELSE 'ffff' END
+        GROUP BY source
+        ORDER BY source
+    """,
+))
+
+
 # ---- vocabulary + normalization (LLM preprocessing staples) ----------------
 
 Q(QuerySpec(

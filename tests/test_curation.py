@@ -1,0 +1,134 @@
+"""Curation operator tests: golden inline fixtures (reference test style)
+plus determinism/coverage properties for the hash-routed operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from adenhq_hive_spark.operators.curation import (
+    contaminated_ids,
+    decontaminate,
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+    pii_redact,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "web"),
+        (2, "completely unrelated text about databases and spark", "web"),
+        (3, "the quick brown fox jumps somewhere else entirely now", "web"),
+        (4, "another unique document with no overlap at all", "wiki"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_contaminated_ids_detects_exact_ngram_overlap(spark, corpus):
+    # eval doc shares the 5-gram "the quick brown fox jumps" with docs 1,3
+    ev = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        ["doc_id", "text"],
+    )
+    bad = sorted(
+        r.doc_id for r in contaminated_ids(corpus, ev, n=5).collect()
+    )
+    assert bad == [1, 3]
+    clean = decontaminate(corpus, ev, n=5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
+
+
+def test_contaminated_ids_case_folds(spark, corpus):
+    ev = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX JUMPS")], ["doc_id", "text"]
+    )
+    bad = sorted(
+        r.doc_id for r in contaminated_ids(corpus, ev, n=5).collect()
+    )
+    assert bad == [1, 3]
+
+
+def test_contamination_short_docs_no_false_positive(spark):
+    train = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    assert contaminated_ids(train, ev, n=5).count() == 0
+
+
+def test_pii_redact_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.example.com or call 555-123-4567 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 no mail"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (1, 1, 0)
+    assert rows[1].redacted == "mail <EMAIL> or call <PHONE> now"
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 2)
+    assert rows[2].redacted == "server at <IPV4> and <IPV4> no mail"
+    assert rows[3].redacted == "nothing sensitive here"
+
+
+def test_hash_split_deterministic_and_total(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df).groupBy("split").count().collect()
+    got = {r.split: r["count"] for r in out}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 2000
+    # ~80/10/10 with generous slack
+    assert 1450 <= got["train"] <= 1750
+    # row-level determinism matches a driver-side md5 reference
+    sample = hash_split(df).filter(F.col("doc_id") < 50).collect()
+    for r in sample:
+        pfx = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4]
+        exp = "train" if pfx < "cccd" else ("val" if pfx < "e666" else "test")
+        assert r.split == exp, r.doc_id
+
+
+def test_pack_sequences_chunk_assignment(spark):
+    rows = [
+        ("a", 1, "w " * 3),   # 3 tokens ("w w w " splits with trailing '')
+        ("a", 2, "w " * 4),
+        ("a", 3, "w " * 5),
+        ("b", 4, "w " * 10),
+    ]
+    df = spark.createDataFrame(
+        [(s, i, t.strip()) for s, i, t in rows],
+        ["source", "doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, max_tokens=6).collect()}
+    # group a: cumsum-exclusive 0,3,7 -> chunks 0,0,1
+    assert (out[1].chunk_id, out[2].chunk_id, out[3].chunk_id) == (0, 0, 1)
+    assert out[4].chunk_id == 0  # group b independent
+    assert out[3].n_tokens == 5
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 2 == 0, "web").otherwise("wiki"),
+        )
+    )
+    out = mixture_sample(df, {"web": "4000", "wiki": "c000"})
+    got = {
+        r.source: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    # web ~25% of 2000, wiki ~75% of 2000
+    assert 380 <= got["web"] <= 620
+    assert 1380 <= got["wiki"] <= 1620
+    # idempotent: same rows kept on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_sample(
+        df, {"web": "4000", "wiki": "c000"}).collect())
+    assert a == b
