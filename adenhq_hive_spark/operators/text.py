@@ -215,3 +215,57 @@ def tfidf_top_terms(
             "tfidf",
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher-style word-level repetition metrics + keep flag per doc.
+
+    For each document's word ``n``-grams: ``top_frac`` = share of the
+    single most frequent n-gram, ``dup_frac`` = share of n-gram slots
+    occupied by repeated n-grams (1 - distinct/total). Docs above either
+    threshold are repetition spam (``rep_ok = false``) — the filter class
+    Gopher applies before training (Rae et al. 2021, table A1; word-level
+    because the corpus is a word stream).
+
+    Shape: one explode + a two-level aggregation keyed on (doc, gram) then
+    doc — the same partial-agg shuffle as any groupBy, nothing pairwise;
+    the composite (doc, gram) key spreads globally-common n-grams across
+    documents, so no single reducer hot-spots. Output: (id_col, n_grams, n_distinct,
+    top_frac, dup_frac, rep_ok).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    count = F.size(toks) - (n - 1)
+    grams = F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.round(F.col("top_c") / F.col("n_grams"), 4).alias("top_frac"),
+        F.round(1 - F.col("n_distinct") / F.col("n_grams"), 4).alias(
+            "dup_frac"
+        ),
+        (
+            (F.col("top_c") / F.col("n_grams") <= max_top_frac)
+            & (1 - F.col("n_distinct") / F.col("n_grams") <= max_dup_frac)
+        ).alias("rep_ok"),
+    )

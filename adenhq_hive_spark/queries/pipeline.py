@@ -798,6 +798,48 @@ Q(QuerySpec(
 ))
 
 
+Q(QuerySpec(
+    name="pl_repetition",
+    doc="Gopher-style repetition filter: per-doc word-2-gram top-gram "
+        "share and duplicate-gram share with a keep flag "
+        "(operators/text.py:repetition_stats); (doc, gram) composite "
+        "aggregation key — common grams spread across docs, no hot "
+        "reducer. Oracle: DuckDB unnest + two-level aggregation.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["repetition_stats"]
+    ).repetition_stats(
+        load_table(spark, sf, "documents"), n=2
+    ).orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH g AS (
+          SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 1,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+1], ' ')))
+               AS gram
+          FROM documents
+        ),
+        pg AS (
+          SELECT doc_id, gram, COUNT(*) AS c
+          FROM g GROUP BY doc_id, gram
+        ),
+        pd AS (
+          SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+                 MAX(c) AS top_c
+          FROM pg GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_distinct,
+               ROUND(top_c / n_grams, 4) AS top_frac,
+               ROUND(1 - n_distinct / n_grams, 4) AS dup_frac,
+               (top_c / n_grams <= 0.20
+                AND 1 - n_distinct / n_grams <= 0.60) AS rep_ok
+        FROM pd
+        ORDER BY doc_id
+    """,
+))
+
+
 # ---- vocabulary + normalization (LLM preprocessing staples) ----------------
 
 Q(QuerySpec(

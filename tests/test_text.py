@@ -123,3 +123,23 @@ def test_tfidf_top_terms_golden(spark):
     assert all(len(v) <= 2 for v in by_doc.values())
     d2 = [r.term for r in sorted(by_doc[2], key=lambda r: r.rnk)]
     assert d2 == ["banana", "cherry"]
+
+
+def test_repetition_stats_golden(spark):
+    from adenhq_hive_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # one gram repeated
+            (2, "all words here are fully distinct"),  # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    # doc 1: 5 bigram slots, 1 distinct ("spam spam" x5)
+    assert rows[1].n_grams == 5 and rows[1].n_distinct == 1
+    assert rows[1].top_frac == 1.0 and rows[1].dup_frac == 0.8
+    assert rows[1].rep_ok is False
+    # doc 2: 5 slots, 5 distinct
+    assert rows[2].dup_frac == 0.0 and rows[2].top_frac == 0.2
+    assert rows[2].rep_ok is True
