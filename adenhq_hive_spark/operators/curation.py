@@ -216,3 +216,29 @@ def mixture_sample(
     for dom, bound in rates_hex.items():
         thr = F.when(F.col(domain_col) == dom, F.lit(bound)).otherwise(thr)
     return df.filter(prefix < thr)
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically.
+
+    Rows are ranked inside each stratum by md5 of their id (a stable
+    pseudo-random order — the same "follow the row" trick as hash_split)
+    and the first ``k`` kept. Unlike ``sampleBy`` this yields EXACT
+    per-stratum counts and is reproducible across runs/engines; the
+    window partitions by stratum, so parallelism = number of strata and
+    no global sort exists. Used for eval-set carving and per-domain
+    inspection samples.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

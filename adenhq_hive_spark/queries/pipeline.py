@@ -799,6 +799,29 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_stratified_sample",
+    doc="Exact-k-per-stratum deterministic sample (k=10 per source): "
+        "rank by md5(id) within stratum, keep the first k — exact counts "
+        "and reproducible across engines/runs, unlike sampleBy; window "
+        "partitioned by stratum, no global sort "
+        "(operators/curation.py:stratified_sample_k). Oracle: DuckDB "
+        "QUALIFY row_number over the same md5 order.",
+    builder=lambda spark, sf: _curation().stratified_sample_k(
+        load_table(spark, sf, "documents"), k=10
+    ).select("source", "doc_id").orderBy("source", "doc_id"),
+    oracle_sql_str="""
+        SELECT source, doc_id
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= 10
+        ORDER BY source, doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_repetition",
     doc="Gopher-style repetition filter: per-doc word-2-gram top-gram "
         "share and duplicate-gram share with a keep flag "

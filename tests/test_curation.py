@@ -132,3 +132,24 @@ def test_mixture_sample_rates_and_determinism(spark):
     b = sorted(r.doc_id for r in mixture_sample(
         df, {"web": "4000", "wiki": "c000"}).collect())
     assert a == b
+
+
+def test_stratified_sample_k_exact_counts_and_determinism(spark):
+    from adenhq_hive_spark.operators.curation import stratified_sample_k
+
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.concat(F.lit("s"), F.col("doc_id") % 3))
+    )
+    out = stratified_sample_k(df, k=7)
+    counts = {r.source: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+    # small stratum: returns all rows, not k
+    tiny = stratified_sample_k(df.filter(F.col("doc_id") < 4), k=7)
+    assert tiny.count() == 4
+    # deterministic
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in stratified_sample_k(df, k=7).collect())
+    assert a == b
