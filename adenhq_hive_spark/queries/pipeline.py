@@ -863,6 +863,119 @@ Q(QuerySpec(
 ))
 
 
+def _curation_pipeline(spark, sf):
+    """End-to-end corpus curation composed from the individual tiers —
+    see the pl_curation_pipeline QuerySpec doc."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.text import repetition_stats
+
+    cur = _curation()
+    docs = load_table(spark, sf, "documents")
+    toks = docs.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+    )
+    rep = repetition_stats(docs, n=2).select("doc_id", "rep_ok")
+    keep1 = (
+        toks.join(rep, "doc_id")
+        .filter(F.col("rep_ok") & (F.col("n_tokens") >= 20))
+        .drop("rep_ok")
+    )
+    keep2 = dedup_exact(keep1)
+    train = keep2.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    clean = cur.decontaminate(train, eval_df, n=5)
+    return (
+        cur.hash_split(clean)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+Q(QuerySpec(
+    name="pl_curation_pipeline",
+    doc="Capstone: the full curation pipeline composed from the "
+        "individual tiers — token count + Gopher repetition filter "
+        "(n_tokens >= 20, rep_ok) → exact dedup (min-id per md5) → "
+        "benchmark decontamination vs the src0 eval split (5-grams) → "
+        "md5-routed train/val/test split → per-split doc/token totals. "
+        "Every stage is the same operator the standalone pl_* query "
+        "exercises; the oracle recomputes the whole chain as one DuckDB "
+        "CTE pipeline.",
+    builder=_curation_pipeline,
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id, text, source,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM documents
+        ),
+        g2 AS (
+          SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 1,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+1], ' ')))
+               AS gram
+          FROM documents
+        ),
+        pg AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+        ),
+        rep AS (
+          SELECT doc_id,
+                 (MAX(c) / SUM(c) <= 0.20
+                  AND 1 - COUNT(*) / SUM(c) <= 0.60) AS rep_ok
+          FROM pg GROUP BY doc_id
+        ),
+        keep1 AS (
+          SELECT t.* FROM toks t JOIN rep USING (doc_id)
+          WHERE rep.rep_ok AND t.n_tokens >= 20
+        ),
+        ded AS (
+          SELECT MIN(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)
+        ),
+        keep2 AS (
+          SELECT k.* FROM keep1 k WHERE k.doc_id IN (SELECT doc_id FROM ded)
+        ),
+        g5 AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+4], ' '))))
+               AS gram
+          FROM documents
+        ),
+        ev AS (SELECT DISTINCT gram FROM g5 WHERE source = 'src0'),
+        bad AS (
+          SELECT DISTINCT doc_id FROM g5
+          WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)
+        ),
+        clean AS (
+          SELECT * FROM keep2
+          WHERE source <> 'src0'
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
+        )
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM clean
+        GROUP BY split
+        ORDER BY split
+    """,
+))
+
+
 # ---- vocabulary + normalization (LLM preprocessing staples) ----------------
 
 Q(QuerySpec(

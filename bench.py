@@ -42,6 +42,10 @@ HEADLINE = [
     "pl_cosine_dedup",   # semantic dedup pairs
     "pl_sliding_window", # sliding-window expansion
     "pl_quality",        # text quality scoring
+    "pl_decontaminate",  # eval-set n-gram leakage removal
+    "pl_repetition",     # Gopher-style repetition filter
+    "pl_tfidf",          # per-doc TF-IDF top terms
+    "pl_hash_split",     # md5-routed train/val/test split
 ]
 
 
