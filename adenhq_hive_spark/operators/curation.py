@@ -43,18 +43,11 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def _word_ngrams(text_col: Column, n: int) -> Column:
-    """Array of word n-grams (space-joined) of ``text_col``, lowercased.
+    """Array of word n-grams (space-joined) of ``text_col``, lowercased
+    (zip_with construction, operators/ngrams.py; short docs yield [])."""
+    from .ngrams import word_ngrams
 
-    transform(sequence(...)) keeps the whole construction inside codegen;
-    documents shorter than n words yield an empty array.
-    """
-    toks = F.split(F.lower(text_col), " ")
-    count = F.size(toks) - (n - 1)
-    # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty array.
-    return F.when(count >= 1, F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    return word_ngrams(text_col, n, lowercase=True)
 
 
 def contaminated_ids(

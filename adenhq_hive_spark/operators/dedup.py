@@ -94,19 +94,12 @@ def dedup_exact(
 
 
 def _shingles(text_col: str, k: int = 3) -> F.Column:
-    """Distinct word k-gram shingles of a text column, computed JVM-side.
+    """Distinct word k-gram shingles of a text column, computed JVM-side
+    (zip_with construction — see operators/ngrams.py for why it beats
+    transform+slice by ~4.7×)."""
+    from .ngrams import word_ngrams
 
-    ``sequence`` + ``transform`` + ``slice`` keep this inside whole-stage
-    codegen — no Python UDF.
-    """
-    toks = F.split(F.col(text_col), " ")
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    return F.array_distinct(word_ngrams(F.col(text_col), k))
 
 
 def ngram_jaccard_pairs(

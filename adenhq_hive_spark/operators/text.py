@@ -240,12 +240,9 @@ def repetition_stats(
     documents, so no single reducer hot-spots. Output: (id_col, n_grams, n_distinct,
     top_frac, dup_frac, rep_ok).
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    count = F.size(toks) - (n - 1)
-    grams = F.when(count >= 1, F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    from .ngrams import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n, lowercase=True)
     per_gram = (
         df.select(F.col(id_col), F.explode(grams).alias("g"))
         .groupBy(id_col, "g")
