@@ -289,3 +289,57 @@ def test_aqe_splits_skewed_join(spark):
             if v is not None:
                 spark.conf.set(k, v)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+# ---- curation tier: the 100 TB posture of the hygiene ops ------------------
+
+
+def test_hash_split_is_map_only(spark):
+    """The split assignment is a pure per-row projection: no Exchange
+    (shuffle) may appear before the scan → project pipeline."""
+    from adenhq_hive_spark.operators.curation import hash_split
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(hash_split(docs))
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_mixture_sample_is_map_only_filter(spark):
+    from adenhq_hive_spark.operators.curation import mixture_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(mixture_sample(docs, {"src0": "8000"}))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval n-gram set is the small side by construction — the
+    contamination check must be broadcast semi/anti joins, never a
+    sort-merge shuffle of the train corpus."""
+    from adenhq_hive_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+    out.collect()  # let AQE finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_partitioned_not_global(spark):
+    """The running token sum must window WITHIN source — a global
+    single-partition window would serialize the corpus."""
+    from adenhq_hive_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(pack_sequences(docs, max_tokens=512))
+    # partitioned window => hashpartitioning on source, never SinglePartition
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
