@@ -1467,3 +1467,81 @@ Q(QuerySpec(
         ORDER BY k NULLS LAST
     """,
 ))
+
+Q(QuerySpec(
+    name="q79",
+    doc="Conversion funnel over the event stream: users reaching "
+        "signup -> click (after signup) -> purchase (after that click), "
+        "event-time ordered (product-analytics staple; the reference's "
+        "runtime-log rollups stop at flat status counts — "
+        "runtime_logs_tool.py — so this extends the family). Single "
+        "portable SQL: three MIN-per-stage aggregations chained on "
+        "strictly-later timestamps; each stage is one shuffle on "
+        "user_id, and AQE broadcasts the shrinking stage frontier.",
+    engine_sql="""
+        WITH s AS (
+          SELECT user_id, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t1
+          FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.t0
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t1
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT stage, users FROM (
+          SELECT 'stage1_signup' AS stage, COUNT(*) AS users FROM s
+          UNION ALL
+          SELECT 'stage2_click' AS stage, COUNT(*) AS users FROM c
+          UNION ALL
+          SELECT 'stage3_purchase' AS stage, COUNT(*) AS users FROM p
+        ) f
+        ORDER BY stage NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q80",
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+        "counted per activity-week offset (growth-analytics staple). "
+        "Dual-form: week-offset arithmetic is unix_timestamp on Spark "
+        "vs epoch(interval) on DuckDB; date_trunc('week') is ISO-Monday "
+        "on both engines.",
+    engine_sql="""
+        WITH firstw AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+        )
+        SELECT CAST(f.cw AS DATE) AS cohort_week,
+               CAST((unix_timestamp(a.aw) - unix_timestamp(f.cw)) / 604800
+                    AS INT) AS week_offset,
+               COUNT(*) AS users
+        FROM act a JOIN firstw f ON a.user_id = f.user_id
+        GROUP BY f.cw, a.aw
+        ORDER BY cohort_week NULLS LAST, week_offset NULLS LAST
+    """,
+    oracle_sql_str="""
+        WITH firstw AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+        )
+        SELECT CAST(f.cw AS DATE) AS cohort_week,
+               -- DuckDB date_trunc('week', ts) yields DATE; DATE - DATE
+               -- is integer days (always a multiple of 7 here)
+               CAST(floor((a.aw - f.cw) / 7) AS INT) AS week_offset,
+               COUNT(*) AS users
+        FROM act a JOIN firstw f ON a.user_id = f.user_id
+        GROUP BY f.cw, a.aw
+        ORDER BY cohort_week NULLS LAST, week_offset NULLS LAST
+    """,
+))
