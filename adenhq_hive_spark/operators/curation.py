@@ -235,3 +235,44 @@ def stratified_sample_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunks per document (RAG / long-context
+    preprocessing: window tokens per chunk, advancing by stride, so
+    consecutive chunks overlap by window - stride).
+
+    All within-row: the token array is built once, chunk start offsets
+    come from an ascending ``sequence``, and each chunk re-joins a
+    ``slice`` of the tokens. Cost is O(n_chunks · window) per document
+    with no shuffle at all — chunking is a map-only stage at any corpus
+    size. Documents shorter than ``window`` yield exactly one chunk.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, window))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").alias("n_tokens"),
+        )
+    )

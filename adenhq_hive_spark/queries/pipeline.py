@@ -799,6 +799,42 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_chunk",
+    doc="Overlapping token-window chunking (64-token windows, stride 48 "
+        "— 16-token overlap): the RAG / long-context preprocessing "
+        "step. Entirely within-row (token array built once, slice per "
+        "chunk), map-only at any corpus size "
+        "(operators/curation.py:chunk_text). Oracle: DuckDB range + "
+        "list slicing.",
+    builder=lambda spark, sf: _curation().chunk_text(
+        load_table(spark, sf, "documents"), window=64, stride=48
+    ).select(
+        "doc_id", "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"), "n_tokens",
+    ).orderBy("doc_id", "chunk_idx"),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 64 + 1, 1) + 1, 48))
+                   AS st
+          FROM t
+        )
+        SELECT doc_id,
+               CAST((st - 1) / 48 AS INT) AS chunk_idx,
+               md5(array_to_string(toks[st:st+63], ' ')) AS chunk_md5,
+               len(toks[st:st+63]) AS n_tokens
+        FROM c
+        ORDER BY doc_id, chunk_idx
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_stratified_sample",
     doc="Exact-k-per-stratum deterministic sample (k=10 per source): "
         "rank by md5(id) within stratum, keep the first k — exact counts "

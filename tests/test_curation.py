@@ -153,3 +153,36 @@ def test_stratified_sample_k_exact_counts_and_determinism(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in stratified_sample_k(df, k=7).collect())
     assert a == b
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from adenhq_hive_spark.operators.curation import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc only")], ["doc_id", "text"]
+    )
+    out = chunk_text(df, window=4, stride=3)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.doc_id, r.chunk_idx)
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # starts at 1, 4, 7 (n=10, last start = n - window + 1 = 7)
+    assert [r.chunk_text for r in d1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    assert [r.n_tokens for r in d1] == [4, 4, 4]
+    # overlap of window - stride = 1 token between consecutive chunks
+    # short doc (< window): exactly one full chunk
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "short doc only"
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    from adenhq_hive_spark.operators.curation import chunk_text
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_text(df, window=0, stride=3)
+    with pytest.raises(ValueError):
+        chunk_text(df, window=4, stride=0)
