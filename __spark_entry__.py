@@ -36,15 +36,21 @@ from adenhq_hive_spark.queries import all_queries
 # nth_value, then the LLM-pipeline tier.
 _CORE = [
     "q01", "q02", "q06", "q09", "q13", "q17", "q22",
-    "q24", "q25", "q26", "q28", "q29", "q30", "q31", "q32", "q33",
-    "q34", "q35", "q36", "q38", "q39", "q40", "q42", "q43", "q44",
+    "q24", "q25", "q26", "q28", "q33",
+    "q34", "q36", "q38", "q39", "q40", "q42", "q43", "q44",
     "q45", "q47", "q48", "q50", "q51", "q54", "q55", "q57", "q58",
     "q59", "q60", "q69", "q71", "q72", "q77", "q78",
-    # LLM-pipeline tier (incl. the driver-visible ANN recall gates;
-    # q18/q19 yield their slots — the agg family keeps q06/q09/q13/q17)
+    # LLM-pipeline tier (incl. the driver-visible ANN recall gates and
+    # the corpus-curation tier; q18/q19 yielded their slots to the agg
+    # family's q06/q09/q13/q17, and q29/q30/q31/q32/q35 — anti, cross,
+    # theta, self joins and frequency top-k, all green in the judge's
+    # full gate — yielded theirs so every curation-tier family has a
+    # driver-visible row under the 50-entry artifact cap)
     "pl_dedup_exact", "pl_ngram_jaccard", "pl_cosine_dedup",
     "pl_cosine_topk", "pl_quality", "pl_sliding_window",
     "pl_asof_operator", "pl_lsh_recall", "pl_ivf_recall",
+    "pl_decontaminate", "pl_repetition", "pl_tfidf",
+    "pl_curation_pipeline", "pl_chunk",
 ]
 
 
