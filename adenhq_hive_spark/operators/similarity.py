@@ -521,3 +521,48 @@ def _cosine_pairs_blocked(
         tagged.groupBy("pair_id")
         .applyInPandas(block_pair, schema="id_a long, id_b long, cosine double")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid statistics: class size, centroid L2 norm, and
+    mean cosine of members to their centroid (the standard
+    cluster-cohesion / class-separation diagnostic run over an embedded
+    corpus before training a classifier or probing a clustering).
+
+    Shape: posexplode to (label, dim) cells → one hash aggregation for
+    the centroids (dims × labels rows — tiny), broadcast the centroid
+    cells back onto the exploded members, and reduce per (label, vec)
+    then per label. The member side streams; nothing but the centroid
+    table is ever wide. Output: (label, n_vecs, centroid_norm, avg_cos).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vid")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("m2"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+    )
+    return (
+        per_vec.withColumn(
+            "cos", F.col("dot") / (F.sqrt("m2") * F.sqrt("c2"))
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sqrt(F.first("c2")), 4).alias("centroid_norm"),
+            F.round(F.avg("cos"), 4).alias("avg_cos"),
+        )
+    )

@@ -1012,6 +1012,46 @@ Q(QuerySpec(
 ))
 
 
+Q(QuerySpec(
+    name="pl_centroids",
+    doc="Per-label embedding centroid stats: class size, centroid L2 "
+        "norm, mean member-to-centroid cosine (cluster-cohesion "
+        "diagnostic; operators/similarity.py:label_centroids). Exploded "
+        "cells aggregate to a tiny centroid table that broadcasts back "
+        "onto the streaming member side. Oracle: DuckDB unnest + "
+        "two-level aggregation over the same double-cast cells.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity", fromlist=["label_centroids"]
+    ).label_centroids(load_table(spark, sf, "embeddings"))
+    .orderBy("label"),
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT label, vec_id,
+                 generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos, AVG(v) AS c FROM ex GROUP BY label, pos
+        ),
+        per_vec AS (
+          SELECT e.label, e.vec_id,
+                 SUM(e.v * c.c) AS dot,
+                 SUM(e.v * e.v) AS m2,
+                 SUM(c.c * c.c) AS c2
+          FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY e.label, e.vec_id
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(sqrt(ANY_VALUE(c2)), 4) AS centroid_norm,
+               ROUND(AVG(dot / (sqrt(m2) * sqrt(c2))), 4) AS avg_cos
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
+))
+
+
 # ---- vocabulary + normalization (LLM preprocessing staples) ----------------
 
 Q(QuerySpec(

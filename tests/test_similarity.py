@@ -110,3 +110,22 @@ def test_cosine_topk_guards(spark, emb):
     empty_ivf = ivf_cosine_topk(emb.filter(F.lit(False)), emb.limit(2), k=3)
     assert empty_ivf.columns == ["query_id", "rank", "cand_id", "cosine"]
     assert empty_ivf.count() == 0
+
+
+def test_label_centroids_golden(spark):
+    from adenhq_hive_spark.operators.similarity import label_centroids
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [2.0, 2.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.label: r for r in label_centroids(df).collect()}
+    # label 0 centroid (0.5, 0.5): norm sqrt(0.5); each member cos =
+    # 0.5 / (1 * sqrt(0.5)) = sqrt(0.5)
+    assert got[0].n_vecs == 2
+    assert got[0].centroid_norm == round(0.5**0.5, 4)
+    assert got[0].avg_cos == round(0.5**0.5, 4)
+    # singleton label: cos to own centroid is exactly 1
+    assert got[1].n_vecs == 1 and got[1].avg_cos == 1.0
