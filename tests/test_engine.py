@@ -76,3 +76,46 @@ def test_cte_and_subqueries_allowed(spark):
         "WITH t AS (SELECT 1 AS a) SELECT * FROM t "
         "WHERE a IN (SELECT 1)",
     )
+
+
+def test_events_ts_unit_detection_ns_and_us(spark, tmp_path):
+    """The events read path must detect the parquet's physical ts unit:
+    the testdata generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) eras, and reading one as the other lands every
+    timestamp in 1970 (regression for the footer-detection fix)."""
+    import duckdb
+
+    from adenhq_hive_spark.catalog import events_ts_unit, load_table
+
+    con = duckdb.connect()
+    base = (
+        "SELECT CAST(1 AS BIGINT) AS event_id, "
+        "TIMESTAMP '2024-03-01 12:00:00' AS ts, "
+        "CAST(7 AS BIGINT) AS user_id, 'click' AS event_type, "
+        "CAST(1.5 AS DOUBLE) AS value, '{}' AS props"
+    )
+    us_dir = tmp_path / "us"
+    ns_dir = tmp_path / "ns"
+    us_dir.mkdir()
+    ns_dir.mkdir()
+    con.execute(
+        f"COPY ({base}) TO '{us_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+    # DuckDB's parquet writer always emits TIMESTAMP(us); build the
+    # ns-era fixture via pyarrow (same approach as scripts/make_sf1.py)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(str(us_dir / "events.parquet"))
+    ns_schema = pa.schema(
+        [
+            f if f.name != "ts" else pa.field("ts", pa.timestamp("ns"))
+            for f in tbl.schema
+        ]
+    )
+    pq.write_table(tbl.cast(ns_schema), str(ns_dir / "events.parquet"))
+    assert events_ts_unit(str(us_dir / "events.parquet")) == "us"
+    assert events_ts_unit(str(ns_dir / "events.parquet")) == "ns"
+    for d in (us_dir, ns_dir):
+        row = load_table(spark, str(d), "events").collect()[0]
+        assert str(row.ts) == "2024-03-01 12:00:00", (d, row.ts)
