@@ -271,3 +271,76 @@ class TestPdfStdlibCodec:
             % (len(head), len(stm), stm, len(content), content)
         )
         assert extract_pages(pdf) == ["from objstm"]
+
+
+class TestPdfCidFonts:
+    """CID / composite fonts: shown strings decode through the font's
+    /ToUnicode CMap (bfchar + bfrange forms), selected by Tf and
+    inherited down the /Pages tree."""
+
+    @staticmethod
+    def _cid_pdf(cmap: bytes, ops: bytes) -> bytes:
+        objs = [
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n",
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n",
+            b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(ops), ops),
+            b"5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\n"
+            b"endobj\n",
+            b"6 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(cmap), cmap),
+        ]
+        return b"%PDF-1.6\n" + b"".join(objs) + b"%%EOF\n"
+
+    def test_bfchar_and_bfrange_decode(self):
+        from adenhq_hive_spark.sources.pdf_codec import extract_pages
+
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n"
+            b"<0001> <0048>\n"            # H
+            b"<0002> <00690021>\n"        # i!  (multi-unit dst)
+            b"endbfchar\n"
+            b"1 beginbfrange\n"
+            b"<0010> <0012> <0061>\n"     # a, b, c (incremented scalar)
+            b"endbfrange\n"
+            b"1 beginbfrange\n"
+            b"<0020> <0021> [<0058> <0059>]\n"  # X, Y (array form)
+            b"endbfrange\n"
+            b"endcmap\n"
+        )
+        ops = b"BT /F9 12 Tf <00010002> Tj <001000110012> Tj " \
+              b"<00200021> Tj ET"
+        assert extract_pages(self._cid_pdf(cmap, ops)) == ["Hi!abcXY"]
+
+    def test_unmapped_codes_dropped_and_latin1_fallback(self):
+        from adenhq_hive_spark.sources.pdf_codec import extract_pages
+
+        cmap = (
+            b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            b"endcodespacerange\n1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+            b"endcmap\n"
+        )
+        # 0001 -> A; 0999 unmapped -> dropped, not garbled
+        ops = b"BT /F9 12 Tf <00010999> Tj ET"
+        assert extract_pages(self._cid_pdf(cmap, ops)) == ["A"]
+        # a font with no Tf selection in scope decodes Latin-1
+        ops2 = b"BT (plain) Tj ET"
+        assert extract_pages(self._cid_pdf(cmap, ops2)) == ["plain"]
+
+    def test_font_switch_mid_page(self):
+        from adenhq_hive_spark.sources.pdf_codec import extract_pages
+
+        cmap = (
+            b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            b"endcodespacerange\n1 beginbfchar\n<0007> <005A>\nendbfchar\n"
+            b"endcmap\n"
+        )
+        # F9 is the CID font; F1 has no entry -> Latin-1
+        ops = b"BT /F9 12 Tf <0007> Tj /F1 10 Tf (after) Tj ET"
+        assert extract_pages(self._cid_pdf(cmap, ops)) == ["Zafter"]
