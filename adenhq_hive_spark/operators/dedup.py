@@ -506,3 +506,90 @@ def dup_clusters(
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an ENGINE-PORTABLE hash family.
+
+    Same banding algebra as :func:`minhash_lsh_pairs`, but the hash is
+    ``bigint(first 15 hex chars of md5(seed || '|' || shingle))`` — a
+    function DuckDB evaluates identically, so this tier is verifiable
+    against an independent engine by value hash, not just recall gates
+    (the xxhash64 tier stays the production path: one 64-bit mix per
+    shingle instead of n_hashes md5 digests). Candidates from
+    same-band-signature buckets are verified with exact jaccard on the
+    full shingle sets, so false-positive buckets never reach the output.
+    """
+    n_bands = n_hashes // rows_per_band
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("shs")
+    )
+    sh = _materialize(sh)
+
+    def sig(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        )
+
+    sigs = sh.filter(F.size("shs") > 0).select(
+        "id", *[sig(i).alias(f"s{i}") for i in range(n_hashes)]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"s{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "id", F.posexplode(band_keys).alias("band", "key")
+    )
+    postings = bands.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    pair_struct = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    cand = (
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_struct)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sets = cand.join(
+        sh.withColumnsRenamed({"id": "id_a", "shs": "sh_a"}), "id_a"
+    ).join(sh.withColumnsRenamed({"id": "id_b", "shs": "sh_b"}), "id_b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        with_sets.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1013,6 +1013,62 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_minhash_portable",
+    doc="MinHash(16)+LSH(8 bands x 2) near-dup pairs with an "
+        "engine-portable md5 hash family (operators/dedup.py:"
+        "minhash_lsh_pairs_portable): the banding algebra that the "
+        "production xxhash64 tier uses, made value-checkable against "
+        "DuckDB — same seeds, same band grouping, exact-jaccard "
+        "verification of bucket candidates on both engines.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup",
+        fromlist=["minhash_lsh_pairs_portable"],
+    ).minhash_lsh_pairs_portable(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ).orderBy("id_a", "id_b"),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ),
+        ex AS (SELECT id, unnest(shs) AS s FROM sh WHERE len(shs) > 0),
+        hx AS (
+          SELECT id, i,
+                 CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s),
+                                      1, 15)) AS BIGINT) AS h
+          FROM ex CROSS JOIN (SELECT unnest(range(16)) AS i)
+        ),
+        sig AS (SELECT id, i, MIN(h) AS sig FROM hx GROUP BY id, i),
+        band AS (
+          SELECT id, CAST(i // 2 AS INT) AS band,
+                 string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS key
+          FROM sig GROUP BY id, CAST(i // 2 AS INT)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        verified AS (
+          SELECT c.id_a, c.id_b,
+                 ROUND(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.shs, sb.shs))), 4)
+                   AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM verified
+        WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_centroids",
     doc="Per-label embedding centroid stats: class size, centroid L2 "
         "norm, mean member-to-centroid cosine (cluster-cohesion "

@@ -169,3 +169,29 @@ def test_dup_clusters_transitive_and_singletons(spark):
     got = {r.doc_id: r.cluster_id for r in dup_clusters(docs).collect()}
     assert got[50] == 50
     assert got[1] == got[2] == got[3] == 1
+
+
+def test_minhash_portable_subset_of_exact_with_recall(spark):
+    """Portable-md5 minhash pairs must be a SUBSET of the exact jaccard
+    tier (verification guarantees no false positives) with usable
+    recall at the declared threshold."""
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    port = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_portable(
+            docs, k=3, threshold=0.5
+        ).collect()
+    }
+    assert port <= exact
+    if exact:
+        assert len(port) / len(exact) >= 0.8, (len(port), len(exact))
