@@ -294,23 +294,39 @@ def minhash_lsh_pairs(
     )
 
 
+def _portable_hash60(col: F.Column) -> F.Column:
+    """60-bit integer hash both Spark and DuckDB evaluate identically:
+    bigint of the first 15 hex chars of md5 (same family as
+    minhash_lsh_pairs_portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document over word k-gram shingle features,
-    fully JVM-side.
+    """SimHash per document over word k-gram shingle features, fully
+    JVM-side: 64-bit via xxhash64 (production), or 60-bit via the
+    engine-portable md5 family (``portable=True`` — lets the whole
+    vote-sum/bit-pack chain be value-checked against DuckDB).
 
     Shingles (not unigrams) keep word order information — on
     small-vocabulary corpora unigram SimHash collapses (every doc shares
-    most words). Explode shingles → one xxhash64 per shingle → 64 per-bit +1/-1
+    most words). Explode shingles → one hash per shingle → per-bit +1/-1
     vote sums in a single groupBy(id) aggregation → pack bits. One
     shuffle on the doc id; all expressions are plain built-in columns
     (codegen-friendly, deterministic).
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, k)).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    n_bits = 60 if portable else 64
+    tok = F.explode(_shingles(text_col, k)).alias("tok")
+    ex = df.select(F.col(id_col).alias("id"), tok).select(
+        "id",
+        (_portable_hash60(F.col("tok")) if portable
+         else F.xxhash64("tok")).alias("h"),
+    )
     votes = ex.groupBy("id").agg(
         *[
             F.sum(
@@ -319,11 +335,11 @@ def simhash(
                     F.lit(1),
                 ).otherwise(F.lit(-1))
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     packed = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         packed = packed + F.when(
             F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -336,22 +352,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     max_hamming: int = 6,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
-    Candidate generation bands the 64-bit hash into 4×16-bit chunks
-    (pigeonhole: distance ≤ 3 guarantees an identical chunk; larger radii
+    Candidate generation bands the hash into 4 chunks (16 bits each for
+    the 64-bit production hash, 15 for the portable 60-bit one —
+    pigeonhole: distance ≤ 3 guarantees an identical chunk; larger radii
     trade recall) and only compares same-chunk pairs.
     """
-    sh = simhash(df, text_col, id_col, k)
+    chunk_bits = 15 if portable else 16
+    mask = (1 << chunk_bits) - 1
+    sh = simhash(df, text_col, id_col, k, portable=portable)
     chunks = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), chunk_bits * c)
+                    .bitwiseAND(F.lit(mask))
                     for c in range(4)
                 ]
             )

@@ -1069,6 +1069,60 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_simhash_portable",
+    doc="60-bit SimHash near-dup pairs (hamming <= 6) with the "
+        "engine-portable md5 hash family (operators/dedup.py:"
+        "simhash_pairs portable=True): per-bit vote sums, bit packing, "
+        "4x15-bit chunk banding and hamming verification all "
+        "value-checked against DuckDB — the production xxhash64 tier's "
+        "algebra, made oracle-visible.",
+    builder=lambda spark, sf: simhash_pairs(
+        load_table(spark, sf, "documents"), k=3, max_hamming=6,
+        portable=True,
+    ).orderBy("id_a", "id_b"),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ),
+        hx AS (
+          SELECT id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT id, unnest(shs) AS tok FROM sh)
+        ),
+        bits AS (
+          SELECT id, b,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hx CROSS JOIN (SELECT unnest(range(60)) AS b)
+          GROUP BY id, b
+        ),
+        sig AS (
+          SELECT id,
+                 SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                          ELSE 0 END) AS s
+          FROM bits GROUP BY id
+        ),
+        ch AS (
+          SELECT id, s, c, (s >> (15 * CAST(c AS INT))) & 32767 AS chunk
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 bit_count(xor(a.s, b.s)) AS hamming
+          FROM ch a JOIN ch b
+            ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id
+        )
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 6
+        ORDER BY id_a, id_b
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_centroids",
     doc="Per-label embedding centroid stats: class size, centroid L2 "
         "norm, mean member-to-centroid cosine (cluster-cohesion "
