@@ -260,9 +260,12 @@ def chunk_text(
         raise ValueError("window and stride must be positive")
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n = F.size(toks)
-    starts = F.sequence(
-        F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(stride)
-    )
+    # Last full-window start, rounded UP to the next stride multiple so a
+    # tail shorter than stride still gets its (short) final chunk — every
+    # token is covered (caught by the coverage property test).
+    stop = F.greatest(n - window + 1, F.lit(1))
+    stop_padded = F.ceil((stop - 1) / F.lit(stride)).cast("int") * stride + 1
+    starts = F.sequence(F.lit(1), stop_padded, F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(toks, s, window))
     return (
         df.select(

@@ -820,8 +820,10 @@ Q(QuerySpec(
         ),
         c AS (
           SELECT doc_id, toks,
-                 unnest(range(1, greatest(len(toks) - 64 + 1, 1) + 1, 48))
-                   AS st
+                 unnest(range(1,
+                     CAST(ceil((greatest(len(toks) - 64 + 1, 1) - 1)
+                               / 48.0) AS INT) * 48 + 2,
+                     48)) AS st
           FROM t
         )
         SELECT doc_id,

@@ -186,3 +186,59 @@ def test_chunk_text_rejects_bad_params(spark):
         chunk_text(df, window=0, stride=3)
     with pytest.raises(ValueError):
         chunk_text(df, window=4, stride=0)
+
+
+# ---- property tests (driver-side reimplementation as the oracle) -----------
+
+
+def test_chunk_text_property_full_coverage(spark):
+    """For arbitrary docs and (window, stride): chunks reconstruct the
+    token stream — chunk c covers tokens [c*stride, c*stride+window) and
+    every token appears in at least one chunk."""
+    import random
+
+    from adenhq_hive_spark.operators.curation import chunk_text
+
+    rng = random.Random(7)
+    rows = []
+    for doc in range(30):
+        n = rng.randint(0, 40)
+        rows.append((doc, " ".join(f"t{doc}_{i}" for i in range(n))))
+    window = rng.randint(1, 12)
+    stride = rng.randint(1, window)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in chunk_text(df, window=window, stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split(" ")
+    for doc, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        chunks = got.get(doc, {})
+        covered = set()
+        for idx, ctoks in chunks.items():
+            start = idx * stride
+            assert ctoks == toks[start:start + window] or (
+                not toks and ctoks == [""]
+            ), (doc, idx)
+            covered.update(range(start, start + len(ctoks)))
+        if toks:
+            assert covered == set(range(len(toks))), doc
+
+
+def test_hash_split_property_partition_of_space(spark):
+    """Arbitrary ascending boundary sets must partition every row into
+    exactly one split, matching a driver-side md5 reimplementation."""
+    import hashlib
+
+    from adenhq_hive_spark.operators.curation import hash_split
+
+    boundaries = {"a": "3000", "b": "9f00", "c": "c000"}
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.split for r in hash_split(
+        df, boundaries=boundaries).collect()}
+    assert len(got) == 500
+    for i in range(500):
+        pfx = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        exp = next(
+            (name for name, b in boundaries.items() if pfx < b), "test"
+        )
+        assert got[i] == exp, (i, pfx)
