@@ -509,3 +509,49 @@ def test_webhook_injected_event_triggers_pipeline(spark, tmp_path):
     finally:
         q.stop()
     assert (row.source_id, row.n, row.total) == ("timer-src", 5, 10)
+
+
+def test_streaming_ingest_curation(spark, tmp_path):
+    """Streaming corpus ingestion with the curation tier applied per
+    micro-batch: documents arrive as a file stream, each batch is PII-
+    redacted, repetition/empty-filtered and md5-split before landing in
+    the sink — the streaming face of the batch pl_curation ops."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.catalog import SCHEMAS, load_table
+    from adenhq_hive_spark.operators.curation import hash_split, pii_redact
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    load_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def curate(batch, epoch_id):
+        curated = hash_split(
+            pii_redact(batch).filter(F.length("redacted") >= 20)
+        )
+        curated.write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(curate).option(
+        "checkpointLocation", ck
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    n_src = spark.read.parquet(src).count()
+    assert 0 < got.count() <= n_src
+    assert {"split", "redacted", "n_email"} <= set(got.columns)
+    # split assignment identical to the batch operator (follows the row)
+    batch_split = {
+        r.doc_id: r.split
+        for r in hash_split(spark.read.parquet(src)).collect()
+    }
+    for r in got.select("doc_id", "split").collect():
+        assert batch_split[r.doc_id] == r.split
