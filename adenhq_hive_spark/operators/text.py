@@ -120,13 +120,14 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace collapse), and a content-sampled rolling fingerprint (min
     xxhash64 over word 3-gram shingles — a 1-hash MinHash, stable under
     reordering-free edits)."""
+    from .ngrams import word_ngrams
+
     t = F.col(text_col)
     norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
-    toks = F.split(norm, " ")
-    n = F.greatest(F.size(toks) - 2, F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
-    )
+    # zip_with construction (operators/ngrams.py): faster than
+    # transform+slice AND safe for sub-3-word docs (the sequence(1, 0)
+    # form DESCENDS and crashed in slice()).
+    shingles = word_ngrams(norm, 3)
     rolling = F.when(
         F.size(shingles) > 0,
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),

@@ -143,3 +143,15 @@ def test_repetition_stats_golden(spark):
     # doc 2: 5 slots, 5 distinct
     assert rows[2].dup_frac == 0.0 and rows[2].top_frac == 0.2
     assert rows[2].rep_ok is True
+
+
+def test_fingerprint_short_docs_no_crash(spark):
+    from adenhq_hive_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in fingerprint(df).collect()}
+    # sub-3-word docs fall back to hashing the normalized text
+    assert all(rows[i].fp_rolling is not None for i in (1, 2, 3))
+    assert rows[1].fp_rolling != rows[2].fp_rolling
