@@ -279,3 +279,21 @@ def chunk_text(
             F.size("chunk_toks").alias("n_tokens"),
         )
     )
+
+
+def write_corpus_snapshot(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "source"),
+    mode: str = "overwrite",
+) -> None:
+    """Write a curated corpus snapshot partitioned by (split, source).
+
+    The layout downstream training jobs want: reading one split (or one
+    split × domain slice) partition-prunes instead of scanning the whole
+    snapshot — `spark.read.parquet(path).filter("split = 'train'")`
+    shows PartitionFilters in the scan, not a post-filter. Combine with
+    ``hash_split`` / ``mixture_sample`` upstream; deterministic row
+    routing means re-running the pipeline rewrites identical partitions.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

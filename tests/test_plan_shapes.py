@@ -343,3 +343,28 @@ def test_pack_sequences_window_partitioned_not_global(spark):
     # partitioned window => hashpartitioning on source, never SinglePartition
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_corpus_snapshot_partition_prunes_by_split(spark, tmp_path):
+    """Reading one split of a written corpus snapshot must partition-
+    prune (PartitionFilters in the scan), not post-filter a full scan."""
+    from adenhq_hive_spark.operators.curation import (
+        hash_split,
+        write_corpus_snapshot,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus_snapshot(hash_split(docs), out)
+    back = spark.read.parquet(out)
+    train = back.filter(F.col("split") == "train")
+    plan = _plan(train)
+    assert "PartitionFilters: [isnotnull(split" in plan
+    n_train = train.count()
+    assert 0 < n_train < back.count()
+    # deterministic routing: rewrite yields the identical train slice
+    write_corpus_snapshot(hash_split(docs), out)
+    assert (
+        spark.read.parquet(out).filter(F.col("split") == "train").count()
+        == n_train
+    )
