@@ -613,3 +613,69 @@ def minhash_lsh_pairs_portable(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingestion dedup: new documents that survive against an
+    EXISTING corpus — exact-duplicate drop (content hash seen in the
+    corpus), near-duplicate drop (n-gram jaccard >= threshold against
+    any corpus doc), then exact + near dedup WITHIN the batch (min-id
+    representative kept).
+
+    The continuously-growing-corpus pattern: cost scales with
+    |new| × avg-posting-overlap, never with |corpus|² — corpus shingles
+    join only where a new doc shares a shingle (inverted-index semi
+    shape, same as the batch tier), and the corpus side is never
+    pairwise-expanded against itself.
+    """
+    new_hash = new_df.withColumn("_h", F.md5(F.col(text_col)))
+    corpus_hashes = corpus_df.select(
+        F.md5(F.col(text_col)).alias("_h")
+    ).distinct()
+    fresh = new_hash.join(corpus_hashes, "_h", "left_anti").drop("_h")
+
+    new_sh = _materialize(
+        fresh.select(
+            F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+        )
+    )
+    corpus_sh = corpus_df.select(
+        F.col(id_col).alias("cid"), _shingles(text_col, k).alias("csh")
+    )
+    new_ex = new_sh.select("id", F.explode("sh").alias("shingle"))
+    corpus_ex = corpus_sh.select("cid", F.explode("csh").alias("shingle"))
+    # candidate (new, corpus) pairs share >= 1 shingle; verify exactly
+    cand = (
+        new_ex.join(corpus_ex, "shingle")
+        .select("id", "cid")
+        .dropDuplicates(["id", "cid"])
+    )
+    near_corpus = (
+        cand.join(new_sh, "id")
+        .join(corpus_sh, "cid")
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh", "csh"))
+            / F.size(F.array_union("sh", "csh")),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    survivors = fresh.join(
+        near_corpus.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    # within-batch: exact then near dedup, keeping min-id representative
+    survivors = dedup_exact(survivors, text_col, id_col)
+    batch_pairs = ngram_jaccard_pairs(
+        survivors, text_col, id_col, k=k, threshold=threshold
+    )
+    losers = batch_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(losers, id_col, "left_anti")

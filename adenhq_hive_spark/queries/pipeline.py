@@ -1015,6 +1015,85 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_dedup_incremental",
+    doc="Incremental ingestion dedup: a new batch (doc_id >= 250) "
+        "deduplicated against the existing corpus (doc_id < 250) — "
+        "exact content-hash drop, near-dup drop vs corpus (jaccard "
+        ">= 0.5 via the inverted-index semi shape), then exact + "
+        "greedy near dedup within the batch "
+        "(operators/dedup.py:dedup_incremental). Cost scales with the "
+        "batch, never corpus²: the growing-corpus pattern.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup", fromlist=["dedup_incremental"]
+    ).dedup_incremental(
+        load_table(spark, sf, "documents").filter(F.col("doc_id") >= 250),
+        load_table(spark, sf, "documents").filter(F.col("doc_id") < 250),
+        k=3, threshold=0.5,
+    ).select("doc_id").orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH corpus AS (SELECT * FROM documents WHERE doc_id < 250),
+        newb AS (SELECT * FROM documents WHERE doc_id >= 250),
+        fresh AS (
+          SELECT * FROM newb
+          WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+        ),
+        shf AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS sh
+          FROM fresh
+        ),
+        shc AS (
+          SELECT doc_id AS cid, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS csh
+          FROM corpus
+        ),
+        cand AS (
+          SELECT DISTINCT a.id, b.cid
+          FROM (SELECT id, unnest(sh) AS s FROM shf) a
+          JOIN (SELECT cid, unnest(csh) AS s FROM shc) b USING (s)
+        ),
+        near AS (
+          SELECT DISTINCT c.id
+          FROM cand c JOIN shf ON shf.id = c.id
+          JOIN shc ON shc.cid = c.cid
+          WHERE CAST(len(list_intersect(shf.sh, shc.csh)) AS DOUBLE)
+                / len(list_distinct(list_concat(shf.sh, shc.csh))) >= 0.5
+        ),
+        surv AS (
+          SELECT * FROM fresh
+          WHERE doc_id NOT IN (SELECT id FROM near)
+        ),
+        ded AS (
+          SELECT * FROM surv
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM surv GROUP BY md5(text))
+        ),
+        shd AS (SELECT s.id, s.sh FROM shf s
+                WHERE s.id IN (SELECT doc_id FROM ded)),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM (SELECT id, unnest(sh) AS s FROM shd) a
+          JOIN (SELECT id, unnest(sh) AS s FROM shd) b
+            ON a.s = b.s AND a.id < b.id
+        ),
+        nearb AS (
+          SELECT DISTINCT p.id_b
+          FROM pairs p JOIN shd sa ON sa.id = p.id_a
+          JOIN shd sb ON sb.id = p.id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        )
+        SELECT doc_id FROM ded
+        WHERE doc_id NOT IN (SELECT id_b FROM nearb)
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_minhash_portable",
     doc="MinHash(16)+LSH(8 bands x 2) near-dup pairs with an "
         "engine-portable md5 hash family (operators/dedup.py:"

@@ -195,3 +195,33 @@ def test_minhash_portable_subset_of_exact_with_recall(spark):
     assert port <= exact
     if exact:
         assert len(port) / len(exact) >= 0.8, (len(port), len(exact))
+
+
+def test_dedup_incremental_semantics(spark):
+    from adenhq_hive_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different corpus content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # exact dup
+            (11, "alpha beta gamma delta epsilon other"),  # near dup corpus
+            (12, "brand new unique document nothing shared"),
+            (13, "brand new unique document nothing shared"),  # exact in-batch
+            (14, "brand new unique document nothing related"),  # near in-batch
+            (15, "completely standalone text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_incremental(new, corpus, k=3, threshold=0.5).collect()
+    )
+    # 10 exact-dropped, 11 near-dropped vs corpus, 13 exact in-batch,
+    # 14 near in-batch vs 12 -> survivors 12, 15
+    assert got == [12, 15]
