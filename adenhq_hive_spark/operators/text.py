@@ -281,3 +281,42 @@ def repetition_stats(
             & (1 - F.col("n_distinct") / F.col("n_grams") <= max_dup_frac)
         ).alias("rep_ok"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability — the cheap
+    stand-in for LM-perplexity quality filtering (docs of improbable
+    tokens score high = likely noise; boilerplate scores low).
+
+    The unigram model is the corpus itself: p(tok) = count(tok) / total
+    (Laplace add-one over the observed vocabulary). Shape: one explode,
+    a corpus-frequency aggregation (vocab-sized — broadcast back), a
+    scalar total on a 1-row cross join, then a per-doc mean. All
+    built-in expressions; the only wide thing is the vocabulary.
+
+    Output: (id_col, n_toks, avg_neg_logp).
+    """
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    ).alias("tok")
+    ex = df.select(F.col(id_col), toks)
+    freq = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("total"), F.count("*").alias("vocab")
+    )
+    scored = (
+        ex.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "neg_logp",
+            -F.log((F.col("c") + 1) / (F.col("total") + F.col("vocab"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_toks"),
+        F.round(F.avg("neg_logp"), 4).alias("avg_neg_logp"),
+    )

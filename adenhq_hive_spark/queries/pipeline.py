@@ -1015,6 +1015,35 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_unigram_logprob",
+    doc="Per-doc mean unigram negative log-probability — the cheap "
+        "LM-perplexity proxy for quality filtering (operators/text.py:"
+        "unigram_logprob; Laplace add-one over the corpus vocabulary, "
+        "frequency table broadcast back). Oracle: identical formulation "
+        "in DuckDB.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["unigram_logprob"]
+    ).unigram_logprob(load_table(spark, sf, "documents"))
+    .orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT doc_id, unnest(list_filter(
+                 string_split(lower(text), ' '), t -> t <> '')) AS tok
+          FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+        tot AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM freq)
+        SELECT e.doc_id, COUNT(*) AS n_toks,
+               ROUND(AVG(-ln((f.c + 1.0) / (t.total + t.vocab))), 4)
+                 AS avg_neg_logp
+        FROM ex e JOIN freq f USING (tok) CROSS JOIN tot t
+        GROUP BY e.doc_id
+        ORDER BY e.doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_dedup_incremental",
     doc="Incremental ingestion dedup: a new batch (doc_id >= 250) "
         "deduplicated against the existing corpus (doc_id < 250) — "

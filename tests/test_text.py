@@ -155,3 +155,26 @@ def test_fingerprint_short_docs_no_crash(spark):
     # sub-3-word docs fall back to hashing the normalized text
     assert all(rows[i].fp_rolling is not None for i in (1, 2, 3))
     assert rows[1].fp_rolling != rows[2].fp_rolling
+
+
+def test_unigram_logprob_golden(spark):
+    import math
+
+    from adenhq_hive_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], ["doc_id", "text"]
+    )
+    # corpus counts: a=2, b=1, c=1; total=4, vocab=3
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    p_a = (2 + 1) / (4 + 3)
+    p_b = (1 + 1) / (4 + 3)
+    p_c = (1 + 1) / (4 + 3)
+    exp1 = round(-(2 * math.log(p_a) + math.log(p_b)) / 3, 4)
+    assert rows[1].n_toks == 3
+    assert rows[1].avg_neg_logp == pytest.approx(exp1, abs=1e-4)
+    assert rows[2].avg_neg_logp == pytest.approx(
+        round(-math.log(p_c), 4), abs=1e-4
+    )
+    # rarer tokens score higher (worse) than common ones
+    assert rows[2].avg_neg_logp > rows[1].avg_neg_logp
