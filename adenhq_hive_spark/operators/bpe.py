@@ -1,0 +1,143 @@
+"""Byte-pair-encoding merge training over a distributed corpus — the
+tokenizer-building step of an LLM data pipeline, Spark-first.
+
+Classic BPE (Sennrich et al. 2016, public) greedily merges the most
+frequent adjacent symbol pair for N rounds. The distributed formulation
+here:
+
+- pair counting is one zip_with bigram explode + hash aggregation over
+  the whole corpus (the same shuffle shape as any groupBy — scales);
+- the per-round argmax is a 1-row driver fetch (bounded by construction:
+  one (pair, count) row per round, never data);
+- applying a merge is a WITHIN-ROW sequential fold: zip each token with
+  its successor and F.aggregate a (out, skip) accumulator across the
+  pairs — the "can't express sequential logic in SQL" step, expressed
+  in Catalyst higher-order functions with zero Python in the executor;
+- lineage is cut every few rounds (localCheckpoint / reliable
+  checkpoint via dedup._cut_lineage) so N rounds of plan growth don't
+  drown Catalyst re-analysis — same pattern as the connected-components
+  loop.
+
+Token-level merges (phrase-BPE over the whitespace token stream — the
+corpus contract used by every oracle); character-level BPE is the same
+algebra with a split-to-chars initial state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _cut_lineage
+
+MERGE_SEP = " "
+
+
+def _adjacent_pairs(toks_col: str) -> F.Column:
+    """Array of (t, n) structs for each adjacent token pair; the final
+    (last, null) struct is filtered by the null test on n."""
+    shifted = F.expr(f"slice({toks_col}, 2, size({toks_col}))")
+    return F.filter(
+        F.zip_with(
+            F.col(toks_col),
+            shifted,
+            lambda t, n: F.struct(t.alias("t"), n.alias("n")),
+        ),
+        lambda p: p["n"].isNotNull(),
+    )
+
+
+def _apply_merge(toks_col: str, left: str, right: str) -> F.Column:
+    """Merge every adjacent (left, right) token pair into one token —
+    a left-to-right sequential fold over (token, next) pairs with a
+    skip flag, entirely within the row."""
+    merged_tok = left + MERGE_SEP + right
+    shifted = F.expr(f"slice({toks_col}, 2, size({toks_col}))")
+    pairs = F.zip_with(
+        F.col(toks_col),
+        shifted,
+        lambda t, n: F.struct(t.alias("t"), n.alias("n")),
+    )
+    return F.aggregate(
+        pairs,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda acc, p: F.when(
+            acc["skip"],
+            F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+        )
+        .when(
+            (p["t"] == left) & (p["n"] == right),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged_tok))).alias("out"),
+                F.lit(True).alias("skip"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(p["t"])).alias("out"),
+                F.lit(False).alias("skip"),
+            )
+        ),
+        lambda acc: F.when(
+            # a 1-token document never enters the fold (no pairs) —
+            # keep its single token
+            F.size(F.col(toks_col)) == 1, F.col(toks_col)
+        ).otherwise(acc["out"]),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    min_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus token stream.
+
+    Returns (merges, tokenized): merges as (left, right, corpus_freq)
+    in learned order — deterministic via the (freq desc, left, right)
+    tie-break — and the corpus with a ``toks`` column in the final
+    merged state. Stops early when no pair reaches ``min_freq``.
+    """
+    work = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        ).alias("toks"),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        top = (
+            work.select(F.explode(_adjacent_pairs("toks")).alias("p"))
+            .groupBy("p.t", "p.n")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "t", "n")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_freq:
+            break
+        left, right, freq = top[0]["t"], top[0]["n"], top[0]["c"]
+        merges.append((left, right, freq))
+        work = work.withColumn("toks", _apply_merge("toks", left, right))
+        if (r + 1) % checkpoint_every == 0:
+            work = _cut_lineage(work)
+    return merges, work
+
+
+def bpe_merge_table(
+    spark, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """The learned merge list as a (rank, left, right, freq) DataFrame —
+    the artifact a tokenizer builds from (tiny; driver-local by
+    nature)."""
+    rows = [
+        (i + 1, left, right, freq)
+        for i, (left, right, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, ["rank", "left", "right", "freq"])

@@ -1015,6 +1015,30 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_bpe",
+    doc="BPE merge training over the corpus token stream (8 rounds): "
+        "distributed pair counting + within-row sequential merge fold "
+        "in Catalyst higher-order functions; per-round argmax is a "
+        "1-row driver fetch (operators/bpe.py:bpe_train). Iterative "
+        "algorithm -> no single-SQL oracle (rows-only); exact-match "
+        "parity with a sequential Python reference implementation is "
+        "pinned in tests/test_text.py.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.bpe",
+        fromlist=["bpe_train", "bpe_merge_table"],
+    ).bpe_merge_table(
+        spark,
+        __import__(
+            "adenhq_hive_spark.operators.bpe", fromlist=["bpe_train"]
+        ).bpe_train(
+            load_table(spark, sf, "documents"), n_merges=8
+        )[0],
+    ).orderBy("rank"),
+    has_oracle=False,
+))
+
+
+Q(QuerySpec(
     name="pl_unigram_logprob",
     doc="Per-doc mean unigram negative log-probability — the cheap "
         "LM-perplexity proxy for quality filtering (operators/text.py:"

@@ -178,3 +178,62 @@ def test_unigram_logprob_golden(spark):
     )
     # rarer tokens score higher (worse) than common ones
     assert rows[2].avg_neg_logp > rows[1].avg_neg_logp
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE must learn the same merges, in the same order,
+    as a sequential Python reference on the same corpus."""
+    from adenhq_hive_spark.operators.bpe import bpe_merge_table, bpe_train
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and the cat sat",
+        "the end",
+    ]
+
+    def python_bpe(texts, n_merges, min_freq=2):
+        corpora = [[t for t in d.lower().split(" ") if t] for d in texts]
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for toks in corpora:
+                for a, b in zip(toks, toks[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < min_freq:
+                break
+            merges.append((a, b, c))
+            nxt = []
+            for toks in corpora:
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + " " + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                nxt.append(out)
+            corpora = nxt
+        return merges, corpora
+
+    exp_merges, exp_corpora = python_bpe(docs, n_merges=5)
+    df = spark.createDataFrame(
+        list(enumerate(docs)), ["doc_id", "text"]
+    )
+    merges, tokenized = bpe_train(df, n_merges=5)
+    assert merges == exp_merges
+    got = {
+        r.doc_id: r.toks
+        for r in tokenized.select("doc_id", "toks").collect()
+    }
+    for i, toks in enumerate(exp_corpora):
+        assert got[i] == toks, i
+    table = bpe_merge_table(spark, merges)
+    assert [tuple(r) for r in table.collect()] == [
+        (i + 1, a, b, c) for i, (a, b, c) in enumerate(exp_merges)
+    ]
