@@ -89,6 +89,9 @@ def _apply_merge(toks_col: str, left: str, right: str) -> F.Column:
     )
 
 
+END_OF_WORD = "</w>"
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
@@ -96,6 +99,7 @@ def bpe_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_every: int = 4,
+    char_level: bool = False,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus token stream.
 
@@ -103,18 +107,40 @@ def bpe_train(
     in learned order — deterministic via the (freq desc, left, right)
     tie-break — and the corpus with a ``toks`` column in the final
     merged state. Stops early when no pair reaches ``min_freq``.
+
+    ``char_level=True`` is the classic tokenizer-training mode: the
+    initial symbol stream is every word split to characters with an
+    END_OF_WORD marker appended, and pairs whose LEFT symbol is the
+    marker are excluded from counting — merges therefore never cross a
+    word boundary (Sennrich et al.'s formulation); token-level
+    (default) learns phrase merges over whitespace tokens.
     """
-    work = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
-        ).alias("toks"),
+    base_toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
     )
+    if char_level:
+        toks_col = F.flatten(
+            F.transform(
+                base_toks,
+                lambda w: F.concat(
+                    F.split(w, ""), F.array(F.lit(END_OF_WORD))
+                ),
+            )
+        )
+    else:
+        toks_col = base_toks
+    work = df.select(F.col(id_col), toks_col.alias("toks"))
     merges: list[tuple[str, str, int]] = []
     for r in range(n_merges):
+        pair_rows = work.select(
+            F.explode(_adjacent_pairs("toks")).alias("p")
+        )
+        if char_level:
+            pair_rows = pair_rows.filter(
+                F.col("p.t") != END_OF_WORD
+            )
         top = (
-            work.select(F.explode(_adjacent_pairs("toks")).alias("p"))
-            .groupBy("p.t", "p.n")
+            pair_rows.groupBy("p.t", "p.n")
             .agg(F.count("*").alias("c"))
             .orderBy(F.desc("c"), "t", "n")
             .limit(1)

@@ -237,3 +237,54 @@ def test_bpe_train_matches_python_reference(spark):
     assert [tuple(r) for r in table.collect()] == [
         (i + 1, a, b, c) for i, (a, b, c) in enumerate(exp_merges)
     ]
+
+
+def test_bpe_char_level_matches_python_reference(spark):
+    """Character-level BPE (Sennrich-style: char stream + </w> marker,
+    no cross-word merges) must match the sequential reference."""
+    from adenhq_hive_spark.operators.bpe import END_OF_WORD, bpe_train
+
+    docs = ["low lower lowest", "low low newer newest", "wider new low"]
+
+    def python_bpe_chars(texts, n_merges, min_freq=2):
+        corpora = []
+        for d in texts:
+            toks = []
+            for w in d.lower().split(" "):
+                if w:
+                    toks.extend(list(w) + [END_OF_WORD])
+            corpora.append(toks)
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for toks in corpora:
+                for a, b in zip(toks, toks[1:]):
+                    if a != END_OF_WORD:
+                        counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < min_freq:
+                break
+            merges.append((a, b, c))
+            nxt = []
+            for toks in corpora:
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + " " + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                nxt.append(out)
+            corpora = nxt
+        return merges
+
+    exp = python_bpe_chars(docs, n_merges=6)
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    merges, _ = bpe_train(df, n_merges=6, char_level=True)
+    assert merges == exp
+    # no learned merge starts at a word boundary
+    assert all(left != END_OF_WORD for left, _, _ in merges)
