@@ -46,6 +46,7 @@ HEADLINE = [
     "pl_repetition",     # Gopher-style repetition filter
     "pl_tfidf",          # per-doc TF-IDF top terms
     "pl_hash_split",     # md5-routed train/val/test split
+    "pl_dedup_incremental",  # new-batch-vs-corpus dedup (8x vs DuckDB)
 ]
 
 
