@@ -651,21 +651,26 @@ def dedup_incremental(
     )
     new_ex = new_sh.select("id", F.explode("sh").alias("shingle"))
     corpus_ex = corpus_sh.select("cid", F.explode("csh").alias("shingle"))
-    # candidate (new, corpus) pairs share >= 1 shingle; verify exactly
-    cand = (
+    # shared-shingle counts per (new, corpus) pair: because shingle sets
+    # are distinct per doc, |A∩B| IS the join-row count and |A∪B| =
+    # nA + nB − |A∩B| — no array-carrying verification join (the skinny
+    # count formulation, same as the batch tier; the array-join variant
+    # measured 108 s on DuckDB at sf0.1 vs 13 s here even before this)
+    shared = (
         new_ex.join(corpus_ex, "shingle")
-        .select("id", "cid")
-        .dropDuplicates(["id", "cid"])
+        .groupBy("id", "cid")
+        .agg(F.count("*").alias("n_shared"))
     )
+    sizes_new = new_sh.select("id", F.size("sh").alias("n_a"))
+    sizes_corpus = corpus_sh.select("cid", F.size("csh").alias("n_b"))
     near_corpus = (
-        cand.join(new_sh, "id")
-        .join(corpus_sh, "cid")
-        .withColumn(
-            "j",
-            F.size(F.array_intersect("sh", "csh"))
-            / F.size(F.array_union("sh", "csh")),
+        shared.join(sizes_new, "id")
+        .join(sizes_corpus, "cid")
+        .filter(
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            >= threshold
         )
-        .filter(F.col("j") >= threshold)
         .select("id")
         .distinct()
     )
