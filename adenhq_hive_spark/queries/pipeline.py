@@ -1168,14 +1168,19 @@ Q(QuerySpec(
                AS shs
           FROM documents
         ),
-        ex AS (SELECT id, unnest(shs) AS s FROM sh WHERE len(shs) > 0),
-        hx AS (
-          SELECT id, i,
-                 CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s),
-                                      1, 15)) AS BIGINT) AS h
-          FROM ex CROSS JOIN (SELECT unnest(range(16)) AS i)
+        ex AS (
+          SELECT id,
+                 CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647 AS h
+          FROM (SELECT id, unnest(shs) AS s FROM sh WHERE len(shs) > 0)
         ),
-        sig AS (SELECT id, i, MIN(h) AS sig FROM hx GROUP BY id, i),
+        sig AS (
+          SELECT id, i,
+                 MIN(((2 * i + 3) * h + (1000003 * i + 12345))
+                     % 2305843009213693951) AS sig
+          FROM ex CROSS JOIN (SELECT unnest(range(16)) AS i)
+          GROUP BY id, i
+        ),
         band AS (
           SELECT id, CAST(i // 2 AS INT) AS band,
                  string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS key
