@@ -934,18 +934,7 @@ def _curation_pipeline(spark, sf):
     )
 
 
-Q(QuerySpec(
-    name="pl_curation_pipeline",
-    doc="Capstone: the full curation pipeline composed from the "
-        "individual tiers — token count + Gopher repetition filter "
-        "(n_tokens >= 20, rep_ok) → exact dedup (min-id per md5) → "
-        "benchmark decontamination vs the src0 eval split (5-grams) → "
-        "md5-routed train/val/test split → per-split doc/token totals. "
-        "Every stage is the same operator the standalone pl_* query "
-        "exercises; the oracle recomputes the whole chain as one DuckDB "
-        "CTE pipeline.",
-    builder=_curation_pipeline,
-    oracle_sql_str="""
+_CURATION_ORACLE = """
         WITH toks AS (
           SELECT doc_id, text, source,
                  len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1010,7 +999,115 @@ Q(QuerySpec(
         FROM clean
         GROUP BY split
         ORDER BY split
-    """,
+    """
+
+
+Q(QuerySpec(
+    name="pl_curation_pipeline",
+    doc="Capstone: the full curation pipeline composed from the "
+        "individual tiers — token count + Gopher repetition filter "
+        "(n_tokens >= 20, rep_ok) → exact dedup (min-id per md5) → "
+        "benchmark decontamination vs the src0 eval split (5-grams) → "
+        "md5-routed train/val/test split → per-split doc/token totals. "
+        "Every stage is the same operator the standalone pl_* query "
+        "exercises; the oracle recomputes the whole chain as one DuckDB "
+        "CTE pipeline.",
+    builder=_curation_pipeline,
+    oracle_sql_str=_CURATION_ORACLE,
+))
+
+
+def _graph_curation(spark, sf):
+    """The same curation pipeline executed THROUGH the GraphSpec DAG
+    runner (plans/graph.py — the reference's core orchestration
+    abstraction, executor.py): each stage is a graph node wired by
+    memory keys, and the run's output must hash-match the identical
+    DuckDB oracle as the directly-composed pl_curation_pipeline —
+    proving the orchestration layer is transparent to the plan."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.text import repetition_stats
+    from ..plans.graph import EdgeSpec, GraphRunner, GraphSpec, NodeSpec
+
+    cur = _curation()
+
+    def load(memory):
+        return load_table(spark, sf, "documents")
+
+    def tokens(df, memory):
+        return df.withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+        )
+
+    def rep_filter(df, memory):
+        docs = load_table(spark, sf, "documents")
+        rep = repetition_stats(docs, n=2).select("doc_id", "rep_ok")
+        return (
+            df.join(rep, "doc_id")
+            .filter(F.col("rep_ok") & (F.col("n_tokens") >= 20))
+            .drop("rep_ok")
+        )
+
+    def decon(df, memory):
+        docs = load_table(spark, sf, "documents")
+        return cur.decontaminate(
+            df.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            n=5,
+        )
+
+    def split_agg(df, memory):
+        return (
+            cur.hash_split(df)
+            .groupBy("split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .orderBy("split")
+        )
+
+    g = GraphSpec(
+        nodes={
+            "load": NodeSpec("load", "python", fn=load, output="docs"),
+            "tokens": NodeSpec("tokens", "python", fn=tokens,
+                               inputs=["docs"], output="toks"),
+            "rep": NodeSpec("rep", "python", fn=rep_filter,
+                            inputs=["toks"], output="keep1"),
+            "dedup": NodeSpec(
+                "dedup", "python",
+                fn=lambda df, memory: dedup_exact(df),
+                inputs=["keep1"], output="keep2",
+            ),
+            "decon": NodeSpec("decon", "python", fn=decon,
+                              inputs=["keep2"], output="clean"),
+            "split": NodeSpec("split", "python", fn=split_agg,
+                              inputs=["clean"], output="final"),
+        },
+        edges=[
+            EdgeSpec("load", "tokens"),
+            EdgeSpec("tokens", "rep"),
+            EdgeSpec("rep", "dedup"),
+            EdgeSpec("dedup", "decon"),
+            EdgeSpec("decon", "split"),
+        ],
+        entry="load",
+        terminals={"split"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    return res.memory["final"]
+
+
+Q(QuerySpec(
+    name="pl_graph_curation",
+    doc="The curation pipeline executed through the GraphSpec DAG "
+        "runner (plans/graph.py): stages as python nodes wired by "
+        "memory keys, hash-matched against the SAME DuckDB oracle as "
+        "pl_curation_pipeline — the orchestration layer adds no "
+        "semantics, it only schedules the lazy plan.",
+    builder=_graph_curation,
+    oracle_sql_str=_CURATION_ORACLE,
 ))
 
 
