@@ -119,3 +119,28 @@ def test_events_ts_unit_detection_ns_and_us(spark, tmp_path):
     for d in (us_dir, ns_dir):
         row = load_table(spark, str(d), "events").collect()[0]
         assert str(row.ts) == "2024-03-01 12:00:00", (d, row.ts)
+
+
+def test_concurrent_query_execution(spark):
+    """The reference runs concurrent execution streams (edge.py
+    max_concurrent); a single SparkSession must serve parallel query
+    submissions safely with identical per-query results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adenhq_hive_spark.queries import all_queries
+
+    specs = all_queries()
+    names = ["q01", "q06", "q09", "q36", "q44", "q47", "q51", "q57"]
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        n: [tuple(r) for r in specs[n].run(spark, sf).collect()]
+        for n in names
+    }
+
+    def run(n):
+        return n, [tuple(r) for r in specs[n].run(spark, sf).collect()]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = dict(ex.map(run, names * 2))  # each query twice, in parallel
+    for n in names:
+        assert got[n] == expected[n], n
