@@ -460,3 +460,27 @@ def test_checkpoint_rewrites_changed_df_and_gcs_old_version(spark, tmp_path):
     assert out3["d"].count() == 3
     fresh_mem, *_ = CheckpointStore(spark, ckpt).load()
     assert fresh_mem["d"].count() == 3
+
+
+def test_graph_execution_adds_no_plan_overhead(spark):
+    """The GraphSpec runner is driver-side wiring only: the capstone
+    pipeline's physical plan must have the exact same operator sequence
+    whether composed directly or executed through the DAG runner."""
+    import re
+
+    from adenhq_hive_spark.queries import all_queries
+
+    specs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    direct = specs["pl_curation_pipeline"].run(spark, sf)
+    graphed = specs["pl_graph_curation"].run(spark, sf)
+
+    def op_sequence(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            re.match(r"[+\-:\s*|(]*([A-Za-z]+)", line).group(1)
+            for line in s.splitlines()
+            if line.strip()
+        ]
+
+    assert op_sequence(direct) == op_sequence(graphed)
