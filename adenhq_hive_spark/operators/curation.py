@@ -297,3 +297,41 @@ def write_corpus_snapshot(
     routing means re-running the pipeline rewrites identical partitions.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def mixture_rates_for_targets(
+    counts: dict[str, int], targets: dict[str, float]
+) -> dict[str, str]:
+    """Solve the md5-prefix thresholds that turn observed domain counts
+    into a target output mixture.
+
+    Keep-rate per domain is proportional to ``target_share / count``,
+    scaled so the binding domain (the one that would need up-sampling)
+    is kept in full — the standard down-sample-to-mixture solution (you
+    cannot up-sample with a filter; the binding domain caps the total).
+    Returns 4-hex-char EXCLUSIVE upper bounds for
+    :func:`mixture_sample`. Driver-side arithmetic over one row per
+    domain — never data.
+    """
+    if not counts or not targets:
+        raise ValueError("counts and targets must be non-empty")
+    missing = set(targets) - set(counts)
+    if missing:
+        raise ValueError(f"targets for unknown domains: {sorted(missing)}")
+    total_w = sum(targets.values())
+    raw = {
+        d: (targets[d] / total_w) / counts[d]
+        for d in targets
+        if counts[d] > 0
+    }
+    scale = 1.0 / max(raw.values())
+    out = {}
+    for d, r in raw.items():
+        frac = min(r * scale, 1.0)
+        if frac >= 1.0:
+            # full keep: an exclusive bound above every real hex prefix
+            # ('g' sorts after '9' and 'a'-'f')
+            out[d] = "g"
+        else:
+            out[d] = format(max(int(frac * 0x10000), 1), "04x")
+    return out

@@ -242,3 +242,38 @@ def test_hash_split_property_partition_of_space(spark):
             (name for name, b in boundaries.items() if pfx < b), "test"
         )
         assert got[i] == exp, (i, pfx)
+
+
+def test_mixture_rates_for_targets_achieves_mixture(spark):
+    from adenhq_hive_spark.operators.curation import (
+        mixture_rates_for_targets,
+        mixture_sample,
+    )
+
+    df = (
+        spark.range(0, 9000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 9 < 8, "web").otherwise("wiki"),
+        )
+    )
+    counts = {
+        r.source: r["count"]
+        for r in df.groupBy("source").count().collect()
+    }
+    assert counts == {"web": 8000, "wiki": 1000}
+    rates = mixture_rates_for_targets(counts, {"web": 0.5, "wiki": 0.5})
+    out = mixture_sample(df, rates)
+    got = {
+        r.source: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    # binding domain kept fully; web down-sampled to ~1000 (hash noise)
+    assert got["wiki"] == 1000
+    assert 850 <= got["web"] <= 1150
+    # validation errors
+    with pytest.raises(ValueError):
+        mixture_rates_for_targets({}, {"web": 1.0})
+    with pytest.raises(ValueError):
+        mixture_rates_for_targets({"web": 10}, {"nope": 1.0})
