@@ -335,3 +335,19 @@ def mixture_rates_for_targets(
         else:
             out[d] = format(max(int(frac * 0x10000), 1), "04x")
     return out
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.7
+) -> dict[str, float]:
+    """Temperature-scaled mixture targets: w_d ∝ n_d^alpha (multilingual
+    / multi-domain re-balancing — alpha 1.0 keeps natural proportions,
+    0.0 is uniform; 0.3-0.7 is the common pretraining range). Feed the
+    result to :func:`mixture_rates_for_targets`."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    powered = {d: float(n) ** alpha for d, n in counts.items() if n > 0}
+    total = sum(powered.values())
+    return {d: v / total for d, v in powered.items()}

@@ -277,3 +277,17 @@ def test_mixture_rates_for_targets_achieves_mixture(spark):
         mixture_rates_for_targets({}, {"web": 1.0})
     with pytest.raises(ValueError):
         mixture_rates_for_targets({"web": 10}, {"nope": 1.0})
+
+
+def test_temperature_weights_properties():
+    from adenhq_hive_spark.operators.curation import temperature_weights
+
+    counts = {"web": 8000, "wiki": 1000, "code": 1000}
+    natural = temperature_weights(counts, alpha=1.0)
+    assert natural["web"] == pytest.approx(0.8)
+    uniform = temperature_weights(counts, alpha=0.0)
+    assert all(v == pytest.approx(1 / 3) for v in uniform.values())
+    mid = temperature_weights(counts, alpha=0.5)
+    # temperature flattens: web's share shrinks toward uniform
+    assert 1 / 3 < mid["web"] < 0.8
+    assert sum(mid.values()) == pytest.approx(1.0)
