@@ -351,3 +351,46 @@ def temperature_weights(
     powered = {d: float(n) ** alpha for d, n in counts.items() if n > 0}
     total = sum(powered.values())
     return {d: v / total for d, v in powered.items()}
+
+
+def pack_chunks(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "source",
+) -> DataFrame:
+    """Materialized packed training rows: the documents of each
+    :func:`pack_sequences` chunk concatenated (doc-id order) into one
+    text per (partition, chunk) with its doc and token counts — the
+    actual rows a pretraining data loader reads.
+
+    One extra aggregation over the manifest join; the concatenation is
+    per-chunk (bounded by max_tokens plus one straddling document), so
+    no row grows beyond ~2x the token budget.
+    """
+    manifest = pack_sequences(
+        df, max_tokens, id_col=id_col, text_col=text_col,
+        partition_col=partition_col,
+    )
+    joined = manifest.join(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    return (
+        joined.groupBy(partition_col, "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(id_col), F.col(text_col))
+                        )
+                    ),
+                    lambda s: s[text_col],
+                ),
+                " ",
+            ).alias("packed_text"),
+        )
+    )

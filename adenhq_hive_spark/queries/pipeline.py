@@ -774,6 +774,44 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_pack_chunks",
+    doc="Materialized packed training rows: each packing chunk's "
+        "documents concatenated in doc-id order with counts — what the "
+        "pretraining data loader reads (operators/curation.py:"
+        "pack_chunks; md5 of the packed text keeps the result narrow). "
+        "Oracle: DuckDB window + string_agg ORDER BY.",
+    builder=lambda spark, sf: _curation().pack_chunks(
+        load_table(spark, sf, "documents"), max_tokens=512
+    ).select(
+        "source", "chunk_id", "n_docs", "n_tokens",
+        F.md5("packed_text").alias("packed_md5"),
+    ).orderBy("source", "chunk_id"),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT source, doc_id, text,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM documents
+        ),
+        m AS (
+          SELECT source, doc_id, text, n_tokens,
+                 CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) / 512) AS BIGINT) AS chunk_id
+          FROM t
+        )
+        SELECT source, chunk_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS n_tokens,
+               md5(string_agg(text, ' ' ORDER BY doc_id)) AS packed_md5
+        FROM m
+        GROUP BY source, chunk_id
+        ORDER BY source, chunk_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_mixture_sample",
     doc="Deterministic domain re-weighting: keep a row iff its md5 prefix "
         "falls under its source's threshold (src0 ~12.5%, src1 ~50%, "

@@ -291,3 +291,19 @@ def test_temperature_weights_properties():
     # temperature flattens: web's share shrinks toward uniform
     assert 1 / 3 < mid["web"] < 0.8
     assert sum(mid.values()) == pytest.approx(1.0)
+
+
+def test_pack_chunks_concatenates_in_doc_order(spark):
+    from adenhq_hive_spark.operators.curation import pack_chunks
+
+    rows = [
+        ("a", 1, "one two three"),
+        ("a", 2, "four five"),
+        ("a", 3, "six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {r.chunk_id: r for r in pack_chunks(df, max_tokens=5).collect()}
+    # cumsum-exclusive: 0, 3, 5 -> chunks 0, 0, 1
+    assert out[0].packed_text == "one two three four five"
+    assert out[0].n_docs == 2 and out[0].n_tokens == 5
+    assert out[1].packed_text == "six seven eight nine"
