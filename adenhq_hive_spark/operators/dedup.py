@@ -515,6 +515,13 @@ def dup_clusters(
         pairs = ngram_jaccard_pairs(
             df, text_col=text_col, id_col=id_col, k=k, threshold=threshold
         )
+    else:
+        # Externally-fused pair frames (e.g. jaccard ∪ cosine unions over
+        # persisted branches) can trip localCheckpoint attribute
+        # resolution inside the contraction loop ("key not found: u#N");
+        # cutting THEIR lineage up front — before any projection — is the
+        # normalization that holds.
+        pairs = _cut_lineage(pairs)
     labels = connected_components(pairs.select("id_a", "id_b"))
     return (
         df.select(id_col)

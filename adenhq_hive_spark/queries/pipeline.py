@@ -1282,6 +1282,79 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_fused_clusters",
+    doc="Fused-evidence duplicate clusters: near-dup EDGES from the "
+        "text tier (3-gram jaccard >= 0.5) UNION the semantic tier "
+        "(embedding cosine >= 0.45, vec_id aligned with doc_id) "
+        "resolved into transitive clusters by the same star-contraction "
+        "components — textual and semantic duplicate evidence combined "
+        "before cluster resolution, the production dedup topology. "
+        "Oracle: recursive-CTE closure over the identical fused edge "
+        "set.",
+    builder=lambda spark, sf: dup_clusters(
+        load_table(spark, sf, "documents"),
+        pairs=ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), k=3, threshold=0.5
+        ).select("id_a", "id_b").union(
+            __import__(
+                "adenhq_hive_spark.operators.similarity",
+                fromlist=["cosine_dedup_pairs"],
+            ).cosine_dedup_pairs(
+                load_table(spark, sf, "embeddings"), threshold=0.45
+            ).select("id_a", "id_b")
+        ).dropDuplicates(),
+    ).orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ), ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        sizes AS (SELECT id, len(shs) AS n FROM sh),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        jpairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        ),
+        cpairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        ),
+        pairs AS (SELECT * FROM jpairs UNION SELECT * FROM cpairs),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+        )
+        SELECT d.doc_id,
+               COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (
+          SELECT src AS doc_id, MIN(dst) AS cluster_id
+          FROM reach GROUP BY src
+        ) m USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_minhash_portable",
     doc="MinHash(16)+LSH(8 bands x 2) near-dup pairs with an "
         "engine-portable md5 hash family (operators/dedup.py:"
