@@ -307,3 +307,28 @@ def test_pack_chunks_concatenates_in_doc_order(spark):
     assert out[0].packed_text == "one two three four five"
     assert out[0].n_docs == 2 and out[0].n_tokens == 5
     assert out[1].packed_text == "six seven eight nine"
+
+
+def test_null_text_propagates_without_corruption(spark):
+    """NULL text yields NULL metrics (never -1 from size(null)) and
+    non-null rows are unaffected — null docs cannot corrupt running
+    token sums or chunk assignment."""
+    from adenhq_hive_spark.operators.curation import (
+        chunk_text,
+        pack_sequences,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "web"), (2, "real text here now", "web")],
+        ["doc_id", "text", "source"],
+    )
+    pack = {r.doc_id: r for r in pack_sequences(df, 512).collect()}
+    assert pack[1].n_tokens is None
+    assert pack[2].n_tokens == 4 and pack[2].chunk_id == 0
+    chunks = {r.doc_id: r for r in chunk_text(df).collect()}
+    assert chunks[1].chunk_text is None
+    assert chunks[2].chunk_text == "real text here now"
+    pii = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert pii[1].redacted is None and pii[1].n_email is None
+    assert pii[2].redacted == "real text here now"
