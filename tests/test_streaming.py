@@ -555,3 +555,56 @@ def test_streaming_ingest_curation(spark, tmp_path):
     }
     for r in got.select("doc_id", "split").collect():
         assert batch_split[r.doc_id] == r.split
+
+
+def test_streaming_incremental_dedup_against_growing_corpus(spark, tmp_path):
+    """The streaming face of dedup_incremental: each micro-batch is
+    deduplicated against the ALREADY-ACCEPTED corpus before appending,
+    so replayed/near-duplicate documents never enter the sink twice —
+    exactly-once corpus growth built from the batch operator."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.catalog import SCHEMAS, load_table
+    from adenhq_hive_spark.operators.dedup import dedup_incremental
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # two files -> two micro-batches; the second file REPLAYS half of
+    # the first (exact dups) so cross-batch dedup is actually exercised
+    docs.filter(F.col("doc_id") < 300).write.parquet(src)
+    docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)) \
+        .write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(batch, epoch_id):
+        import os
+
+        if os.path.exists(out):
+            corpus = spark.read.parquet(out)
+            fresh = dedup_incremental(batch, corpus, k=3, threshold=0.9)
+        else:
+            from adenhq_hive_spark.operators.dedup import dedup_exact
+
+            fresh = dedup_exact(batch)
+        fresh.write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", ck
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    corpus = spark.read.parquet(out)
+    n = corpus.count()
+    # every doc_id at most once despite the replayed overlap
+    assert corpus.select("doc_id").distinct().count() == n
+    # no EXACT duplicate text survived across batches
+    assert corpus.groupBy(F.md5("text")).count().filter("count > 1") \
+        .count() == 0
