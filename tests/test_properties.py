@@ -129,3 +129,39 @@ def test_page_range_always_in_bounds(n_pages, a, b):
     assert pages == sorted(set(pages))
     expected = [p - 1 for p in range(lo, min(hi, n_pages) + 1)]
     assert pages == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=25, deadline=None)
+def test_word_ngrams_matches_python_reference(spark, docs, n):
+    """The zip_with n-gram builder (backing the jaccard/minhash/simhash/
+    decontamination/repetition tiers) must agree with a naive Python
+    reference for arbitrary token lists and n."""
+    from adenhq_hive_spark.operators.ngrams import word_ngrams
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", word_ngrams(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        # split(" ") on "" yields [""] — mirror Spark's tokenization
+        spark_toks = " ".join(toks).split(" ")
+        exp = [
+            " ".join(spark_toks[j:j + n])
+            for j in range(len(spark_toks) - n + 1)
+        ]
+        assert got[i] == exp, (i, toks, n)
