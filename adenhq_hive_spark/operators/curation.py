@@ -258,6 +258,13 @@ def chunk_text(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # starts would advance past the window end, silently skipping
+        # tokens — violating the every-token-covered contract above
+        raise ValueError(
+            f"stride ({stride}) must not exceed window ({window}): "
+            "chunks would leave uncovered gaps"
+        )
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n = F.size(toks)
     # Last full-window start, rounded UP to the next stride multiple so a
@@ -324,6 +331,8 @@ def mixture_rates_for_targets(
         for d in targets
         if counts[d] > 0
     }
+    if not raw:
+        raise ValueError("all target domains have zero counts")
     scale = 1.0 / max(raw.values())
     out = {}
     for d, r in raw.items():

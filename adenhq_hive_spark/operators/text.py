@@ -254,8 +254,21 @@ def repetition_stats(
     the composite (doc, gram) key spreads globally-common n-grams across
     documents, so no single reducer hot-spots. Output: (id_col, n_grams, n_distinct,
     top_frac, dup_frac, rep_ok).
+
+    Determinism: the fractions and the keep flag are computed in scaled
+    INTEGER arithmetic, never floating division. round(p/q, 4) half-up ==
+    (p*20000 + q) DIV (2*q) for positive p,q — a bigint both engines agree
+    on bit-for-bit — divided by 10000 only at emission (<= 4 decimal
+    digits, exactly representable). The thresholds compare p*10000 <=
+    q*round(thresh*10000) — an exact rational test with no representation
+    ties (a .xxxx5 double ratio rounds differently per engine/build;
+    integers don't).
     """
     from .ngrams import word_ngrams
+
+    # threshold as an exact rational over denominator 10000
+    tf_num = int(round(max_top_frac * 10000))
+    df_num = int(round(max_dup_frac * 10000))
 
     grams = word_ngrams(F.col(text_col), n, lowercase=True)
     per_gram = (
@@ -268,17 +281,24 @@ def repetition_stats(
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top_c"),
     )
+
+    def _frac4(p: str) -> Column:
+        # round(p/n_grams, 4) half-up, via exact bigint arithmetic
+        q = F.expr(f"(({p}) * 20000 + n_grams) DIV (2 * n_grams)")
+        return q.cast("double") / 10000
+
     return per_doc.select(
         id_col,
         "n_grams",
         "n_distinct",
-        F.round(F.col("top_c") / F.col("n_grams"), 4).alias("top_frac"),
-        F.round(1 - F.col("n_distinct") / F.col("n_grams"), 4).alias(
-            "dup_frac"
-        ),
+        _frac4("top_c").alias("top_frac"),
+        _frac4("n_grams - n_distinct").alias("dup_frac"),
         (
-            (F.col("top_c") / F.col("n_grams") <= max_top_frac)
-            & (1 - F.col("n_distinct") / F.col("n_grams") <= max_dup_frac)
+            (F.col("top_c") * 10000 <= F.col("n_grams") * tf_num)
+            & (
+                (F.col("n_grams") - F.col("n_distinct")) * 10000
+                <= F.col("n_grams") * df_num
+            )
         ).alias("rep_ok"),
     )
 

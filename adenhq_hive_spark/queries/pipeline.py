@@ -802,7 +802,7 @@ Q(QuerySpec(
           FROM t
         )
         SELECT source, chunk_id, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS n_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                md5(string_agg(text, ' ' ORDER BY doc_id)) AS packed_md5
         FROM m
         GROUP BY source, chunk_id
@@ -924,15 +924,19 @@ Q(QuerySpec(
           FROM g GROUP BY doc_id, gram
         ),
         pd AS (
-          SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 COUNT(*) AS n_distinct,
                  MAX(c) AS top_c
           FROM pg GROUP BY doc_id
         )
         SELECT doc_id, n_grams, n_distinct,
-               ROUND(top_c / n_grams, 4) AS top_frac,
-               ROUND(1 - n_distinct / n_grams, 4) AS dup_frac,
-               (top_c / n_grams <= 0.20
-                AND 1 - n_distinct / n_grams <= 0.60) AS rep_ok
+               CAST((top_c * 20000 + n_grams) // (2 * n_grams) AS DOUBLE)
+                 / 10000 AS top_frac,
+               CAST(((n_grams - n_distinct) * 20000 + n_grams)
+                    // (2 * n_grams) AS DOUBLE) / 10000 AS dup_frac,
+               (top_c * 10000 <= n_grams * 2000
+                AND (n_grams - n_distinct) * 10000 <= n_grams * 6000)
+                 AS rep_ok
         FROM pd
         ORDER BY doc_id
     """,
@@ -993,8 +997,8 @@ _CURATION_ORACLE = """
         ),
         rep AS (
           SELECT doc_id,
-                 (MAX(c) / SUM(c) <= 0.20
-                  AND 1 - COUNT(*) / SUM(c) <= 0.60) AS rep_ok
+                 (MAX(c) * 10000 <= SUM(c) * 2000
+                  AND (SUM(c) - COUNT(*)) * 10000 <= SUM(c) * 6000) AS rep_ok
           FROM pg GROUP BY doc_id
         ),
         keep1 AS (
@@ -1033,7 +1037,7 @@ _CURATION_ORACLE = """
                    THEN 'val'
                  ELSE 'test'
                END AS split,
-               COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM clean
         GROUP BY split
         ORDER BY split

@@ -866,7 +866,8 @@ Q(QuerySpec(
         "INTERVAL/datediff('day').",
     engine_sql="""
         SELECT o_orderkey,
-               date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+               CAST(date_add(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP)
+                 AS plus30,
                CAST(datediff(TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS INT)
                  AS days_to_y2k
         FROM orders
@@ -875,7 +876,8 @@ Q(QuerySpec(
     """,
     oracle_sql_str="""
         SELECT o_orderkey,
-               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP)
+                 AS plus30,
                CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT)
                  AS days_to_y2k
         FROM orders
@@ -915,8 +917,9 @@ Q(QuerySpec(
                CASE WHEN l_discount > 0.05 THEN 'hi'
                     WHEN l_discount > 0.0  THEN 'lo'
                     ELSE 'none' END AS disc_band,
-               COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_sentinel,
-               CAST(l_quantity AS DECIMAL(18,2)) AS qty_dec,
+               ROUND(CAST(COALESCE(NULLIF(l_discount, 0.0), -1.0)
+                          AS DOUBLE), 4) AS disc_or_sentinel,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_dec,
                CAST(l_linenumber AS VARCHAR(16)) AS line_str
         FROM lineitem
         ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST
@@ -1137,8 +1140,10 @@ Q(QuerySpec(
     engine_sql="""
         SELECT o_orderkey,
                CAST(QUARTER(o_orderdate) AS INT) AS qtr,
-               last_day(CAST(o_orderdate AS DATE)) AS month_end,
-               make_date(CAST(YEAR(o_orderdate) AS INT), 1, 1) AS year_start,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                 AS month_end,
+               CAST(make_date(CAST(YEAR(o_orderdate) AS INT), 1, 1)
+                    AS TIMESTAMP) AS year_start,
                CAST(DAYOFWEEK(o_orderdate) - 1 AS INT) AS dow
         FROM orders
         ORDER BY o_orderkey NULLS LAST
@@ -1147,8 +1152,10 @@ Q(QuerySpec(
     oracle_sql_str="""
         SELECT o_orderkey,
                CAST(QUARTER(o_orderdate) AS INT) AS qtr,
-               last_day(CAST(o_orderdate AS DATE)) AS month_end,
-               make_date(CAST(YEAR(o_orderdate) AS INT), 1, 1) AS year_start,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                 AS month_end,
+               CAST(make_date(CAST(YEAR(o_orderdate) AS INT), 1, 1)
+                    AS TIMESTAMP) AS year_start,
                CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow
         FROM orders
         ORDER BY o_orderkey NULLS LAST
@@ -1519,7 +1526,7 @@ Q(QuerySpec(
         act AS (
           SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
         )
-        SELECT CAST(f.cw AS DATE) AS cohort_week,
+        SELECT CAST(CAST(f.cw AS DATE) AS TIMESTAMP) AS cohort_week,
                CAST((unix_timestamp(a.aw) - unix_timestamp(f.cw)) / 604800
                     AS INT) AS week_offset,
                COUNT(*) AS users
@@ -1535,7 +1542,7 @@ Q(QuerySpec(
         act AS (
           SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
         )
-        SELECT CAST(f.cw AS DATE) AS cohort_week,
+        SELECT CAST(CAST(f.cw AS DATE) AS TIMESTAMP) AS cohort_week,
                -- DuckDB date_trunc('week', ts) yields DATE; DATE - DATE
                -- is integer days (always a multiple of 7 here)
                CAST(floor((a.aw - f.cw) / 7) AS INT) AS week_offset,

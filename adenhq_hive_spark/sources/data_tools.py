@@ -124,6 +124,94 @@ class DataStore:
             "files_after": n_files,
         }
 
+    # ---- text-artifact surface (reference data_tools.py:173-228, 313-377)
+    #
+    # Besides keyed DataFrame intermediates, the reference's data_dir holds
+    # flat text artifacts (HTML reports, CSV exports) with three verbs the
+    # parquet store can't express: save/edit a text file surgically, and
+    # resolve it to a clickable file:// URI.  These are driver-side file
+    # ops over single artifacts — never data-plane — so plain Python is
+    # the right tool, not a Spark job.
+
+    @staticmethod
+    def _valid_filename(filename: str) -> bool:
+        return bool(filename) and not (
+            ".." in filename or "/" in filename or "\\" in filename
+        )
+
+    def save_text(self, filename: str, content: str) -> dict[str, Any]:
+        """Write a flat text artifact into the store root."""
+        if not self._valid_filename(filename):
+            return {"error": "Invalid filename. Use simple names like 'report.html'"}
+        path = os.path.join(self.root, filename)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(content)
+        return {
+            "success": True,
+            "filename": filename,
+            "size_bytes": os.path.getsize(path),
+        }
+
+    def edit_data(
+        self, filename: str, old_text: str, new_text: str
+    ) -> dict[str, Any]:
+        """Surgical find-and-replace in a saved text artifact; ``old_text``
+        must match exactly once (reference data_tools.py:313-377)."""
+        if not self._valid_filename(filename):
+            return {"error": "Invalid filename. Use simple names like 'report.html'"}
+        path = os.path.join(self.root, filename)
+        if not os.path.isfile(path):
+            return {"error": f"File not found: {filename}"}
+        try:
+            with open(path, encoding="utf-8") as f:
+                content = f.read()
+            count = content.count(old_text)
+            if count == 0:
+                return {
+                    "error": (
+                        "old_text not found in the file. "
+                        "Make sure you're matching the exact text, "
+                        "including whitespace and newlines."
+                    )
+                }
+            if count > 1:
+                return {
+                    "error": (
+                        f"old_text found {count} times — it must be unique. "
+                        "Include more surrounding context to match exactly once."
+                    )
+                }
+            updated = content.replace(old_text, new_text, 1)
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(updated)
+            return {
+                "success": True,
+                "filename": filename,
+                "size_bytes": len(updated.encode("utf-8")),
+                "replacements": 1,
+            }
+        except Exception as e:
+            return {"error": f"Failed to edit data: {str(e)}"}
+
+    def serve_file_to_user(
+        self, filename: str, label: str = ""
+    ) -> dict[str, Any]:
+        """Resolve a stored artifact to a file:// URI envelope (reference
+        data_tools.py:173-228; browser auto-open is a TUI concern and is
+        intentionally not performed here)."""
+        if not self._valid_filename(filename):
+            return {"error": "Invalid filename. Use simple names like 'report.html'"}
+        path = os.path.join(self.root, filename)
+        if not os.path.exists(path):
+            return {"error": f"File not found: {filename}"}
+        full_path = os.path.abspath(path)
+        return {
+            "success": True,
+            "file_uri": f"file://{full_path}",
+            "file_path": full_path,
+            "label": label or filename,
+        }
+
     def truncate_with_spillover(
         self, key: str, df: DataFrame, max_rows: int = 100,
         max_chars: int = 3_000,

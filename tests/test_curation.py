@@ -186,6 +186,8 @@ def test_chunk_text_rejects_bad_params(spark):
         chunk_text(df, window=0, stride=3)
     with pytest.raises(ValueError):
         chunk_text(df, window=4, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_text(df, window=4, stride=5)
 
 
 # ---- property tests (driver-side reimplementation as the oracle) -----------
@@ -277,6 +279,8 @@ def test_mixture_rates_for_targets_achieves_mixture(spark):
         mixture_rates_for_targets({}, {"web": 1.0})
     with pytest.raises(ValueError):
         mixture_rates_for_targets({"web": 10}, {"nope": 1.0})
+    with pytest.raises(ValueError, match="zero counts"):
+        mixture_rates_for_targets({"web": 0, "wiki": 0}, {"web": 1.0, "wiki": 1.0})
 
 
 def test_temperature_weights_properties():

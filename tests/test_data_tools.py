@@ -75,3 +75,38 @@ def test_compact_small_files(store, spark):
     assert sorted(r.id for r in after.collect()) == list(range(60))
     missing = store.compact("nope")
     assert not missing["success"]
+
+
+# ---- text-artifact surface (reference data_tools.py:173-228, 313-377) ------
+
+
+def test_save_text_and_serve(store):
+    assert store.save_text("report.html", "<h1>hi</h1>")["success"]
+    out = store.serve_file_to_user("report.html", label="Report")
+    assert out["success"]
+    assert out["file_uri"].startswith("file:///")
+    assert out["file_uri"].endswith("/report.html")
+    assert out["label"] == "Report"
+    # default label falls back to the filename
+    assert store.serve_file_to_user("report.html")["label"] == "report.html"
+    # missing file and path traversal are rejected
+    assert "error" in store.serve_file_to_user("nope.html")
+    assert "error" in store.serve_file_to_user("../etc/passwd")
+
+
+def test_edit_data_unique_match(store):
+    store.save_text("doc.txt", "alpha PLACEHOLDER omega")
+    out = store.edit_data("doc.txt", "PLACEHOLDER", "beta")
+    assert out["success"] and out["replacements"] == 1
+    assert store.edit_data("doc.txt", "beta", "beta gamma")["success"]
+    loaded = store.serve_file_to_user("doc.txt")
+    with open(loaded["file_path"], encoding="utf-8") as f:
+        assert f.read() == "alpha beta gamma omega"
+
+
+def test_edit_data_rejects_zero_and_multi_match(store):
+    store.save_text("doc.txt", "x y x")
+    assert "not found" in store.edit_data("doc.txt", "zzz", "w")["error"]
+    assert "2 times" in store.edit_data("doc.txt", "x", "w")["error"]
+    assert "error" in store.edit_data("missing.txt", "a", "b")
+    assert "error" in store.edit_data("../doc.txt", "a", "b")
