@@ -347,3 +347,101 @@ def frame_sample(decoded: DataFrame, every_nth: int = 4) -> DataFrame:
     return decoded.filter(F.col("kind") == "video").select(
         "media_id", "width", "height", frames
     )
+
+
+ANNOTATION_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField(
+            "annotations",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("label", T.StringType()),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("x", T.IntegerType()),
+                        T.StructField("y", T.IntegerType()),
+                        T.StructField("w", T.IntegerType()),
+                        T.StructField("h", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _score4(p: int, q: int) -> float:
+    """round(p/q, 4) HALF-UP via integer arithmetic — Python's round()
+    is banker's (half-even) and disagrees with SQL ROUND on exact
+    .xxxx5 ratios (e.g. 17/32); the DIV form matches the oracle's
+    integer formulation bit-for-bit (see text.repetition_stats)."""
+    return ((p * 20000 + q) // (2 * q)) / 10000.0
+
+
+def annotate_media(decoded: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Vision-annotation analog over the media table (reference
+    vision_tool.py:115-349: detect_labels / localize_objects return
+    ``[{description|name, score, bounds}]`` per item).
+
+    Same response shape — ``annotations: array<struct<label, score,
+    x, y, w, h>>`` — produced by a deterministic geometry annotator
+    instead of a cloud vision API (no network in this container; an
+    API-backed annotator would slot into the same kernel). The Spark
+    plumbing is the real thing and is what matters at 100 TB:
+    partition-preserving Arrow-batched ``mapInPandas`` (no shuffle),
+    column-pruned input (the binary column never reaches this stage —
+    it was consumed by decode), typed nested output that downstream
+    DataFrame ops can explode/filter without parsing.
+
+    Labels per visual item: orientation (landscape/portrait/square,
+    center-crop box, score = max(w,h)/(w+h)) and motion
+    (animated/still, full-frame box, score = n_frames/(n_frames+1));
+    audio items get a single 'audio' annotation. All fields are exact
+    integer functions of the decoded geometry, so the DuckDB oracle
+    recomputes them from the synthetic media_id formulas and any
+    annotator regression hash-mismatches.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            anns_col = []
+            for kind, w, h, nf in zip(
+                pdf["kind"], pdf["width"], pdf["height"], pdf["n_frames"]
+            ):
+                w, h, nf = int(w), int(h), int(nf)
+                if kind == "audio" or (w == 0 and h == 0):
+                    anns_col.append(
+                        [("audio", _score4(nf, nf + 1), 0, 0, 0, 0)]
+                    )
+                    continue
+                orient = (
+                    "landscape" if w > h
+                    else "portrait" if w < h
+                    else "square"
+                )
+                anns_col.append(
+                    [
+                        (
+                            orient,
+                            _score4(max(w, h), w + h),
+                            w // 4, h // 4, w // 2, h // 2,
+                        ),
+                        (
+                            "animated" if nf > 1 else "still",
+                            _score4(nf, nf + 1),
+                            0, 0, w, h,
+                        ),
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "annotations": anns_col,
+                }
+            )
+
+    pruned = decoded.select("media_id", "kind", "width", "height", "n_frames")
+    return pruned.mapInPandas(batches, schema=ANNOTATION_SCHEMA)

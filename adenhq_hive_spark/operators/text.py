@@ -174,16 +174,24 @@ def tfidf_top_terms(
 
     tf = in-doc term count (lowercased whitespace tokens); idf =
     ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style); ties broken by
-    term. One explode + two hash aggregations; the (term, df) side is
-    broadcast back onto tf (vocabularies are tiny next to corpora) and
-    the scalar N rides a 1-row broadcast cross join. Per-doc top-k via
-    collect_list + within-row array_sort + slice instead of a
-    row_number window: same single shuffle on doc, but the sort is
-    O(d log d) per document (d = distinct terms) rather than a full
-    sort of every shuffle partition — measured 1.7× faster at the
-    sf1-equivalent scale (2.7 s vs 4.6 s, 50k docs). Tie order
-    (tfidf desc, term asc) matches the window formulation exactly via
-    the (-tfidf, term) struct sort key.
+    term.
+
+    One explode + two hash aggregations, all whole-stage codegen: the
+    (doc, term) tf aggregation rides map-side partial agg (each doc's
+    tokens collapse to counts before the shuffle); the (term, df) side
+    is broadcast back onto tf (vocabularies are tiny next to corpora)
+    and the scalar N rides a 1-row broadcast cross join. An in-row tf
+    formulation (sorted-array run lengths, zero token shuffle) was
+    built and measured SLOWER (1.7 s vs 1.2 s at sf0.1) — interpreted
+    higher-order lambdas lose to codegen'd hash aggregation; see
+    repetition_stats. Per-doc top-k via collect_list + within-row
+    array_sort + slice instead of a row_number window: same single
+    shuffle on doc, but the sort is O(d log d) per document
+    (d = distinct terms) rather than a full sort of every shuffle
+    partition — measured 1.7× faster at the sf1-equivalent scale
+    (2.7 s vs 4.6 s, 50k docs). Tie order (tfidf desc, term asc)
+    matches the window formulation exactly via the (-tfidf, term)
+    struct sort key.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     ex = df.select(
@@ -249,11 +257,18 @@ def repetition_stats(
     Gopher applies before training (Rae et al. 2021, table A1; word-level
     because the corpus is a word stream).
 
-    Shape: one explode + a two-level aggregation keyed on (doc, gram) then
-    doc — the same partial-agg shuffle as any groupBy, nothing pairwise;
-    the composite (doc, gram) key spreads globally-common n-grams across
-    documents, so no single reducer hot-spots. Output: (id_col, n_grams, n_distinct,
-    top_frac, dup_frac, rep_ok).
+    Shape: one explode + a two-level aggregation keyed on (doc, gram)
+    then doc — map-side partial aggregation collapses each document's
+    gram stream to (doc, gram, count) before anything crosses the wire,
+    and the composite (doc, gram) key spreads globally-common n-grams
+    across documents, so no single reducer hot-spots. A zero-shuffle
+    in-row formulation (array_sort + run-length fold over the sorted
+    grams) was BUILT AND MEASURED SLOWER (1.6 s vs 0.8 s at sf0.1):
+    Spark evaluates higher-order-function lambdas interpreted,
+    per-element, outside whole-stage codegen, and that constant beats
+    the partial-agg shuffle even at cluster-unfriendly local scale — so
+    the codegen'd explode + hash-agg stays. Output: (id_col, n_grams,
+    n_distinct, top_frac, dup_frac, rep_ok).
 
     Determinism: the fractions and the keep flag are computed in scaled
     INTEGER arithmetic, never floating division. round(p/q, 4) half-up ==
@@ -270,6 +285,15 @@ def repetition_stats(
     tf_num = int(round(max_top_frac * 10000))
     df_num = int(round(max_dup_frac * 10000))
 
+    def _frac4(p: Column, q: Column) -> Column:
+        # round(p/q, 4) half-up via exact bigint arithmetic:
+        # (p*20000 + q) DIV (2q), emitted as double only at the end.
+        # x - x%y is exactly divisible by y, so the double division is
+        # an exact integer (all values << 2^53).
+        x = p * 20000 + q
+        y = 2 * q
+        return (((x - x % y) / y) / 10000).cast("double")
+
     grams = word_ngrams(F.col(text_col), n, lowercase=True)
     per_gram = (
         df.select(F.col(id_col), F.explode(grams).alias("g"))
@@ -281,24 +305,16 @@ def repetition_stats(
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top_c"),
     )
-
-    def _frac4(p: str) -> Column:
-        # round(p/n_grams, 4) half-up, via exact bigint arithmetic
-        q = F.expr(f"(({p}) * 20000 + n_grams) DIV (2 * n_grams)")
-        return q.cast("double") / 10000
-
+    ng, nd, top = F.col("n_grams"), F.col("n_distinct"), F.col("top_c")
     return per_doc.select(
         id_col,
         "n_grams",
         "n_distinct",
-        _frac4("top_c").alias("top_frac"),
-        _frac4("n_grams - n_distinct").alias("dup_frac"),
+        _frac4(top, ng).alias("top_frac"),
+        _frac4(ng - nd, ng).alias("dup_frac"),
         (
-            (F.col("top_c") * 10000 <= F.col("n_grams") * tf_num)
-            & (
-                (F.col("n_grams") - F.col("n_distinct")) * 10000
-                <= F.col("n_grams") * df_num
-            )
+            (top * 10000 <= ng * tf_num)
+            & ((ng - nd) * 10000 <= ng * df_num)
         ).alias("rep_ok"),
     )
 

@@ -23,6 +23,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import (
+    annotate_media,
     decode_media,
     media_table_from_documents,
     synthetic_media_table,
@@ -498,6 +499,78 @@ Q(QuerySpec(
                       ELSE 2 + doc_id % 10 END AS INT) AS n_frames
         FROM documents
         ORDER BY media_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_media_annotate",
+    doc="Vision-annotation analog (reference vision_tool.py:115-349 "
+        "detect_labels/localize_objects response shape): deterministic "
+        "geometry annotations as ArrayType(StructType) via Arrow-batched "
+        "mapInPandas over the decoded media table "
+        "(operators/multimodal.py:annotate_media), exploded flat for the "
+        "oracle. Every field is an exact integer function of the parsed "
+        "geometry, so the oracle recomputes them from the synthetic "
+        "media_id formulas; scores use the integer half-up DIV form on "
+        "both sides (Python round() is banker's and would tie-flip).",
+    builder=lambda spark, sf: annotate_media(
+        decode_media(
+            synthetic_media_table(load_table(spark, sf, "documents")),
+            decode_stub="real",
+        )
+    )
+    .select("media_id", "kind", F.explode("annotations").alias("a"))
+    .select(
+        "media_id", "kind",
+        F.col("a.label").alias("label"),
+        F.col("a.score").alias("score"),
+        F.col("a.x").alias("x"), F.col("a.y").alias("y"),
+        F.col("a.w").alias("w"), F.col("a.h").alias("h"),
+    )
+    .orderBy("media_id", "label"),
+    oracle_sql_str="""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS kind,
+                 CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                           ELSE 64 + doc_id % 192 END AS INT) AS width,
+                 CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                           ELSE 64 + (doc_id * 7) % 192 END AS INT) AS height,
+                 CAST(CASE doc_id % 3
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN 1000 + (doc_id % 50) * 100
+                        ELSE 2 + doc_id % 10 END AS INT) AS n_frames
+          FROM documents
+        )
+        SELECT media_id, kind, label, score, x, y, w, h FROM (
+          SELECT media_id, kind, 'audio' AS label,
+                 CAST((n_frames * 20000 + (n_frames + 1))
+                      // (2 * (n_frames + 1)) AS DOUBLE) / 10000 AS score,
+                 0 AS x, 0 AS y, 0 AS w, 0 AS h
+          FROM m WHERE kind = 'audio'
+          UNION ALL
+          SELECT media_id, kind,
+                 CASE WHEN width > height THEN 'landscape'
+                      WHEN width < height THEN 'portrait'
+                      ELSE 'square' END AS label,
+                 CAST((greatest(width, height) * 20000 + (width + height))
+                      // (2 * (width + height)) AS DOUBLE) / 10000 AS score,
+                 width // 4 AS x, height // 4 AS y,
+                 width // 2 AS w, height // 2 AS h
+          FROM m WHERE kind <> 'audio'
+          UNION ALL
+          SELECT media_id, kind,
+                 CASE WHEN n_frames > 1 THEN 'animated'
+                      ELSE 'still' END AS label,
+                 CAST((n_frames * 20000 + (n_frames + 1))
+                      // (2 * (n_frames + 1)) AS DOUBLE) / 10000 AS score,
+                 0 AS x, 0 AS y, width AS w, height AS h
+          FROM m WHERE kind <> 'audio'
+        )
+        ORDER BY media_id, label
     """,
 ))
 

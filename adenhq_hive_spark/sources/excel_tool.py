@@ -92,12 +92,18 @@ def _header(cells: list[Any]) -> list[str]:
 
 
 def sheet_to_df(spark: SparkSession, rows: list[list[Any]]) -> DataFrame:
-    """First row = header (with Column_N fallback), cells coerced."""
+    """First row = header (with Column_N fallback), cells coerced.
+
+    Rows wider than the header get ``Column_N`` names for the overflow
+    cells (reference excel_tool.py:115-119: any cell index past the
+    header falls back); short rows are null-padded.
+    """
     if not rows:
         return spark.createDataFrame([], "value STRING")
-    header = _header(rows[0])
+    width = max(len(r) for r in rows)
+    header = _header(rows[0] + [None] * (width - len(rows[0])))
     data = [
-        tuple(coerce_cell(c) for c in (r + [None] * (len(header) - len(r))))
+        tuple(coerce_cell(c) for c in (r + [None] * (width - len(r))))
         for r in rows[1:]
     ]
     if not data:

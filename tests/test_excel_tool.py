@@ -295,3 +295,14 @@ def test_date_roundtrip_through_excel_sql(tmp_path, spark):
     )
     assert res["success"], res.get("error")
     assert [str(r["d"]) for r in res["rows"]] == ["2024-03-05", "2024-03-06"]
+
+
+def test_header_fallback_overflow_cells(spark):
+    """Rows wider than the header: overflow cells get Column_N names
+    (reference excel_tool.py:115-119) instead of breaking the frame."""
+    wb = {"S": [["a", "b"], [1, 2, 3, 4], [5, 6]]}
+    res = excel_read(spark, wb)
+    assert res["columns"] == ["a", "b", "Column_3", "Column_4"]
+    rows = {r["a"]: r for r in res["rows"]}
+    assert rows[1]["Column_3"] == 3 and rows[1]["Column_4"] == 4
+    assert rows[5]["Column_3"] is None and rows[5]["Column_4"] is None

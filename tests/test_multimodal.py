@@ -106,3 +106,35 @@ def test_real_decode_unknown_payload_reports_unknown(spark, media):
     r = decode_media(media.limit(3), decode_stub="real").collect()
     assert all(x.format == "unknown" for x in r)
     assert all((x.width, x.height, x.n_frames) == (0, 0, 0) for x in r)
+
+
+def test_annotate_media_shape_and_determinism(spark):
+    """Vision-annotation analog (reference vision_tool.py:115-349):
+    typed nested output, per-kind label vocabulary, exact geometry."""
+    from adenhq_hive_spark.operators.multimodal import (
+        annotate_media,
+        decode_media,
+        synthetic_media_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "src0") for i in range(12)],
+        ["doc_id", "text", "source"],
+    )
+    out = annotate_media(decode_media(synthetic_media_table(docs),
+                                      decode_stub="real"))
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 12
+    # audio rows (doc_id % 3 == 1): single 'audio' annotation, zero box
+    a = rows[1].annotations
+    assert [x.label for x in a] == ["audio"] and a[0].w == 0
+    # visual rows: orientation + motion, center-crop box halves the frame
+    v = {x.label: x for x in rows[0].annotations}
+    assert set(v) & {"landscape", "portrait", "square"}
+    assert set(v) & {"animated", "still"}
+    orient = next(x for x in rows[0].annotations
+                  if x.label in ("landscape", "portrait", "square"))
+    assert orient.w * 2 in (orient.x * 4, orient.x * 4 + 2)  # w//2 vs w//4
+    # deterministic: re-running yields identical annotations
+    again = {r.media_id: r for r in out.collect()}
+    assert again[0].annotations == rows[0].annotations
