@@ -29,6 +29,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -284,6 +286,66 @@ def chunk_text(
             "chunk_idx",
             F.array_join("chunk_toks", " ").alias("chunk_text"),
             F.size("chunk_toks").alias("n_tokens"),
+        )
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    block: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level dedup: remove repeated ``block``-token passages
+    corpus-wide, keeping each passage's FIRST occurrence in
+    (doc, position) order — the tractable distributed variant of
+    exact-substring dedup (suffix arrays don't shard; fixed-width
+    block hashing does), the standard intra-corpus repeated-passage
+    cleanup between document-level dedup and n-gram decontamination.
+
+    Shape: blocks from :func:`chunk_text` (window == stride: disjoint,
+    every token covered), one window shuffle keyed on md5(block) —
+    a hash key, so globally-common passages spread evenly and there is
+    no hot reducer — then one groupBy(doc) to reassemble survivors in
+    position order. Documents whose every passage was seen earlier
+    survive with n_kept = 0 and the md5 of the empty string, so the
+    output stays one row per non-empty input document.
+
+    Output: (id_col, n_blocks, n_kept, clean_md5).
+    """
+    blocks = chunk_text(
+        df, window=block, stride=block, id_col=id_col, text_col=text_col
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_idx")
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    n_blocks = blocks.groupBy(id_col).agg(F.count("*").alias("n_blocks"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    return (
+        n_blocks.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), F.lit(empty_md5)).alias(
+                "clean_md5"
+            ),
         )
     )
 

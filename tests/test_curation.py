@@ -336,3 +336,30 @@ def test_null_text_propagates_without_corruption(spark):
     pii = {r.doc_id: r for r in pii_redact(df).collect()}
     assert pii[1].redacted is None and pii[1].n_email is None
     assert pii[2].redacted == "real text here now"
+
+
+def test_passage_dedup_first_occurrence_semantics(spark):
+    """Repeated blocks keep only their first (doc, position) occurrence;
+    fully-duplicated docs survive as rows with n_kept = 0."""
+    import hashlib
+
+    from adenhq_hive_spark.operators.curation import passage_dedup
+
+    blk = "b0 b1 b2 b3"  # one 4-token block, shared across docs
+    rows = [
+        (1, blk + " u1 u2 u3 u4"),          # first occurrence of blk
+        (2, blk + " v1 v2 v3 v4"),          # blk deduped, tail kept
+        (3, blk),                            # fully duplicated -> 0 kept
+        (4, "w1 w2 w3 w4 " + blk),          # blk at position 2 deduped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in passage_dedup(df, block=4).collect()}
+    assert len(out) == 4
+    assert (out[1].n_blocks, out[1].n_kept) == (2, 2)
+    assert (out[2].n_blocks, out[2].n_kept) == (2, 1)
+    assert (out[3].n_blocks, out[3].n_kept) == (1, 0)
+    assert out[3].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert (out[4].n_blocks, out[4].n_kept) == (2, 1)
+    # reassembly preserves original token order of the survivors
+    assert out[2].clean_md5 == hashlib.md5(b"v1 v2 v3 v4").hexdigest()
+    assert out[4].clean_md5 == hashlib.md5(b"w1 w2 w3 w4").hexdigest()
