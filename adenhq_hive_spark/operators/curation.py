@@ -290,6 +290,53 @@ def chunk_text(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-domain token-budget subsample: keep whole
+    documents, in md5(id) order, while the domain's running token total
+    stays under its budget — "give me ~N tokens of domain X", the step
+    that turns mixture WEIGHTS into an actual sized training set.
+
+    The md5 order makes the selection a reproducible uniform sample
+    (same property as hash_split) rather than favoring low ids; a doc
+    is kept iff its EXCLUSIVE running sum is under budget, so the
+    budget is overshot by at most one document — exact-k semantics on
+    token granularity. Domains absent from ``budgets`` are dropped.
+    One window per domain partition (no global sort); at 100 TB each
+    domain ranks independently and in parallel.
+
+    Output: df's columns + n_tokens, for the kept rows.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.coalesce(
+        *[
+            F.when(F.col(domain_col) == d, F.lit(int(b)))
+            for d, b in budgets.items()
+        ],
+        F.lit(-1),
+    )
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter((budget >= 0) & (F.col("_cum") < budget))
+        .drop("_cum")
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     block: int = 10,

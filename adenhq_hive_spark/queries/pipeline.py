@@ -948,6 +948,55 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_token_budget",
+    doc="Per-domain token-budget subsample: keep whole docs in md5(id) "
+        "order while the domain's exclusive running token total is "
+        "under budget (src0:500 partial, src1:800 partial, src2:10000 "
+        "full keep, src3:0 drop-all; unlisted domains dropped) — "
+        "mixture weights turned into a sized training set "
+        "(operators/curation.py:token_budget_sample). Oracle: DuckDB "
+        "window with the same exclusive-frame cumsum.",
+    builder=lambda spark, sf: _curation().token_budget_sample(
+        load_table(spark, sf, "documents"),
+        {"src0": 500, "src1": 800, "src2": 10000, "src3": 0},
+    )
+    .groupBy("source")
+    .agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    .orderBy("source"),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        ),
+        c AS (
+          SELECT source, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum
+          FROM t
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM c
+        WHERE cum < CASE source WHEN 'src0' THEN 500
+                                WHEN 'src1' THEN 800
+                                WHEN 'src2' THEN 10000
+                                ELSE 0 END
+        GROUP BY source
+        ORDER BY source
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_passage_dedup",
     doc="Passage-level dedup: repeated 10-token passages removed "
         "corpus-wide, first (doc, position) occurrence kept — the "

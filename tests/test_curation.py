@@ -363,3 +363,28 @@ def test_passage_dedup_first_occurrence_semantics(spark):
     # reassembly preserves original token order of the survivors
     assert out[2].clean_md5 == hashlib.md5(b"v1 v2 v3 v4").hexdigest()
     assert out[4].clean_md5 == hashlib.md5(b"w1 w2 w3 w4").hexdigest()
+
+
+def test_token_budget_sample_semantics(spark):
+    """Budget is enforced on the exclusive running sum (overshoot by at
+    most one doc), selection order is md5(id), zero-budget and unlisted
+    domains are dropped, and the result is deterministic."""
+    from adenhq_hive_spark.operators.curation import token_budget_sample
+
+    rows = [(i, " ".join(["w"] * 10), "a") for i in range(20)]  # 10 toks
+    rows += [(100 + i, "x y z", "b") for i in range(5)]
+    rows += [(200 + i, "p q", "c") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = token_budget_sample(df, {"a": 35, "b": 0})
+    got = {r.source: [] for r in out.collect()}
+    for r in out.collect():
+        got[r.source].append(r)
+    # domain a: docs kept while exclusive cumsum < 35 -> 4 docs (40 toks)
+    assert len(got["a"]) == 4 and sum(r.n_tokens for r in got["a"]) == 40
+    # zero budget and unlisted domain produce nothing
+    assert "b" not in got and "c" not in got
+    # md5 order: kept set matches a driver-side reference
+    order = sorted(range(20), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert sorted(r.doc_id for r in got["a"]) == sorted(order[:4])
+    with pytest.raises(ValueError):
+        token_budget_sample(df, {})
