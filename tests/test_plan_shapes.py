@@ -368,3 +368,44 @@ def test_corpus_snapshot_partition_prunes_by_split(spark, tmp_path):
         spark.read.parquet(out).filter(F.col("split") == "train").count()
         == n_train
     )
+
+
+def test_passage_dedup_windows_on_block_hash_not_global(spark):
+    """First-occurrence selection must window on the md5 block key —
+    hash-distributed, no hot reducer — never a single global partition;
+    and the plan must contain no cartesian/broadcast-NL join."""
+    from adenhq_hive_spark.operators.curation import passage_dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = passage_dedup(docs, block=10)
+    # the window key is the md5 of the block (projected to a _w alias in
+    # the physical plan, so check the analyzed plan for the spec)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "md5(" in logical and "windowspecdefinition" in logical
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_sample_windows_per_domain(spark):
+    """The running token sum must window WITHIN each domain (parallel
+    across domains), never globally serialize the corpus."""
+    from adenhq_hive_spark.operators.curation import token_budget_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(token_budget_sample(docs, {"src0": 500, "src1": 800}))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_grep_df_filter_is_jvm_side(spark, tmp_path):
+    """grep_df must evaluate the regex as a JVM rlike Filter — no
+    Python evaluation (BatchEvalPython) in the scan loop."""
+    from adenhq_hive_spark.sources.grep_tool import grep_df
+
+    f = tmp_path / "x.txt"
+    f.write_text("alpha\nbeta\n")
+    plan = _plan(grep_df(spark, str(f), "a"))
+    assert "RLIKE" in plan or "rlike" in plan
+    assert "BatchEvalPython" not in plan
