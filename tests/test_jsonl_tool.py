@@ -85,3 +85,17 @@ def test_write_jsonl_dataset_partitioned_export(spark, tmp_path):
     # partition pruning: one split reads only its directory
     train = spark.read.json(out + "/split=train")
     assert train.count() == 2
+
+
+def test_read_gzip_compressed(spark, tmp_path):
+    """Real dumps arrive compressed; the .gz path must read identically
+    (Spark decompresses by extension, no flag needed)."""
+    import gzip
+
+    p = tmp_path / "c.jsonl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        for i in range(5):
+            f.write(json.dumps({"doc_id": i, "text": f"d{i}"}) + "\n")
+    res = jsonl_read(spark, str(p), limit=10)
+    assert res["success"] and res["total_rows"] == 5
+    assert sorted(r["doc_id"] for r in res["rows"]) == list(range(5))
