@@ -412,8 +412,11 @@ def annotate_media(decoded: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             ):
                 w, h, nf = int(w), int(h), int(nf)
                 if kind == "audio" or (w == 0 and h == 0):
+                    # no geometry to annotate: audio payloads by design,
+                    # visual payloads whose container failed to parse
+                    label = "audio" if kind == "audio" else "unknown"
                     anns_col.append(
-                        [("audio", _score4(nf, nf + 1), 0, 0, 0, 0)]
+                        [(label, _score4(nf, nf + 1), 0, 0, 0, 0)]
                     )
                     continue
                 orient = (

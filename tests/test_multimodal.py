@@ -138,3 +138,22 @@ def test_annotate_media_shape_and_determinism(spark):
     # deterministic: re-running yields identical annotations
     again = {r.media_id: r for r in out.collect()}
     assert again[0].annotations == rows[0].annotations
+
+
+def test_annotate_media_unparseable_visual_labeled_unknown(spark):
+    """A visual payload whose container failed to parse (0x0 geometry)
+    must be labeled 'unknown', not 'audio'."""
+    from adenhq_hive_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        annotate_media,
+    )
+
+    decoded = spark.createDataFrame(
+        [(1, "image", "unknown", 0, 0, 0, []),
+         (2, "audio", "wav", 0, 0, 100, [])],
+        schema=DECODED_SCHEMA,
+    )
+    out = {r.media_id: r for r in annotate_media(decoded).collect()}
+    assert [a.label for a in out[1].annotations] == ["unknown"]
+    assert [a.label for a in out[2].annotations] == ["audio"]
+    assert out[1].annotations[0].w == 0
