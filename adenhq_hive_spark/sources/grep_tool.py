@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import re
 from typing import Any
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,13 +101,16 @@ def grep_search(
         df = grep_df(spark, path, pattern, recursive=recursive)
         rows = df.limit(max_matches + 1).collect()
         truncated = len(rows) > max_matches
+        base = path if os.path.isdir(path) else os.path.dirname(path) or "."
+
+        def display(uri: str) -> str:
+            # input_file_name() yields a percent-encoded file: URI
+            p = unquote(uri[len("file:"):]) if uri.startswith("file:") else uri
+            return os.path.relpath(p, base)
+
         matches = [
             {
-                "file": os.path.relpath(
-                    r.file[len("file:"):] if r.file.startswith("file:")
-                    else r.file,
-                    path if os.path.isdir(path) else os.path.dirname(path) or ".",
-                ),
+                "file": display(r.file),
                 "line_number": r.line_number,
                 "line_content": r.line_content.strip(),
             }

@@ -64,3 +64,14 @@ def test_grep_df_glob_filter(spark, tree):
     files = {r.file for r in df.select("file").distinct().collect()}
     assert len(files) == 2
     assert all(f.endswith(".py") for f in files)
+
+
+def test_grep_path_with_spaces_decoded(spark, tmp_path):
+    """input_file_name() percent-encodes the file URI; the display path
+    must come back decoded."""
+    d = tmp_path / "my dir"
+    d.mkdir()
+    (d / "a file.txt").write_text("needle here\n")
+    out = grep_search(spark, str(d), "needle")
+    assert out["total_matches"] == 1
+    assert out["matches"][0]["file"] == "a file.txt"
