@@ -388,3 +388,40 @@ def test_token_budget_sample_semantics(spark):
     assert sorted(r.doc_id for r in got["a"]) == sorted(order[:4])
     with pytest.raises(ValueError):
         token_budget_sample(df, {})
+
+
+def test_token_budget_property_prefix_and_bound(spark):
+    """For arbitrary corpora and budgets: the kept set per domain is
+    exactly the maximal md5-order prefix whose exclusive running sum is
+    under budget — never exceeding budget by more than one document."""
+    import random
+
+    from adenhq_hive_spark.operators.curation import token_budget_sample
+
+    rng = random.Random(11)
+    rows, budgets = [], {}
+    for d in range(4):
+        dom = f"d{d}"
+        budgets[dom] = rng.randint(0, 120)
+        for i in range(rng.randint(0, 15)):
+            doc_id = d * 1000 + i
+            n = rng.randint(1, 30)
+            rows.append((doc_id, " ".join(["w"] * n), dom))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {}
+    for r in token_budget_sample(df, budgets).collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+    # driver-side reference: md5-order exclusive-cumsum prefix
+    for dom, budget in budgets.items():
+        docs = [(i, t) for i, t, s in rows if s == dom]
+        docs.sort(key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(),
+                                 p[0]))
+        kept, cum = set(), 0
+        for i, t in docs:
+            if cum < budget:
+                kept.add(i)
+            cum += len(t.split())
+        assert got.get(dom, set()) == kept, dom
+        kept_tokens = sum(len(t.split()) for i, t in docs if i in kept)
+        max_doc = max((len(t.split()) for i, t in docs), default=0)
+        assert kept_tokens <= budget + max_doc
