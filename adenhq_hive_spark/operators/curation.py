@@ -342,13 +342,19 @@ def passage_dedup(
     block: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scope: str = "corpus",
 ) -> DataFrame:
-    """Passage-level dedup: remove repeated ``block``-token passages
-    corpus-wide, keeping each passage's FIRST occurrence in
-    (doc, position) order — the tractable distributed variant of
-    exact-substring dedup (suffix arrays don't shard; fixed-width
-    block hashing does), the standard intra-corpus repeated-passage
-    cleanup between document-level dedup and n-gram decontamination.
+    """Passage-level dedup: remove repeated ``block``-token passages,
+    keeping each passage's FIRST occurrence in (doc, position) order —
+    the tractable distributed variant of exact-substring dedup (suffix
+    arrays don't shard; fixed-width block hashing does).
+
+    ``scope='corpus'`` dedups across the whole corpus (the standard
+    intra-corpus repeated-passage cleanup between document-level dedup
+    and n-gram decontamination). ``scope='doc'`` dedups only WITHIN
+    each document (boilerplate/repeated-line trimming a la RefinedWeb
+    line dedup) — the window key gains the doc id, so the shuffle is
+    per-document and no cross-document state exists at all.
 
     Shape: blocks from :func:`chunk_text` (window == stride: disjoint,
     every token covered), one window shuffle keyed on md5(block) —
@@ -360,10 +366,17 @@ def passage_dedup(
 
     Output: (id_col, n_blocks, n_kept, clean_md5).
     """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     blocks = chunk_text(
         df, window=block, stride=block, id_col=id_col, text_col=text_col
     ).filter(F.col("n_tokens") > 0)
-    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_idx")
+    part = (
+        [F.md5("chunk_text")]
+        if scope == "corpus"
+        else [F.col(id_col), F.md5("chunk_text")]
+    )
+    w = Window.partitionBy(*part).orderBy(id_col, "chunk_idx")
     kept = (
         blocks.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

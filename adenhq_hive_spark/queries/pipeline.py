@@ -1046,6 +1046,54 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_intradoc_dedup",
+    doc="Within-document repeated-passage trim (RefinedWeb-style line "
+        "dedup analog): 10-token blocks deduped per doc, first position "
+        "kept (operators/curation.py:passage_dedup scope='doc'; the "
+        "window partitions on (doc, block-hash) so no cross-document "
+        "state exists). Oracle: same CTE chain with doc_id in the "
+        "ROW_NUMBER partition.",
+    builder=lambda spark, sf: _curation().passage_dedup(
+        load_table(spark, sf, "documents"), block=10, scope="doc"
+    ).orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                 array_to_string(tk[(i*10+1):((i+1)*10)], ' ')
+                   AS chunk_text
+          FROM t, LATERAL unnest(
+              range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS u(i)
+          WHERE len(tk) > 0
+        ),
+        k AS (
+          SELECT doc_id, chunk_idx, chunk_text,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, md5(chunk_text)
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM b
+        ),
+        nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+        kk AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx))
+                   AS clean_md5
+          FROM k WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT nb.doc_id,
+               CAST(nb.n_blocks AS BIGINT) AS n_blocks,
+               CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(kk.clean_md5, md5('')) AS clean_md5
+        FROM nb LEFT JOIN kk USING (doc_id)
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_stratified_sample",
     doc="Exact-k-per-stratum deterministic sample (k=10 per source): "
         "rank by md5(id) within stratum, keep the first k — exact counts "

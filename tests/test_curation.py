@@ -425,3 +425,19 @@ def test_token_budget_property_prefix_and_bound(spark):
         kept_tokens = sum(len(t.split()) for i, t in docs if i in kept)
         max_doc = max((len(t.split()) for i, t in docs), default=0)
         assert kept_tokens <= budget + max_doc
+
+
+def test_passage_dedup_doc_scope_keeps_cross_doc_repeats(spark):
+    """scope='doc': repeats are trimmed within a document but identical
+    passages in OTHER documents are untouched."""
+    from adenhq_hive_spark.operators.curation import passage_dedup
+
+    blk = "b0 b1 b2 b3"
+    df = spark.createDataFrame(
+        [(1, blk + " " + blk), (2, blk)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in passage_dedup(df, block=4, scope="doc").collect()}
+    assert (out[1].n_blocks, out[1].n_kept) == (2, 1)  # intra-doc trim
+    assert (out[2].n_blocks, out[2].n_kept) == (1, 1)  # cross-doc kept
+    with pytest.raises(ValueError, match="scope"):
+        passage_dedup(df, block=4, scope="global")
