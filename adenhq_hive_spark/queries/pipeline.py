@@ -996,19 +996,11 @@ Q(QuerySpec(
 ))
 
 
-Q(QuerySpec(
-    name="pl_passage_dedup",
-    doc="Passage-level dedup: repeated 10-token passages removed "
-        "corpus-wide, first (doc, position) occurrence kept — the "
-        "distributed stand-in for exact-substring dedup "
-        "(operators/curation.py:passage_dedup; disjoint chunk_text "
-        "blocks + one md5-keyed window + positional reassembly). "
-        "Oracle: DuckDB range-sliced blocks + ROW_NUMBER + ordered "
-        "string_agg.",
-    builder=lambda spark, sf: _curation().passage_dedup(
-        load_table(spark, sf, "documents"), block=10
-    ).orderBy("doc_id"),
-    oracle_sql_str="""
+def _passage_dedup_oracle(partition: str) -> str:
+    """Shared DuckDB oracle for the passage-dedup family; ``partition``
+    is the ROW_NUMBER key — md5(chunk_text) for corpus scope,
+    (doc_id, md5(chunk_text)) for within-document scope."""
+    return f"""
         WITH t AS (
           SELECT doc_id,
                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -1024,7 +1016,7 @@ Q(QuerySpec(
         ),
         k AS (
           SELECT doc_id, chunk_idx, chunk_text,
-                 ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                 ROW_NUMBER() OVER (PARTITION BY {partition}
                                     ORDER BY doc_id, chunk_idx) AS rn
           FROM b
         ),
@@ -1041,7 +1033,22 @@ Q(QuerySpec(
                COALESCE(kk.clean_md5, md5('')) AS clean_md5
         FROM nb LEFT JOIN kk USING (doc_id)
         ORDER BY doc_id
-    """,
+    """
+
+
+Q(QuerySpec(
+    name="pl_passage_dedup",
+    doc="Passage-level dedup: repeated 10-token passages removed "
+        "corpus-wide, first (doc, position) occurrence kept — the "
+        "distributed stand-in for exact-substring dedup "
+        "(operators/curation.py:passage_dedup; disjoint chunk_text "
+        "blocks + one md5-keyed window + positional reassembly). "
+        "Oracle: DuckDB range-sliced blocks + ROW_NUMBER + ordered "
+        "string_agg.",
+    builder=lambda spark, sf: _curation().passage_dedup(
+        load_table(spark, sf, "documents"), block=10
+    ).orderBy("doc_id"),
+    oracle_sql_str=_passage_dedup_oracle("md5(chunk_text)"),
 ))
 
 
@@ -1056,40 +1063,7 @@ Q(QuerySpec(
     builder=lambda spark, sf: _curation().passage_dedup(
         load_table(spark, sf, "documents"), block=10, scope="doc"
     ).orderBy("doc_id"),
-    oracle_sql_str="""
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS tk
-          FROM documents
-        ),
-        b AS (
-          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-                 array_to_string(tk[(i*10+1):((i+1)*10)], ' ')
-                   AS chunk_text
-          FROM t, LATERAL unnest(
-              range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS u(i)
-          WHERE len(tk) > 0
-        ),
-        k AS (
-          SELECT doc_id, chunk_idx, chunk_text,
-                 ROW_NUMBER() OVER (PARTITION BY doc_id, md5(chunk_text)
-                                    ORDER BY doc_id, chunk_idx) AS rn
-          FROM b
-        ),
-        nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
-        kk AS (
-          SELECT doc_id, COUNT(*) AS n_kept,
-                 md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx))
-                   AS clean_md5
-          FROM k WHERE rn = 1 GROUP BY doc_id
-        )
-        SELECT nb.doc_id,
-               CAST(nb.n_blocks AS BIGINT) AS n_blocks,
-               CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
-               COALESCE(kk.clean_md5, md5('')) AS clean_md5
-        FROM nb LEFT JOIN kk USING (doc_id)
-        ORDER BY doc_id
-    """,
+    oracle_sql_str=_passage_dedup_oracle("doc_id, md5(chunk_text)"),
 ))
 
 
