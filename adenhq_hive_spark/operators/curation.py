@@ -525,3 +525,82 @@ def pack_chunks(
             ).alias("packed_text"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: which documents were
+    added, removed, changed, or left unchanged between an old and a new
+    snapshot — the bookkeeping step of an incremental ingestion pipeline
+    (pairs with ``dedup_incremental``, which answers the *near-dup*
+    question for the same batch-vs-corpus shape).
+
+    Content identity is ``md5(text)`` — engine-portable (the oracle runs
+    the same function) and computed MAP-SIDE before the join, so only
+    (id, 32-hex) pairs shuffle, never the document bodies. The diff
+    itself is one full outer join hash-partitioned on ``id_col``; at
+    100 TB both snapshots co-partition on the same key and AQE handles
+    residual skew. Output: (id, status, old_md5, new_md5) with nulls on
+    the missing side.
+    """
+    oldh = old.select(
+        F.col(id_col).alias(id_col), F.md5(F.col(text_col)).alias("old_md5")
+    )
+    newh = new.select(
+        F.col(id_col).alias(id_col), F.md5(F.col(text_col)).alias("new_md5")
+    )
+    j = oldh.join(newh, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"), "old_md5", "new_md5")
+
+
+HEX_ALPHABET = "0123456789abcdef"
+
+
+def shuffle_shard(
+    df: DataFrame,
+    shard_hex_chars: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export.
+
+    Training runs want the corpus in a random-but-reproducible order,
+    split into a fixed number of shards. ``ORDER BY rand()`` is neither
+    reproducible nor scalable (one global sort); this operator routes
+    each row to shard ``int(md5(id)[:k], 16)`` (16**k shards) and orders
+    it WITHIN the shard by the full md5 — so the expensive step is
+    16**k independent shard-local sorts (one hash shuffle partitioned
+    by shard, then sort within partition: exactly what the row_number
+    window compiles to), never a total order over the corpus.
+
+    The hex→int conversion is per-character ``instr`` arithmetic over
+    '0123456789abcdef' so the identical expression runs on DuckDB
+    (strpos) — no engine-specific hex parsing (ROADMAP invariant: hash
+    routing must stay engine-portable).
+
+    Output: (shard_id, pos, id) — pos is 1-based and contiguous within
+    each shard; the (shard_id, pos) pair is a stable global address for
+    every document, unchanged by re-runs or repartitioning.
+    """
+    if not 1 <= shard_hex_chars <= 4:
+        raise ValueError("shard_hex_chars must be in 1..4")
+    h = F.md5(F.col(id_col).cast("string"))
+    shard: Column = F.lit(0)
+    for i in range(1, shard_hex_chars + 1):
+        digit = F.instr(F.lit(HEX_ALPHABET), F.substring(h, i, 1)) - 1
+        shard = shard * 16 + digit
+    w = Window.partitionBy("shard_id").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"), shard.alias("shard_id"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("shard_id", "pos", id_col)
+    )

@@ -1804,3 +1804,85 @@ Q(QuerySpec(
         FROM documents
     """,
 ))
+
+
+# ---- incremental snapshot bookkeeping -------------------------------------
+
+def _snapshot_diff_builder(spark, sf):
+    """Old snapshot = documents minus the 3-suffixed ids (those arrive
+    later); new snapshot = documents minus the 7-suffixed ids, with every
+    multiple-of-5 doc revised — exercising all four diff statuses."""
+    from ..operators.curation import snapshot_diff
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
+Q(QuerySpec(
+    name="pl_snapshot_diff",
+    doc="Corpus snapshot diff (added/removed/changed/unchanged between an "
+        "old and a new ingestion snapshot) via map-side md5(text) + one "
+        "full outer join on doc_id — only (id, hash) pairs shuffle, never "
+        "document bodies (operators/curation.py:snapshot_diff). The "
+        "incremental-pipeline bookkeeping twin of pl_dedup_incremental.",
+    builder=_snapshot_diff_builder,
+    oracle_sql_str="""
+        WITH old AS (
+          SELECT doc_id, md5(text) AS old_md5
+          FROM documents WHERE doc_id % 10 <> 3
+        ), new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                          ELSE text END) AS new_md5
+          FROM documents WHERE doc_id % 10 <> 7
+        )
+        SELECT doc_id,
+               CASE WHEN old_md5 IS NULL THEN 'added'
+                    WHEN new_md5 IS NULL THEN 'removed'
+                    WHEN old_md5 <> new_md5 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               old_md5, new_md5
+        FROM old FULL OUTER JOIN new USING (doc_id)
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_shuffle_shard",
+    doc="Deterministic global shuffle + 16-way sharding for training "
+        "export: shard = first md5 hex digit (per-character instr "
+        "arithmetic — engine-portable), position = row_number within the "
+        "shard ordered by full md5. Compiles to ONE hash shuffle on "
+        "shard_id + shard-local sorts; no total order over the corpus at "
+        "any scale (operators/curation.py:shuffle_shard).",
+    builder=lambda spark, sf: _curation().shuffle_shard(
+        load_table(spark, sf, "documents"), shard_hex_chars=1
+    ).select(
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "doc_id",
+    ).orderBy("shard_id", "pos"),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        )
+        SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                    AS BIGINT) AS shard_id,
+               CAST(row_number() OVER (
+                   PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+               ) AS BIGINT) AS pos,
+               doc_id
+        FROM t
+        ORDER BY shard_id, pos
+    """,
+))

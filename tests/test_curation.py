@@ -441,3 +441,58 @@ def test_passage_dedup_doc_scope_keeps_cross_doc_repeats(spark):
     assert (out[2].n_blocks, out[2].n_kept) == (1, 1)  # cross-doc kept
     with pytest.raises(ValueError, match="scope"):
         passage_dedup(df, block=4, scope="global")
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from adenhq_hive_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert rows[1].status == "unchanged"
+    assert rows[2].status == "changed"
+    assert rows[3].status == "removed" and rows[3].new_md5 is None
+    assert rows[4].status == "added" and rows[4].old_md5 is None
+    assert rows[1].old_md5 == hashlib.md5(b"alpha").hexdigest()
+
+
+def test_shuffle_shard_stable_address_and_contiguous_positions(spark):
+    from adenhq_hive_spark.operators.curation import shuffle_shard
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = shuffle_shard(df, shard_hex_chars=1).collect()
+    assert len(out) == 200
+    assert {r.doc_id for r in out} == set(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard_id < 16
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # shard routing follows md5(id) — independently recomputable
+    for r in out[:20]:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        assert r.shard_id == int(h[0], 16)
+    # deterministic under repartitioning: the (shard, pos) address of
+    # every row is identical when the input partition layout changes
+    again = shuffle_shard(df.repartition(7), shard_hex_chars=1).collect()
+    assert {(r.shard_id, r.pos, r.doc_id) for r in again} == {
+        (r.shard_id, r.pos, r.doc_id) for r in out
+    }
+
+
+def test_shuffle_shard_two_hex_chars_and_bounds(spark):
+    from adenhq_hive_spark.operators.curation import shuffle_shard
+
+    df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = shuffle_shard(df, shard_hex_chars=2).collect()
+    for r in out:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        assert r.shard_id == int(h[:2], 16)
+    with pytest.raises(ValueError):
+        shuffle_shard(df, shard_hex_chars=0)

@@ -409,3 +409,44 @@ def test_grep_df_filter_is_jvm_side(spark, tmp_path):
     plan = _plan(grep_df(spark, str(f), "a"))
     assert "RLIKE" in plan or "rlike" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shuffle_shard_no_global_sort(spark):
+    """Sharding must be shard-local sorts behind one hash shuffle on
+    shard_id — a global total order (Sort global=true / SinglePartition
+    window) would serialize the corpus at scale."""
+    from adenhq_hive_spark.operators.curation import shuffle_shard
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(shuffle_shard(docs))
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+    # every physical Sort is partition-local (global flag false)
+    for seg in plan.split("Sort [")[1:]:
+        flags = seg.split("]", 1)[1]
+        assert flags.lstrip().startswith(", false") or flags.startswith(
+            ", false"
+        ), seg[:120]
+
+
+def test_snapshot_diff_hashes_before_join(spark):
+    """md5 must be computed map-side (project under the exchange) so only
+    (id, hash) pairs shuffle — the full text column must not cross the
+    full-outer-join exchange."""
+    from adenhq_hive_spark.operators.curation import snapshot_diff
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    df = snapshot_diff(old, docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "FullOuter" in plan
+    exchanges = [
+        blk for blk in plan.split("\n\n") if blk.lstrip().startswith("(")
+        and ") Exchange" in blk.split("\n")[0]
+    ]
+    assert exchanges, plan
+    for blk in exchanges:
+        input_line = next(l for l in blk.split("\n") if l.startswith("Input"))
+        assert "text#" not in input_line, blk
