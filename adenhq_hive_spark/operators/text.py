@@ -32,6 +32,18 @@ def _marker_hits(text_col: str, markers: list[str]) -> Column:
     )
 
 
+def frac4(p: Column, q: Column) -> Column:
+    """round(p/q, 4) half-up via exact bigint arithmetic — the portable
+    emitted-fraction form (driver/oracle contract): (p*20000 + q) DIV
+    (2q), divided by 10000 only at emission. x - x%y is exactly divisible
+    by y, so the double division is an exact integer (values << 2^53);
+    no floating-point representation ties exist for either engine to
+    round differently."""
+    x = p * 20000 + q
+    y = 2 * q
+    return (((x - x % y) / y) / 10000).cast("double")
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of marker-lexicon hits.
 
@@ -285,14 +297,7 @@ def repetition_stats(
     tf_num = int(round(max_top_frac * 10000))
     df_num = int(round(max_dup_frac * 10000))
 
-    def _frac4(p: Column, q: Column) -> Column:
-        # round(p/q, 4) half-up via exact bigint arithmetic:
-        # (p*20000 + q) DIV (2q), emitted as double only at the end.
-        # x - x%y is exactly divisible by y, so the double division is
-        # an exact integer (all values << 2^53).
-        x = p * 20000 + q
-        y = 2 * q
-        return (((x - x % y) / y) / 10000).cast("double")
+    _frac4 = frac4  # module-level portable-rounding helper
 
     grams = word_ngrams(F.col(text_col), n, lowercase=True)
     per_gram = (
@@ -355,4 +360,136 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_toks"),
         F.round(F.avg("neg_logp"), 4).alias("avg_neg_logp"),
+    )
+
+
+# Gopher quality-rule constants (Rae et al. 2021, table A1 — public).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-rule booleans (Rae et al. 2021,
+    table A1): word-count bounds, mean word length in [3, 10], symbol-
+    to-word ratio (# / '...') < 0.1, < 90% bullet-started lines, < 30%
+    ellipsis-ended lines, >= 80% of words containing an alphabetic
+    character, and >= ``min_stop_hits`` distinct stopwords present.
+
+    ``quality_score`` is the soft composite feature vector; this is the
+    published hard-rule battery — a doc survives iff every rule passes
+    (``gopher_ok``).
+
+    Map-only column expressions end to end (one regex pass per metric,
+    no shuffle); every emitted fraction and every threshold compare is
+    exact integer arithmetic (see ``frac4``) so the DuckDB oracle
+    hash-matches bit-for-bit.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(t, r"\n"), lambda l: l != "")
+    n_words = F.size(words)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    # total characters across words (whitespace removed)
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    symbol_hits = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    q = F.greatest(n_words, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        frac4(word_chars, q).alias("mean_word_len"),
+        frac4(symbol_hits, q).alias("symbol_frac"),
+        frac4(bullet_lines, n_lines).alias("bullet_frac"),
+        frac4(ellipsis_lines, n_lines).alias("ellipsis_frac"),
+        frac4(alpha_words, q).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_words"),
+        # 3 <= word_chars/n_words <= 10, exact rational compare
+        ((word_chars >= 3 * q) & (word_chars <= 10 * q)).alias(
+            "ok_mean_word_len"
+        ),
+        (symbol_hits * 10 < q).alias("ok_symbol"),
+        (bullet_lines * 10 < 9 * n_lines).alias("ok_bullet"),
+        (ellipsis_lines * 10 < 3 * n_lines).alias("ok_ellipsis"),
+        (alpha_words * 10 >= 8 * q).alias("ok_alpha"),
+        (stop_hits >= min_stop_hits).alias("ok_stop"),
+        (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (word_chars >= 3 * q) & (word_chars <= 10 * q)
+            & (symbol_hits * 10 < q)
+            & (bullet_lines * 10 < 9 * n_lines)
+            & (ellipsis_lines * 10 < 3 * n_lines)
+            & (alpha_words * 10 >= 8 * q)
+            & (stop_hits >= min_stop_hits)
+        ).alias("gopher_ok"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2):
+    keep only lines that end in a terminal punctuation mark, have at
+    least ``min_line_words`` words and don't mention javascript; drop
+    the whole page when fewer than ``min_kept_lines`` lines survive, or
+    when the page contains 'lorem ipsum' or a '{'.
+
+    Everything is per-row array algebra over split lines (filter /
+    aggregate higher-order functions) — map-only, no explode, no
+    shuffle: the line filter never changes row count, so at 100 TB this
+    is a pure scan→project stage. Output per page: line counts, the
+    drop-reason booleans, the keep verdict, and md5 of the cleaned
+    (kept-lines-rejoined) text for downstream exact dedup.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+            >= min_line_words
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    low = F.lower(t)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = low.contains("{")
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("c4_kept"),
+        F.md5(clean).alias("clean_md5"),
     )

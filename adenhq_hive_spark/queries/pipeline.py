@@ -1886,3 +1886,143 @@ Q(QuerySpec(
         ORDER BY shard_id, pos
     """,
 ))
+
+
+# ---- published filter batteries (Gopher, C4) ------------------------------
+
+Q(QuerySpec(
+    name="pl_gopher_rules",
+    doc="Published Gopher quality-rule battery per document (Rae et al. "
+        "2021, table A1): word-count bounds, mean word length, symbol "
+        "ratio, bullet/ellipsis line fractions, alpha-word fraction, "
+        "stopword presence, and the all-rules keep verdict "
+        "(operators/text.py:gopher_rules). Map-only, no shuffle; every "
+        "fraction and threshold is exact integer arithmetic. "
+        "min_stop_hits=1 here: the synthetic corpus vocabulary contains "
+        "only 'the' from the published stopword list.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["gopher_rules"]
+    ).gopher_rules(
+        load_table(spark, sf, "documents"), min_stop_hits=1
+    ).orderBy("doc_id"),
+    oracle_sql_str=r"""
+        WITH b AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(string_split_regex(text, '\n'),
+                             x -> x <> '') AS lines,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+                 len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.')) AS symbol_hits,
+                 text
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 greatest(len(lines), 1) AS n_lines,
+                 word_chars, symbol_hits,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                   AS ellipsis_lines,
+                 len(list_filter(words,
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                 len(list_intersect(list_transform(words, w -> lower(w)),
+                     ['the','be','to','of','and','that','have','with']))
+                   AS stop_hits,
+                 greatest(len(words), 1) AS q
+          FROM b
+        )
+        SELECT doc_id, n_words, n_lines,
+               CAST((word_chars * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS mean_word_len,
+               CAST((symbol_hits * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS symbol_frac,
+               CAST((bullet_lines * 20000 + n_lines) // (2 * n_lines)
+                    AS DOUBLE) / 10000 AS bullet_frac,
+               CAST((ellipsis_lines * 20000 + n_lines) // (2 * n_lines)
+                    AS DOUBLE) / 10000 AS ellipsis_frac,
+               CAST((alpha_words * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS alpha_word_frac,
+               stop_hits,
+               (n_words >= 50 AND n_words <= 100000) AS ok_words,
+               (word_chars >= 3 * q AND word_chars <= 10 * q)
+                 AS ok_mean_word_len,
+               (symbol_hits * 10 < q) AS ok_symbol,
+               (bullet_lines * 10 < 9 * n_lines) AS ok_bullet,
+               (ellipsis_lines * 10 < 3 * n_lines) AS ok_ellipsis,
+               (alpha_words * 10 >= 8 * q) AS ok_alpha,
+               (stop_hits >= 1) AS ok_stop,
+               (n_words >= 50 AND n_words <= 100000
+                AND word_chars >= 3 * q AND word_chars <= 10 * q
+                AND symbol_hits * 10 < q
+                AND bullet_lines * 10 < 9 * n_lines
+                AND ellipsis_lines * 10 < 3 * n_lines
+                AND alpha_words * 10 >= 8 * q
+                AND stop_hits >= 1) AS gopher_ok
+        FROM m
+        ORDER BY doc_id
+    """,
+))
+
+
+def _c4_filter_builder(spark, sf):
+    """Synthesize multi-line 'pages' from the single-line synthetic docs
+    (every 10th word boundary becomes '.\\n' — a portable regex both
+    engines apply identically), then run the C4 line battery."""
+    from ..operators.text import c4_line_filter
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "page",
+        F.regexp_replace(
+            F.col("text"), r"((\S+\s+){9}\S+)\s+", "$1.\n"
+        ),
+    )
+    return c4_line_filter(docs, text_col="page").orderBy("doc_id")
+
+
+Q(QuerySpec(
+    name="pl_c4_filter",
+    doc="C4-style line-level page cleaning (Raffel et al. 2020 §2.2): "
+        "terminal-punctuation lines of >= 5 words without 'javascript' "
+        "survive; pages need >= 3 surviving lines and no lorem-ipsum/'{' "
+        "(operators/text.py:c4_line_filter). Per-row array algebra — "
+        "map-only, row count never changes, pure scan→project at any "
+        "scale. Emits the cleaned-text md5 for downstream exact dedup.",
+    builder=_c4_filter_builder,
+    oracle_sql_str=r"""
+        WITH p AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+\s+){9}\S+)\s+',
+                                '\1.' || chr(10), 'g') AS page
+          FROM documents
+        ), l AS (
+          SELECT doc_id, page,
+                 list_filter(string_split_regex(page, '\n'),
+                             x -> trim(x) <> '') AS lines
+          FROM p
+        ), k AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, li ->
+                     regexp_matches(li, '[.!?"]\s*$')
+                     AND len(list_filter(string_split_regex(li, '\s+'),
+                                         w -> w <> '')) >= 5
+                     AND NOT contains(lower(li), 'javascript')) AS kept,
+                 contains(lower(page), 'lorem ipsum') AS has_lorem,
+                 contains(lower(page), '{') AS has_brace
+          FROM l
+        )
+        SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+               has_lorem, has_brace,
+               (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace)
+                 AS c4_kept,
+               -- DuckDB array_to_string([]) is NULL, Spark array_join([])
+               -- is '' — coalesce to match the engine's md5('')
+               md5(COALESCE(array_to_string(kept, chr(10)), ''))
+                 AS clean_md5
+        FROM k
+        ORDER BY doc_id
+    """,
+))

@@ -288,3 +288,59 @@ def test_bpe_char_level_matches_python_reference(spark):
     assert merges == exp
     # no learned merge starts at a word boundary
     assert all(left != END_OF_WORD for left, _, _ in merges)
+
+
+def test_gopher_rules_golden(spark):
+    from adenhq_hive_spark.operators.text import gopher_rules
+
+    rows = [
+        # 57 words, all rules pass (plenty of stopwords)
+        (1, "The quick brown fox jumps over the lazy dog and runs off "
+            "to be with friends that have treats. " * 3),
+        # bullet-only doc: fails words / bullet / alpha-symbol mix
+        (2, "- bullet one\n- bullet two\n- bullet three"),
+        # too short
+        (3, "short doc"),
+        # heavy symbols: '#' on most words → ok_symbol false
+        (4, "# " * 60 + "word"),
+        # ellipsis-ended lines
+        (5, "trailing thoughts...\nmore trailing thoughts...\nsolid "
+            "closing line with the usual words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
+    assert out[1].gopher_ok and out[1].stop_hits >= 2
+    assert not out[2].ok_bullet and out[2].bullet_frac == 1.0
+    assert not out[3].ok_words
+    assert not out[4].ok_symbol and not out[4].ok_alpha
+    assert not out[5].ok_ellipsis and out[5].ellipsis_frac == 0.6667
+    # exact rational compare, not a rounded-double compare: 57 words
+    assert out[1].n_words == 57 and out[1].ok_mean_word_len
+
+
+def test_c4_line_filter_golden(spark):
+    from adenhq_hive_spark.operators.text import c4_line_filter
+    import hashlib
+
+    keep1 = "This line ends with punctuation and has plenty of words."
+    keep2 = "Another proper sentence line with enough words right here."
+    keep3 = "A third full sentence line to clear the minimum bar."
+    rows = [
+        (1, f"{keep1}\n{keep2}\n{keep3}\ntrailing fragment"),
+        # javascript line dropped → only 2 survivors → page dropped
+        (2, f"{keep1}\nEnable javascript to view this page today please.\n{keep2}"),
+        # lorem ipsum nukes the page even with 3 good lines
+        (3, f"{keep1}\n{keep2}\n{keep3}\nlorem ipsum dolor sit amet."),
+        # short lines (<5 words) never survive
+        (4, "Tiny line one.\nTiny line two.\nTiny line three."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert out[1].c4_kept and out[1].n_kept == 3 and out[1].n_lines == 4
+    expected = "\n".join([keep1, keep2, keep3]).encode()
+    assert out[1].clean_md5 == hashlib.md5(expected).hexdigest()
+    assert not out[2].c4_kept and out[2].n_kept == 2
+    assert not out[3].c4_kept and out[3].has_lorem
+    assert not out[4].c4_kept and out[4].n_kept == 0
+    # empty kept set hashes the empty string (oracle coalesces to match)
+    assert out[4].clean_md5 == hashlib.md5(b"").hexdigest()
