@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 from .dedup import _cut_lineage
 
+# module-level pandas alias so pandas_udf's stringified type hints
+# (from __future__ import annotations) resolve in module globals
+import pandas as pd  # noqa: E402
+
 MERGE_SEP = " "
 
 
@@ -167,3 +171,89 @@ def bpe_merge_table(
         for i, (left, right, freq) in enumerate(merges)
     ]
     return spark.createDataFrame(rows, ["rank", "left", "right", "freq"])
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    char_level: bool = False,
+    out_col: str = "toks",
+) -> DataFrame:
+    """Apply a trained merge list to a corpus — the tokenizer-APPLY step
+    (``bpe_train`` is the build step; this encodes new text with the
+    frozen artifact, the shape every training pipeline runs at much
+    larger scale than training the tokenizer itself).
+
+    Classic greedy BPE encoding: repeatedly merge the adjacent pair with
+    the lowest merge rank until none applies. Merging the lowest rank
+    first is equivalent to replaying the merges in learned order, so the
+    output state matches ``bpe_train``'s final ``toks`` exactly (pinned
+    in tests).
+
+    The merge table is driver-small by construction (vocab-sized); it
+    ships to executors once via the UDF closure (broadcast semantics)
+    and each document encodes independently — embarrassingly parallel,
+    zero shuffle. The per-doc merge loop is inherently sequential
+    data-dependent rewriting — exactly the "genuinely can't express in
+    built-ins" case for an Arrow-batched pandas UDF (the documented
+    slow path; bpe.py's within-row fold covers the one-merge-at-a-time
+    form, but N merges of plan growth would drown Catalyst where a
+    closure loop is O(1) plan).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks: dict[tuple[str, str], int] = {
+        (left, right): i for i, (left, right, _f) in enumerate(merges)
+    }
+    sep = MERGE_SEP
+    eow = END_OF_WORD
+    is_char = char_level
+
+    def _encode_one(text: str | None) -> list[str] | None:
+        if text is None:
+            return None
+        words = [w for w in text.lower().split(" ") if w != ""]
+        if is_char:
+            toks: list[str] = []
+            for w in words:
+                toks.extend(list(w))
+                toks.append(eow)
+        else:
+            toks = words
+        while len(toks) > 1:
+            best_rank = None
+            best_pair = None
+            for a, b in zip(toks, toks[1:]):
+                r = ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (a, b)
+            if best_pair is None:
+                break
+            left, right = best_pair
+            merged = left + sep + right
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == left
+                    and toks[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    @pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        return col.map(_encode_one)
+
+    return df.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias(out_col),
+    ).withColumn("n_tokens", F.size(F.col(out_col)))

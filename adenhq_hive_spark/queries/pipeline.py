@@ -2026,3 +2026,33 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+def _bpe_encode_builder(spark, sf):
+    """Train 8 merges on the corpus, then encode the same corpus with the
+    frozen artifact — the tokenizer build→apply round trip."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf, "documents")
+    merges, _work = bpe_train(docs, n_merges=8)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("toks", "␟")).alias("toks_md5"),
+    ).orderBy("doc_id")
+
+
+Q(QuerySpec(
+    name="pl_bpe_encode",
+    doc="Distributed BPE encoding with a frozen merge table: classic "
+        "greedy lowest-rank-first merging per document, merge ranks "
+        "shipped once via UDF closure, zero shuffle — the tokenizer-"
+        "APPLY step that runs at full corpus scale "
+        "(operators/bpe.py:bpe_encode). Iterative + xxhash-free but "
+        "driven by the trained artifact -> rows-only; exact-state parity "
+        "with bpe_train's replay (and with a sequential Python "
+        "reference) is pinned in tests/test_text.py.",
+    builder=_bpe_encode_builder,
+    has_oracle=False,
+))

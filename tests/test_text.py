@@ -344,3 +344,70 @@ def test_c4_line_filter_golden(spark):
     assert not out[4].c4_kept and out[4].n_kept == 0
     # empty kept set hashes the empty string (oracle coalesces to match)
     assert out[4].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_bpe_encode_matches_train_replay(spark):
+    """Greedy lowest-rank-first encoding must reproduce bpe_train's
+    final corpus state exactly (the replay-in-order formulation)."""
+    from adenhq_hive_spark.operators.bpe import bpe_encode, bpe_train
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "the cat ran and the dog sat on the mat"),
+        (3, "a dog and a cat and a dog and a cat"),
+        (4, "completely different words here nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges, work = bpe_train(df, n_merges=6)
+    assert merges, "fixture must learn at least one merge"
+    trained = {r.doc_id: r.toks for r in work.collect()}
+    encoded = {r.doc_id: r.toks for r in bpe_encode(df, merges).collect()}
+    assert encoded == trained
+
+
+def test_bpe_encode_char_level_and_unseen_text(spark):
+    from adenhq_hive_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode,
+        bpe_train,
+    )
+
+    rows = [(1, "low lower lowest low low"), (2, "new newer newest new")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges, work = bpe_train(df, n_merges=8, char_level=True)
+    trained = {r.doc_id: r.toks for r in work.collect()}
+    out = bpe_encode(df, merges, char_level=True)
+    encoded = {r.doc_id: r.toks for r in out.collect()}
+    assert encoded == trained
+    # unseen text still encodes: untouched symbols fall through
+    new = spark.createDataFrame([(9, "qzx low")], ["doc_id", "text"])
+    row = bpe_encode(new, merges, char_level=True).collect()[0]
+    assert row.n_tokens == len(row.toks)
+    # lossless: stripping the merge separators reconstructs the input
+    joined = "".join(t.replace(" ", "") for t in row.toks)
+    assert joined == "qzx" + END_OF_WORD + "low" + END_OF_WORD
+    # 'qzx' never merged (unseen): its chars + marker stay 4 symbols;
+    # 'low' compressed below its 3 chars + marker
+    assert row.toks[:4] == ["q", "z", "x", END_OF_WORD]
+    assert len(row.toks) - 4 < 4
+
+
+def test_bpe_encode_null_and_empty_text(spark):
+    from adenhq_hive_spark.operators.bpe import bpe_encode
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame([(1, None), (2, "")], schema)
+    rows = {r.doc_id: r for r in bpe_encode(df, [("a", "b", 2)]).collect()}
+    assert rows[1].toks is None
+    assert rows[2].toks == []
+    assert rows[2].n_tokens == 0
