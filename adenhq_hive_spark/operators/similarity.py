@@ -566,3 +566,111 @@ def label_centroids(
             F.round(F.avg("cos"), 4).alias("avg_cos"),
         )
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 65_536,
+    max_cluster_rows: int = 65_536,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with spherical k-means, then look for
+    near-duplicates only WITHIN each cluster — the pair space drops from
+    n² to sum(cluster²) ≈ n²/k, the paper's core scaling trick.
+
+    Drop rule (first-occurrence-wins, same as the exact/text tiers): a
+    vector is dropped iff some LOWER-id vector in its cluster has
+    cosine >= ``threshold``; ``dup_of`` names the smallest such id.
+    Because cosines are computed exactly on the true vectors, every drop
+    is sound by construction (a dropped vector provably has a real
+    near-duplicate); clustering only affects RECALL (cross-cluster
+    duplicate pairs are missed) — the driver-visible gate in
+    pl_semdedup_check measures exactly that against the exact tier.
+
+    Scale shape: centroids train driver-side on a bounded sample (the
+    FAISS pattern — training subsamples, assignment is the distributed
+    full pass), assignment is one Arrow-batch matmul against the
+    broadcast (k, dim) centroid matrix, and the within-cluster pass is
+    one applyInPandas per cluster (one BLAS gram matrix each). Peak task
+    memory is the largest cluster (``max_cluster_rows`` guard raises
+    rather than silently OOMing — at real scale raise ``n_clusters`` so
+    clusters stay bounded; the paper uses k ≈ sqrt(n)).
+
+    Output: (id_col, cluster_id, keep, dup_of).
+    """
+    spark = vectors.sparkSession
+    unit = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("raw"),
+    ).select(
+        "id",
+        F.transform(
+            "raw", lambda x: x.cast("double") / _norm(F.col("raw"))
+        ).alias("v"),
+    )
+
+    sample = np.array(
+        [r[0] for r in unit.select("v").limit(max_train_rows).collect()],
+        dtype=np.float64,
+    )
+    if sample.size == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster_id int, keep boolean, dup_of long"
+        )
+    centroids = _train_spherical_kmeans(sample, n_clusters, seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def nearest(vcol: pd.Series) -> pd.Series:
+        mat = np.array(list(vcol), dtype=np.float64)
+        return pd.Series(
+            np.argmax(mat @ bc.value.T, axis=1).astype(np.int32)
+        )
+
+    assigned = unit.withColumn("cluster_id", nearest("v"))
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"cluster {int(pdf['cluster_id'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={cap}; raise "
+                "n_clusters (SemDeDup wants k ~ sqrt(n))"
+            )
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        # unit vectors: gram matrix IS the cosine matrix; round like
+        # _pair_cosine so thresholds compare identically across tiers
+        sims = np.round(mat @ mat.T, 4)
+        m = len(pdf)
+        keep = np.ones(m, dtype=bool)
+        dup_of = np.full(m, -1, dtype=np.int64)
+        for j in range(1, m):
+            hits = np.nonzero(sims[j, :j] >= thr)[0]
+            if hits.size:
+                keep[j] = False
+                dup_of[j] = pdf["id"].iloc[int(hits[0])]
+        dup_col = pd.array(dup_of, dtype="Int64")
+        dup_col[keep] = pd.NA
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster_id": pdf["cluster_id"],
+                "keep": keep,
+                "dup_of": dup_col,
+            }
+        )
+
+    result = assigned.groupBy("cluster_id").applyInPandas(
+        _dedup_cluster,
+        schema="id long, cluster_id int, keep boolean, dup_of long",
+    )
+    return result.select(
+        F.col("id").alias(id_col), "cluster_id", "keep", "dup_of"
+    )

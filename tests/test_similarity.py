@@ -129,3 +129,78 @@ def test_label_centroids_golden(spark):
     assert got[0].avg_cos == round(0.5**0.5, 4)
     # singleton label: cos to own centroid is exactly 1
     assert got[1].n_vecs == 1 and got[1].avg_cos == 1.0
+
+
+def test_semdedup_clustered_fixture(spark):
+    """Two tight clusters with in-cluster duplicates: drops follow
+    first-occurrence-wins, dup_of names the lowest near-dup id, and
+    cross-cluster vectors never collide."""
+    import numpy as np
+
+    from adenhq_hive_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(16)
+    b = rng.standard_normal(16)
+    rows = [
+        (1, (a + 0.01 * rng.standard_normal(16)).tolist()),
+        (2, (a + 0.01 * rng.standard_normal(16)).tolist()),  # dup of 1
+        (3, (a + 0.01 * rng.standard_normal(16)).tolist()),  # dup of 1
+        (10, (b + 0.01 * rng.standard_normal(16)).tolist()),
+        (11, (b + 0.01 * rng.standard_normal(16)).tolist()),  # dup of 10
+        (20, rng.standard_normal(16).tolist()),  # isolated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: r
+        for r in semdedup(df, threshold=0.9, n_clusters=3).collect()
+    }
+    assert out[1].keep and out[1].dup_of is None
+    assert not out[2].keep and out[2].dup_of == 1
+    assert not out[3].keep and out[3].dup_of == 1
+    assert out[10].keep
+    assert not out[11].keep and out[11].dup_of == 10
+    assert out[20].keep
+    # near-dups must share a cluster for the drop to have happened
+    assert out[2].cluster_id == out[1].cluster_id
+
+
+def test_semdedup_cluster_cap_raises(spark):
+    import numpy as np
+
+    from adenhq_hive_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(df, n_clusters=1, max_cluster_rows=10).collect()
+
+
+def test_semdedup_drops_are_sound_vs_exact(spark):
+    """Every dropped vector must have a genuine above-threshold
+    lower-id neighbor under the exact global tier (soundness is
+    structural; this pins it)."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.similarity import (
+        cosine_dedup_pairs,
+        semdedup,
+    )
+
+    from .conftest import SF_SMOKE
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    drops = semdedup(vecs, n_clusters=8).filter("NOT keep")
+    exact = (
+        cosine_dedup_pairs(vecs, threshold=0.45)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    assert drops.join(exact, "vec_id", "left_anti").count() == 0
+    # dup_of must itself be a kept-or-earlier id below the dropped id
+    bad = drops.filter(F.col("dup_of") >= F.col("vec_id")).count()
+    assert bad == 0
