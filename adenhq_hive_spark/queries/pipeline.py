@@ -2029,12 +2029,16 @@ Q(QuerySpec(
 
 
 def _bpe_encode_builder(spark, sf):
-    """Train 8 merges on the corpus, then encode the same corpus with the
-    frozen artifact — the tokenizer build→apply round trip."""
+    """Train 8 merges on a deterministic 1-in-10 sample (doc_id % 10 ==
+    0 — tokenizers train on subsamples; the full-corpus pass is the
+    ENCODE side), then encode the whole corpus with the frozen
+    artifact — the build→apply round trip at its real cost shape."""
     from ..operators.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, sf, "documents")
-    merges, _work = bpe_train(docs, n_merges=8)
+    merges, _work = bpe_train(
+        docs.filter(F.col("doc_id") % 10 == 0), n_merges=8
+    )
     enc = bpe_encode(docs, merges)
     return enc.select(
         "doc_id",

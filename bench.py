@@ -47,6 +47,11 @@ HEADLINE = [
     "pl_tfidf",          # per-doc TF-IDF top terms
     "pl_hash_split",     # md5-routed train/val/test split
     "pl_dedup_incremental",  # new-batch-vs-corpus dedup (8x vs DuckDB)
+    "pl_gopher_rules",   # published Gopher rule battery (map-only)
+    "pl_c4_filter",      # C4 line-level page cleaning (map-only)
+    "pl_snapshot_diff",  # incremental snapshot bookkeeping
+    "pl_shuffle_shard",  # deterministic shuffle + sharding
+    "pl_semdedup",       # cluster-then-dedup semantic tier (no oracle)
 ]
 
 
