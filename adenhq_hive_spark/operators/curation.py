@@ -604,3 +604,86 @@ def shuffle_shard(
         .withColumn("pos", F.row_number().over(w))
         .select("shard_id", "pos", id_col)
     )
+
+
+def dsir_score(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al. 2023,
+    public): score each raw document by how target-like its token
+    distribution is — the mean per-token log-likelihood ratio between a
+    unigram LM of the (small) target corpus and one of the raw corpus,
+    both Laplace-smoothed over the shared vocabulary. Positive score =
+    more target-like than raw-like; ``kept`` selects those docs (the
+    hard-threshold variant of DSIR's importance resampling).
+
+    Determinism contract: the per-WORD log ratio is rounded once to a
+    scaled BIGINT (1e-6 resolution) and every per-document aggregate is
+    an exact integer sum — order-independent, so Spark's parallel
+    aggregation and the oracle's sequential one agree bit-for-bit (a
+    per-doc double sum would be ulp-sensitive to partition order). The
+    emitted double score divides the same two integers on both engines
+    (IEEE division is correctly rounded — identical results).
+
+    Shape: two vocab-sized frequency aggregations, the weight table
+    broadcast back onto the raw token stream, one per-doc aggregation.
+    The only wide state is the vocabulary — the same scaling story as
+    unigram_logprob/tfidf.
+    """
+    def toks_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        )
+
+    raw_toks = toks_of(raw)
+    t_freq = toks_of(target).groupBy("tok").agg(F.count("*").alias("c_t"))
+    r_freq = raw_toks.groupBy("tok").agg(F.count("*").alias("c_r"))
+    vocab = t_freq.join(r_freq, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+    )
+    totals = vocab.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count("*").alias("v"),
+    )
+    weights = vocab.join(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            (
+                F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")))
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    per_doc = (
+        raw_toks.join(F.broadcast(weights), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w").alias("sum_w"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_toks",
+        "sum_w",
+        (
+            F.col("sum_w").cast("double") / F.col("n_toks") / 1_000_000
+        ).alias("dsir_score"),
+        (F.col("sum_w") > 0).alias("kept"),
+    )

@@ -2133,3 +2133,71 @@ Q(QuerySpec(
         SELECT CAST(0 AS BIGINT) AS n_false, TRUE AS recall_ok
     """,
 ))
+
+
+# ---- DSIR importance-based data selection ---------------------------------
+
+def _dsir_builder(spark, sf):
+    """Target = the English-labeled slice (the 'domain we want more
+    of'); raw = everything else. Scores every raw doc for
+    target-likeness."""
+    from ..operators.curation import dsir_score
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_score(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+    ).orderBy("doc_id")
+
+
+Q(QuerySpec(
+    name="pl_dsir",
+    doc="DSIR-style importance scoring for data selection (Xie et al. "
+        "2023): mean per-token log-likelihood ratio between target and "
+        "raw unigram LMs, Laplace-smoothed over the shared vocabulary "
+        "(operators/curation.py:dsir_score). Per-word log ratios are "
+        "rounded once to scaled BIGINTs so every per-doc aggregate is an "
+        "exact, order-independent integer sum — Spark's parallel "
+        "aggregation and DuckDB's sequential one agree bit-for-bit.",
+    builder=_dsir_builder,
+    oracle_sql_str=r"""
+        WITH rt AS (
+          SELECT doc_id, unnest(list_filter(
+                 string_split(lower(text), ' '), t -> t <> '')) AS tok
+          FROM documents WHERE lang <> 'en'
+        ), tt AS (
+          SELECT unnest(list_filter(
+                 string_split(lower(text), ' '), t -> t <> '')) AS tok
+          FROM documents WHERE lang = 'en'
+        ), tf AS (
+          SELECT tok, COUNT(*) AS c_t FROM tt GROUP BY tok
+        ), rf AS (
+          SELECT tok, COUNT(*) AS c_r FROM rt GROUP BY tok
+        ), vocab AS (
+          SELECT COALESCE(tf.tok, rf.tok) AS tok,
+                 COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+          FROM tf FULL OUTER JOIN rf ON tf.tok = rf.tok
+        ), tot AS (
+          SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+                 CAST(SUM(c_r) AS BIGINT) AS n_r,
+                 COUNT(*) AS v
+          FROM vocab
+        ), w AS (
+          SELECT tok,
+                 CAST(ROUND((ln((c_t + 1.0) / (n_t + v))
+                           - ln((c_r + 1.0) / (n_r + v))) * 1000000, 0)
+                      AS BIGINT) AS w
+          FROM vocab, tot
+        ), per_doc AS (
+          SELECT rt.doc_id, COUNT(*) AS n_toks,
+                 CAST(SUM(w.w) AS BIGINT) AS sum_w
+          FROM rt JOIN w ON rt.tok = w.tok
+          GROUP BY rt.doc_id
+        )
+        SELECT doc_id, n_toks, sum_w,
+               CAST(sum_w AS DOUBLE) / n_toks / 1000000 AS dsir_score,
+               (sum_w > 0) AS kept
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+))

@@ -496,3 +496,50 @@ def test_shuffle_shard_two_hex_chars_and_bounds(spark):
         assert r.shard_id == int(h[:2], 16)
     with pytest.raises(ValueError):
         shuffle_shard(df, shard_hex_chars=0)
+
+
+def test_dsir_score_directionality_and_exactness(spark):
+    """Docs written in the target's vocabulary must score positive;
+    docs in the raw-only vocabulary negative. sum_w is an exact
+    integer (order-independent), and the emitted score is exactly
+    sum_w / n_toks / 1e6."""
+    from adenhq_hive_spark.operators.curation import dsir_score
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # pure target vocab
+            (2, "zeta eta theta iota"),     # pure raw vocab
+            (3, "alpha beta zeta eta"),     # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dsir_score(raw, target).collect()}
+    assert out[1].kept and out[1].dsir_score > 0
+    assert not out[2].kept and out[2].dsir_score < 0
+    for r in out.values():
+        assert r.dsir_score == r.sum_w / r.n_toks / 1_000_000
+    # mixed doc sits strictly between the pure docs
+    assert out[2].dsir_score < out[3].dsir_score < out[1].dsir_score
+
+
+def test_dsir_score_stable_under_repartition(spark):
+    """Integer-sum contract: the same corpus split across different
+    partition layouts produces identical sum_w (no float order
+    sensitivity)."""
+    from adenhq_hive_spark.operators.curation import dsir_score
+
+    rows = [(i, f"tok{i % 7} alpha beta tok{i % 3}") for i in range(60)]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(1000, "alpha beta alpha beta gamma")], ["doc_id", "text"]
+    )
+    a = {r.doc_id: r.sum_w for r in dsir_score(raw, target).collect()}
+    b = {
+        r.doc_id: r.sum_w
+        for r in dsir_score(raw.repartition(13), target).collect()
+    }
+    assert a == b
