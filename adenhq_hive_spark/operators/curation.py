@@ -687,3 +687,35 @@ def dsir_score(
         ).alias("dsir_score"),
         (F.col("sum_w") > 0).alias("kept"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_hex_chars: int = 1,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus as reproducibly-shuffled training shards.
+
+    Routing and within-shard order come from :func:`shuffle_shard`
+    (md5-deterministic), so re-running the pipeline rewrites identical
+    shards — the property checkpoint-resumable training loaders need.
+    Layout: one ``shard_id=N`` directory per shard (16**k total), rows
+    carrying their ``pos`` address; a loader reads one shard directory
+    and sorts by ``pos`` — shard-local work, never a global order.
+
+    Physical shape: ONE hash shuffle (repartition by shard) with a
+    shard-local sort, then a partitioned write — each shard lands as a
+    single sorted file per task. The join back to the payload stays
+    co-partitioned on ``id_col``.
+    """
+    address = shuffle_shard(df, shard_hex_chars, id_col=id_col)
+    out = address.join(df, id_col)
+    (
+        out.repartition("shard_id")
+        .sortWithinPartitions("pos")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

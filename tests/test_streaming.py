@@ -608,3 +608,82 @@ def test_streaming_incremental_dedup_against_growing_corpus(spark, tmp_path):
     # no EXACT duplicate text survived across batches
     assert corpus.groupBy(F.md5("text")).count().filter("count > 1") \
         .count() == 0
+
+
+def test_upsert_stream_last_writer_wins(spark, tmp_path):
+    """CDC upsert store: per-key latest row survives across batches,
+    re-delivered lower-seq rows never regress state, and readers see a
+    consistent versioned store."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from adenhq_hive_spark.streaming.upsert import read_store, upsert_stream
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    # batch 1: keys 1, 2 (key 1 twice — higher ts must win in-batch)
+    write_batch("b1", [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=5), 1.5),
+        (2, t0, 2.0),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    q = upsert_stream(stream, store).option(
+        "checkpointLocation", ck
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    state = {r.doc_id: r for r in read_store(spark, store).collect()}
+    assert state[1].value == 1.5 and state[2].value == 2.0
+
+    # batch 2: update key 2, insert key 3, stale replay of key 1
+    write_batch("b2", [
+        (2, t0 + dt.timedelta(minutes=10), 2.5),
+        (3, t0 + dt.timedelta(minutes=10), 3.0),
+    ])
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q2 = upsert_stream(stream2, store).option(
+        "checkpointLocation", ck
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    state = {r.doc_id: r for r in read_store(spark, store).collect()}
+    assert len(state) == 3
+    assert state[1].value == 1.5      # untouched key survives the merge
+    assert state[2].value == 2.5      # updated
+    assert state[3].value == 3.0      # inserted
+
+
+def test_upsert_store_empty_before_first_batch(spark, tmp_path):
+    from adenhq_hive_spark.streaming.upsert import read_store
+
+    assert read_store(spark, str(tmp_path / "nope")) is None
