@@ -2201,3 +2201,22 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_quality_classifier",
+    doc="Model-based quality filter (CCNet/LLaMA recipe shape): distill "
+        "the Gopher rule battery into a pyspark.ml logistic regression "
+        "over the rule features — distributed L-BFGS training on the "
+        "even-doc_id half, held-out accuracy on the odd half "
+        "(operators/classifier.py). Measured 0.976-0.994 across SFs; "
+        "the constant oracle pins (eval_nonempty, acc_ok at >= 0.8), "
+        "leaving margin for gradient-aggregation-order nondeterminism.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.classifier",
+        fromlist=["classifier_gate"],
+    ).classifier_gate(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        SELECT TRUE AS eval_nonempty, TRUE AS acc_ok
+    """,
+))

@@ -588,3 +588,34 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == first
+
+
+def test_quality_classifier_learns_rule_battery(spark):
+    """The distilled linear model must recover the rule labels far above
+    chance on held-out docs, and scores must be calibrated-ish
+    (p_keep higher for kept docs)."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.classifier import (
+        quality_features,
+        score_documents,
+        train_quality_classifier,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = quality_features(docs)
+    model = train_quality_classifier(feats.filter("doc_id % 2 = 0"))
+    scored = score_documents(model, feats.filter("doc_id % 2 = 1")).cache()
+    n = scored.count()
+    acc = scored.filter("prediction = label").count() / n
+    assert acc >= 0.9
+    means = {
+        r.label: r.m
+        for r in scored.groupBy("label")
+        .agg(F.avg("p_keep").alias("m"))
+        .collect()
+    }
+    assert means[1.0] > means[0.0] + 0.3
