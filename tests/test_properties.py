@@ -165,3 +165,23 @@ def test_word_ngrams_matches_python_reference(spark, docs, n):
             for j in range(len(spark_toks) - n + 1)
         ]
         assert got[i] == exp, (i, toks, n)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=300, deadline=None)
+def test_frac4_integer_form_matches_decimal_half_up(p, q):
+    """The (p*20000 + q) DIV (2q) scaled-integer form used for every
+    emitted fraction must equal textbook ROUND_HALF_UP(p/q, 4) computed
+    in exact rational arithmetic."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = p * 20000 + q
+    y = 2 * q
+    ours = (x - x % y) // y  # == value * 10000, exact
+    exp = (Decimal(p) / Decimal(q)).quantize(
+        Decimal("0.0001"), rounding=ROUND_HALF_UP
+    )
+    assert Decimal(ours) / 10000 == exp
