@@ -67,11 +67,15 @@ def contaminated_ids(
     train grams against it, distinct the surviving ids. No pairwise doc
     comparison ever materializes.
     """
+    from ..catalog import spread_small_scan
+
     eval_grams = (
         eval_df.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
         .distinct()
     )
-    train_grams = train.select(
+    # n-gram explosion runs in the train scan stage — spread a narrow
+    # (single-row-group) scan first (2.6x at sf0.1; no-op at scale)
+    train_grams = spread_small_scan(train).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
     )
     return (

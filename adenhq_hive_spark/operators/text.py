@@ -302,11 +302,15 @@ def repetition_stats(
     tf_num = int(round(max_top_frac * 10000))
     df_num = int(round(max_dup_frac * 10000))
 
+    from ..catalog import spread_small_scan
+
     _frac4 = frac4  # module-level portable-rounding helper
 
     grams = word_ngrams(F.col(text_col), n, lowercase=True)
+    # gram explosion + map-side partial agg run in the scan stage —
+    # spread a narrow scan first (1.6x at sf0.1; no-op at scale)
     per_gram = (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        spread_small_scan(df).select(F.col(id_col), F.explode(grams).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("c"))
     )
