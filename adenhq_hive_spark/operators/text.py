@@ -510,3 +510,49 @@ def c4_line_filter(
         ).alias("c4_kept"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# Unicode script ranges in \x{...} syntax — the ONE regex class syntax
+# both engines' regex libraries accept verbatim (java.util.regex and RE2),
+# so the identical pattern strings run on Spark and the DuckDB oracle.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "digit": r"[0-9]",
+}
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script composition — the multilingual-corpus
+    triage step before language-ID (lang_id assumes you already know the
+    doc is in its marker languages; script ratios catch mixed-script
+    spam, mojibake, and wrong-script routing first).
+
+    One regexp_count pass per script class over non-space characters,
+    ratios in exact integer arithmetic (``frac4``), dominant script by
+    greatest-count with a fixed tie order. Map-only, no shuffle.
+    """
+    t = F.col(text_col)
+    total = F.greatest(
+        F.length(t) - F.regexp_count(t, F.lit(r"\s")), F.lit(1)
+    )
+    counts = {
+        name: F.regexp_count(t, F.lit(pat))
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    dominant = F.lit("other")
+    for name in reversed(list(counts)):
+        dominant = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    return df.select(
+        "*",
+        *[
+            frac4(counts[name], total).alias(f"frac_{name}")
+            for name in SCRIPT_RANGES
+        ],
+        dominant.alias("dominant_script"),
+    )

@@ -2220,3 +2220,116 @@ Q(QuerySpec(
         SELECT TRUE AS eval_nonempty, TRUE AS acc_ok
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_script_mix",
+    doc="Per-document Unicode script composition + dominant script "
+        "(operators/text.py:script_mix) — multilingual-corpus triage "
+        "before language-ID (catches mixed-script spam / mojibake / "
+        "wrong-script routing). The \\x{...} class syntax is the one "
+        "form java.util.regex and RE2 both accept verbatim, so the "
+        "IDENTICAL pattern strings run on both engines; ratios in exact "
+        "integer arithmetic. Map-only.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["script_mix"]
+    ).script_mix(load_table(spark, sf, "documents"))
+    .select(
+        "doc_id", "frac_latin", "frac_cjk", "frac_cyrillic",
+        "frac_arabic", "frac_digit", "dominant_script",
+    )
+    .orderBy("doc_id"),
+    oracle_sql_str=r"""
+        WITH c AS (
+          SELECT doc_id,
+                 greatest(length(text) -
+                          len(regexp_extract_all(text, '\s')), 1) AS q,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z\x{00C0}-\x{024F}]')) AS n_latin,
+                 len(regexp_extract_all(text,
+                     '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS n_cjk,
+                 len(regexp_extract_all(text,
+                     '[\x{0400}-\x{04FF}]')) AS n_cyrillic,
+                 len(regexp_extract_all(text,
+                     '[\x{0600}-\x{06FF}]')) AS n_arabic,
+                 len(regexp_extract_all(text, '[0-9]')) AS n_digit
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((n_latin * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS frac_latin,
+               CAST((n_cjk * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS frac_cjk,
+               CAST((n_cyrillic * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS frac_cyrillic,
+               CAST((n_arabic * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS frac_arabic,
+               CAST((n_digit * 20000 + q) // (2 * q) AS DOUBLE) / 10000
+                 AS frac_digit,
+               CASE
+                 WHEN n_latin > 0 AND n_latin =
+                   greatest(n_latin, n_cjk, n_cyrillic, n_arabic, n_digit)
+                   THEN 'latin'
+                 WHEN n_cjk > 0 AND n_cjk =
+                   greatest(n_latin, n_cjk, n_cyrillic, n_arabic, n_digit)
+                   THEN 'cjk'
+                 WHEN n_cyrillic > 0 AND n_cyrillic =
+                   greatest(n_latin, n_cjk, n_cyrillic, n_arabic, n_digit)
+                   THEN 'cyrillic'
+                 WHEN n_arabic > 0 AND n_arabic =
+                   greatest(n_latin, n_cjk, n_cyrillic, n_arabic, n_digit)
+                   THEN 'arabic'
+                 WHEN n_digit > 0 AND n_digit =
+                   greatest(n_latin, n_cjk, n_cyrillic, n_arabic, n_digit)
+                   THEN 'digit'
+                 ELSE 'other'
+               END AS dominant_script
+        FROM c
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_length_stats",
+    doc="Per-source sequence-length planning stats: doc count, total "
+        "whitespace tokens, mean (integer-exact), and exact interpolated "
+        "p50/p90 token counts — what you size packing budgets and "
+        "context windows from. Dual-form: Spark PERCENTILE vs DuckDB "
+        "quantile_cont (both exact interpolated, the q17 convention).",
+    builder=lambda spark, sf: spark.sql("""
+        WITH t AS (
+          SELECT source,
+                 size(filter(split(text, ' '), x -> x != '')) AS toks
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tot_toks,
+               CAST((SUM(toks) * 20000 + COUNT(*)) DIV (2 * COUNT(*))
+                    AS DOUBLE) / 10000 AS mean_toks,
+               ROUND(PERCENTILE(toks, 0.5), 4) AS p50_toks,
+               ROUND(PERCENTILE(toks, 0.9), 4) AS p90_toks
+        FROM t
+        GROUP BY source
+        ORDER BY source
+    """),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT source,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS toks
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tot_toks,
+               CAST((SUM(toks) * 20000 + COUNT(*)) // (2 * COUNT(*))
+                    AS DOUBLE) / 10000 AS mean_toks,
+               ROUND(quantile_cont(toks, 0.5), 4) AS p50_toks,
+               ROUND(quantile_cont(toks, 0.9), 4) AS p90_toks
+        FROM t
+        GROUP BY source
+        ORDER BY source
+    """,
+))

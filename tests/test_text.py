@@ -411,3 +411,29 @@ def test_bpe_encode_null_and_empty_text(spark):
     assert rows[1].toks is None
     assert rows[2].toks == []
     assert rows[2].n_tokens == 0
+
+
+def test_script_mix_golden(spark):
+    from adenhq_hive_spark.operators.text import script_mix
+
+    rows = [
+        (1, "hello world plain latin"),
+        (2, "你好 世界 这是 中文"),
+        (3, "привет мир"),
+        (4, "مرحبا بالعالم"),
+        (5, "hello 你好 mixed 123"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in script_mix(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].frac_latin == 1.0
+    assert out[2].dominant_script == "cjk" and out[2].frac_cjk == 1.0
+    assert out[3].dominant_script == "cyrillic"
+    assert out[4].dominant_script == "arabic"
+    assert out[5].dominant_script == "latin"
+    assert out[5].frac_cjk == 0.1333 and out[5].frac_digit == 0.2
+    # ratios computed over non-space chars: fractions sum <= 1
+    for r in out.values():
+        assert (
+            r.frac_latin + r.frac_cjk + r.frac_cyrillic
+            + r.frac_arabic + r.frac_digit
+        ) <= 1.0001
