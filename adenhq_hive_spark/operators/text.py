@@ -556,3 +556,144 @@ def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
         ],
         dominant.alias("dominant_script"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lm_predicate: Column | None = None,
+    lam: float = 0.7,
+    lam_uni: float = 0.3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020,
+    public): score every document with a per-language interpolated
+    bigram LM trained on a designated reference slice, then split each
+    language into head / middle / tail perplexity terciles — the
+    published recipe for routing web text by LM quality (reference
+    parallel: the quality-triage role of its LLM scoring tools, e.g.
+    core/framework/llm prompts; re-expressed as a deterministic LM).
+
+    Model: p(w|v) = lam * (c_bi(v,w)+1)/(c_left(v)+V+1)
+                  + lam_uni * (c_uni(w)+1)/(N+V+1)
+    (lam_uni is an explicit parameter, not 1.0-lam: the Python float
+    1.0-0.7 is 0.30000000000000004, which would not match the SQL
+    literal 0.3 the oracle uses — both engines must see the same
+    constant bit pattern.)
+    per language, Laplace-smoothed over the LM slice's vocabulary (the
+    +1 on the denominator reserves one OOV type, so an empty LM slice
+    still yields a valid p=1 rather than a division by zero). Docs with
+    fewer than two tokens have no bigram positions and drop out (same
+    on both engines).
+
+    Determinism contract (same as dsir_score): the per-BIGRAM negative
+    log-prob is rounded once to a scaled BIGINT (1e-6), so per-doc
+    aggregates are exact order-independent integer sums; the emitted
+    ``nll`` divides the same two integers on both engines (IEEE
+    division is correctly rounded). Terciles order by (nll, doc_id) —
+    a total order, so NTILE(3) agrees bit-for-bit.
+
+    Scale shape: the LM slice is bounded (CCNet trains on Wikipedia),
+    so all four count tables are LM-vocab-sized and BROADCAST; scoring
+    is one explode + broadcast left joins + a per-doc aggregation. The
+    tercile window partitions by language — keyed, not global; for a
+    single dominant language at 100 TB the production path replaces
+    NTILE with sampled cutoff thresholds broadcast back (the md5
+    hash-sample pattern of curation.hash_split); NTILE is the
+    oracle-exact correctness tier.
+    """
+    if lm_predicate is None:
+        lm_predicate = F.col("source").isin(
+            "src0", "src1", "src2", "src3", "src4"
+        )
+    ts = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.withColumn("__ts", ts).filter(F.size("__ts") >= 2)
+    bi = base.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        lm_predicate.alias("__lm"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ts") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__ts"), i).alias("prev"),
+                    F.element_at(F.col("__ts"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "lang", "__lm", "bg.prev", "bg.cur")
+    uni = base.select(
+        F.col(lang_col).alias("lang"),
+        lm_predicate.alias("__lm"),
+        F.explode("__ts").alias("tok"),
+    )
+
+    lm_uni = uni.filter("__lm").groupBy("lang", "tok").agg(
+        F.count("*").alias("c_u")
+    )
+    lm_tot = lm_uni.groupBy("lang").agg(
+        F.sum("c_u").alias("n_l"), F.count("*").alias("v_l")
+    )
+    lm_bi = bi.filter("__lm").groupBy("lang", "prev", "cur").agg(
+        F.count("*").alias("c_b")
+    )
+    lm_left = lm_bi.groupBy("lang", "prev").agg(
+        F.sum("c_b").alias("c_left")
+    )
+
+    scored = (
+        bi.join(F.broadcast(lm_bi), ["lang", "prev", "cur"], "left")
+        .join(F.broadcast(lm_left), ["lang", "prev"], "left")
+        .join(
+            F.broadcast(lm_uni.withColumnRenamed("tok", "cur")),
+            ["lang", "cur"],
+            "left",
+        )
+        .join(F.broadcast(lm_tot), ["lang"], "left")
+        .select(
+            F.col(id_col),
+            "lang",
+            F.round(
+                -F.log(
+                    F.lit(lam)
+                    * (F.coalesce("c_b", F.lit(0)) + 1)
+                    / (
+                        F.coalesce("c_left", F.lit(0))
+                        + F.coalesce("v_l", F.lit(0))
+                        + 1
+                    )
+                    + F.lit(lam_uni)
+                    * (F.coalesce("c_u", F.lit(0)) + 1)
+                    / (
+                        F.coalesce("n_l", F.lit(0))
+                        + F.coalesce("v_l", F.lit(0))
+                        + 1
+                    )
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    per_doc = scored.groupBy(id_col, "lang").agg(
+        F.count("*").alias("n_bi"), F.sum("w").alias("sum_w")
+    )
+    nll = (F.col("sum_w").cast("double") / F.col("n_bi") / 1_000_000).alias(
+        "nll"
+    )
+    win = Window.partitionBy("lang").orderBy("nll", id_col)
+    tile = F.ntile(3).over(win)
+    return (
+        per_doc.select(id_col, "lang", "n_bi", "sum_w", nll)
+        .withColumn(
+            "bucket",
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )

@@ -2333,3 +2333,89 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+def _ccnet_builder(spark, sf):
+    from ..operators.text import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, sf, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+Q(QuerySpec(
+    name="pl_ccnet_buckets",
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): "
+        "per-language interpolated bigram LM trained on the src0-src4 "
+        "reference slice, every doc scored (scaled-BIGINT exact sums, "
+        "the dsir_score determinism contract), languages split into "
+        "head/middle/tail perplexity terciles "
+        "(operators/text.py:ccnet_buckets). LM tables broadcast "
+        "(LM corpus bounded); tercile window keyed by language.",
+    builder=_ccnet_builder,
+    oracle_sql_str=r"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 source IN ('src0','src1','src2','src3','src4') AS lm,
+                 list_filter(string_split(lower(text), ' '),
+                             t -> t <> '') AS ts
+          FROM documents
+        ), b2 AS (
+          SELECT * FROM base WHERE len(ts) >= 2
+        ), bi AS (
+          SELECT doc_id, lang, lm, p[1] AS prev, p[2] AS cur
+          FROM (SELECT doc_id, lang, lm,
+                       unnest(list_transform(range(1, len(ts)),
+                              i -> [ts[i], ts[i+1]])) AS p
+                FROM b2)
+        ), uni AS (
+          SELECT lang, lm, unnest(ts) AS tok FROM b2
+        ), lm_uni AS (
+          SELECT lang, tok, COUNT(*) AS c_u
+          FROM uni WHERE lm GROUP BY lang, tok
+        ), lm_tot AS (
+          SELECT lang, CAST(SUM(c_u) AS BIGINT) AS n_l,
+                 COUNT(*) AS v_l
+          FROM lm_uni GROUP BY lang
+        ), lm_bi AS (
+          SELECT lang, prev, cur, COUNT(*) AS c_b
+          FROM bi WHERE lm GROUP BY lang, prev, cur
+        ), lm_left AS (
+          SELECT lang, prev, CAST(SUM(c_b) AS BIGINT) AS c_left
+          FROM lm_bi GROUP BY lang, prev
+        ), w AS (
+          SELECT bi.doc_id, bi.lang,
+                 CAST(ROUND(-ln(
+                     0.7 * (COALESCE(c_b, 0) + 1)
+                         / (COALESCE(c_left, 0) + COALESCE(v_l, 0) + 1)
+                   + 0.3 * (COALESCE(c_u, 0) + 1)
+                         / (COALESCE(n_l, 0) + COALESCE(v_l, 0) + 1)
+                 ) * 1000000, 0) AS BIGINT) AS w
+          FROM bi
+          LEFT JOIN lm_bi ON lm_bi.lang = bi.lang
+                         AND lm_bi.prev = bi.prev AND lm_bi.cur = bi.cur
+          LEFT JOIN lm_left ON lm_left.lang = bi.lang
+                           AND lm_left.prev = bi.prev
+          LEFT JOIN lm_uni ON lm_uni.lang = bi.lang
+                          AND lm_uni.tok = bi.cur
+          LEFT JOIN lm_tot ON lm_tot.lang = bi.lang
+        ), per_doc AS (
+          SELECT doc_id, lang, COUNT(*) AS n_bi,
+                 CAST(SUM(w) AS BIGINT) AS sum_w
+          FROM w GROUP BY doc_id, lang
+        ), tiled AS (
+          SELECT doc_id, lang, n_bi, sum_w,
+                 CAST(sum_w AS DOUBLE) / n_bi / 1000000 AS nll,
+                 NTILE(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(sum_w AS DOUBLE) / n_bi / 1000000,
+                            doc_id) AS tile
+          FROM per_doc
+        )
+        SELECT doc_id, lang, n_bi, sum_w, nll,
+               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM tiled
+        ORDER BY doc_id
+    """,
+))

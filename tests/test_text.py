@@ -437,3 +437,42 @@ def test_script_mix_golden(spark):
             r.frac_latin + r.frac_cjk + r.frac_cyrillic
             + r.frac_arabic + r.frac_digit
         ) <= 1.0001
+
+
+def test_ccnet_buckets_golden(spark):
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.text import ccnet_buckets
+
+    lm_text = "the cat sat on the mat and the cat ran off fast"
+    rows = [
+        # LM slice (source='lm'): defines the reference distribution
+        (1, lm_text, "en", "lm"),
+        (2, "the cat sat on the mat again and again today", "en", "lm"),
+        # fluent doc: reuses LM bigrams → lowest nll → head
+        (3, "the cat sat on the mat", "en", "web"),
+        # mixed doc
+        (4, "the cat jumped over something odd", "en", "web"),
+        # gibberish: all-OOV bigrams → highest nll → tail
+        (5, "zzq qqx vvw kkp rrj mmt", "en", "web"),
+        # second language partitions independently
+        (6, "der hund lief", "de", "web"),
+        # single-token doc: no bigram positions → excluded
+        (7, "solo", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        r.doc_id: r
+        for r in ccnet_buckets(
+            df, lm_predicate=F.col("source") == "lm"
+        ).collect()
+    }
+    assert 7 not in out  # <2 tokens → no bigram rows
+    assert out[3].n_bi == 5  # n_toks - 1
+    # fluency ordering: LM-reuse < mixed < gibberish
+    assert out[3].nll < out[4].nll < out[5].nll
+    assert out[3].bucket == "head" and out[5].bucket == "tail"
+    # per-language tercile: the lone de web doc still gets a bucket
+    assert out[6].lang == "de" and out[6].bucket == "head"
+    # integer contract: sum_w is an exact bigint, nll = sum_w/n_bi/1e6
+    assert out[4].nll == out[4].sum_w / out[4].n_bi / 1_000_000
