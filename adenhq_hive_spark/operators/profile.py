@@ -1,0 +1,113 @@
+"""Table profiling: the describe/summary surface a warehouse engine
+exposes before any curation decision (reference parallel: its
+describe_dataset / csv_info / excel_info metadata tools, e.g.
+tools/src/aden_tools/tools/file_system_toolkits/ — re-expressed as a
+single distributed aggregation instead of per-file metadata probes).
+
+Shape: ONE scan, ONE aggregation computing every column's stats
+side-by-side, then an unpivot of the single result row — no per-column
+jobs, no driver-side loops. Multiple exact COUNT(DISTINCT) in one agg
+is Catalyst's Expand rewrite (data multiplied by n_cols in the map
+stage, still one shuffle); at 100 TB pass ``exact=False`` to switch to
+approx_count_distinct (HLL, no Expand) — the oracle-exact tier is the
+correctness gate, the HLL tier is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_str: int = 24,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_s, max_s) — min/max cast to string AFTER the typed aggregation
+    (numeric order, not lexicographic) and truncated to ``max_str``
+    chars so wide text columns stay envelope-sized.
+    """
+    cols = columns if columns is not None else df.columns
+    nd = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd(F.col(c)).alias(f"__nd_{c}"),
+            F.substring(F.min(F.col(c)).cast("string"), 1, max_str).alias(
+                f"__mn_{c}"
+            ),
+            F.substring(F.max(F.col(c)).cast("string"), 1, max_str).alias(
+                f"__mx_{c}"
+            ),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_s"),
+                F.col(f"__mx_{c}").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.col("__n").alias("n_rows"), F.explode(entries).alias("e"))
+        .select(
+            "e.col_name",
+            "n_rows",
+            "e.n_nulls",
+            "e.n_distinct",
+            "e.min_s",
+            "e.max_s",
+        )
+        .orderBy("col_name")
+    )
+
+
+def approx_quantiles_gate(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    accuracy: int = 10_000,
+    slack: float = 0.002,
+) -> DataFrame:
+    """Sketch-quantile tier with an in-engine rank-error gate — the
+    numeric-profiling analog of pl_lsh_recall/pl_ivf_recall: the
+    operator under test is ``percentile_approx`` (GK sketch, mergeable
+    partial aggregation — the only quantile that scales to 100 TB), and
+    the gate verifies its published guarantee (rank error <= 1/accuracy)
+    against the data itself rather than trusting it.
+
+    Pass 1 computes the sketch values; pass 2 computes each value's true
+    rank fraction (one broadcast of a single sketch row + one scan).
+    Emits one row (n_checked, within_tol) for a constant oracle: the
+    VALUES aren't portable across engines (DuckDB's approx_quantile is
+    t-digest, Spark's is GK — different sketches, both correct), the
+    rank-error BOUND is.
+    """
+    c = F.col(col)
+    apx = df.agg(
+        F.percentile_approx(c, F.array(*[F.lit(p) for p in probs]), accuracy)
+        .alias("apx"),
+        F.count(c).alias("n"),
+    )
+    joined = df.crossJoin(F.broadcast(apx))
+    rank_cols = [
+        F.avg((c <= F.col("apx")[i]).cast("int")).alias(f"r_{i}")
+        for i in range(len(probs))
+    ]
+    ranks = joined.groupBy("n").agg(*rank_cols)
+    tol = F.lit(1.0 / accuracy + slack) + F.lit(1.0) / F.col("n")
+    ok = F.lit(True)
+    for i, p in enumerate(probs):
+        ok = ok & (F.abs(F.col(f"r_{i}") - F.lit(p)) <= tol)
+    return ranks.select(
+        F.lit(len(probs)).alias("n_checked"), ok.alias("within_tol")
+    )

@@ -2419,3 +2419,71 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_profile",
+    doc="One-pass table profiler over documents: per-column null count, "
+        "exact distinct count, typed min/max emitted as truncated "
+        "strings (operators/profile.py:profile_table). One scan + one "
+        "aggregation (Catalyst Expand for the multi-DISTINCT), unpivot "
+        "of the single result row; exact=False flips to HLL at scale.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile", fromlist=["profile_table"]
+    ).profile_table(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH p AS (
+          SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+                 COUNT(*) - COUNT(doc_id) AS n_nulls,
+                 COUNT(DISTINCT doc_id) AS n_distinct,
+                 substr(CAST(MIN(doc_id) AS VARCHAR), 1, 24) AS min_s,
+                 substr(CAST(MAX(doc_id) AS VARCHAR), 1, 24) AS max_s
+          FROM documents
+          UNION ALL
+          SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                 COUNT(DISTINCT lang),
+                 substr(CAST(MIN(lang) AS VARCHAR), 1, 24),
+                 substr(CAST(MAX(lang) AS VARCHAR), 1, 24)
+          FROM documents
+          UNION ALL
+          SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                 COUNT(DISTINCT n_chars),
+                 substr(CAST(MIN(n_chars) AS VARCHAR), 1, 24),
+                 substr(CAST(MAX(n_chars) AS VARCHAR), 1, 24)
+          FROM documents
+          UNION ALL
+          SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                 COUNT(DISTINCT source),
+                 substr(CAST(MIN(source) AS VARCHAR), 1, 24),
+                 substr(CAST(MAX(source) AS VARCHAR), 1, 24)
+          FROM documents
+          UNION ALL
+          SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+                 COUNT(DISTINCT text),
+                 substr(CAST(MIN(text) AS VARCHAR), 1, 24),
+                 substr(CAST(MAX(text) AS VARCHAR), 1, 24)
+          FROM documents
+        )
+        SELECT * FROM p ORDER BY col_name
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_quantile_check",
+    doc="Mergeable quantile sketch (percentile_approx / Greenwald-Khanna)"
+        " over lineitem l_extendedprice with an in-engine rank-error "
+        "gate (operators/profile.py:approx_quantiles_gate) — the "
+        "numeric-profile analog of the ANN recall gates. Values are "
+        "sketch-specific (GK vs t-digest), the rank-error bound is not; "
+        "the constant oracle pins the bound holding.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile",
+        fromlist=["approx_quantiles_gate"],
+    ).approx_quantiles_gate(
+        load_table(spark, sf, "lineitem"), "l_extendedprice"
+    ),
+    oracle_sql_str="""
+        SELECT 5 AS n_checked, TRUE AS within_tol
+    """,
+))
