@@ -698,3 +698,42 @@ def dedup_incremental(
     )
     losers = batch_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return survivors.join(losers, id_col, "left_anti")
+
+
+def cluster_capped_dedup(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Frequency-capped ('soft') dedup: instead of collapsing each
+    near-dup cluster to one survivor, keep ceil(sqrt(cluster_size))
+    representatives (lowest ids) — the sublinear-copy policy for
+    corpora where duplication frequency itself is signal (popular
+    boilerplate keeps a few copies, the long tail keeps all). sqrt is
+    the portable cap: IEEE-754 requires sqrt to be correctly rounded,
+    so CEIL(SQRT(n)) is bit-identical across engines — unlike
+    floor(log2(n)), whose ln-based evaluation ties differ.
+
+    Output: every doc labeled (doc_id, cluster_id, cluster_size, kept).
+    Shape: dup_clusters' star-contraction labels + ONE keyed window
+    (both window functions share the cluster_id partitioning — a single
+    shuffle). Same scale posture as dup_clusters.
+    """
+    labels = dup_clusters(
+        df, pairs=pairs, text_col=text_col, id_col=id_col, k=k,
+        threshold=threshold,
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("cluster_id")
+    rn = F.row_number().over(part.orderBy(id_col))
+    size = F.count("*").over(part)
+    return labels.select(
+        id_col,
+        "cluster_id",
+        size.alias("cluster_size"),
+        (rn <= F.ceil(F.sqrt(size))).alias("kept"),
+    )

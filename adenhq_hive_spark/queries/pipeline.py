@@ -84,18 +84,10 @@ Q(QuerySpec(
     """,
 ))
 
-Q(QuerySpec(
-    name="pl_dup_clusters",
-    doc="Near-dup PAIRS resolved into transitive duplicate CLUSTERS: "
-        "alternating Large-Star/Small-Star contraction (O(log n) rounds "
-        "— operators/dedup.py:connected_components) over the exact "
-        "jaccard tier's pairs; every doc labeled with its component-min "
-        "cluster id, singletons keeping their own. Oracle: DuckDB "
-        "recursive-CTE transitive closure over the same pairs.",
-    builder=lambda spark, sf: dup_clusters(
-        load_table(spark, sf, "documents"), k=3, threshold=0.5
-    ).orderBy("doc_id"),
-    oracle_sql_str="""
+# Shared DuckDB CTE: exact-jaccard near-dup pairs (k=3, >=0.5) resolved to
+# transitive-closure cluster labels — the oracle prefix for every
+# cluster-level dedup query (pl_dup_clusters, pl_soft_dedup).
+_CLUSTER_LABELS_CTE = """
         WITH RECURSIVE sh AS (
           SELECT doc_id AS id, list_distinct(list_transform(
                  range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
@@ -124,15 +116,32 @@ Q(QuerySpec(
           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
           UNION
           SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+        ),
+        labels AS (
+          SELECT d.doc_id,
+                 COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src
+          ) m USING (doc_id)
         )
-        SELECT d.doc_id,
-               COALESCE(m.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d
-        LEFT JOIN (
-          SELECT src AS doc_id, MIN(dst) AS cluster_id
-          FROM reach GROUP BY src
-        ) m USING (doc_id)
-        ORDER BY d.doc_id
+"""
+
+Q(QuerySpec(
+    name="pl_dup_clusters",
+    doc="Near-dup PAIRS resolved into transitive duplicate CLUSTERS: "
+        "alternating Large-Star/Small-Star contraction (O(log n) rounds "
+        "— operators/dedup.py:connected_components) over the exact "
+        "jaccard tier's pairs; every doc labeled with its component-min "
+        "cluster id, singletons keeping their own. Oracle: DuckDB "
+        "recursive-CTE transitive closure over the same pairs.",
+    builder=lambda spark, sf: dup_clusters(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ).orderBy("doc_id"),
+    oracle_sql_str=_CLUSTER_LABELS_CTE + """
+        SELECT doc_id, cluster_id FROM labels
+        ORDER BY doc_id
     """,
 ))
 
@@ -2485,5 +2494,36 @@ Q(QuerySpec(
     ),
     oracle_sql_str="""
         SELECT 5 AS n_checked, TRUE AS within_tol
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_soft_dedup",
+    doc="Frequency-capped soft dedup: keep ceil(sqrt(cluster_size)) "
+        "lowest-id representatives of each near-dup cluster instead of "
+        "one — sublinear-copy retention where duplication frequency is "
+        "signal (operators/dedup.py:cluster_capped_dedup). CEIL(SQRT()) "
+        "is the portable cap (IEEE sqrt is correctly rounded on both "
+        "engines). One keyed window over the star-contraction labels.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup",
+        fromlist=["cluster_capped_dedup"],
+    ).cluster_capped_dedup(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ).orderBy("doc_id"),
+    oracle_sql_str=_CLUSTER_LABELS_CTE + """
+        , sized AS (
+          SELECT doc_id, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id)
+                   AS cluster_size,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY doc_id) AS rn
+          FROM labels
+        )
+        SELECT doc_id, cluster_id, cluster_size,
+               rn <= CAST(CEIL(SQRT(cluster_size)) AS BIGINT) AS kept
+        FROM sized
+        ORDER BY doc_id
     """,
 ))

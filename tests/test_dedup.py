@@ -225,3 +225,24 @@ def test_dedup_incremental_semantics(spark):
     # 10 exact-dropped, 11 near-dropped vs corpus, 13 exact in-batch,
     # 14 near in-batch vs 12 -> survivors 12, 15
     assert got == [12, 15]
+
+
+def test_cluster_capped_dedup_golden(spark):
+    from adenhq_hive_spark.operators.dedup import cluster_capped_dedup
+
+    # 5 exact copies -> one cluster of 5 -> keep ceil(sqrt(5)) = 3;
+    # 2 singletons keep themselves.
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, dup) for i in range(1, 6)] + [
+        (10, "unrelated text about completely different things here"),
+        (11, "another standalone document with its own unique words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cluster_capped_dedup(df).collect()}
+    assert len(out) == 7  # every doc labeled
+    big = [r for r in out.values() if r.cluster_size == 5]
+    assert len(big) == 5 and all(r.cluster_id == 1 for r in big)
+    kept = sorted(r.doc_id for r in big if r.kept)
+    assert kept == [1, 2, 3]  # ceil(sqrt(5)) = 3 lowest ids
+    assert out[10].kept and out[10].cluster_size == 1
+    assert out[11].cluster_id == 11
