@@ -723,3 +723,72 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    context_lengths: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency planner: for each candidate context length,
+    the integer-exact stats that size a pretraining run BEFORE packing
+    (the what-if companion to :func:`pack_sequences` / :func:`chunk_text`).
+
+    Per context length L, over whitespace token counts n:
+    - ``n_docs`` / ``total_tokens`` — corpus size;
+    - ``n_over`` — docs longer than L (must be chunked or truncated);
+    - ``tokens_over`` — tokens past the first L of each long doc (what
+      truncation at L would discard);
+    - ``n_seqs_concat`` = ceil(total/L) — sequences under boundary-free
+      concat packing (the GPT-style token stream), its waste is the
+      final partial sequence only;
+    - ``n_seqs_split`` = sum(ceil(n/L)) — sequences when documents never
+      cross boundaries and long docs are chunked (the doc-isolated
+      policy), with ``waste_frac_split`` = 1 - total/(n_seqs_split*L),
+      the padding share that policy pays at L.
+
+    One map + one grouped aggregation per L over a broadcast-exploded
+    lengths column — a single shuffle of |L| * n_partitions tiny partial
+    rows, no data duplication (the token count, not the text, is
+    exploded). All emitted fractions use exact integer arithmetic
+    (``text.frac4``).
+
+    Output: one row per L, ordered:
+    (ctx_len, n_docs, total_tokens, n_over, tokens_over,
+     n_seqs_concat, n_seqs_split, waste_frac_split).
+    """
+    from .text import frac4
+
+    if context_lengths is None:
+        context_lengths = [256, 512, 1024, 2048]
+    toks = df.select(
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("n")
+    )
+    ex = toks.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(v)) for v in context_lengths])
+        ).alias("ctx_len"),
+    )
+    n, L = F.col("n"), F.col("ctx_len")
+    agg = ex.groupBy("ctx_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum((n > L).cast("long")).alias("n_over"),
+        F.sum(F.greatest(n - L, F.lit(0))).alias("tokens_over"),
+        # ceil(a/b) = (a + b - 1) div b, exact in BIGINT
+        F.sum(F.floor((n + L - 1) / L)).alias("n_seqs_split"),
+    )
+    total, nss = F.col("total_tokens"), F.col("n_seqs_split")
+    return agg.select(
+        "ctx_len",
+        "n_docs",
+        "total_tokens",
+        "n_over",
+        "tokens_over",
+        F.floor((total + L - 1) / L).alias("n_seqs_concat"),
+        "n_seqs_split",
+        frac4(nss * L - total, nss * L).alias("waste_frac_split"),
+    ).orderBy("ctx_len")

@@ -737,3 +737,69 @@ def cluster_capped_dedup(
         size.alias("cluster_size"),
         (rn <= F.ceil(F.sqrt(size))).alias("kept"),
     )
+
+
+def editdist_verify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    candidate_threshold: float = 0.3,
+    sim_threshold: float = 0.8,
+) -> DataFrame:
+    """Character-level edit-similarity verification over near-dup
+    candidates — the expensive-but-exact confirm tier the cheap tiers
+    feed (candidate generation first, O(len_a*len_b) DP only on the
+    surviving pairs; the standard filter-and-verify shape of the
+    near-dup literature — e.g. Xiao et al. 2008 "Efficient Similarity
+    Joins for Near Duplicate Detection", where cheap signatures prune
+    and an exact measure confirms).
+
+    ``edit_sim = round((max_len - levenshtein) / max_len, 4)`` — a
+    length-normalized similarity in [0, 1] where 1.0 means identical.
+    Shingle-Jaccard candidates can be high on bag-of-ngram overlap while
+    the documents differ structurally (reordered passages); edit
+    similarity is order-sensitive, so this tier separates true
+    near-copies from shuffled-content lookalikes.
+
+    Scale posture: candidates come from the inverted-index join
+    (``ngram_jaccard_pairs`` — at 100 TB swap in ``minhash_lsh_pairs``,
+    same pair schema), never all-pairs; the DP cost is per-candidate and
+    embarrassingly parallel. ``F.levenshtein`` is JVM-side (no Python in
+    the hot path). The fraction and the threshold test use exact integer
+    arithmetic (no representation ties — see ``text.frac4``); empty-
+    vs-empty pairs (max_len 0) count as identical.
+
+    Output: (id_a, id_b, jaccard, edit_sim) for pairs with
+    ``edit_sim >= sim_threshold``, plus the candidate jaccard for
+    triage.
+    """
+    from .text import frac4
+
+    thr_num = int(round(sim_threshold * 10000))
+    cand = ngram_jaccard_pairs(
+        df, text_col, id_col, k=k, threshold=candidate_threshold
+    )
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    joined = (
+        cand.join(texts.withColumnsRenamed({"id": "id_a", "t": "t_a"}), "id_a")
+        .join(texts.withColumnsRenamed({"id": "id_b", "t": "t_b"}), "id_b")
+    )
+    lev = F.levenshtein("t_a", "t_b")
+    mx = F.greatest(F.length("t_a"), F.length("t_b"))
+    return (
+        joined.withColumn("lev", lev)
+        .withColumn("mx", mx)
+        .filter(
+            (F.col("mx") == 0)
+            | ((F.col("mx") - F.col("lev")) * 10000 >= F.col("mx") * thr_num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.when(F.col("mx") == 0, F.lit(1.0))
+            .otherwise(frac4(F.col("mx") - F.col("lev"), F.col("mx")))
+            .alias("edit_sim"),
+        )
+    )

@@ -2527,3 +2527,105 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_editdist",
+    doc="Edit-similarity verification tier over n-gram-Jaccard "
+        "candidates (operators/dedup.py:editdist_verify): JVM-side "
+        "levenshtein on candidate pairs only (filter-and-verify, never "
+        "all-pairs), edit_sim = (max_len - lev) / max_len in exact "
+        "integer arithmetic. Oracle: DuckDB levenshtein over the same "
+        "candidate CTE (both engines implement classic unit-cost DP).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup",
+        fromlist=["editdist_verify"],
+    ).editdist_verify(
+        load_table(spark, sf, "documents"),
+        k=3, candidate_threshold=0.3, sim_threshold=0.5,
+    ).orderBy("id_a", "id_b"),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ), ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        sizes AS (SELECT id, len(shs) AS n FROM sh),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        cand AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3
+        ),
+        verified AS (
+          SELECT id_a, id_b, jaccard,
+                 levenshtein(ta.text, tb.text) AS lev,
+                 greatest(len(ta.text), len(tb.text)) AS mx
+          FROM cand
+          JOIN documents ta ON ta.doc_id = cand.id_a
+          JOIN documents tb ON tb.doc_id = cand.id_b
+        )
+        SELECT id_a, id_b, jaccard,
+               CASE WHEN mx = 0 THEN 1.0
+                    ELSE CAST(((mx - lev) * 20000 + mx) // (2 * mx)
+                              AS DOUBLE) / 10000 END AS edit_sim
+        FROM verified
+        WHERE mx = 0 OR (mx - lev) * 10000 >= mx * 5000
+        ORDER BY id_a, id_b
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_pack_efficiency",
+    doc="Packing-efficiency planner: per candidate context length, doc/"
+        "token totals, overflow counts, and sequence counts + padding "
+        "waste under concat vs doc-isolated packing "
+        "(operators/curation.py:pack_efficiency). One map + one grouped "
+        "agg over an exploded lengths column; integer-exact ceil and "
+        "fraction arithmetic on both engines.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["pack_efficiency"],
+    ).pack_efficiency(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n
+          FROM documents
+        ),
+        ls AS (SELECT unnest([256, 512, 1024, 2048]) AS ctx_len),
+        agg AS (
+          SELECT ctx_len,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_over,
+                 CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT)
+                   AS tokens_over,
+                 CAST(SUM((n + ctx_len - 1) // ctx_len) AS BIGINT)
+                   AS n_seqs_split
+          FROM toks CROSS JOIN ls
+          GROUP BY ctx_len
+        )
+        SELECT ctx_len, n_docs, total_tokens, n_over, tokens_over,
+               (total_tokens + ctx_len - 1) // ctx_len AS n_seqs_concat,
+               n_seqs_split,
+               CAST(((n_seqs_split * ctx_len - total_tokens) * 20000
+                     + n_seqs_split * ctx_len)
+                    // (2 * n_seqs_split * ctx_len) AS DOUBLE) / 10000
+                 AS waste_frac_split
+        FROM agg
+        ORDER BY ctx_len
+    """,
+))

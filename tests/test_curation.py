@@ -619,3 +619,29 @@ def test_quality_classifier_learns_rule_battery(spark):
         .collect()
     }
     assert means[1.0] > means[0.0] + 0.3
+
+
+def test_pack_efficiency_golden(spark):
+    from adenhq_hive_spark.operators.curation import pack_efficiency
+
+    # token counts: 3, 5, 12 -> total 20
+    rows = [
+        (1, "a b c"),
+        (2, "a b c d e"),
+        (3, " ".join(["w"] * 12)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.ctx_len: r for r in pack_efficiency(
+        df, context_lengths=[4, 8, 64]).collect()}
+    assert sorted(out) == [4, 8, 64]
+    r4 = out[4]
+    assert (r4.n_docs, r4.total_tokens) == (3, 20)
+    assert (r4.n_over, r4.tokens_over) == (2, 9)       # 5->1 over, 12->8 over
+    assert r4.n_seqs_concat == 5                        # ceil(20/4)
+    assert r4.n_seqs_split == 1 + 2 + 3                 # ceil(3/4)+ceil(5/4)+ceil(12/4)
+    assert r4.waste_frac_split == round((6 * 4 - 20) / (6 * 4), 4)
+    r64 = out[64]
+    assert (r64.n_over, r64.tokens_over) == (0, 0)
+    assert r64.n_seqs_concat == 1 and r64.n_seqs_split == 3
+    # split waste at L=64: 3*64 - 20 = 172 padding of 192 slots
+    assert r64.waste_frac_split == round(172 / 192, 4)

@@ -246,3 +246,43 @@ def test_cluster_capped_dedup_golden(spark):
     assert kept == [1, 2, 3]  # ceil(sqrt(5)) = 3 lowest ids
     assert out[10].kept and out[10].cluster_size == 1
     assert out[11].cluster_id == 11
+
+
+def test_editdist_verify_golden_and_order_sensitivity(spark):
+    from adenhq_hive_spark.operators.dedup import editdist_verify
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappZ"
+    # same word multiset as base, shuffled — jaccard-candidate-passable
+    # (shared shingles) but far in edit distance
+    shuffled = "iota kappa alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base), (2, base), (3, near), (4, shuffled),
+            (5, "entirely different content with no shared trigrams at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = {(r.id_a, r.id_b): r for r in editdist_verify(
+        df, candidate_threshold=0.2, sim_threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)].edit_sim == 1.0
+    assert (1, 3) in out and out[(1, 3)].edit_sim >= 0.98
+    # shuffled doc shares shingles with base (candidate) but edit_sim is
+    # low -> verify tier must reject it at 0.9
+    assert (1, 4) not in out
+    assert not any(5 in p for p in out)
+
+    # lowering the bar admits the shuffled pair: confirm it WAS a
+    # candidate and the rejection came from the edit-sim filter
+    loose = {(r.id_a, r.id_b) for r in editdist_verify(
+        df, candidate_threshold=0.2, sim_threshold=0.1).collect()}
+    assert (1, 4) in loose
+
+
+def test_editdist_verify_empty_texts_identical(spark):
+    from adenhq_hive_spark.operators.dedup import editdist_verify
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "some words here")], ["doc_id", "text"]
+    )
+    # empty-vs-empty: no shingles -> no candidate pair -> absent (the
+    # mx=0 guard protects the division, not candidate generation)
+    out = editdist_verify(df, candidate_threshold=0.0).collect()
+    assert all(r.edit_sim is not None for r in out)
