@@ -2629,3 +2629,47 @@ Q(QuerySpec(
         ORDER BY ctx_len
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_event_anomaly",
+    doc="Per-type daily event-volume anomaly flags (operators/"
+        "anomaly.py:daily_count_anomalies): |z| >= k over each type's "
+        "daily counts (k=2 here), decided by the denominator-cleared "
+        "INTEGER inequality (n*x - S1)^2 * (n-1) >= k^2*n*(n*S2 - S1^2) "
+        "— no "
+        "stddev/sqrt double whose last ulp could flip a flag between "
+        "engines. One shuffle of the raw events; windows run over the "
+        "kilobyte-scale (type, day) table.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.anomaly",
+        fromlist=["daily_count_anomalies"],
+    ).daily_count_anomalies(
+        load_table(spark, sf, "events"), k=2
+    ).withColumn("day", F.col("day").cast("timestamp")),
+    oracle_sql_str="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        win AS (
+          SELECT event_type, day, n_events,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n,
+                 CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS s1,
+                 CAST(SUM(n_events * n_events)
+                      OVER (PARTITION BY event_type) AS BIGINT) AS s2
+          FROM daily
+        )
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
+               n AS n_days,
+               CAST((s1 * 20000 + n) // (2 * n) AS DOUBLE) / 10000
+                 AS mean_events,
+               (n > 1 AND (n * s2 - s1 * s1) > 0
+                AND (n * n_events - s1) * (n * n_events - s1) * (n - 1)
+                    >= 4 * n * (n * s2 - s1 * s1)) AS is_anomaly
+        FROM win
+        ORDER BY event_type, day
+    """,
+))

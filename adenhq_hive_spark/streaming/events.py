@@ -358,3 +358,106 @@ def stateful_sessions(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_ANOMALY_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("day", T.DateType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_days_prior", T.LongType()),
+    T.StructField("is_anomaly", T.BooleanType()),
+])
+
+_ANOMALY_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s1", T.LongType()),
+    T.StructField("s2", T.LongType()),
+    T.StructField("open_days", T.StringType()),  # JSON {iso_day: count}
+])
+
+
+def anomaly_stream(stream: DataFrame, k: int = 2) -> DataFrame:
+    """Streaming twin of :func:`operators.anomaly.daily_count_anomalies`:
+    per-key daily counts flagged online against the key's PRIOR days.
+
+    Semantics differ from the batch op deliberately — an online sentinel
+    tests each closing day against the distribution of days already seen
+    (the only information available at decision time), while the batch
+    op tests against the full history. The decision is the same
+    denominator-cleared integer inequality
+    ``(n*x - S1)^2 * (n-1) >= k^2 * n * (n*S2 - S1^2)`` over the PRIOR
+    running sums — no floating stddev in the state or the decision.
+
+    State per key: running (n, S1, S2) over CLOSED days plus a JSON
+    buffer of still-open day counts. A day closes when a strictly later
+    day arrives for that key (a per-key watermark by data progress, the
+    right bound for a source that replays in order); the newest day stays
+    open, so every emitted flag is final — the operator never revises.
+    Output mode append-compatible: one row per (key, closed day).
+
+    Scale: state is three BIGINTs + a small JSON per key; the wide work
+    is the groupBy(event_type) shuffle of raw events — at petabyte
+    volume, pre-aggregate per (key, day) in the micro-batch before the
+    stateful stage (same two-level shape as the batch op).
+    """
+    import json
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s1, s2, open_json = (
+            state.get if state.exists else (0, 0, 0, "{}")
+        )
+        open_days: dict[str, int] = json.loads(open_json)
+        for pdf in pdfs:
+            per_day = pdf["day"].astype(str).value_counts()
+            for day, c in per_day.items():
+                open_days[day] = open_days.get(day, 0) + int(c)
+        out_rows = []
+        if open_days:
+            newest = max(open_days)
+            for day in sorted(d for d in open_days if d < newest):
+                x = open_days.pop(day)
+                dev = n * x - s1
+                varnum = n * s2 - s1 * s1
+                # unlike the batch op, x is NOT in the prior sums, so a
+                # zero-variance history with x off the constant is an
+                # infinite-z anomaly, not a vacuous case
+                flag = bool(
+                    n > 1
+                    and (
+                        (varnum == 0 and dev != 0)
+                        or dev * dev * (n - 1) >= k * k * n * varnum > 0
+                    )
+                )
+                out_rows.append((key[0], day, x, n, flag))
+                n, s1, s2 = n + 1, s1 + x, s2 + x * x
+        state.update((n, s1, s2, json.dumps(open_days)))
+        if not out_rows:
+            yield pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in _ANOMALY_OUT}
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": [r[0] for r in out_rows],
+                "day": [pd.Timestamp(r[1]).date() for r in out_rows],
+                "n_events": [r[2] for r in out_rows],
+                "n_days_prior": [r[3] for r in out_rows],
+                "is_anomaly": [r[4] for r in out_rows],
+            }
+        )
+
+    return (
+        stream.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_ANOMALY_OUT,
+            stateStructType=_ANOMALY_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

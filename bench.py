@@ -52,6 +52,8 @@ HEADLINE = [
     "pl_snapshot_diff",  # incremental snapshot bookkeeping
     "pl_shuffle_shard",  # deterministic shuffle + sharding
     "pl_semdedup",       # cluster-then-dedup semantic tier (no oracle)
+    "pl_editdist",       # levenshtein filter-and-verify confirm tier
+    "pl_event_anomaly",  # integer z-test volume sentinel
 ]
 
 

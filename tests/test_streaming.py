@@ -687,3 +687,93 @@ def test_upsert_store_empty_before_first_batch(spark, tmp_path):
     from adenhq_hive_spark.streaming.upsert import read_store
 
     assert read_store(spark, str(tmp_path / "nope")) is None
+
+
+def test_anomaly_stream_online_semantics(spark, stream, batch_events, tmp_path):
+    from adenhq_hive_spark.streaming.events import anomaly_stream
+
+    q = run_to_completion(
+        anomaly_stream(stream, k=2),
+        "anomaly_sentinel",
+        str(tmp_path / "ck_anom"),
+        output_mode="update",
+    )
+    try:
+        rows = spark.sql("SELECT * FROM anomaly_sentinel").collect()
+    finally:
+        q.stop()
+
+    # python replay of the documented online semantics on the batch data:
+    # close days oldest-first per key, newest day stays open
+    import collections
+    daily = collections.defaultdict(dict)
+    for r in (
+        batch_events.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day").count().collect()
+    ):
+        daily[r.event_type][str(r.day)] = r["count"]
+    want = {}
+    for etype, days in daily.items():
+        n = s1 = s2 = 0
+        newest = max(days)
+        for day in sorted(d for d in days if d < newest):
+            x = days[day]
+            dev, varnum = n * x - s1, n * s2 - s1 * s1
+            flag = n > 1 and (
+                (varnum == 0 and dev != 0)
+                or (varnum > 0 and dev * dev * (n - 1) >= 4 * n * varnum)
+            )
+            want[(etype, day)] = (x, n, flag)
+            n, s1, s2 = n + 1, s1 + x, s2 + x * x
+
+    got = {
+        (r.event_type, str(r.day)): (r.n_events, r.n_days_prior, r.is_anomaly)
+        for r in rows
+    }
+    assert got == want and len(got) > 0
+
+
+def test_anomaly_stream_state_survives_triggers(spark, tmp_path):
+    import os
+    import pandas as pd_
+    from adenhq_hive_spark.streaming.events import anomaly_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, day_counts, mtime):
+        rows = []
+        for day, c in day_counts.items():
+            for i in range(c):
+                rows.append((len(rows), pd_.Timestamp(f"2026-01-{day:02d} 12:00:00"), "click"))
+        pdf = pd_.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    # batch 1: five steady days of 10 (day 6 stays open at first)
+    write_file("a.parquet", {d: 10 for d in range(1, 6)}, 1_000_000)
+    # batch 2: the spike day 6 fills to 100, day 7 arrives and closes it
+    write_file("b.parquet", {6: 100, 7: 10}, 2_000_000)
+
+    raw = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_to_completion(
+        anomaly_stream(raw, k=2),
+        "anomaly_two_batches",
+        str(tmp_path / "ck2"),
+        output_mode="update",
+    )
+    try:
+        rows = spark.sql("SELECT * FROM anomaly_two_batches").collect()
+    finally:
+        q.stop()
+    out = {str(r.day): r for r in rows}
+    # days 1-5 closed unflagged; day 6 (100 vs five prior 10s) flagged
+    # with prior state carried across the trigger boundary
+    assert len(out) == 6 and "2026-01-07" not in out
+    assert out["2026-01-06"].is_anomaly and out["2026-01-06"].n_days_prior == 5
+    assert not any(out[f"2026-01-0{d}"].is_anomaly for d in range(1, 6))
