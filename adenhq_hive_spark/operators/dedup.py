@@ -803,3 +803,73 @@ def editdist_verify(
             .alias("edit_sim"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Duplication provenance matrix: near-dup pair counts per ordered
+    source pair — which corpora copy from which (the triage view before
+    choosing a dedup keep-policy: within-source duplication suggests
+    crawler artifacts; cross-source suggests mirroring/boilerplate, and
+    which side to prefer is a policy decision this matrix informs).
+
+    ``src_lo``/``src_hi`` are the pair's sources in lexicographic order
+    (the pair graph is undirected); ``n_pairs`` counts near-dup pairs,
+    ``n_docs_lo``/``n_docs_hi`` count the DISTINCT documents involved on
+    each side — a thousand pairs touching three boilerplate docs reads
+    very differently from a thousand pairs touching a thousand docs.
+
+    Scale: pairs come from any candidate tier (default: the exact
+    jaccard tier; pass ``pairs=`` to reuse LSH output). The matrix agg
+    is on (src_lo, src_hi) — cardinality |sources|^2, trivially small.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, k=k, threshold=threshold
+        )
+    srcs = df.select(
+        F.col(id_col).alias("id"), F.col(source_col).alias("src")
+    )
+    labeled = (
+        pairs.join(srcs.withColumnsRenamed({"id": "id_a", "src": "src_a"}), "id_a")
+        .join(srcs.withColumnsRenamed({"id": "id_b", "src": "src_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "src_a",
+        )
+    )
+    # distinct docs per side of the ORDERED pair: a doc counts on the
+    # lo side when its own source == src_lo (diagonal cells: both docs
+    # share the source, lo/hi sides are the pair's two positions)
+    return (
+        labeled.withColumn(
+            "pair_docs",
+            F.when(
+                F.col("src_a") == F.col("src_lo"),
+                F.struct(F.col("id_a").alias("lo"), F.col("id_b").alias("hi")),
+            ).otherwise(
+                F.struct(F.col("id_b").alias("lo"), F.col("id_a").alias("hi"))
+            ),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.size(F.array_distinct(F.collect_list("pair_docs.lo"))).alias(
+                "n_docs_lo"
+            ),
+            F.size(F.array_distinct(F.collect_list("pair_docs.hi"))).alias(
+                "n_docs_hi"
+            ),
+        )
+        .orderBy("src_lo", "src_hi")
+    )

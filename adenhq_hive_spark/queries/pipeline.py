@@ -2673,3 +2673,59 @@ Q(QuerySpec(
         ORDER BY event_type, day
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_cross_source_dups",
+    doc="Duplication provenance matrix: near-dup pair counts per "
+        "ordered source pair, with distinct-doc counts per side "
+        "(operators/dedup.py:cross_source_dup_matrix) — the triage view "
+        "separating crawler self-duplication from cross-source "
+        "mirroring. Matrix agg is |sources|^2-small; pairs from the "
+        "exact jaccard tier (swap in LSH pairs at scale).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup",
+        fromlist=["cross_source_dup_matrix"],
+    ).cross_source_dup_matrix(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ), ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        sizes AS (SELECT id, len(shs) AS n FROM sh),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        ),
+        lab AS (
+          SELECT least(da.source, db.source) AS src_lo,
+                 greatest(da.source, db.source) AS src_hi,
+                 CASE WHEN da.source <= db.source THEN p.id_a
+                      ELSE p.id_b END AS lo_doc,
+                 CASE WHEN da.source <= db.source THEN p.id_b
+                      ELSE p.id_a END AS hi_doc
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b
+        )
+        SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+               CAST(COUNT(DISTINCT lo_doc) AS INT) AS n_docs_lo,
+               CAST(COUNT(DISTINCT hi_doc) AS INT) AS n_docs_hi
+        FROM lab
+        GROUP BY src_lo, src_hi
+        ORDER BY src_lo, src_hi
+    """,
+))

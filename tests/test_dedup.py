@@ -286,3 +286,27 @@ def test_editdist_verify_empty_texts_identical(spark):
     # mx=0 guard protects the division, not candidate generation)
     out = editdist_verify(df, candidate_threshold=0.0).collect()
     assert all(r.edit_sim is not None for r in out)
+
+
+def test_cross_source_dup_matrix_golden(spark):
+    from adenhq_hive_spark.operators.dedup import cross_source_dup_matrix
+
+    dup1 = "alpha beta gamma delta epsilon zeta eta theta"
+    dup2 = "one two three four five six seven eight nine"
+    rows = [
+        # cross-source near-dup cluster: 2 docs in srcA, 1 in srcB
+        (1, dup1, "srcA"), (2, dup1, "srcA"), (3, dup1, "srcB"),
+        # within-source pair in srcB
+        (10, dup2, "srcB"), (11, dup2, "srcB"),
+        # singleton
+        (20, "totally unrelated words that match nothing else", "srcC"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_lo, r.src_hi): r for r in cross_source_dup_matrix(df).collect()}
+    # pairs: (1,2) AA, (1,3) AB, (2,3) AB, (10,11) BB
+    assert out[("srcA", "srcA")].n_pairs == 1
+    assert out[("srcA", "srcB")].n_pairs == 2
+    assert out[("srcB", "srcB")].n_pairs == 1
+    ab = out[("srcA", "srcB")]
+    assert (ab.n_docs_lo, ab.n_docs_hi) == (2, 1)   # docs 1,2 vs doc 3
+    assert ("srcC", "srcC") not in out and len(out) == 3
