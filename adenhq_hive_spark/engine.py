@@ -154,3 +154,63 @@ class Engine:
             "tables": sorted(tables, key=lambda e: e["table"]),
             "table_count": len(tables),
         }
+
+    def explain(self, sql: str, mode: str = "formatted") -> dict:
+        """Gated SQL → optimizer-plan report, no execution.
+
+        The query-inspection surface the reference's SQL tools lack but
+        any 100 TB operator needs before running: the FINAL Catalyst
+        physical plan plus the scan-health facts that predict cost —
+        per-scan pushed filters and read schemas (is the filter/projection
+        reaching parquet?), whether every join is broadcast or an
+        exchange, and the exchange count (shuffle budget). Read-only
+        gated like ``sql``; planning happens on the driver, nothing runs.
+
+        Returns ``{success, plan, scans: [{pushed_filters, read_schema}],
+        n_exchanges, n_broadcast_joins, n_sort_merge_joins,
+        n_codegen_subtrees, whole_stage_codegen}``.
+        """
+        try:
+            df = self.df(sql)
+        except ReadOnlyViolation as exc:
+            return {"success": False, "error": str(exc)}
+        import contextlib
+        import io
+
+        def _capture(m) -> str:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(m)
+            return buf.getvalue()
+
+        explained = _capture(mode)
+        # `codegen` mode prints "Found N WholeStageCodegen subtrees";
+        # with AQE enabled the count is for the PRE-execution plan (AQE
+        # finalizes codegen per stage at runtime) — 0 here means "not
+        # determined yet", not "interpreted" (run-then-explain for final
+        # spans; scripts/explain_audit.py does that for the headline set)
+        import re as _re
+
+        m = _re.search(r"Found (\d+) WholeStageCodegen", _capture("codegen"))
+        n_codegen = int(m.group(1)) if m else 0
+        scans = []
+        for block in explained.split("Scan parquet")[1:]:
+            facts: dict[str, str] = {}
+            for line in block.splitlines():
+                line = line.strip()
+                if line.startswith("PushedFilters:"):
+                    facts["pushed_filters"] = line.split(":", 1)[1].strip()
+                elif line.startswith("ReadSchema:"):
+                    facts["read_schema"] = line.split(":", 1)[1].strip()
+            if facts:  # the plan-tree mention carries no detail lines
+                scans.append(facts)
+        return {
+            "success": True,
+            "plan": explained,
+            "scans": scans,
+            "n_exchanges": explained.count("Exchange"),
+            "n_broadcast_joins": explained.count("BroadcastHashJoin"),
+            "n_sort_merge_joins": explained.count("SortMergeJoin"),
+            "n_codegen_subtrees": n_codegen,
+            "whole_stage_codegen": n_codegen > 0,
+        }

@@ -873,3 +873,50 @@ def cross_source_dup_matrix(
         )
         .orderBy("src_lo", "src_hi")
     )
+
+
+def cluster_best_rep(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep-policy dedup: one representative per near-dup cluster, chosen
+    as the LONGEST document (ties → lowest id) — "prefer the most
+    complete copy", the standard alternative to min-id retention when
+    near-dups are truncations/excerpts of a fuller original.
+
+    The policy metric is character length: an integer, so the argmax is
+    exactly portable (no floating quality score whose ties could pick
+    different winners per engine). Same cluster machinery and scale
+    posture as :func:`dup_clusters`; the selection adds ONE keyed window
+    over the (doc, cluster) labels, partitioned the same way.
+
+    Output: (id_col, cluster_id, cluster_size, n_chars, kept), ordered.
+    """
+    labels = dup_clusters(
+        df, pairs=pairs, text_col=text_col, id_col=id_col, k=k,
+        threshold=threshold,
+    )
+    from pyspark.sql import Window
+
+    lens = df.select(
+        F.col(id_col), F.length(text_col).alias("n_chars")
+    )
+    part = Window.partitionBy("cluster_id")
+    rn = F.row_number().over(
+        part.orderBy(F.col("n_chars").desc(), F.col(id_col))
+    )
+    return (
+        labels.join(lens, id_col)
+        .select(
+            id_col,
+            "cluster_id",
+            F.count("*").over(part).alias("cluster_size"),
+            "n_chars",
+            (rn == 1).alias("kept"),
+        )
+        .orderBy(id_col)
+    )

@@ -2729,3 +2729,37 @@ Q(QuerySpec(
         ORDER BY src_lo, src_hi
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_best_rep_dedup",
+    doc="Keep-policy dedup: longest-copy representative per near-dup "
+        "cluster, ties to lowest id (operators/dedup.py:"
+        "cluster_best_rep) — 'prefer the most complete copy'. Integer "
+        "length metric => exactly portable argmax. One extra keyed "
+        "window over the star-contraction labels.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup",
+        fromlist=["cluster_best_rep"],
+    ).cluster_best_rep(
+        load_table(spark, sf, "documents"), k=3, threshold=0.5
+    ),
+    oracle_sql_str=_CLUSTER_LABELS_CTE + """
+        , lens AS (
+          SELECT doc_id, length(text) AS n_chars FROM documents
+        ), sized AS (
+          SELECT l.doc_id, l.cluster_id,
+                 COUNT(*) OVER (PARTITION BY l.cluster_id)
+                   AS cluster_size,
+                 ln.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY ln.n_chars DESC, l.doc_id)
+                   AS rn
+          FROM labels l JOIN lens ln ON ln.doc_id = l.doc_id
+        )
+        SELECT doc_id, cluster_id, cluster_size,
+               CAST(n_chars AS INT) AS n_chars, rn = 1 AS kept
+        FROM sized
+        ORDER BY doc_id
+    """,
+))

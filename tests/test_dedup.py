@@ -310,3 +310,33 @@ def test_cross_source_dup_matrix_golden(spark):
     ab = out[("srcA", "srcB")]
     assert (ab.n_docs_lo, ab.n_docs_hi) == (2, 1)   # docs 1,2 vs doc 3
     assert ("srcC", "srcC") not in out and len(out) == 3
+
+
+def test_cluster_best_rep_keeps_longest(spark):
+    from adenhq_hive_spark.operators.dedup import cluster_best_rep
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    longer = base + " lambda mu"        # near-dup, more complete copy
+    rows = [
+        (1, base), (2, longer), (3, base),
+        (10, "standalone document with completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cluster_best_rep(df).collect()}
+    assert len(out) == 4
+    cluster = [r for r in out.values() if r.cluster_size == 3]
+    assert {r.doc_id for r in cluster} == {1, 2, 3}
+    assert out[2].kept                      # longest wins, not min id
+    assert not out[1].kept and not out[3].kept
+    assert out[10].kept and out[10].cluster_size == 1
+
+
+def test_cluster_best_rep_tie_breaks_to_min_id(spark):
+    from adenhq_hive_spark.operators.dedup import cluster_best_rep
+
+    dup = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(5, dup), (2, dup), (9, dup)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.kept for r in cluster_best_rep(df).collect()}
+    assert out == {2: True, 5: False, 9: False}

@@ -170,3 +170,36 @@ def test_driver_contract_wiring():
     first50 = list(qs)[:50]
     assert all(k[0] == "a" and k[1:3].isdigit() for k in first50)
     assert len(qs) >= 120
+
+
+def test_explain_reports_pushdown_and_shuffles(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    r = eng.explain(
+        "SELECT l_orderkey, SUM(l_quantity) AS q FROM lineitem "
+        "WHERE l_discount > 0.05 GROUP BY l_orderkey"
+    )
+    assert r["success"]
+    assert len(r["scans"]) == 1
+    assert "GreaterThan(l_discount,0.05)" in r["scans"][0]["pushed_filters"]
+    # column pruning: only the three referenced columns reach the scan
+    assert r["scans"][0]["read_schema"].count(":") == 3
+    assert r["n_exchanges"] >= 1  # the groupBy shuffle
+
+
+def test_explain_codegen_count_without_aqe_wrapper(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    # single-stage scan+filter: codegen is determined pre-execution
+    r = eng.explain("SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05")
+    assert r["n_codegen_subtrees"] >= 1 and r["whole_stage_codegen"]
+
+
+def test_explain_is_read_only_gated(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    r = eng.explain("DROP TABLE lineitem")
+    assert not r["success"] and "read-only" in r["error"].lower()

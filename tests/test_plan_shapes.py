@@ -450,3 +450,37 @@ def test_snapshot_diff_hashes_before_join(spark):
     for blk in exchanges:
         input_line = next(l for l in blk.split("\n") if l.startswith("Input"))
         assert "text#" not in input_line, blk
+
+
+def test_editdist_no_cartesian_and_jvm_levenshtein(spark):
+    plan = _plan(QUERIES["pl_editdist"].run(spark, SF_SMOKE))
+    # verify tier joins candidates to texts by key — never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan          # JVM expression, not a UDF
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_event_anomaly_single_raw_shuffle(spark):
+    df = QUERIES["pl_event_anomaly"].run(spark, SF_SMOKE)
+    plan = _plan(df)
+    # one grouped agg of raw events (with partial map-side combine);
+    # window work happens on the tiny (type, day) table
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "InMemoryTableScan" not in plan
+
+
+def test_pack_efficiency_is_one_agg_over_exploded_lengths(spark):
+    df = QUERIES["pl_pack_efficiency"].run(spark, SF_SMOKE)
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1                 # documents read exactly once
+    assert "partial_count" in plan or "partial_sum" in plan
+    # only the text column is needed from documents
+    assert "doc_id" not in scans[0]
+
+
+def test_cross_source_matrix_joins_by_key(spark):
+    plan = _plan(QUERIES["pl_cross_source_dups"].run(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
