@@ -1,0 +1,138 @@
+"""Trigram-indexed literal search — the inverted-index alternative to a
+full-scan LIKE, the standard technique for substring search over massive
+corpora (public design: Google Code Search trigram index, R. Cox 2012,
+"Regular Expression Matching with a Trigram Index").
+
+A full-scan ``text LIKE '%needle%'`` reads every byte of a 100 TB corpus
+per query. The trigram index inverts that: build once (char-3-gram →
+posting list of doc ids), then a query touches ONLY the posting rows of
+the needle's trigrams — candidates are docs containing EVERY needle
+trigram, verified with an exact ``contains`` on just those docs. The
+index build is one linear pass; at scale it would be written bucketed by
+trigram so probes prune to matching buckets.
+
+False positives (docs with all trigrams but not the contiguous needle)
+are removed by the verify step; false negatives are impossible — a doc
+containing the needle contains every one of its trigrams. Needles
+shorter than 3 chars fall back to the scan (no trigram to probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _trigrams_of(text: str) -> list[str]:
+    return sorted({text[i : i + 3] for i in range(len(text) - 2)})
+
+
+def build_trigram_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(trigram, ids) posting lists over the corpus — distinct char
+    trigrams per doc, JVM-side sequence expression, one shuffle on the
+    trigram key. Persist/bucket this by ``trigram`` for repeated probes."""
+    tris = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), "
+            f"i -> substring({text_col}, i, 3))"
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tris).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+
+
+def trigram_search(
+    df: DataFrame,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact literal-containment search via the trigram index.
+
+    Probe: filter postings to the needle's trigrams (a tiny IN list —
+    partition/bucket pruning at scale), explode, and keep docs holding
+    ALL of them (count == n_trigrams); verify candidates with
+    ``contains`` against the doc text. Result is EXACTLY the full-scan
+    answer — the index only prunes, never decides.
+
+    Output: (id_col) of matching docs, ordered.
+    """
+    if len(needle) < 3:
+        return (
+            df.filter(F.col(text_col).contains(F.lit(needle)))
+            .select(id_col)
+            .orderBy(id_col)
+        )
+    tris = _trigrams_of(needle)
+    if postings is None:
+        postings = build_trigram_postings(df, text_col, id_col)
+    cand = (
+        postings.filter(F.col("trigram").isin(tris))
+        .select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == len(tris))
+        .select("id")
+    )
+    return (
+        df.join(cand.withColumnRenamed("id", id_col), id_col, "left_semi")
+        .filter(F.col(text_col).contains(F.lit(needle)))
+        .select(id_col)
+        .orderBy(id_col)
+    )
+
+
+def save_trigram_index(
+    df: DataFrame,
+    table_name: str = "trigram_index",
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the posting lists as a BUCKETED table so probes prune to
+    the needle's buckets instead of scanning the whole index.
+
+    ``bucketBy(buckets, trigram)`` hashes each trigram to one of
+    ``buckets`` files; an equality/IN probe on ``trigram`` then reads
+    only the matching buckets (Spark bucket pruning — the executed plan
+    shows ``SelectedBucketsCount: m out of n``). The build is the one
+    linear corpus pass; re-run to refresh (posting lists are derived
+    state, idempotent by construction)."""
+    (
+        build_trigram_postings(df, text_col, id_col)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "trigram")
+        .sortBy("trigram")
+        .saveAsTable(table_name)
+    )
+
+
+def trigram_search_indexed(
+    df: DataFrame,
+    needle: str,
+    table_name: str = "trigram_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a persisted bucketed index (:func:`save_trigram_index`) —
+    same exact-answer contract as :func:`trigram_search`, but the probe
+    reads only the needle's trigram buckets (bucket pruning) instead of
+    rebuilding or rescanning posting lists: the amortized shape for a
+    search service running many queries against one corpus snapshot.
+
+    Operational note: set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` in
+    the probe session — Spark's planner otherwise disables bucketed
+    reading for filter-only scans (no join/agg on the bucket column),
+    which forfeits the pruning this index exists for. Asserted in
+    tests/test_search.py."""
+    spark = df.sparkSession
+    return trigram_search(
+        df, needle, text_col, id_col, postings=spark.table(table_name)
+    )

@@ -2763,3 +2763,25 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_trigram_search",
+    doc="Trigram-indexed literal search (operators/search.py — R. Cox "
+        "2012 trigram-index design): posting lists built once, a query "
+        "probes only its needle's trigram rows, candidates holding ALL "
+        "trigrams are verified with exact contains. Result is exactly "
+        "the full-scan LIKE answer — the oracle IS that full scan, so "
+        "the hash proves prune-never-loses.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.search",
+        fromlist=["trigram_search"],
+    ).trigram_search(
+        load_table(spark, sf, "documents"), "spark window"
+    ),
+    oracle_sql_str="""
+        SELECT doc_id FROM documents
+        WHERE contains(text, 'spark window')
+        ORDER BY doc_id
+    """,
+))

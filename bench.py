@@ -120,6 +120,46 @@ def main() -> None:
             duck_times[name] = round(best, 4)
             log(f"duckdb {name}: {duck_times[name]:.3f}s")
 
+    # Streaming throughput: drive the events table through the tumbling-
+    # window stream (availableNow semantics) and report end-to-end
+    # rows/sec — micro-batch scheduling + watermark + stateful agg
+    # included, the number that scales with executor count.
+    streaming = None
+    try:
+        import shutil
+        import tempfile
+
+        from adenhq_hive_spark.streaming.events import (
+            read_event_stream,
+            tumbling_counts,
+        )
+
+        n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        ck = tempfile.mkdtemp(prefix="bench_stream_ck_")
+        try:
+            t0 = time.perf_counter()
+            q = (
+                tumbling_counts(read_event_stream(spark, sf_dir))
+                .writeStream.outputMode("complete")
+                .format("noop")
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+        streaming = {
+            "rows": n_rows,
+            "wall_s": round(wall, 4),
+            "rows_per_sec": round(n_rows / wall),
+        }
+        log(f"streaming tumbling: {n_rows} rows in {wall:.2f}s "
+            f"= {streaming['rows_per_sec']} rows/s")
+    except Exception as exc:  # never fail the batch bench on this
+        log(f"streaming bench skipped: {exc}")
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -128,6 +168,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if streaming:
+        out["streaming"] = streaming
     if duck_times:
         out["duckdb"] = duck_times
     print(json.dumps(out), flush=True)
