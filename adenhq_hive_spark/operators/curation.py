@@ -792,3 +792,43 @@ def pack_efficiency(
         "n_seqs_split",
         frac4(nss * L - total, nss * L).alias("waste_frac_split"),
     ).orderBy("ctx_len")
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quality-weighted subsampling: each document's keep
+    probability IS its quality score — high-quality docs survive, junk
+    is thinned proportionally instead of hard-cut (the soft alternative
+    to a threshold filter; the shape of FineWeb-style quality-weighted
+    corpus construction, Penedo et al. 2024).
+
+    Determinism and portability: the "coin flip" is the first 32 bits
+    of ``md5(id)`` compared against the score in EXACT integer
+    arithmetic — keep iff ``hash32 * 10 < round(score*10) * 2^32``
+    (quality_score is a rule-sum in exact 0.1 steps, so
+    ``round(score*10)`` is an integer both engines agree on). Same row
+    set on every run, engine, partitioning, and cluster size;
+    re-running the pipeline reproduces the corpus bit-for-bit.
+
+    Map-only: the quality features and the hash are per-row column
+    expressions — no shuffle, no state. Output: every doc labeled
+    (id_col, quality_score, kept), ordered.
+    """
+    from .text import quality_score as _quality
+
+    scored = _quality(df, text_col=text_col)
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    qs10 = F.round(F.col("quality_score") * 10).cast("bigint")
+    return (
+        scored.select(
+            id_col,
+            "quality_score",
+            (h32 * 10 < qs10 * F.lit(4294967296)).alias("kept"),
+        )
+        .orderBy(id_col)
+    )

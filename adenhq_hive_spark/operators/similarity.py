@@ -674,3 +674,96 @@ def semdedup(
     return result.select(
         F.col("id").alias(id_col), "cluster_id", "keep", "dup_of"
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchors: int = 10_000,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor vector, the top-``k`` most-similar vectors with a DIFFERENT
+    label — the near-miss examples a contrastive loss learns most from
+    (the standard mining step of SimCSE/SBERT-style training). Pass
+    ``anchors`` to mine for a subset while ranging over the full
+    candidate corpus.
+
+    Same blocked-BLAS shape as :func:`cosine_topk` with the anchor side
+    broadcast (ids, labels, unit matrix): each Arrow batch of the
+    DISTRIBUTED candidate scan scores all anchors in one matmul, masks
+    same-label and self pairs, keeps a batch-local top-k, and a final
+    window merges batch winners — k·n_batches intermediate rows, never
+    n². The anchor side is driver-bounded (``max_anchors``); beyond the
+    cap, bucket anchors through the IVF tier and mine per-bucket (same
+    mask, distributed anchors).
+
+    Output: (anchor_id, rank, neg_id, cosine), rank by (cosine desc,
+    neg_id asc) on values rounded to 4 — the exact tie order the DuckDB
+    oracle reproduces.
+    """
+    spark = df.sparkSession
+    if anchors is None:
+        anchors = df
+    rows = anchors.select(id_col, label_col, vec_col).limit(
+        max_anchors + 1
+    ).collect()
+    if len(rows) > max_anchors:
+        raise ValueError(
+            f"hard_negatives anchor side exceeds max_anchors="
+            f"{max_anchors}; mine per IVF bucket instead"
+        )
+    a_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    a_labels = np.array([r[1] for r in rows], dtype=np.int64)
+    a_mat = np.array([r[2] for r in rows], dtype=np.float64)
+    a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+    ba = spark.sparkContext.broadcast((a_ids, a_labels, a_mat))
+
+    v = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("cv"),
+    )
+
+    def partial(it):
+        ids_a, labels_a, mat_a = ba.value
+        na = len(ids_a)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            labels = pdf["cand_label"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat_a @ mat.T, 4)            # (na, batch)
+            out_a, out_c, out_s = [], [], []
+            for ai in range(na):
+                mask = labels != labels_a[ai]            # negatives only
+                cand_ids, cand_sims = ids[mask], sims[ai][mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_a.append(np.full(len(order), ids_a[ai]))
+                out_c.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "anchor_id": np.concatenate(out_a),
+                        "neg_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    scored = v.mapInPandas(
+        partial, schema="anchor_id long, neg_id long, cosine double"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", "neg_id", "cosine")
+    )

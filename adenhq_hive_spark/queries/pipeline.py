@@ -2785,3 +2785,88 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_weighted_sample",
+    doc="Quality-weighted deterministic subsampling: keep probability = "
+        "quality score, coin flip = first 32 bits of md5(id) compared "
+        "in exact integer arithmetic (operators/curation.py:"
+        "quality_weighted_sample; FineWeb-style soft quality "
+        "thinning). Map-only, reproducible bit-for-bit.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["quality_weighted_sample"],
+    ).quality_weighted_sample(load_table(spark, sf, "documents")),
+    oracle_sql_str=r"""
+        WITH f AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, '\s+')) AS n_words,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(string_split_regex(text, '\s+')) AS mean_wlen,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                   AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS DOUBLE) / length(text) AS digit_ratio,
+                 CAST(len(list_intersect(string_split_regex(text, '\s+'),
+                      ['the','and','of','to','is'])) AS DOUBLE)
+                   / greatest(len(string_split_regex(text, '\s+')), 1)
+                   AS stop_ratio
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 ROUND(CAST(
+                   (CASE WHEN n_words BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN digit_ratio <= 0.3 THEN 0.1 ELSE 0.0 END)
+                   + (CASE WHEN stop_ratio > 0.0 THEN 0.1 ELSE 0.0 END)
+                   AS DOUBLE), 4) AS quality_score
+          FROM f
+        )
+        SELECT doc_id, quality_score,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT)::BIGINT * 10
+                 < CAST(ROUND(quality_score * 10) AS BIGINT) * 4294967296
+                 AS kept
+        FROM s
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_hard_negatives",
+    doc="Hard-negative mining for contrastive training: top-5 most-"
+        "similar DIFFERENT-label vectors per anchor (vec_id<50 anchor "
+        "slice, full candidate corpus; operators/similarity.py:"
+        "hard_negatives). Blocked-BLAS anchor broadcast, batch-local "
+        "top-k, window merge — k*n_batches rows, never n^2. Oracle: "
+        "DuckDB brute-force with the identical round-then-rank order.",
+    builder=lambda spark, sf: (lambda emb: __import__(
+        "adenhq_hive_spark.operators.similarity",
+        fromlist=["hard_negatives"],
+    ).hard_negatives(
+        emb, k=5, anchors=emb.filter("vec_id < 50")
+    ))(load_table(spark, sf, "embeddings")).orderBy("anchor_id", "rank"),
+    oracle_sql_str="""
+        SELECT anchor_id, rank, neg_id, cosine FROM (
+          SELECT a.vec_id AS anchor_id, v.vec_id AS neg_id,
+                 ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(v.embedding AS DOUBLE[])), 4)
+                   AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])), 4)
+                            DESC, v.vec_id) AS rank
+          FROM embeddings a JOIN embeddings v ON v.label <> a.label
+          WHERE a.vec_id < 50
+        ) t
+        WHERE rank <= 5
+        ORDER BY anchor_id, rank
+    """,
+))

@@ -54,6 +54,9 @@ HEADLINE = [
     "pl_semdedup",       # cluster-then-dedup semantic tier (no oracle)
     "pl_editdist",       # levenshtein filter-and-verify confirm tier
     "pl_event_anomaly",  # integer z-test volume sentinel
+    "pl_trigram_search", # trigram-index literal search (build + probe)
+    "pl_weighted_sample",# quality-weighted md5-coin subsample (map-only)
+    "pl_hard_negatives", # contrastive hard-negative mining (BLAS)
 ]
 
 

@@ -645,3 +645,38 @@ def test_pack_efficiency_golden(spark):
     assert r64.n_seqs_concat == 1 and r64.n_seqs_split == 3
     # split waste at L=64: 3*64 - 20 = 172 padding of 192 slots
     assert r64.waste_frac_split == round(172 / 192, 4)
+
+
+def test_quality_weighted_sample_properties(spark):
+    from adenhq_hive_spark.operators.curation import quality_weighted_sample
+    from adenhq_hive_spark.catalog import load_table
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = quality_weighted_sample(docs).collect()
+    assert len(out) == docs.count()           # every doc labeled
+    kept = sum(r.kept for r in out)
+    assert 0 < kept < len(out)                # genuinely thinned
+    # keep rate tracks the mean quality score (hash32/2^32 ~ U[0,1))
+    mean_q = sum(r.quality_score for r in out) / len(out)
+    assert abs(kept / len(out) - mean_q) < 0.1
+    # determinism: re-run returns the identical keep set
+    again = quality_weighted_sample(docs).collect()
+    assert [(r.doc_id, r.kept) for r in out] == [
+        (r.doc_id, r.kept) for r in again
+    ]
+
+
+def test_quality_weighted_sample_extremes(spark):
+    from adenhq_hive_spark.operators.curation import quality_weighted_sample
+
+    # score-1.0 docs are always kept; score-0 docs never
+    good = ("the and of to is " + "word " * 20).strip()   # all rules pass
+    # single 18-char token: word count 1 (<5), mean word len 18 (>12),
+    # punct ratio 0.33 (>0.2), digit ratio 0.67 (>0.3), no stopwords
+    bad = "111111111111!!!!!!"
+    rows = [(i, good) for i in range(50)] + [(100 + i, bad) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_weighted_sample(df).collect()}
+    assert all(out[i].kept for i in range(50))
+    assert not any(out[100 + i].kept for i in range(50))

@@ -204,3 +204,49 @@ def test_semdedup_drops_are_sound_vs_exact(spark):
     # dup_of must itself be a kept-or-earlier id below the dropped id
     bad = drops.filter(F.col("dup_of") >= F.col("vec_id")).count()
     assert bad == 0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.similarity import hard_negatives
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    anchors = emb.filter("vec_id < 10")
+    out = hard_negatives(emb, k=3, anchors=anchors).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert len(out) == 10 * 3
+    for r in out:
+        assert labels[r.anchor_id] != labels[r.neg_id]
+        assert r.neg_id != r.anchor_id
+
+
+def test_hard_negatives_matches_bruteforce(spark):
+    import numpy as np
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.similarity import hard_negatives
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 4)
+
+    got = {}
+    for r in hard_negatives(
+        emb, k=4, anchors=emb.filter("vec_id < 6")
+    ).collect():
+        got.setdefault(r.anchor_id, []).append((r.neg_id, r.cosine))
+
+    for ai in np.where(ids < 6)[0]:
+        mask = labels != labels[ai]
+        cand_ids, cand_sims = ids[mask], sims[ai][mask]
+        order = np.lexsort((cand_ids, -cand_sims))[:4]
+        want = [(int(cand_ids[o]), float(cand_sims[o])) for o in order]
+        assert got[int(ids[ai])] == want
