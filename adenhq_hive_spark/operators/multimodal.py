@@ -448,3 +448,97 @@ def annotate_media(decoded: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
     pruned = decoded.select("media_id", "kind", "width", "height", "n_frames")
     return pruned.mapInPandas(batches, schema=ANNOTATION_SCHEMA)
+
+
+def media_phash(media: DataFrame, decode_stub: str = "real") -> DataFrame:
+    """Perceptual hash per media row: threshold the decoded feature
+    vector against its own mean, one bit per component (aHash shape —
+    the mean-threshold perceptual hash of the image-dedup literature).
+
+    In this container the feature is the REAL 16-bin byte histogram
+    (decode_media mode='real'); with pixel codecs installed the same
+    kernel yields an 8x8 luma grid and this function unchanged produces
+    the classic 64-bit aHash — the hashing/banding/verification
+    machinery is codec-agnostic.
+
+    The bit order is component order (bit i = feature[i] > mean), packed
+    into a BIGINT JVM-side. Output: (media_id, kind, phash).
+    """
+    decoded = decode_media(media, decode_stub=decode_stub)
+    n = F.size("feature")
+    mean = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, x: acc + x
+    ) / n
+    bits = F.filter(
+        F.transform(
+            "feature",
+            lambda x, i: F.when(x > mean, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        lambda b: b != 0,
+    )
+    packed = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
+    return decoded.select("media_id", "kind", packed.alias("phash"))
+
+
+def phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 16,
+    decode_stub: str = "real",
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash hamming distance —
+    the image-dedup tier: band the hash into ``n_bands`` chunks
+    (pigeonhole: hamming <= n_bands - 1 guarantees one identical chunk,
+    so recall is total for ``max_hamming < n_bands``), join on
+    same-(band, chunk), verify with exact JVM bit_count(xor). Same
+    candidate algebra as the SimHash text tier (operators/dedup.py:
+    simhash_pairs) — media dedup is the same machinery over a different
+    feature space.
+
+    Compares within ``kind`` only (an audio histogram colliding with an
+    image histogram is noise, not a duplicate). Output:
+    (id_a, id_b, kind, hamming), hamming <= max_hamming.
+    """
+    chunk_bits = bits // n_bands
+    mask = (1 << chunk_bits) - 1
+    ph = media_phash(media, decode_stub=decode_stub)
+    chunks = ph.select(
+        F.col("media_id").alias("id"),
+        "kind",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), chunk_bits * c)
+                    .bitwiseAND(F.lit(mask))
+                    for c in range(n_bands)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.kind") == F.col("b.kind"),
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.kind").alias("kind"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
