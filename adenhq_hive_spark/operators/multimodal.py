@@ -465,27 +465,42 @@ def media_phash(media: DataFrame, decode_stub: str = "real") -> DataFrame:
     into a BIGINT JVM-side. Output: (media_id, kind, phash).
     """
     decoded = decode_media(media, decode_stub=decode_stub)
-    n = F.size("feature")
-    mean = F.aggregate(
-        "feature", F.lit(0.0), lambda acc, x: acc + x
-    ) / n
-    bits = F.filter(
-        F.transform(
-            "feature",
-            lambda x, i: F.when(x > mean, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        lambda b: b != 0,
+    with_mean = decoded.withColumn(
+        "fmean",
+        F.expr("aggregate(feature, 0D, (a, x) -> a + x) / size(feature)"),
     )
-    packed = F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    packed = F.expr(
+        "aggregate(zip_with(feature, sequence(0, size(feature) - 1), "
+        "(x, i) -> IF(x > fmean, shiftleft(1L, i), 0L)), "
+        "0L, (a, b) -> a | b)"
     )
-    return decoded.select("media_id", "kind", packed.alias("phash"))
+    return with_mean.select("media_id", "kind", packed.alias("phash"))
+
+
+def phash_groups(media: DataFrame, decode_stub: str = "real") -> DataFrame:
+    """Exact perceptual-hash duplicate groups: media rows sharing a
+    (kind, phash) cell, with the min-id keeper — the GROUP formulation
+    of media dedup, which stays linear when the hash space has low
+    entropy (identical-hash cliques would make a pair list quadratic;
+    the 16-bin histogram hash of this container's byte-level tier
+    collapses heavily on same-encoder synthetic media, and any corpus
+    has boilerplate assets). Pair enumeration (:func:`phash_pairs`)
+    is for the high-entropy pixel-hash regime.
+
+    Output: (kind, phash, n, keep_id) for groups with n > 1, ordered.
+    """
+    ph = media_phash(media, decode_stub=decode_stub)
+    return (
+        ph.groupBy("kind", "phash")
+        .agg(F.count("*").alias("n"), F.min("media_id").alias("keep_id"))
+        .filter(F.col("n") > 1)
+        .orderBy("kind", "phash")
+    )
 
 
 def phash_pairs(
     media: DataFrame,
-    max_hamming: int = 3,
+    max_hamming: int = 1,
     n_bands: int = 4,
     bits: int = 16,
     decode_stub: str = "real",

@@ -2870,3 +2870,26 @@ Q(QuerySpec(
         ORDER BY anchor_id, rank
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_media_phash",
+    doc="Perceptual-hash media duplicate groups (operators/"
+        "multimodal.py:phash_groups): mean-threshold aHash over the "
+        "decoded feature (real byte-histogram tier in-container; the "
+        "identical kernel yields classic 64-bit aHash with pixel "
+        "codecs), grouped by (kind, phash) with min-id keeper — the "
+        "linear formulation for low-entropy hash spaces. Hash depends "
+        "on the Python decode kernel => rows-only; banding recall and "
+        "kind separation are pinned in tests/test_multimodal.py.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.multimodal",
+        fromlist=["phash_groups", "synthetic_media_table"],
+    ).phash_groups(
+        __import__(
+            "adenhq_hive_spark.operators.multimodal",
+            fromlist=["synthetic_media_table"],
+        ).synthetic_media_table(load_table(spark, sf, "documents"))
+    ),
+    has_oracle=False,
+))

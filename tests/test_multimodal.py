@@ -157,3 +157,65 @@ def test_annotate_media_unparseable_visual_labeled_unknown(spark):
     assert [a.label for a in out[1].annotations] == ["unknown"]
     assert [a.label for a in out[2].annotations] == ["audio"]
     assert out[1].annotations[0].w == 0
+
+
+def test_media_phash_deterministic_and_banding_recall(spark):
+    import numpy as np
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.multimodal import (
+        media_phash,
+        phash_pairs,
+        synthetic_media_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    media = synthetic_media_table(docs)
+    ph = {r.media_id: (r.kind, r.phash) for r in media_phash(media).collect()}
+    again = {r.media_id: (r.kind, r.phash) for r in media_phash(media).collect()}
+    assert ph == again                     # deterministic
+
+    # banding recall: with n_bands=4, every same-kind pair at
+    # hamming <= 3 MUST be found (pigeonhole) — brute-force check
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_pairs(media, max_hamming=3).collect()
+    }
+    ids = sorted(ph)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if ph[a][0] != ph[b][0]:
+                continue
+            ham = bin(ph[a][1] ^ ph[b][1]).count("1")
+            if ham <= 3:
+                assert (a, b) in got, (a, b, ham)
+    # and nothing above the radius or across kinds leaks in
+    for a, b in got:
+        assert ph[a][0] == ph[b][0]
+        assert bin(ph[a][1] ^ ph[b][1]).count("1") <= 3
+
+
+def test_phash_groups_cover_exact_duplicates(spark):
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.multimodal import (
+        media_phash,
+        phash_groups,
+        synthetic_media_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = synthetic_media_table(docs)
+    groups = phash_groups(media).collect()
+    assert len(groups) > 0
+    ph = {r.media_id: (r.kind, r.phash) for r in media_phash(media).collect()}
+    for g in groups:
+        members = [
+            m for m, (k, h) in ph.items()
+            if k == g.kind and h == g.phash
+        ]
+        assert len(members) == g.n
+        assert min(members) == g.keep_id
