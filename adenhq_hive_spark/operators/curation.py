@@ -832,3 +832,42 @@ def quality_weighted_sample(
         )
         .orderBy(id_col)
     )
+
+
+def shard_manifest(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integrity manifest for a :func:`write_training_shards` export:
+    one row per shard with row count, the id range, and an
+    ORDER-INSENSITIVE content checksum (bit-XOR of per-row
+    xxhash64(id, pos, md5(text))) — the artifact a training loader
+    checks before trusting a shard, and the cheap diff key for
+    re-validating a re-export (identical corpus => identical manifest,
+    by the rewrite-identical shard contract).
+
+    XOR aggregation makes the checksum independent of read order and
+    partitioning — no sort is needed to verify a shard, only a scan.
+    Computed distributed per shard partition; the manifest is
+    shard-count-sized.
+
+    Output: (shard_id, n_rows, min_pos, max_pos, min_id, max_id,
+    checksum), ordered by shard_id.
+    """
+    rows = spark.read.parquet(path)
+    return (
+        rows.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            # true aggregate (map-side partial XOR), never an array
+            F.expr(f"bit_xor(xxhash64({id_col}, pos, md5({text_col})))")
+            .alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )

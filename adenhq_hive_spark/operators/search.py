@@ -136,3 +136,35 @@ def trigram_search_indexed(
     return trigram_search(
         df, needle, text_col, id_col, postings=spark.table(table_name)
     )
+
+
+def update_trigram_postings(
+    postings: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental index maintenance: merge a new document batch into
+    existing posting lists without re-reading the indexed corpus — the
+    operation that keeps a 100 TB index current as data arrives (a full
+    rebuild re-reads everything; the merge reads the delta plus the
+    index, which is a small multiple of the vocabulary).
+
+    Shape: invert the delta, union with the existing lists, one
+    re-group per trigram concatenating sorted lists (ids are appended
+    pre-sorted per side, then flatten+sort merges — list sizes are
+    per-trigram document frequencies, bounded by corpus df, not corpus
+    size). Idempotence is the caller's contract: re-merging the same
+    batch duplicates ids, so feed each batch once (the foreachBatch
+    epoch-id pattern) or dedup ids downstream.
+    """
+    delta = build_trigram_postings(new_docs, text_col, id_col)
+    return (
+        postings.unionByName(delta)
+        .groupBy("trigram")
+        .agg(
+            F.array_sort(
+                F.flatten(F.collect_list("ids"))
+            ).alias("ids")
+        )
+    )

@@ -680,3 +680,39 @@ def test_quality_weighted_sample_extremes(spark):
     out = {r.doc_id: r for r in quality_weighted_sample(df).collect()}
     assert all(out[i].kept for i in range(50))
     assert not any(out[100 + i].kept for i in range(50))
+
+
+def test_shard_manifest_validates_and_detects_change(spark, tmp_path):
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.curation import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out)
+    m1 = shard_manifest(spark, out).collect()
+    assert sum(r.n_rows for r in m1) == docs.count()
+    for r in m1:
+        assert (r.min_pos, r.max_pos) == (1, r.n_rows)  # contiguous
+
+    # rewrite-identical export => identical manifest
+    write_training_shards(docs, out)
+    m2 = shard_manifest(spark, out).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+
+    # a changed corpus changes the affected shard's checksum
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    write_training_shards(changed, out)
+    m3 = {r.shard_id: r for r in shard_manifest(spark, out).collect()}
+    base = {r.shard_id: r for r in m1}
+    diff = [s for s in base if m3[s].checksum != base[s].checksum]
+    assert len(diff) == 1                  # exactly doc 7's shard moved
+    assert m3[diff[0]].n_rows == base[diff[0]].n_rows

@@ -117,3 +117,19 @@ def test_persisted_index_bucket_pruned_probe(spark):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_tri_idx")
+
+
+def test_update_trigram_postings_equals_full_rebuild(spark):
+    from adenhq_hive_spark.operators.search import (
+        build_trigram_postings,
+        update_trigram_postings,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter("doc_id < 400")
+    new = docs.filter("doc_id >= 400")
+    merged = update_trigram_postings(build_trigram_postings(old), new)
+    full = build_trigram_postings(docs)
+    got = {r.trigram: list(r.ids) for r in merged.collect()}
+    want = {r.trigram: list(r.ids) for r in full.collect()}
+    assert got == want
