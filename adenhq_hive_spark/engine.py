@@ -100,9 +100,25 @@ class Engine:
     surface unified: arbitrary read-only SELECT over the registered tables.
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str = DEFAULT_SF_DIR,
+        result_cache_size: int = 128,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
+        # result cache (warehouse-style): envelopes keyed by normalized
+        # (sql, max_rows), LRU-bounded. Sound because an Engine is bound
+        # to one immutable sf_dir snapshot; rebind (new Engine) to see
+        # new data. Opt-in per call — a cached envelope is shared, not
+        # copied.
+        from collections import OrderedDict
+
+        self._result_cache: OrderedDict = OrderedDict()
+        self._result_cache_size = result_cache_size
+        self.cache_hits = 0
+        self.cache_misses = 0
         register_views(spark, sf_dir)
 
     def df(self, sql: str) -> DataFrame:
@@ -110,13 +126,25 @@ class Engine:
         assert_read_only(self.spark, sql)
         return self.spark.sql(sql)
 
-    def sql(self, sql: str, max_rows: int = 1000) -> ResultEnvelope:
+    def sql(
+        self, sql: str, max_rows: int = 1000, use_cache: bool = False
+    ) -> ResultEnvelope:
         """Gated SQL → materialized envelope, capped at ``max_rows``.
 
         Collects ``max_rows + 1`` rows to set the truncation flag without
         counting the full result (bigquery_tool.py:227-233 pattern).
+        ``use_cache=True`` memoizes successful envelopes per normalized
+        (sql, max_rows) — the snapshot is immutable, so a repeat of the
+        same statement re-reads nothing.
         """
         max_rows = max(1, min(int(max_rows), 10_000))  # bigquery_tool.py:209-214 clamp
+        cache_key = (" ".join(sql.split()), max_rows) if use_cache else None
+        if cache_key is not None and cache_key in self._result_cache:
+            self._result_cache.move_to_end(cache_key)
+            self.cache_hits += 1
+            return self._result_cache[cache_key]
+        if cache_key is not None:
+            self.cache_misses += 1
         try:
             df = self.df(sql)
         except ReadOnlyViolation as exc:
@@ -127,7 +155,7 @@ class Engine:
             return ResultEnvelope(success=False, error=f"Query failed: {exc}")
         truncated = len(taken) > max_rows
         rows = [r.asDict(recursive=True) for r in taken[:max_rows]]
-        return ResultEnvelope(
+        env = ResultEnvelope(
             success=True,
             columns=list(df.columns),
             column_count=len(df.columns),
@@ -135,6 +163,11 @@ class Engine:
             row_count=len(rows),
             truncated=truncated,
         )
+        if cache_key is not None:
+            self._result_cache[cache_key] = env
+            while len(self._result_cache) > self._result_cache_size:
+                self._result_cache.popitem(last=False)
+        return env
 
     def describe_dataset(self, with_row_counts: bool = True) -> dict:
         """Catalog listing: tables, column schemas, optional row counts

@@ -65,3 +65,48 @@ def write_date_partitioned(
         .partitionBy("dt")
         .parquet(path)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the ``top`` heaviest keys with their
+    row counts, share of the table, and the salt factor
+    :func:`salted_join` would need to spread each hot key across tasks
+    of ~``target_rows_per_task`` rows — the measurement step BEFORE
+    choosing between AQE skew handling, salting, or a broadcast.
+
+    One grouped count (map-side partial) + a top-k over the key-count
+    table (TakeOrderedAndProject-sized, never a full sort of the data).
+    ``pct_of_total`` uses exact integer half-up division
+    (``round(n*10000/total)/100``), so the report hash-matches any SQL
+    oracle bit-for-bit.
+
+    Output: (key (as string), n_rows, pct_of_total, salt_factor),
+    heaviest first, ties by key.
+    """
+    total = df.count()
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count("*").alias("n_rows"))
+    n = F.col("n_rows")
+    pct = (
+        ((n * 20000 + F.lit(total)) - (n * 20000 + F.lit(total))
+         % F.lit(2 * total)) / F.lit(2 * total) / 100
+    ).cast("double")
+    salt = F.floor(
+        (n + target_rows_per_task - 1) / F.lit(target_rows_per_task)
+    ).cast("int")
+    return (
+        counts.select(
+            "key",
+            "n_rows",
+            pct.alias("pct_of_total"),
+            salt.alias("salt_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top)
+    )

@@ -2893,3 +2893,33 @@ Q(QuerySpec(
     ),
     has_oracle=False,
 ))
+
+
+Q(QuerySpec(
+    name="pl_skew_report",
+    doc="Join-key skew diagnosis: top-20 heaviest orders.o_custkey keys "
+        "with row counts, integer-exact percent share, and the salt "
+        "factor salted_join would need (operators/skew.py:skew_report) "
+        "— the measurement before choosing AQE skew handling vs "
+        "salting vs broadcast. Grouped count + top-k, never a full "
+        "sort.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.skew",
+        fromlist=["skew_report"],
+    ).skew_report(
+        load_table(spark, sf, "orders"), "o_custkey",
+        top=20, target_rows_per_task=10,
+    ),
+    oracle_sql_str="""
+        WITH t AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT CAST(o_custkey AS VARCHAR) AS key,
+               COUNT(*) AS n_rows,
+               CAST((COUNT(*) * 20000 + t.total) // (2 * t.total)
+                    AS DOUBLE) / 100 AS pct_of_total,
+               CAST((COUNT(*) + 9) // 10 AS INT) AS salt_factor
+        FROM orders, t
+        GROUP BY o_custkey, t.total
+        ORDER BY n_rows DESC, key
+        LIMIT 20
+    """,
+))

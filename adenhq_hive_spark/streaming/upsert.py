@@ -106,3 +106,57 @@ def upsert_stream(
         _merge_batch(batch_df, path, key_col, seq_col, epoch_id)
 
     return stream.writeStream.foreachBatch(write)
+
+
+def list_versions(path: str) -> list[str]:
+    """All retained store versions, oldest first, plus which is current.
+
+    Every merge writes a NEW ``v{epoch}`` directory and flips the
+    ``_CURRENT`` pointer — old versions stay on disk until a retention
+    job removes them, which is what makes :func:`read_version` time
+    travel possible (the Delta/Iceberg snapshot pattern, file-layout
+    edition). Returns version names sorted by epoch number.
+    """
+    if not os.path.isdir(path):
+        return []
+    vs = [
+        d for d in os.listdir(path)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.isdir(os.path.join(path, d))
+    ]
+    return sorted(vs, key=lambda v: int(v[1:]))
+
+
+def read_version(
+    spark: SparkSession, path: str, version: str
+) -> DataFrame:
+    """Read a specific retained store version (time travel) — the state
+    as of that merge epoch, immutable after write. Raises KeyError for
+    unknown versions (including already-vacuumed ones)."""
+    if version not in list_versions(path):
+        raise KeyError(
+            f"version {version!r} not found in {path!r}; "
+            f"available: {list_versions(path)}"
+        )
+    return spark.read.parquet(os.path.join(path, version))
+
+
+def vacuum_store(path: str, keep_last: int = 2) -> list[str]:
+    """Drop all but the newest ``keep_last`` versions (never the one
+    ``_CURRENT`` points at). Returns the removed version names. The
+    retention counterpart of time travel — old snapshots cost storage
+    linear in state size."""
+    import shutil
+
+    vs = list_versions(path)
+    current = None
+    marker = os.path.join(path, _CURRENT)
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            current = f.read().strip()
+    doomed = [v for v in vs[:-keep_last] if v != current] if keep_last else [
+        v for v in vs if v != current
+    ]
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, v), ignore_errors=True)
+    return doomed

@@ -203,3 +203,37 @@ def test_explain_is_read_only_gated(spark):
     eng = Engine(spark, SF_SMOKE)
     r = eng.explain("DROP TABLE lineitem")
     assert not r["success"] and "read-only" in r["error"].lower()
+
+
+def test_result_cache_hits_and_whitespace_normalization(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    a = eng.sql("SELECT COUNT(*) AS n FROM region", use_cache=True)
+    assert (eng.cache_hits, eng.cache_misses) == (0, 1)
+    b = eng.sql("SELECT  COUNT(*)   AS n\n FROM region", use_cache=True)
+    assert b is a                          # same envelope, no re-execute
+    assert eng.cache_hits == 1
+    # different max_rows is a different key
+    c = eng.sql("SELECT COUNT(*) AS n FROM region", max_rows=5,
+                use_cache=True)
+    assert c is not a and eng.cache_misses == 2
+    # uncached calls bypass entirely
+    d = eng.sql("SELECT COUNT(*) AS n FROM region")
+    assert d is not a and eng.cache_hits == 1
+
+
+def test_result_cache_lru_bound_and_failure_not_cached(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE, result_cache_size=2)
+    eng.sql("SELECT 1 AS a", use_cache=True)
+    eng.sql("SELECT 2 AS a", use_cache=True)
+    eng.sql("SELECT 3 AS a", use_cache=True)   # evicts "SELECT 1"
+    assert len(eng._result_cache) == 2
+    eng.sql("SELECT 1 AS a", use_cache=True)
+    assert eng.cache_misses == 4               # 1 was evicted, re-misses
+    # gated failures never enter the cache
+    r = eng.sql("DROP TABLE region", use_cache=True)
+    assert not r.success
+    assert all("drop" not in k[0].lower() for k in eng._result_cache)

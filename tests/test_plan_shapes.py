@@ -484,3 +484,22 @@ def test_cross_source_matrix_joins_by_key(spark):
     plan = _plan(QUERIES["pl_cross_source_dups"].run(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_report_golden_and_topk_plan(spark):
+    from adenhq_hive_spark.operators.skew import skew_report
+
+    # 70/25/5 rows over keys 1..3
+    df = spark.createDataFrame(
+        [(i, 1 if i < 70 else (2 if i < 95 else 3)) for i in range(100)],
+        ["row_id", "k"],
+    )
+    out = {r.key: r for r in skew_report(
+        df, "k", top=2, target_rows_per_task=30).collect()}
+    assert set(out) == {"1", "2"}          # top-2 only
+    assert out["1"].n_rows == 70 and out["1"].pct_of_total == 70.0
+    assert out["1"].salt_factor == 3       # ceil(70/30)
+    assert out["2"].pct_of_total == 25.0 and out["2"].salt_factor == 1
+    # top-k stays TakeOrderedAndProject — never a global sort
+    plan = _plan(skew_report(df, "k", top=2))
+    assert "TakeOrderedAndProject" in plan

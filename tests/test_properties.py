@@ -185,3 +185,70 @@ def test_frac4_integer_form_matches_decimal_half_up(p, q):
         Decimal("0.0001"), rounding=ROUND_HALF_UP
     )
     assert Decimal(ours) / 10000 == exp
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6),
+             min_size=2, max_size=40),
+    st.integers(min_value=0, max_value=39),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_anomaly_integer_inequality_matches_exact_z_test(counts, idx, k):
+    """The denominator-cleared integer decision used by
+    daily_count_anomalies — (n*x - S1)^2 (n-1) >= k^2 n (n*S2 - S1^2) —
+    must equal the textbook |z| >= k test evaluated in exact rational
+    arithmetic (Fraction), including the n<=1 and zero-variance guards."""
+    from fractions import Fraction
+
+    x = counts[idx % len(counts)]
+    n = len(counts)
+    s1 = sum(counts)
+    s2 = sum(c * c for c in counts)
+    dev = n * x - s1
+    varnum = n * s2 - s1 * s1
+    ours = n > 1 and varnum > 0 and dev * dev * (n - 1) >= k * k * n * varnum
+
+    if n <= 1 or varnum == 0:
+        exact = False
+    else:
+        # z^2 = (x - mean)^2 / var_samp, all in Fraction
+        mean = Fraction(s1, n)
+        var = Fraction(varnum, n * (n - 1))
+        exact = (Fraction(x) - mean) ** 2 >= k * k * var
+    assert ours == exact
+
+
+def test_pack_efficiency_matches_python_replay(spark):
+    """Spark pack_efficiency vs an exact python replay on seeded random
+    docs: every emitted integer and fraction must match."""
+    import math
+    import random
+
+    from adenhq_hive_spark.operators.curation import pack_efficiency
+
+    rng = random.Random(11)
+    docs = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 300))))
+        for i in range(60)
+    ]
+    lengths = [7, 64, 256]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.ctx_len: r for r in pack_efficiency(
+        df, context_lengths=lengths).collect()}
+
+    ns = [len(t.split()) for _, t in docs]
+    for L in lengths:
+        r = got[L]
+        total = sum(ns)
+        split_seqs = sum(math.ceil(n / L) for n in ns)
+        assert r.n_docs == len(ns)
+        assert r.total_tokens == total
+        assert r.n_over == sum(n > L for n in ns)
+        assert r.tokens_over == sum(max(n - L, 0) for n in ns)
+        assert r.n_seqs_concat == math.ceil(total / L)
+        assert r.n_seqs_split == split_seqs
+        from decimal import ROUND_HALF_UP, Decimal
+        waste = (Decimal(split_seqs * L - total) / Decimal(split_seqs * L)
+                 ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        assert Decimal(str(r.waste_frac_split)) == waste

@@ -777,3 +777,61 @@ def test_anomaly_stream_state_survives_triggers(spark, tmp_path):
     assert len(out) == 6 and "2026-01-07" not in out
     assert out["2026-01-06"].is_anomaly and out["2026-01-06"].n_days_prior == 5
     assert not any(out[f"2026-01-0{d}"].is_anomaly for d in range(1, 6))
+
+
+def test_upsert_time_travel_and_vacuum(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+    from adenhq_hive_spark.streaming.upsert import (
+        list_versions, read_store, read_version, upsert_stream,
+        vacuum_store,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 2, 1, 9, 0, 0)
+    spark.createDataFrame([(1, t0, 1.0)], schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=1), 9.0), (2, t0, 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    store = str(tmp_path / "store")
+    q = upsert_stream(stream, store).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    vs = list_versions(store)
+    assert len(vs) == 2
+    # time travel: first version has only the pre-update state of key 1
+    old = {r.doc_id: r.value for r in read_version(spark, store, vs[0]).collect()}
+    assert old == {1: 1.0}
+    cur = {r.doc_id: r.value for r in read_store(spark, store).collect()}
+    assert cur == {1: 9.0, 2: 2.0}
+
+    try:
+        read_version(spark, store, "v999")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+    # vacuum keeps the current version even with keep_last=1
+    removed = vacuum_store(store, keep_last=1)
+    assert removed == [vs[0]]
+    assert list_versions(store) == [vs[1]]
+    assert {r.doc_id: r.value for r in read_store(spark, store).collect()} == cur
