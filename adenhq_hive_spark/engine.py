@@ -135,10 +135,20 @@ class Engine:
         counting the full result (bigquery_tool.py:227-233 pattern).
         ``use_cache=True`` memoizes successful envelopes per normalized
         (sql, max_rows) — the snapshot is immutable, so a repeat of the
-        same statement re-reads nothing.
+        same statement re-reads nothing. Whitespace normalization of the
+        key is applied only when the statement carries no string
+        literal — collapsing runs of spaces INSIDE a literal would make
+        semantically different queries collide.
         """
         max_rows = max(1, min(int(max_rows), 10_000))  # bigquery_tool.py:209-214 clamp
-        cache_key = (" ".join(sql.split()), max_rows) if use_cache else None
+        cache_key = None
+        if use_cache:
+            normalized = (
+                " ".join(sql.split())
+                if "'" not in sql and '"' not in sql
+                else sql
+            )
+            cache_key = (normalized, max_rows)
         if cache_key is not None and cache_key in self._result_cache:
             self._result_cache.move_to_end(cache_key)
             self.cache_hits += 1
@@ -207,6 +217,8 @@ class Engine:
             df = self.df(sql)
         except ReadOnlyViolation as exc:
             return {"success": False, "error": str(exc)}
+        except Exception as exc:  # analysis errors (unknown table/column)
+            return {"success": False, "error": f"Query failed: {exc}"}
         import contextlib
         import io
 
@@ -226,6 +238,15 @@ class Engine:
 
         m = _re.search(r"Found (\d+) WholeStageCodegen", _capture("codegen"))
         n_codegen = int(m.group(1)) if m else 0
+        # node counts from the formatted detail headers "(N) NodeName" —
+        # exact one-per-node, unlike substring counting, which sees each
+        # node twice (tree line + header) and matches BroadcastExchange/
+        # ReusedExchange inside "Exchange"
+        detail = explained if mode == "formatted" else _capture("formatted")
+        nodes = _re.findall(r"^\(\d+\) (\S+)", detail, _re.M)
+        from collections import Counter as _Counter
+
+        node_counts = _Counter(nodes)
         scans = []
         for block in explained.split("Scan parquet")[1:]:
             facts: dict[str, str] = {}
@@ -241,9 +262,9 @@ class Engine:
             "success": True,
             "plan": explained,
             "scans": scans,
-            "n_exchanges": explained.count("Exchange"),
-            "n_broadcast_joins": explained.count("BroadcastHashJoin"),
-            "n_sort_merge_joins": explained.count("SortMergeJoin"),
+            "n_exchanges": node_counts["Exchange"],
+            "n_broadcast_joins": node_counts["BroadcastHashJoin"],
+            "n_sort_merge_joins": node_counts["SortMergeJoin"],
             "n_codegen_subtrees": n_codegen,
             "whole_stage_codegen": n_codegen > 0,
         }

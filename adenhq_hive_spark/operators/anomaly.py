@@ -11,11 +11,17 @@ group's daily counts is equivalent to the exact integer inequality
 
 where S1 = sum(x), S2 = sum(x^2) over the group's n days: var_samp =
 (n*S2 - S1^2) / (n*(n-1)) and z^2 = (x - S1/n)^2 / var, cleared of
-denominators. Both sides are BIGINT products of integer day-counts, so
+denominators. Both sides are exact integer products of day-counts, so
 Spark and any SQL oracle agree bit-for-bit — there is no stddev/sqrt
-double whose last-ulp could flip a flag. Exact while daily counts stay
-below ~1e6 per key (BIGINT headroom for the squared terms at n ~ 1e4
-days); beyond that cast the sums to DECIMAL(38,0).
+double whose last-ulp could flip a flag.
+
+The decision products are evaluated in DECIMAL(38,0) (Spark) /
+HUGEINT via explicit cast (DuckDB): dev^2*(n-1) reaches ~1e19 already
+at ~1e5 events/day over ~1e3 days, past the 2^63 BIGINT ceiling where
+non-ANSI arithmetic would wrap silently. The 38-digit envelope holds
+to ~1e9 events/day over ~1e4 days per key — beyond any real per-key
+daily volume. (The streaming twin keeps Python ints: arbitrary
+precision, no cast needed.)
 """
 
 from __future__ import annotations
@@ -56,8 +62,13 @@ def daily_count_anomalies(
     w = Window.partitionBy("key")
     x = F.col("n_events")
     n, s1, s2 = F.count("*").over(w), F.sum(x).over(w), F.sum(x * x).over(w)
-    dev = n * x - s1                 # n * (x - mean), integer
-    varnum = n * s2 - s1 * s1        # n^2 * var_pop = n*(n-1) * var_samp
+    dec = "decimal(38,0)"
+    # cast the OPERANDS, not the results: s1*s1 alone passes 2^63 at
+    # ~1e13 total events per key, wrapping before any outer cast
+    nd, xd = n.cast(dec), x.cast(dec)
+    s1d, s2d = s1.cast(dec), s2.cast(dec)
+    dev = nd * xd - s1d              # n * (x - mean), exact integer
+    varnum = nd * s2d - s1d * s1d    # n^2 var_pop = n(n-1) var_samp
     return (
         daily.select(
             F.col("key").alias(key_col),
@@ -68,7 +79,10 @@ def daily_count_anomalies(
             (
                 (n > 1)
                 & (varnum > 0)
-                & (dev * dev * (n - 1) >= F.lit(k * k) * n * varnum)
+                & (
+                    dev * dev * (nd - 1)
+                    >= F.lit(k * k).cast(dec) * nd * varnum
+                )
             ).alias("is_anomaly"),
         )
         .orderBy(key_col, "day")

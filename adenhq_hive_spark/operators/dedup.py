@@ -864,12 +864,11 @@ def cross_source_dup_matrix(
         .groupBy("src_lo", "src_hi")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.size(F.array_distinct(F.collect_list("pair_docs.lo"))).alias(
-                "n_docs_lo"
-            ),
-            F.size(F.array_distinct(F.collect_list("pair_docs.hi"))).alias(
-                "n_docs_hi"
-            ),
+            # true partial aggregates — a collect_list per cell would
+            # materialize every pair endpoint of a hot source pair in
+            # one task's memory
+            F.count_distinct("pair_docs.lo").alias("n_docs_lo"),
+            F.count_distinct("pair_docs.hi").alias("n_docs_hi"),
         )
         .orderBy("src_lo", "src_hi")
     )

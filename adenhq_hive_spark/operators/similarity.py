@@ -676,6 +676,15 @@ def semdedup(
     )
 
 
+def _safe_norms(mat: np.ndarray) -> np.ndarray:
+    """Row norms with zeros mapped to 1 — a zero vector then scores
+    cosine 0 against everything instead of producing NaN similarities
+    (NaN sorts LARGEST in Spark's descending window order, so a single
+    zero embedding would otherwise displace every real neighbor)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.where(norms == 0.0, 1.0, norms)
+
+
 def hard_negatives(
     df: DataFrame,
     k: int = 5,
@@ -708,6 +717,12 @@ def hard_negatives(
     spark = df.sparkSession
     if anchors is None:
         anchors = df
+    for col, side in ((id_col, anchors), (label_col, anchors)):
+        dt = dict(side.dtypes).get(col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"hard_negatives requires integral {col!r}; got {dt!r}"
+            )
     rows = anchors.select(id_col, label_col, vec_col).limit(
         max_anchors + 1
     ).collect()
@@ -716,10 +731,14 @@ def hard_negatives(
             f"hard_negatives anchor side exceeds max_anchors="
             f"{max_anchors}; mine per IVF bucket instead"
         )
+    if not rows:
+        return spark.createDataFrame(
+            [], "anchor_id long, rank int, neg_id long, cosine double"
+        )
     a_ids = np.array([r[0] for r in rows], dtype=np.int64)
     a_labels = np.array([r[1] for r in rows], dtype=np.int64)
     a_mat = np.array([r[2] for r in rows], dtype=np.float64)
-    a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+    a_mat /= _safe_norms(a_mat)
     ba = spark.sparkContext.broadcast((a_ids, a_labels, a_mat))
 
     v = df.select(
@@ -737,7 +756,7 @@ def hard_negatives(
             ids = pdf["cand_id"].to_numpy(dtype=np.int64)
             labels = pdf["cand_label"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["cv"]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mat /= _safe_norms(mat)
             sims = np.round(mat_a @ mat.T, 4)            # (na, batch)
             out_a, out_c, out_s = [], [], []
             for ai in range(na):

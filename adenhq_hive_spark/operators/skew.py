@@ -88,20 +88,22 @@ def skew_report(
     Output: (key (as string), n_rows, pct_of_total, salt_factor),
     heaviest first, ties by key.
     """
-    total = df.count()
     counts = df.groupBy(
         F.col(key_col).cast("string").alias("key")
     ).agg(F.count("*").alias("n_rows"))
-    n = F.col("n_rows")
-    pct = (
-        ((n * 20000 + F.lit(total)) - (n * 20000 + F.lit(total))
-         % F.lit(2 * total)) / F.lit(2 * total) / 100
-    ).cast("double")
+    # total from the counts table itself (one scalar agg over the tiny
+    # key-count relation, broadcast back) — a df.count() here would
+    # execute the whole input lineage a second time
+    totals = counts.agg(F.sum("n_rows").alias("_total"))
+    n, t = F.col("n_rows"), F.col("_total")
+    x = n * 20000 + t
+    pct = (((x - x % (2 * t)) / (2 * t)) / 100).cast("double")
     salt = F.floor(
         (n + target_rows_per_task - 1) / F.lit(target_rows_per_task)
     ).cast("int")
     return (
-        counts.select(
+        counts.join(F.broadcast(totals))
+        .select(
             "key",
             "n_rows",
             pct.alias("pct_of_total"),

@@ -2666,9 +2666,16 @@ Q(QuerySpec(
                n AS n_days,
                CAST((s1 * 20000 + n) // (2 * n) AS DOUBLE) / 10000
                  AS mean_events,
-               (n > 1 AND (n * s2 - s1 * s1) > 0
-                AND (n * n_events - s1) * (n * n_events - s1) * (n - 1)
-                    >= 4 * n * (n * s2 - s1 * s1)) AS is_anomaly
+               -- HUGEINT (int128) for the decision products: s1*s1
+               -- alone passes the BIGINT ceiling at ~1e13 events/key
+               (n > 1
+                AND (CAST(n AS HUGEINT) * s2
+                     - CAST(s1 AS HUGEINT) * s1) > 0
+                AND (CAST(n AS HUGEINT) * n_events - s1)
+                    * (CAST(n AS HUGEINT) * n_events - s1) * (n - 1)
+                    >= 4 * CAST(n AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * s2
+                         - CAST(s1 AS HUGEINT) * s1)) AS is_anomaly
         FROM win
         ORDER BY event_type, day
     """,
@@ -2722,8 +2729,8 @@ Q(QuerySpec(
           JOIN documents db ON db.doc_id = p.id_b
         )
         SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
-               CAST(COUNT(DISTINCT lo_doc) AS INT) AS n_docs_lo,
-               CAST(COUNT(DISTINCT hi_doc) AS INT) AS n_docs_hi
+               CAST(COUNT(DISTINCT lo_doc) AS BIGINT) AS n_docs_lo,
+               CAST(COUNT(DISTINCT hi_doc) AS BIGINT) AS n_docs_hi
         FROM lab
         GROUP BY src_lo, src_hi
         ORDER BY src_lo, src_hi

@@ -452,6 +452,10 @@ def anomaly_stream(stream: DataFrame, k: int = 2) -> DataFrame:
 
     return (
         stream.select("event_type", F.to_date("ts").alias("day"))
+        # a null ts would become the string 'NaT', which sorts AFTER
+        # every ISO date and would permanently hold the "newest open
+        # day" slot (real days all close, the NaT bucket never drains)
+        .filter(F.col("day").isNotNull())
         .groupBy("event_type")
         .applyInPandasWithState(
             update,

@@ -148,8 +148,10 @@ def main() -> None:
                 .option("checkpointLocation", ck)
                 .start()
             )
-            q.processAllAvailable()
-            q.stop()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # never rmtree a checkpoint under a live query
             wall = time.perf_counter() - t0
         finally:
             shutil.rmtree(ck, ignore_errors=True)

@@ -237,3 +237,31 @@ def test_result_cache_lru_bound_and_failure_not_cached(spark):
     r = eng.sql("DROP TABLE region", use_cache=True)
     assert not r.success
     assert all("drop" not in k[0].lower() for k in eng._result_cache)
+
+
+def test_result_cache_no_collision_on_literal_whitespace(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    a = eng.sql("SELECT 'a  b' AS s", use_cache=True)
+    b = eng.sql("SELECT 'a b' AS s", use_cache=True)
+    assert a.rows[0]["s"] == "a  b" and b.rows[0]["s"] == "a b"
+    assert b is not a                       # distinct cache entries
+
+
+def test_explain_node_counts_exact_and_analysis_error_enveloped(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    r = eng.explain(
+        "SELECT n_name, COUNT(*) AS c FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    # one grouping shuffle; the broadcast join is NOT an Exchange and
+    # nothing is double-counted from the tree + detail sections
+    assert r["n_exchanges"] == 1
+    assert r["n_broadcast_joins"] == 1
+    assert r["n_sort_merge_joins"] == 0
+    # analysis failures return the envelope, not a raised exception
+    bad = eng.explain("SELECT * FROM no_such_table")
+    assert bad["success"] is False and "no_such_table" in bad["error"]

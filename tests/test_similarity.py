@@ -250,3 +250,32 @@ def test_hard_negatives_matches_bruteforce(spark):
         order = np.lexsort((cand_ids, -cand_sims))[:4]
         want = [(int(cand_ids[o]), float(cand_sims[o])) for o in order]
         assert got[int(ids[ai])] == want
+
+
+def test_hard_negatives_guards(spark):
+    from adenhq_hive_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 0.0], 1), (3, [0.9, 0.1], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # zero vector scores cosine 0.0, never NaN — real neighbors rank first
+    flat = hard_negatives(emb, k=2).collect()
+    assert all(r.cosine == r.cosine for r in flat)        # no NaN
+    anchor1 = [(r.neg_id, r.cosine) for r in flat if r.anchor_id == 1]
+    assert anchor1[0][0] == 3                              # real vec first
+    assert anchor1[1] == (2, 0.0)                          # zero vec at 0.0
+
+    # empty anchors -> empty typed result, no numpy crash
+    assert hard_negatives(
+        emb, anchors=emb.filter("vec_id > 99")).count() == 0
+
+    # non-integral label fails fast with a clear error
+    bad = spark.createDataFrame(
+        [(1, [1.0], "x")], "vec_id long, embedding array<double>, label string"
+    )
+    try:
+        hard_negatives(bad)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "label" in str(e)

@@ -835,3 +835,37 @@ def test_upsert_time_travel_and_vacuum(spark, tmp_path):
     assert removed == [vs[0]]
     assert list_versions(store) == [vs[1]]
     assert {r.doc_id: r.value for r in read_store(spark, store).collect()} == cur
+
+
+def test_anomaly_stream_ignores_null_ts(spark, tmp_path):
+    import pandas as pd_
+    from adenhq_hive_spark.streaming.events import anomaly_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(0, None, "click")]
+    for d in (1, 2, 3):
+        for i in range(5):
+            rows.append(
+                (len(rows), pd_.Timestamp(f"2026-03-0{d} 09:00:00"), "click")
+            )
+    pdf = pd_.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(src / "a.parquet"))
+
+    raw = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .parquet(str(src))
+    )
+    q = run_to_completion(
+        anomaly_stream(raw, k=2), "anomaly_nullts",
+        str(tmp_path / "ck"), output_mode="update",
+    )
+    try:
+        rows_out = spark.sql("SELECT * FROM anomaly_nullts").collect()
+    finally:
+        q.stop()
+    # null-ts row dropped: days 1..2 closed normally (3 stays open as
+    # the genuine newest day — a NaT bucket would have closed it)
+    days = sorted(str(r.day) for r in rows_out)
+    assert days == ["2026-03-01", "2026-03-02"]
