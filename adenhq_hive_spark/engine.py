@@ -119,7 +119,34 @@ class Engine:
         self._result_cache_size = result_cache_size
         self.cache_hits = 0
         self.cache_misses = 0
+        # bounded query history (observability: what ran, how long, how
+        # big, did it hit the cache) — the run-log surface for the SQL
+        # side, sibling of operators/logs.py's runtime-log queries
+        self._history: list[dict] = []
+        self._history_size = 1000
         register_views(spark, sf_dir)
+
+    def _record(self, sql: str, max_rows: int, t0: float,
+                env: "ResultEnvelope", cached: bool) -> None:
+        import time as _time
+
+        self._history.append({
+            "sql": sql,
+            "max_rows": max_rows,
+            "ms": round((_time.perf_counter() - t0) * 1000, 1),
+            "success": env.success,
+            "row_count": env.row_count,
+            "truncated": env.truncated,
+            "cached": cached,
+            "error": env.error,
+        })
+        if len(self._history) > self._history_size:
+            del self._history[: -self._history_size]
+
+    def history(self, limit: int = 50) -> list[dict]:
+        """The most recent ``limit`` sql() invocations, oldest first —
+        statement, wall ms, row count, truncation, cache hit, error."""
+        return list(self._history[-limit:])
 
     def df(self, sql: str) -> DataFrame:
         """Gated SQL → lazy DataFrame (no materialization)."""
@@ -140,6 +167,9 @@ class Engine:
         literal — collapsing runs of spaces INSIDE a literal would make
         semantically different queries collide.
         """
+        import time as _time
+
+        t0 = _time.perf_counter()
         max_rows = max(1, min(int(max_rows), 10_000))  # bigquery_tool.py:209-214 clamp
         cache_key = None
         if use_cache:
@@ -152,17 +182,23 @@ class Engine:
         if cache_key is not None and cache_key in self._result_cache:
             self._result_cache.move_to_end(cache_key)
             self.cache_hits += 1
-            return self._result_cache[cache_key]
+            env = self._result_cache[cache_key]
+            self._record(sql, max_rows, t0, env, cached=True)
+            return env
         if cache_key is not None:
             self.cache_misses += 1
         try:
             df = self.df(sql)
         except ReadOnlyViolation as exc:
-            return ResultEnvelope(success=False, error=str(exc))
+            env = ResultEnvelope(success=False, error=str(exc))
+            self._record(sql, max_rows, t0, env, cached=False)
+            return env
         try:
             taken = df.limit(max_rows + 1).collect()
         except Exception as exc:
-            return ResultEnvelope(success=False, error=f"Query failed: {exc}")
+            env = ResultEnvelope(success=False, error=f"Query failed: {exc}")
+            self._record(sql, max_rows, t0, env, cached=False)
+            return env
         truncated = len(taken) > max_rows
         rows = [r.asDict(recursive=True) for r in taken[:max_rows]]
         env = ResultEnvelope(
@@ -177,6 +213,7 @@ class Engine:
             self._result_cache[cache_key] = env
             while len(self._result_cache) > self._result_cache_size:
                 self._result_cache.popitem(last=False)
+        self._record(sql, max_rows, t0, env, cached=False)
         return env
 
     def describe_dataset(self, with_row_counts: bool = True) -> dict:

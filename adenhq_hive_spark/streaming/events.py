@@ -465,3 +465,43 @@ def anomaly_stream(stream: DataFrame, k: int = 2) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decontaminate_stream(
+    doc_stream: DataFrame,
+    eval_df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Streaming benchmark decontamination: drop arriving documents that
+    share any word ``n``-gram with a STATIC eval set — the ingest-time
+    guard that keeps eval leakage out of a continuously-growing corpus.
+
+    Shape: ``foreachBatch``. The dirty-id detection needs an anti-join
+    of the stream against a stream-DERIVED id set, which Structured
+    Streaming's incremental planner rejects (LeftAnti with a streaming
+    right side); inside ``foreachBatch`` each micro-batch is a plain
+    batch DataFrame, so the EXACT batch operator
+    (operators/curation.decontaminate — same n-gram algebra, distributed
+    eval side, no driver collect) applies unchanged, and semantics are
+    identical per batch. The eval set is static: every batch is
+    filtered independently, no state.
+
+    Returns the DataStreamWriter (caller starts it; clean docs land in
+    ``out_dir`` as parquet with the epoch id recorded).
+    """
+    from ..operators.curation import decontaminate
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            decontaminate(
+                batch_df, eval_df, id_col=id_col, text_col=text_col, n=n
+            )
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return doc_stream.writeStream.foreachBatch(write)

@@ -265,3 +265,19 @@ def test_explain_node_counts_exact_and_analysis_error_enveloped(spark):
     # analysis failures return the envelope, not a raised exception
     bad = eng.explain("SELECT * FROM no_such_table")
     assert bad["success"] is False and "no_such_table" in bad["error"]
+
+
+def test_query_history_records_all_paths(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    eng.sql("SELECT COUNT(*) AS n FROM region", use_cache=True)
+    eng.sql("SELECT COUNT(*) AS n FROM region", use_cache=True)  # hit
+    eng.sql("DROP TABLE region")                                 # gated
+    h = eng.history()
+    assert len(h) == 3
+    assert [e["cached"] for e in h] == [False, True, False]
+    assert h[0]["success"] and h[0]["row_count"] == 1
+    assert h[1]["ms"] <= h[0]["ms"]        # cache hit is not slower
+    assert not h[2]["success"] and h[2]["error"]
+    assert eng.history(limit=1)[0]["sql"] == "DROP TABLE region"

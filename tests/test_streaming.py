@@ -869,3 +869,39 @@ def test_anomaly_stream_ignores_null_ts(spark, tmp_path):
     # the genuine newest day — a NaT bucket would have closed it)
     days = sorted(str(r.day) for r in rows_out)
     assert days == ["2026-03-01", "2026-03-02"]
+
+
+def test_decontaminate_stream_parity_with_batch(spark, tmp_path):
+    import pandas as pd_
+    from adenhq_hive_spark.operators.curation import decontaminate
+    from adenhq_hive_spark.streaming.events import decontaminate_stream
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, f"prefix {leak} suffix words here"),
+        (2, "totally clean document with nothing shared at all"),
+        (3, f"another {leak} carrier text"),
+        (4, "clean again different words entirely present"),
+    ]
+    eval_rows = [(100, f"benchmark contains {leak} verbatim")]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd_.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        str(src / "a.parquet"))
+
+    eval_df = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src))
+    out = str(tmp_path / "clean")
+    q = decontaminate_stream(stream, eval_df, out, n=8).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    batch_df = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = sorted(
+        r.doc_id for r in decontaminate(batch_df, eval_df, n=8).collect()
+    )
+    assert got == want == [2, 4]
