@@ -871,3 +871,44 @@ def shard_manifest(
         )
         .orderBy("shard_id")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-curriculum addressing: documents bucketed into ``n_stages``
+    quantile stages by token count (short → long) and given a
+    deterministic position within each stage — the sampler order for
+    curriculum schedules that feed short sequences first (shortest-first
+    warmup, the common length-curriculum shape).
+
+    Stage assignment is NTILE over (n_tokens, id) — an equi-depth
+    quantile bucketing both engines define identically given the total
+    tiebreak. Within-stage order is md5(id) (reproducible shuffle, no
+    length bias inside a stage — the same coin as shuffle_shard). Both
+    windows are engine-portable; the (stage, pos) pair is a stable
+    address exactly like shuffle_shard's (shard_id, pos), so the same
+    loader contract applies.
+
+    One shuffle per window; the NTILE window is a single global
+    ordering — at 100 TB swap it for a sampled quantile-boundary
+    computation (approx_quantile on n_tokens, then a map-only stage
+    assignment), same output contract. Output: (id, n_tokens, stage,
+    pos), ordered.
+    """
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    ).alias("n_tokens")
+    base = df.select(F.col(id_col), toks)
+    stage_w = Window.orderBy("n_tokens", id_col)
+    staged = base.withColumn("stage", F.ntile(n_stages).over(stage_w))
+    pos_w = Window.partitionBy("stage").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        staged.withColumn("pos", F.row_number().over(pos_w))
+        .orderBy("stage", "pos")
+    )

@@ -2930,3 +2930,38 @@ Q(QuerySpec(
         LIMIT 20
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_curriculum",
+    doc="Length-curriculum addressing: NTILE token-count stages (short "
+        "-> long) with a deterministic md5 within-stage order "
+        "(operators/curation.py:curriculum_order) — the sampler "
+        "address for shortest-first curriculum schedules. Both windows "
+        "engine-portable; scale path = approx quantile boundaries + "
+        "map-only assignment (documented).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["curriculum_order"],
+    ).curriculum_order(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM documents
+        ),
+        staged AS (
+          SELECT doc_id, n_tokens,
+                 NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS stage
+          FROM toks
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stage,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY stage
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS pos
+        FROM staged
+        ORDER BY stage, pos
+    """,
+))

@@ -716,3 +716,27 @@ def test_shard_manifest_validates_and_detects_change(spark, tmp_path):
     diff = [s for s in base if m3[s].checksum != base[s].checksum]
     assert len(diff) == 1                  # exactly doc 7's shard moved
     assert m3[diff[0]].n_rows == base[diff[0]].n_rows
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    from adenhq_hive_spark.operators.curation import curriculum_order
+
+    rows = [(i, " ".join("w" for _ in range(5 + i))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curriculum_order(df, n_stages=4).collect()
+    assert len(out) == 40
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert sorted(by_stage) == [1, 2, 3, 4]
+    assert all(len(v) == 10 for v in by_stage.values())   # equi-depth
+    # stages are length-ordered: every stage-k doc <= every stage-k+1 doc
+    for k in (1, 2, 3):
+        assert max(r.n_tokens for r in by_stage[k]) <= min(
+            r.n_tokens for r in by_stage[k + 1]
+        )
+    # positions contiguous from 1; order deterministic across runs
+    for v in by_stage.values():
+        assert sorted(r.pos for r in v) == list(range(1, 11))
+    again = curriculum_order(df, n_stages=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
