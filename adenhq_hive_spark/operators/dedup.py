@@ -919,3 +919,41 @@ def cluster_best_rep(
         )
         .orderBy(id_col)
     )
+
+
+def hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    top: int = 25,
+) -> DataFrame:
+    """Corpus-wide boilerplate census: the ``top`` shingles by document
+    frequency — the measurement that SIZES the dedup stack's
+    ``max_shingle_df`` hot-key cap (a shingle in d documents generates
+    O(d^2) candidate-join rows; this shows which d are coming before
+    the join runs) and surfaces template/boilerplate phrases worth
+    stripping upstream.
+
+    One explode of distinct per-doc shingles + a grouped count (map-side
+    partial) + top-k (TakeOrderedAndProject). ``pct_docs`` via exact
+    integer division. Output: (shingle, df, pct_docs), heaviest first,
+    ties by shingle.
+    """
+    from .text import frac4
+
+    n_docs = df.count()
+    counts = (
+        df.select(F.explode(_shingles(text_col, k)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        counts.select(
+            "shingle",
+            "df",
+            frac4(F.col("df") * 100, F.lit(n_docs)).alias("pct_docs"),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(top)
+    )

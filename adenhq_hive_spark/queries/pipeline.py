@@ -2965,3 +2965,34 @@ Q(QuerySpec(
         ORDER BY stage, pos
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_hot_shingles",
+    doc="Boilerplate census: top-25 shingles by document frequency "
+        "(operators/dedup.py:hot_shingles) — the measurement that sizes "
+        "the dedup stack's max_shingle_df hot-key cap (a shingle in d "
+        "docs => O(d^2) candidate rows) and surfaces template phrases. "
+        "Explode + grouped count + TakeOrderedAndProject.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup",
+        fromlist=["hot_shingles"],
+    ).hot_shingles(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH t AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+               AS shingle
+          FROM documents
+        )
+        SELECT shingle, COUNT(*) AS df,
+               CAST((COUNT(*) * 100 * 20000 + t.n_docs)
+                    // (2 * t.n_docs) AS DOUBLE) / 10000 AS pct_docs
+        FROM sh, t
+        GROUP BY shingle, t.n_docs
+        ORDER BY df DESC, shingle
+        LIMIT 25
+    """,
+))

@@ -340,3 +340,23 @@ def test_cluster_best_rep_tie_breaks_to_min_id(spark):
     )
     out = {r.doc_id: r.kept for r in cluster_best_rep(df).collect()}
     assert out == {2: True, 5: False, 9: False}
+
+
+def test_hot_shingles_census(spark):
+    from adenhq_hive_spark.operators.dedup import hot_shingles
+
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"{boiler} plus unique tail {i} words") for i in range(8)]
+    rows += [(100, "entirely different content with no shared trigram")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = hot_shingles(df, top=3).collect()
+    assert out[0].df == 8                   # the boilerplate trigrams
+    assert out[0].pct_docs == round(8 * 100 / 9, 4)
+    assert out[0].shingle < out[1].shingle or out[0].df > out[1].df
+    # per-doc distinct: a shingle repeated inside one doc counts once
+    rep = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    got = {r.shingle: r.df for r in hot_shingles(rep, top=10).collect()}
+    assert got["a b c"] == 2
