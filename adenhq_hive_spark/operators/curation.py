@@ -912,3 +912,68 @@ def curriculum_order(
         staged.withColumn("pos", F.row_number().over(pos_w))
         .orderBy("stage", "pos")
     )
+
+
+def source_scorecard(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Per-source quality scorecard: the one-table summary mixture
+    weights are set from — doc and token counts, mean quality score,
+    Gopher-rule pass rate, and exact-duplicate rate, per source.
+
+    Composes the per-doc tiers (quality_score, gopher_rules, md5 exact
+    dup) and aggregates once on the source key: the per-doc features are
+    map-only, the dup flag is one content-hash window, and the final agg
+    is |sources|-small. All emitted fractions in exact integer
+    arithmetic (quality is a 0.1-step rule-sum, so its mean over n docs
+    is the exact rational sum(qs10) / (10 n)).
+
+    Output: (source, n_docs, n_tokens, mean_quality, gopher_pass_rate,
+    dup_rate), ordered by source.
+    """
+    from .text import frac4, gopher_rules, quality_score
+
+    q = quality_score(df, text_col=text_col).select(
+        id_col, source_col, text_col, "quality_score"
+    )
+    g = gopher_rules(
+        df, text_col=text_col, id_col=id_col, min_stop_hits=min_stop_hits
+    ).select(id_col, "gopher_ok")
+    dup = df.select(
+        F.col(id_col),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+            )
+            > 1
+        ).alias("is_dup"),
+    )
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    joined = (
+        q.withColumn("n_toks", toks)
+        .join(g, id_col)
+        .join(dup, id_col)
+    )
+    qs10 = F.round(F.col("quality_score") * 10).cast("long")
+    agg = joined.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(qs10).alias("_qs10"),
+        F.sum(F.col("gopher_ok").cast("long")).alias("_g"),
+        F.sum(F.col("is_dup").cast("long")).alias("_d"),
+    )
+    n = F.col("n_docs")
+    return agg.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        frac4(F.col("_qs10"), n * 10).alias("mean_quality"),
+        frac4(F.col("_g"), n).alias("gopher_pass_rate"),
+        frac4(F.col("_d"), n).alias("dup_rate"),
+    ).orderBy(source_col)

@@ -740,3 +740,25 @@ def test_curriculum_order_stages_and_determinism(spark):
         assert sorted(r.pos for r in v) == list(range(1, 11))
     again = curriculum_order(df, n_stages=4).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_source_scorecard_golden(spark):
+    from adenhq_hive_spark.operators.curation import source_scorecard
+
+    good = ("the and of to is " + "word " * 60).strip()   # gopher-passing
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, good, "clean"), (2, good + " extra", "clean"),
+        (10, dup, "dupy"), (11, dup, "dupy"), (12, dup, "dupy"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in source_scorecard(df).collect()}
+    assert set(out) == {"clean", "dupy"}
+    c, d = out["clean"], out["dupy"]
+    assert (c.n_docs, d.n_docs) == (2, 3)
+    assert c.gopher_pass_rate == 1.0       # 65-word stopword-rich docs
+    assert c.dup_rate == 0.0
+    assert d.dup_rate == round(2 / 3, 4)   # two copies of three
+    assert d.gopher_pass_rate == 0.0       # 12 words < min 50
+    assert 0.0 <= d.mean_quality <= 1.0
+    assert c.n_tokens == 65 + 66
