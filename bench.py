@@ -57,6 +57,10 @@ HEADLINE = [
     "pl_trigram_search", # trigram-index literal search (build + probe)
     "pl_weighted_sample",# quality-weighted md5-coin subsample (map-only)
     "pl_hard_negatives", # contrastive hard-negative mining (BLAS)
+    "pl_skew_report",    # hot-key diagnosis (grouped count + top-k)
+    "pl_curriculum",     # length-curriculum addressing (two windows)
+    "pl_source_scorecard",  # per-source governance table
+    "pl_hot_shingles",   # boilerplate census sizing max_shingle_df
 ]
 
 
