@@ -146,6 +146,8 @@ class Engine:
     def history(self, limit: int = 50) -> list[dict]:
         """The most recent ``limit`` sql() invocations, oldest first —
         statement, wall ms, row count, truncation, cache hit, error."""
+        if limit <= 0:  # [-0:] would be the FULL list
+            return []
         return list(self._history[-limit:])
 
     def df(self, sql: str) -> DataFrame:
@@ -191,6 +193,10 @@ class Engine:
             df = self.df(sql)
         except ReadOnlyViolation as exc:
             env = ResultEnvelope(success=False, error=str(exc))
+            self._record(sql, max_rows, t0, env, cached=False)
+            return env
+        except Exception as exc:  # analysis errors (unknown table/column)
+            env = ResultEnvelope(success=False, error=f"Query failed: {exc}")
             self._record(sql, max_rows, t0, env, cached=False)
             return env
         try:

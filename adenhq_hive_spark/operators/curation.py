@@ -757,15 +757,11 @@ def pack_efficiency(
     (ctx_len, n_docs, total_tokens, n_over, tokens_over,
      n_seqs_concat, n_seqs_split, waste_frac_split).
     """
-    from .text import frac4
+    from .text import frac4, ws_token_count
 
     if context_lengths is None:
         context_lengths = [256, 512, 1024, 2048]
-    toks = df.select(
-        F.size(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        ).alias("n")
-    )
+    toks = df.select(ws_token_count(text_col).alias("n"))
     ex = toks.select(
         "n",
         F.explode(
@@ -899,10 +895,11 @@ def curriculum_order(
     assignment), same output contract. Output: (id, n_tokens, stage,
     pos), ordered.
     """
-    toks = F.size(
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    ).alias("n_tokens")
-    base = df.select(F.col(id_col), toks)
+    from .text import ws_token_count
+
+    base = df.select(
+        F.col(id_col), ws_token_count(text_col).alias("n_tokens")
+    )
     stage_w = Window.orderBy("n_tokens", id_col)
     staged = base.withColumn("stage", F.ntile(n_stages).over(stage_w))
     pos_w = Window.partitionBy("stage").orderBy(
@@ -943,6 +940,8 @@ def source_scorecard(
     g = gopher_rules(
         df, text_col=text_col, id_col=id_col, min_stop_hits=min_stop_hits
     ).select(id_col, "gopher_ok")
+    from .text import ws_token_count
+
     dup = df.select(
         F.col(id_col),
         (
@@ -952,11 +951,8 @@ def source_scorecard(
             > 1
         ).alias("is_dup"),
     )
-    toks = F.size(
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    )
     joined = (
-        q.withColumn("n_toks", toks)
+        q.withColumn("n_toks", ws_token_count(text_col))
         .join(g, id_col)
         .join(dup, id_col)
     )

@@ -942,17 +942,21 @@ def hot_shingles(
     """
     from .text import frac4
 
-    n_docs = df.count()
+    # lazy 1-row corpus count broadcast into the plan — an eager
+    # df.count() here would run a full scan at operator-construction
+    # time and scan the corpus twice per run
+    totals = df.agg(F.count("*").alias("_n_docs"))
     counts = (
         df.select(F.explode(_shingles(text_col, k)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("df"))
     )
     return (
-        counts.select(
+        counts.join(F.broadcast(totals))
+        .select(
             "shingle",
             "df",
-            frac4(F.col("df") * 100, F.lit(n_docs)).alias("pct_docs"),
+            frac4(F.col("df") * 100, F.col("_n_docs")).alias("pct_docs"),
         )
         .orderBy(F.col("df").desc(), "shingle")
         .limit(top)

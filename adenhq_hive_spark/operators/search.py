@@ -168,3 +168,92 @@ def update_trigram_postings(
             ).alias("ids")
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag-of-terms query — the
+    classic ranked-retrieval scorer (Robertson-Sparck Jones):
+
+        score(D) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*|D|/avgdl))
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   (+1-smoothed)
+
+    Shape: tokenize once, keep ONLY query-term postings (the filter
+    lands before the aggregation, so the shuffled relation is
+    query-sized, not corpus-sized), per-(doc, term) tf with map-side
+    partials, per-term df + corpus stats (N, avgdl) on tiny broadcast
+    relations, one scoring projection, TakeOrderedAndProject top-k.
+    Document length uses whitespace tokens (the corpus contract).
+
+    Output: (id_col, rank, score) — rank by (score desc, id) on values
+    rounded to 4 (the pl_tfidf-proven cross-engine double contract).
+    """
+    from pyspark.sql import Window
+
+    from .text import ws_token_count
+
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    ).alias("term")
+    lens = df.select(
+        F.col(id_col).alias("id"), ws_token_count(text_col).alias("dl")
+    )
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # dl rides the postings row (first() per group) — joining the
+    # corpus-sized lens relation back on id would shuffle one row per
+    # document, exactly the corpus-sized exchange this shape avoids
+    hits = (
+        df.select(
+            F.col(id_col).alias("id"),
+            ws_token_count(text_col).alias("dl"),
+            toks,
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "id")
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "id"))
+            .alias("rank"),
+            "score",
+        )
+    )

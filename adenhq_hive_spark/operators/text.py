@@ -32,6 +32,16 @@ def _marker_hits(text_col: str, markers: list[str]) -> Column:
     )
 
 
+def ws_token_count(text_col: str | Column) -> Column:
+    """Whitespace token count — THE corpus-contract tokenization
+    (single-space split, empty tokens dropped), shared so every
+    operator and its DuckDB oracle (len(list_filter(string_split(...))))
+    count identically; a drifted copy would break result hashes
+    silently."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(col, " "), lambda t: t != ""))
+
+
 def frac4(p: Column, q: Column) -> Column:
     """round(p/q, 4) half-up via exact bigint arithmetic — the portable
     emitted-fraction form (driver/oracle contract): (p*20000 + q) DIV

@@ -3103,3 +3103,64 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_bm25",
+    doc="BM25 ranked retrieval: top-10 documents for a bag-of-terms "
+        "query (operators/search.py:bm25_search — Robertson-Sparck "
+        "Jones with +1-smoothed idf, k1=1.2, b=0.75). Query-term "
+        "postings filtered BEFORE aggregation (query-sized shuffle), "
+        "df/corpus stats on broadcast relations, TakeOrderedAndProject "
+        "top-k. Oracle: same formulas in DuckDB (ln/ROUND double "
+        "contract proven by pl_tfidf).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.search",
+        fromlist=["bm25_search"],
+    ).bm25_search(
+        load_table(spark, sf, "documents"),
+        ["spark", "window", "merge"], k=10,
+    ),
+    oracle_sql_str="""
+        WITH lens AS (
+          SELECT doc_id AS id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS dl
+          FROM documents
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+        ),
+        hits AS (
+          SELECT doc_id AS id, term, COUNT(*) AS tf
+          FROM (
+            SELECT doc_id, unnest(list_filter(
+                   string_split(lower(text), ' '), x -> x <> '')) AS term
+            FROM documents
+          )
+          WHERE term IN ('merge', 'spark', 'window')
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        scored AS (
+          SELECT h.id,
+                 SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (h.tf * 2.2)
+                   / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+                 ) AS raw
+          FROM hits h
+          JOIN dfreq d USING (term)
+          JOIN lens l ON l.id = h.id
+          CROSS JOIN stats s
+          GROUP BY h.id
+        )
+        SELECT id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(raw, 4) DESC, id)
+                    AS INT) AS rank,
+               ROUND(raw, 4) AS score
+        FROM scored
+        ORDER BY ROUND(raw, 4) DESC, id
+        LIMIT 10
+    """,
+))

@@ -483,24 +483,44 @@ def decontaminate_stream(
     of the stream against a stream-DERIVED id set, which Structured
     Streaming's incremental planner rejects (LeftAnti with a streaming
     right side); inside ``foreachBatch`` each micro-batch is a plain
-    batch DataFrame, so the EXACT batch operator
-    (operators/curation.decontaminate — same n-gram algebra, distributed
-    eval side, no driver collect) applies unchanged, and semantics are
-    identical per batch. The eval set is static: every batch is
-    filtered independently, no state.
+    batch DataFrame, so the batch n-gram algebra applies unchanged and
+    semantics are identical per batch. The eval side IS static, so its
+    exploded+distinct n-gram set is computed ONCE here and persisted —
+    not rebuilt every trigger as calling the batch operator per batch
+    would.
+
+    Idempotence: foreachBatch is at-least-once, so the sink writes
+    ``epoch_id=N`` PARTITIONS with dynamic partition overwrite — an
+    epoch retry REPLACES its own partition instead of appending a
+    duplicate copy of every clean document.
 
     Returns the DataStreamWriter (caller starts it; clean docs land in
-    ``out_dir`` as parquet with the epoch id recorded).
+    ``out_dir`` as epoch-partitioned parquet).
     """
-    from ..operators.curation import decontaminate
+    from pyspark import StorageLevel
+
+    from ..operators.ngrams import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n, lowercase=True)
+    eval_grams = (
+        eval_df.select(F.explode(grams).alias("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        bad = (
+            batch_df.select(F.col(id_col), F.explode(grams).alias("g"))
+            .join(eval_grams, "g", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
         (
-            decontaminate(
-                batch_df, eval_df, id_col=id_col, text_col=text_col, n=n
-            )
+            batch_df.join(bad, id_col, "left_anti")
             .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
             .parquet(out_dir)
         )
 

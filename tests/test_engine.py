@@ -281,3 +281,15 @@ def test_query_history_records_all_paths(spark):
     assert h[1]["ms"] <= h[0]["ms"]        # cache hit is not slower
     assert not h[2]["success"] and h[2]["error"]
     assert eng.history(limit=1)[0]["sql"] == "DROP TABLE region"
+
+
+def test_sql_analysis_error_enveloped_and_recorded(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    r = eng.sql("SELECT * FROM no_such_table")
+    assert not r.success and "no_such_table" in r.error
+    h = eng.history()
+    assert len(h) == 1 and not h[0]["success"]
+    assert eng.history(limit=0) == []       # [-0:] pitfall guarded
+    assert eng.history(limit=-3) == []

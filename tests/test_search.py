@@ -133,3 +133,41 @@ def test_update_trigram_postings_equals_full_rebuild(spark):
     got = {r.trigram: list(r.ids) for r in merged.collect()}
     want = {r.trigram: list(r.ids) for r in full.collect()}
     assert got == want
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from adenhq_hive_spark.operators.search import bm25_search
+
+    rows = [
+        (1, "spark window merge spark spark"),
+        (2, "window only here with filler words"),
+        (3, "no relevant terms at all present"),
+        (4, "merge merge merge window spark extra tokens padding out"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r.doc_id, r.rank, r.score)
+           for r in bm25_search(df, ["spark", "window", "merge"], k=4).collect()]
+
+    # python reference
+    docs = {i: t.split() for i, t in rows}
+    N = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / N
+    dfreq = {}
+    for t in ("spark", "window", "merge"):
+        dfreq[t] = sum(1 for v in docs.values() if t in v)
+    want = []
+    for i, v in docs.items():
+        s = 0.0
+        for t in ("spark", "window", "merge"):
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if s > 0:
+            want.append((i, round(s, 4)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert got == [(i, r + 1, s) for r, (i, s) in enumerate(want)]
+    assert got[0][0] in (1, 4) and all(g[0] != 3 for g in got)

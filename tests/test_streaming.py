@@ -905,3 +905,33 @@ def test_decontaminate_stream_parity_with_batch(spark, tmp_path):
         r.doc_id for r in decontaminate(batch_df, eval_df, n=8).collect()
     )
     assert got == want == [2, 4]
+
+
+def test_decontaminate_stream_retry_is_idempotent(spark, tmp_path):
+    import pandas as pd_
+    from adenhq_hive_spark.streaming.events import decontaminate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd_.DataFrame(
+        [(1, "clean words only here"), (2, "more clean words again")],
+        columns=["doc_id", "text"],
+    ).to_parquet(str(src / "a.parquet"))
+    eval_df = spark.createDataFrame(
+        [(9, "unrelated eval suite text")], ["doc_id", "text"]
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src))
+    out = str(tmp_path / "clean")
+
+    # same input replayed under a FRESH checkpoint = an epoch retry:
+    # the epoch-partitioned dynamic overwrite must not duplicate docs
+    for ck in ("ck1", "ck2"):
+        q = decontaminate_stream(stream, eval_df, out, n=3).option(
+            "checkpointLocation", str(tmp_path / ck)
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2]
