@@ -61,6 +61,7 @@ HEADLINE = [
     "pl_curriculum",     # length-curriculum addressing (two windows)
     "pl_source_scorecard",  # per-source governance table
     "pl_hot_shingles",   # boilerplate census sizing max_shingle_df
+    "pl_bm25",           # BM25 ranked retrieval (query-sized shuffle)
 ]
 
 
