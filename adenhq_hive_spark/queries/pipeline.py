@@ -3164,3 +3164,81 @@ Q(QuerySpec(
         LIMIT 10
     """,
 ))
+
+
+def _contract_builder(spark, sf):
+    from ..operators.contract import (
+        accepted_range,
+        accepted_values,
+        not_null,
+        refers_to,
+        unique,
+        validate_contract,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rules = [
+        not_null("doc_id"),
+        unique("doc_id"),
+        accepted_values("lang", ["en", "de", "fr", "es", "zh"]),
+        accepted_range("n_chars", 0, 100000),
+    ]
+    part1 = validate_contract(docs, rules)
+    part2 = validate_contract(
+        li, [refers_to("l_orderkey", orders, "o_orderkey")]
+    )
+    return part1.unionByName(part2)
+
+
+Q(QuerySpec(
+    name="pl_contract",
+    doc="Data-contract validation (operators/contract.py): not_null/"
+        "unique/accepted_values/accepted_range over documents in ONE "
+        "shared-scan aggregation + a referential check lineitem->orders "
+        "(distinct-key anti join). One row per rule with violation "
+        "count — the dbt-tests/GE-style ingest gate. Oracle recomputes "
+        "each count in SQL.",
+    builder=_contract_builder,
+    oracle_sql_str="""
+        SELECT 'not_null(doc_id)' AS rule, 'doc_id' AS column,
+               CAST((SELECT COUNT(*) FROM documents WHERE doc_id IS NULL)
+                    AS BIGINT) AS n_violations,
+               (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL) = 0
+                 AS ok
+        UNION ALL
+        SELECT 'unique(doc_id)', 'doc_id',
+               CAST((SELECT COUNT(doc_id) - COUNT(DISTINCT doc_id)
+                     FROM documents) AS BIGINT),
+               (SELECT COUNT(doc_id) - COUNT(DISTINCT doc_id)
+                FROM documents) = 0
+        UNION ALL
+        SELECT 'accepted_values(lang)', 'lang',
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE lang IS NOT NULL
+                       AND lang NOT IN ('en','de','fr','es','zh'))
+                    AS BIGINT),
+               (SELECT COUNT(*) FROM documents
+                WHERE lang IS NOT NULL
+                  AND lang NOT IN ('en','de','fr','es','zh')) = 0
+        UNION ALL
+        SELECT 'accepted_range(n_chars)', 'n_chars',
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE n_chars < 0 OR n_chars > 100000) AS BIGINT),
+               (SELECT COUNT(*) FROM documents
+                WHERE n_chars < 0 OR n_chars > 100000) = 0
+        UNION ALL
+        SELECT 'refers_to(l_orderkey)', 'l_orderkey',
+               CAST((SELECT COUNT(*) FROM (
+                 SELECT DISTINCT l_orderkey FROM lineitem
+                 WHERE l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+               )) AS BIGINT),
+               (SELECT COUNT(*) FROM (
+                 SELECT DISTINCT l_orderkey FROM lineitem
+                 WHERE l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+               )) = 0
+    """,
+))
