@@ -525,3 +525,48 @@ def decontaminate_stream(
         )
 
     return doc_stream.writeStream.foreachBatch(write)
+
+
+def contract_gate_stream(
+    stream: DataFrame,
+    rules: list,
+    out_dir: str,
+    quarantine_dir: str,
+):
+    """Ingest contract gate: each micro-batch is validated against a
+    data contract (operators/contract.validate_contract); batches that
+    PASS every rule land in ``out_dir``, violating batches land whole
+    in ``quarantine_dir`` with their per-rule violation counts attached
+    as JSON — quarantine-don't-drop, so a broken upstream never
+    silently loses data and operators can replay the quarantined epochs
+    after fixing the source.
+
+    foreachBatch (the contract aggregates need a full batch view);
+    both sinks are epoch-partitioned with dynamic partition overwrite,
+    so at-least-once retries replace their own epoch rather than
+    duplicating rows. Returns the DataStreamWriter.
+    """
+    import json as _json
+
+    from ..operators.contract import validate_contract
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        report = validate_contract(batch_df, rules).collect()
+        ok = all(r.ok for r in report)
+        target = out_dir if ok else quarantine_dir
+        out = batch_df.withColumn("epoch_id", F.lit(epoch_id))
+        if not ok:
+            out = out.withColumn(
+                "contract_report",
+                F.lit(_json.dumps(
+                    {r.rule: r.n_violations for r in report if not r.ok}
+                )),
+            )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(target)
+        )
+
+    return stream.writeStream.foreachBatch(write)

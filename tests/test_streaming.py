@@ -935,3 +935,44 @@ def test_decontaminate_stream_retry_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+
+
+def test_contract_gate_stream_routes_and_quarantines(spark, tmp_path):
+    import json
+    import os
+
+    import pandas as pd_
+    from adenhq_hive_spark.operators.contract import not_null, unique
+    from adenhq_hive_spark.streaming.events import contract_gate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        pdf = pd_.DataFrame(rows, columns=["doc_id", "text"])
+        pdf["doc_id"] = pdf["doc_id"].astype("Int64")  # keep int64+null
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    write_file("a.parquet", [(1, "good"), (2, "also good")], 1_000_000)
+    write_file("b.parquet", [(7, "dup"), (7, "dup again"), (None, "x")],
+               2_000_000)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, quar = str(tmp_path / "ok"), str(tmp_path / "bad")
+    q = contract_gate_stream(
+        stream, [not_null("doc_id"), unique("doc_id")], out, quar
+    ).option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    good = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    bad = spark.read.parquet(quar)
+    assert bad.count() == 3                 # whole batch quarantined
+    report = json.loads(bad.select("contract_report").first()[0])
+    assert report == {"not_null(doc_id)": 1, "unique(doc_id)": 1}
