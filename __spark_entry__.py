@@ -29,37 +29,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 4): the artifact caps at 50 entries, so
+# ROTATING SAMPLE WINDOW (round 5): the artifact caps at 50 entries, so
 # the 50 slots rotate each round to convert local-only passes into
-# driver-visible green rows.  Rounds 1-3 proved 47 queries (see
-# CORRECTNESS_r03.json); this round's window holds:
-#   - the 3 queries that were hash-RED in r3 and are now fixed
-#     (q51 decimal/bare-double projection; pl_repetition +
-#     pl_curation_pipeline integer-exact fractions + BIGINT sums) —
-#     kept in so the fix lands as a driver-green row;
-#   - 47 queries that have NEVER had a driver row: 35 relational
-#     (filters, aggs incl. rollup/grouping-sets, outer/anti/cross/theta/
-#     self joins, frequency top-k, moving avg, distinct-dedup, date
-#     arith, doc stats, fingerprints, streaming filters, scalar suites,
-#     explode, two-level aggs, funnel, cohort) + 12 pipeline ops
-#     (pii redact, hash split, dup/fused CC clusters, minhash/simhash
-#     banding twins, incremental dedup, graph-run curation, packed
-#     chunks, lang-id, token stats, NFC normalize).
-# Rotated OUT (driver-green in r3, still covered by the local full
-# oracle run + pytest): q01 q02 q06 q09 q13 q17 q22 q24 q25 q26 q28
-# q33 q34 q36 q38 q39 q40 q42 q43 q44 q45 q47 q48 q50 q54 q55 q57 q58
-# q59 q60 q69 q71 q72 q77 q78 + 11 green pl_* rows.
+# driver-visible green rows.  Cumulative driver ledger after r4: 106 of
+# the 155 registered queries have appeared in some round's artifact
+# (CORRECTNESS_r01-r04), every oracle-bearing one green.  This round's
+# window holds ALL 49 never-driver-sampled queries (9 relational
+# q63/q64/q67/q68/q70/q73-q76 + 36 oracle-backed pl_* including every
+# round-4-continuation operator + 4 rows-only pl_bpe/pl_bpe_encode/
+# pl_media_phash/pl_semdedup, which record the weaker rows-only row by
+# design) plus q06 as the cross-round canary anchor.  After this window
+# lands, every registered query has a driver row in some round.
+# Rotated OUT (driver-green in r4, still covered by the local full
+# oracle run + pytest): the entire r4 window — q03-q05 q07 q08 q10-q12
+# q14-q16 q18-q21 q23 q27 q29-q32 q35 q37 q41 q46 q49 q51-q53 q56
+# q61 q62 q65 q66 q79 q80 + 12 pl_* rows.
 _CORE = [
-    "q51", "pl_repetition", "pl_curation_pipeline",
-    "q03", "q04", "q05", "q07", "q08", "q10", "q11", "q12",
-    "q14", "q15", "q16", "q18", "q19", "q20", "q21", "q23",
-    "q27", "q29", "q30", "q31", "q32", "q35", "q37", "q41",
-    "q46", "q49", "q52", "q53", "q56", "q61", "q62", "q65",
-    "q66", "q79", "q80",
-    "pl_pii_redact", "pl_hash_split", "pl_dup_clusters",
-    "pl_fused_clusters", "pl_minhash_portable", "pl_simhash_portable",
-    "pl_dedup_incremental", "pl_graph_curation", "pl_pack_chunks",
-    "pl_lang_id", "pl_tokens", "pl_normalize_text",
+    "q06",
+    "q63", "q64", "q67", "q68", "q70", "q73", "q74", "q75", "q76",
+    "pl_best_rep_dedup", "pl_bm25", "pl_bpe", "pl_bpe_encode",
+    "pl_c4_filter", "pl_ccnet_buckets", "pl_centroids", "pl_contract",
+    "pl_cross_source_dups", "pl_curriculum", "pl_dsir", "pl_editdist",
+    "pl_event_anomaly", "pl_gopher_rules", "pl_hard_negatives",
+    "pl_hot_shingles", "pl_intradoc_dedup", "pl_length_stats",
+    "pl_media_annotate", "pl_media_phash", "pl_mixture_sample",
+    "pl_pack_efficiency", "pl_pack_sequences", "pl_passage_dedup",
+    "pl_profile", "pl_quality_classifier", "pl_quantile_check",
+    "pl_script_mix", "pl_semdedup", "pl_semdedup_check",
+    "pl_shuffle_shard", "pl_skew_report", "pl_snapshot_diff",
+    "pl_soft_dedup", "pl_source_scorecard", "pl_stratified_sample",
+    "pl_token_budget", "pl_trigram_search", "pl_unigram_logprob",
+    "pl_weighted_sample",
 ]
 
 

@@ -18,7 +18,7 @@ API edge never collects an unbounded result to the driver.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -184,7 +184,15 @@ class Engine:
         if cache_key is not None and cache_key in self._result_cache:
             self._result_cache.move_to_end(cache_key)
             self.cache_hits += 1
-            env = self._result_cache[cache_key]
+            cached_env = self._result_cache[cache_key]
+            # Hand back a per-call copy (fresh row dicts + fresh lists):
+            # a caller post-processing env.rows in place must not poison
+            # the cached snapshot for later callers.
+            env = replace(
+                cached_env,
+                columns=list(cached_env.columns),
+                rows=[dict(r) for r in cached_env.rows],
+            )
             self._record(sql, max_rows, t0, env, cached=True)
             return env
         if cache_key is not None:

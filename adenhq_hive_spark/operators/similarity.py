@@ -717,7 +717,15 @@ def hard_negatives(
     spark = df.sparkSession
     if anchors is None:
         anchors = df
-    for col, side in ((id_col, anchors), (label_col, anchors)):
+    # Validate BOTH sides: a string/float id or label on the candidate
+    # df would otherwise surface as an opaque executor-side numpy cast
+    # error inside mapInPandas instead of this ValueError.
+    for col, side in (
+        (id_col, anchors),
+        (label_col, anchors),
+        (id_col, df),
+        (label_col, df),
+    ):
         dt = dict(side.dtypes).get(col)
         if dt not in ("tinyint", "smallint", "int", "bigint"):
             raise ValueError(

@@ -79,7 +79,7 @@ Q(QuerySpec(
         FROM inter
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
-        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
         ORDER BY id_a, id_b
     """,
 ))
@@ -106,7 +106,7 @@ _CLUSTER_LABELS_CTE = """
           FROM inter
           JOIN sizes sa ON sa.id = inter.id_a
           JOIN sizes sb ON sb.id = inter.id_b
-          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+          WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
         ),
         edges AS (
           SELECT id_a AS u, id_b AS v FROM pairs
@@ -1529,7 +1529,7 @@ Q(QuerySpec(
           FROM inter
           JOIN sizes sa ON sa.id = inter.id_a
           JOIN sizes sb ON sb.id = inter.id_b
-          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+          WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
         ),
         cpairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2565,7 +2565,7 @@ Q(QuerySpec(
           FROM inter
           JOIN sizes sa ON sa.id = inter.id_a
           JOIN sizes sb ON sb.id = inter.id_b
-          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3
+          WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.3
         ),
         verified AS (
           SELECT id_a, id_b, jaccard,
@@ -2715,7 +2715,7 @@ Q(QuerySpec(
           FROM inter
           JOIN sizes sa ON sa.id = inter.id_a
           JOIN sizes sb ON sb.id = inter.id_b
-          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+          WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
         ),
         lab AS (
           SELECT least(da.source, db.source) AS src_lo,

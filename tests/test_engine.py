@@ -212,7 +212,8 @@ def test_result_cache_hits_and_whitespace_normalization(spark):
     a = eng.sql("SELECT COUNT(*) AS n FROM region", use_cache=True)
     assert (eng.cache_hits, eng.cache_misses) == (0, 1)
     b = eng.sql("SELECT  COUNT(*)   AS n\n FROM region", use_cache=True)
-    assert b is a                          # same envelope, no re-execute
+    assert b.rows == a.rows and b.success  # served from cache...
+    assert b is not a and b.rows is not a.rows  # ...as a per-call copy
     assert eng.cache_hits == 1
     # different max_rows is a different key
     c = eng.sql("SELECT COUNT(*) AS n FROM region", max_rows=5,
@@ -221,6 +222,19 @@ def test_result_cache_hits_and_whitespace_normalization(spark):
     # uncached calls bypass entirely
     d = eng.sql("SELECT COUNT(*) AS n FROM region")
     assert d is not a and eng.cache_hits == 1
+
+
+def test_result_cache_hit_mutation_does_not_poison_cache(spark):
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    stmt = "SELECT COUNT(*) AS n FROM region"
+    eng.sql(stmt, use_cache=True)
+    hit = eng.sql(stmt, use_cache=True)
+    hit.rows[0]["n"] = -999            # caller post-processes in place
+    hit.rows.append({"n": 0})
+    clean = eng.sql(stmt, use_cache=True)
+    assert clean.rows == [{"n": 5}]    # cached snapshot unharmed
 
 
 def test_result_cache_lru_bound_and_failure_not_cached(spark):

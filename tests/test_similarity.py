@@ -279,3 +279,15 @@ def test_hard_negatives_guards(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "label" in str(e)
+
+    # non-integral CANDIDATE side also fails fast, even when the anchors
+    # side is clean (was: opaque executor-side numpy cast error)
+    bad_cand = spark.createDataFrame(
+        [("d1", [1.0, 0.0], 0)],
+        "vec_id string, embedding array<double>, label int",
+    )
+    try:
+        hard_negatives(bad_cand, anchors=emb)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "vec_id" in str(e)
