@@ -884,17 +884,59 @@ def curriculum_order(
     Stage assignment is NTILE over (n_tokens, id) — an equi-depth
     quantile bucketing both engines define identically given the total
     tiebreak. Within-stage order is md5(id) (reproducible shuffle, no
-    length bias inside a stage — the same coin as shuffle_shard). Both
-    windows are engine-portable; the (stage, pos) pair is a stable
-    address exactly like shuffle_shard's (shard_id, pos), so the same
-    loader contract applies.
+    length bias inside a stage — the same coin as shuffle_shard). The
+    (stage, pos) pair is a stable address exactly like shuffle_shard's
+    (shard_id, pos), so the same loader contract applies.
 
-    One shuffle per window; the NTILE window is a single global
-    ordering — at 100 TB swap it for a sampled quantile-boundary
-    computation (approx_quantile on n_tokens, then a map-only stage
-    assignment), same output contract. Output: (id, n_tokens, stage,
-    pos), ordered.
+    Execution is the SCALE path, bit-identical to the window form:
+    neither ordering runs as a single-partition global window. The
+    global NTILE rank and the per-stage position both go through
+    :func:`~adenhq_hive_spark.operators.ranking.exact_rank`
+    (range-partition → local rank → broadcast prefix-sum offsets) and
+    the stage number is a map-only exact-integer expression over the
+    global rank (:func:`~adenhq_hive_spark.operators.ranking.ntile_expr`)
+    — so a 100 TB corpus never serializes through one task, and the
+    output still hash-matches the ANSI window oracle
+    (:func:`curriculum_order_ntile` pins the parity in tests).
+    Output: (id, n_tokens, stage, pos), ordered.
     """
+    from .ranking import exact_rank, ntile_expr
+    from .text import ws_token_count
+
+    base = df.select(
+        F.col(id_col), ws_token_count(text_col).alias("n_tokens")
+    )
+    ranked, totals = exact_rank(
+        base, order_cols=("n_tokens", id_col), rank_col="_r",
+        return_totals=True,
+    )
+    n = totals.get((), 0)
+    staged = ranked.withColumn(
+        "stage", F.expr(ntile_expr("_r", n, n_stages))
+    ).withColumn("_m", F.md5(F.col(id_col).cast("string")))
+    out = exact_rank(
+        staged, order_cols=("_m", id_col), part_cols=("stage",),
+        rank_col="pos",
+    )
+    return (
+        out.select(
+            id_col, "n_tokens", "stage", F.col("pos").cast("int").alias("pos")
+        ).orderBy("stage", "pos")
+    )
+
+
+def curriculum_order_ntile(
+    df: DataFrame,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ANSI-window dual form of :func:`curriculum_order` — NTILE +
+    per-stage ROW_NUMBER as single declarative windows. This is the
+    oracle/specification form (and what the DuckDB oracle SQL runs); the
+    default operator computes the identical result via the distributed
+    exact-rank path. Kept for the parity pin, not for 100 TB use: the
+    NTILE window here is a single global ordering (one task)."""
     from .text import ws_token_count
 
     base = df.select(

@@ -629,6 +629,48 @@ def minhash_lsh_pairs_portable(
     )
 
 
+def build_shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(shingle, cid, n_b) corpus posting rows — the build-once index
+    :func:`dedup_incremental` probes instead of re-shingling the corpus
+    per batch. ``n_b`` (the doc's distinct-shingle count) rides every
+    posting row so the probe never joins a corpus-sized sizes relation
+    (the bm25 dl-on-postings trick, search.py).
+
+    At scale, write this bucketed by ``shingle`` (the
+    save_trigram_index pattern) so each batch's probe join is
+    shuffle-free on the corpus side, and maintain it per batch with
+    :func:`update_shingle_postings` — the delta merge reads only the
+    new documents."""
+    sh = df.select(
+        F.col(id_col).alias("cid"), _shingles(text_col, k).alias("csh")
+    )
+    return sh.select(
+        "cid", F.size("csh").alias("n_b"), F.explode("csh").alias("shingle")
+    )
+
+
+def update_shingle_postings(
+    postings: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Delta-maintain the :func:`build_shingle_postings` index: shingle
+    only the new batch and append — posting rows are per-(shingle, doc),
+    so a merge is a plain union (no per-key regroup; re-feeding the same
+    batch is the caller's idempotence contract, as with
+    update_trigram_postings)."""
+    return postings.unionByName(
+        build_shingle_postings(new_docs, text_col, id_col, k)
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -636,6 +678,9 @@ def dedup_incremental(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    corpus_postings: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: new documents that survive against an
     EXISTING corpus — exact-duplicate drop (content hash seen in the
@@ -648,11 +693,30 @@ def dedup_incremental(
     join only where a new doc shares a shingle (inverted-index semi
     shape, same as the batch tier), and the corpus side is never
     pairwise-expanded against itself.
+
+    Per-batch corpus cost: with the defaults the corpus is re-shingled
+    (and re-hashed) every call — fine for one-shot use, wrong for a
+    continuously-growing 100 TB corpus. Pass ``corpus_postings`` (a
+    persisted :func:`build_shingle_postings` table, delta-maintained via
+    :func:`update_shingle_postings`) and ``corpus_hashes`` (the distinct
+    md5 content hashes, one ``_h`` string column, trivially
+    delta-maintained) and the batch never touches the corpus text at
+    all — the probe reads index rows only.
+
+    ``max_shingle_df`` is the hot-key cap (the batch tier's contract,
+    :func:`ngram_jaccard_pairs`): boilerplate shingles above the
+    document-frequency cap are excluded from CANDIDATE generation, and
+    surviving (new, corpus) candidates are verified with exact shared
+    counts over the UNCAPPED postings restricted to candidate corpus
+    docs — so reported decisions stay exact for every surviving pair;
+    only pairs overlapping exclusively in ultra-common shingles can be
+    missed. The cap is forwarded to the within-batch tier too.
     """
     new_hash = new_df.withColumn("_h", F.md5(F.col(text_col)))
-    corpus_hashes = corpus_df.select(
-        F.md5(F.col(text_col)).alias("_h")
-    ).distinct()
+    if corpus_hashes is None:
+        corpus_hashes = corpus_df.select(
+            F.md5(F.col(text_col)).alias("_h")
+        ).distinct()
     fresh = new_hash.join(corpus_hashes, "_h", "left_anti").drop("_h")
 
     new_sh = _materialize(
@@ -660,26 +724,52 @@ def dedup_incremental(
             F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
         )
     )
-    corpus_sh = corpus_df.select(
-        F.col(id_col).alias("cid"), _shingles(text_col, k).alias("csh")
-    )
     new_ex = new_sh.select("id", F.explode("sh").alias("shingle"))
-    corpus_ex = corpus_sh.select("cid", F.explode("csh").alias("shingle"))
+    if corpus_postings is None:
+        corpus_postings = build_shingle_postings(
+            corpus_df, text_col, id_col, k
+        )
     # shared-shingle counts per (new, corpus) pair: because shingle sets
     # are distinct per doc, |A∩B| IS the join-row count and |A∪B| =
     # nA + nB − |A∩B| — no array-carrying verification join (the skinny
     # count formulation, same as the batch tier; the array-join variant
     # measured 108 s on DuckDB at sf0.1 vs 13 s here even before this)
-    shared = (
-        new_ex.join(corpus_ex, "shingle")
-        .groupBy("id", "cid")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    if max_shingle_df is None:
+        shared = (
+            new_ex.join(corpus_postings, "shingle")
+            .groupBy("id", "cid")
+            .agg(F.count("*").alias("n_shared"), F.min("n_b").alias("n_b"))
+        )
+    else:
+        # candidates from the CAPPED postings (bounds the hot-key join
+        # fan-out), exact verify over uncapped postings of candidate
+        # corpus docs only — cost ∝ candidates, never corpus
+        hot = (
+            corpus_postings.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        capped = corpus_postings.join(
+            F.broadcast(hot), "shingle", "left_anti"
+        )
+        cand = (
+            new_ex.join(capped, "shingle")
+            .select("id", "cid")
+            .distinct()
+        )
+        postings_cand = corpus_postings.join(
+            cand.select("cid").distinct(), "cid", "left_semi"
+        )
+        shared = (
+            new_ex.join(postings_cand, "shingle")
+            .groupBy("id", "cid")
+            .agg(F.count("*").alias("n_shared"), F.min("n_b").alias("n_b"))
+            .join(cand, ["id", "cid"], "left_semi")
+        )
     sizes_new = new_sh.select("id", F.size("sh").alias("n_a"))
-    sizes_corpus = corpus_sh.select("cid", F.size("csh").alias("n_b"))
     near_corpus = (
         shared.join(sizes_new, "id")
-        .join(sizes_corpus, "cid")
         .filter(
             F.col("n_shared")
             / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
@@ -694,7 +784,8 @@ def dedup_incremental(
     # within-batch: exact then near dedup, keeping min-id representative
     survivors = dedup_exact(survivors, text_col, id_col)
     batch_pairs = ngram_jaccard_pairs(
-        survivors, text_col, id_col, k=k, threshold=threshold
+        survivors, text_col, id_col, k=k, threshold=threshold,
+        max_shingle_df=max_shingle_df,
     )
     losers = batch_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return survivors.join(losers, id_col, "left_anti")

@@ -28,22 +28,61 @@ def _trigrams_of(text: str) -> list[str]:
 
 
 def build_trigram_postings(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_trigram_df: int | None = None,
 ) -> DataFrame:
-    """(trigram, ids) posting lists over the corpus — distinct char
+    """(trigram, ids, hot) posting lists over the corpus — distinct char
     trigrams per doc, JVM-side sequence expression, one shuffle on the
-    trigram key. Persist/bucket this by ``trigram`` for repeated probes."""
-    tris = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), "
-            f"i -> substring({text_col}, i, 3))"
-        )
+    trigram key. Persist/bucket this by ``trigram`` for repeated probes.
+
+    ``max_trigram_df`` is the hot-key cap (same contract as the dedup
+    tier's ``max_shingle_df``, operators/dedup.py): a stop-trigram like
+    ``"th "`` over a 100 TB corpus is otherwise ONE row holding billions
+    of ids — unbounded row size, a guaranteed straggler. Trigrams whose
+    document frequency exceeds the cap are kept as a tombstone row
+    (``hot=true``, empty ids) so the probe can distinguish "capped"
+    (don't prune on it) from "absent" (no doc contains it — empty
+    result). The census that sizes the cap is pl_hot_shingles' shape.
+    The cap never changes answers: probes ignore hot trigrams and fall
+    back to the scan when every needle trigram is hot.
+    """
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0]), so texts shorter
+    # than 3 chars would emit junk sub-trigram postings (including '' for
+    # empty docs) without the length gate.
+    tris = F.expr(
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"array_distinct(transform(sequence(1, length({text_col}) - 2), "
+        f"i -> substring({text_col}, i, 3))) "
+        f"ELSE array() END"
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(tris).alias("trigram"))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(tris).alias("trigram")
+    )
+    if max_trigram_df is None:
+        return (
+            exploded.groupBy("trigram")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .withColumn("hot", F.lit(False))
+        )
+    # two-pass cap: a skinny map-side-partial count first, so the
+    # unbounded collect_list never materializes for a hot key
+    dfreq = exploded.groupBy("trigram").agg(F.count("*").alias("_df"))
+    hot_keys = dfreq.filter(F.col("_df") > max_trigram_df).select("trigram")
+    live = (
+        exploded.join(F.broadcast(hot_keys), "trigram", "left_anti")
         .groupBy("trigram")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .withColumn("hot", F.lit(False))
     )
+    id_type = dict(exploded.dtypes)["id"]
+    tombstones = hot_keys.select(
+        "trigram",
+        F.array().cast(f"array<{id_type}>").alias("ids"),
+        F.lit(True).alias("hot"),
+    )
+    return live.unionByName(tombstones)
 
 
 def trigram_search(
@@ -52,14 +91,23 @@ def trigram_search(
     text_col: str = "text",
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
+    max_trigram_df: int | None = None,
 ) -> DataFrame:
     """Exact literal-containment search via the trigram index.
 
     Probe: filter postings to the needle's trigrams (a tiny IN list —
     partition/bucket pruning at scale), explode, and keep docs holding
-    ALL of them (count == n_trigrams); verify candidates with
+    ALL of them (count == n_live_trigrams); verify candidates with
     ``contains`` against the doc text. Result is EXACTLY the full-scan
     answer — the index only prunes, never decides.
+
+    Cap semantics (``hot`` tombstones, :func:`build_trigram_postings`):
+    the needle's trigram rows (≤ |needle| rows — a probe-sized driver
+    read) split three ways. A trigram ABSENT from the index means no
+    document contains it → empty result, no scan. A HOT trigram carries
+    no postings → excluded from pruning. If every needle trigram is hot
+    the probe degrades to the exact full scan; otherwise candidates must
+    hold ALL live trigrams. Exactness is preserved in every branch.
 
     Output: (id_col) of matching docs, ordered.
     """
@@ -71,13 +119,35 @@ def trigram_search(
         )
     tris = _trigrams_of(needle)
     if postings is None:
-        postings = build_trigram_postings(df, text_col, id_col)
+        postings = build_trigram_postings(
+            df, text_col, id_col, max_trigram_df=max_trigram_df
+        )
+    if "hot" not in postings.columns:  # legacy/un-capped index
+        postings = postings.withColumn("hot", F.lit(False))
+    probe = postings.filter(F.col("trigram").isin(tris))
+    info = probe.select("trigram", "hot").collect()  # ≤ |needle| rows
+    present = {r["trigram"] for r in info}
+    hot = {r["trigram"] for r in info if r["hot"]}
+    missing = [t for t in tris if t not in present]
+    if missing:
+        # some needle trigram appears in NO document — provably empty
+        return (
+            df.filter(F.lit(False)).select(id_col).orderBy(id_col)
+        )
+    live = [t for t in tris if t not in hot]
+    if not live:
+        # every needle trigram was df-capped: exact fallback scan
+        return (
+            df.filter(F.col(text_col).contains(F.lit(needle)))
+            .select(id_col)
+            .orderBy(id_col)
+        )
     cand = (
-        postings.filter(F.col("trigram").isin(tris))
+        probe.filter(~F.col("hot") & F.col("trigram").isin(live))
         .select(F.explode("ids").alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("n_hit"))
-        .filter(F.col("n_hit") == len(tris))
+        .filter(F.col("n_hit") == len(live))
         .select("id")
     )
     return (
@@ -94,6 +164,7 @@ def save_trigram_index(
     buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_trigram_df: int | None = None,
 ) -> None:
     """Persist the posting lists as a BUCKETED table so probes prune to
     the needle's buckets instead of scanning the whole index.
@@ -105,7 +176,9 @@ def save_trigram_index(
     linear corpus pass; re-run to refresh (posting lists are derived
     state, idempotent by construction)."""
     (
-        build_trigram_postings(df, text_col, id_col)
+        build_trigram_postings(
+            df, text_col, id_col, max_trigram_df=max_trigram_df
+        )
         .write.mode("overwrite")
         .bucketBy(buckets, "trigram")
         .sortBy("trigram")
@@ -143,6 +216,7 @@ def update_trigram_postings(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_trigram_df: int | None = None,
 ) -> DataFrame:
     """Incremental index maintenance: merge a new document batch into
     existing posting lists without re-reading the indexed corpus — the
@@ -157,17 +231,47 @@ def update_trigram_postings(
     size). Idempotence is the caller's contract: re-merging the same
     batch duplicates ids, so feed each batch once (the foreachBatch
     epoch-id pattern) or dedup ids downstream.
+
+    Hot tombstones are sticky and re-evaluated: a trigram hot on either
+    side stays hot (its ids are already gone), and with
+    ``max_trigram_df`` set a merged list that grows past the cap is
+    demoted to a tombstone — so the index's bounded-row invariant
+    survives incremental growth.
     """
     delta = build_trigram_postings(new_docs, text_col, id_col)
-    return (
+    if "hot" not in postings.columns:  # legacy index
+        postings = postings.withColumn("hot", F.lit(False))
+    merged = (
         postings.unionByName(delta)
         .groupBy("trigram")
         .agg(
             F.array_sort(
                 F.flatten(F.collect_list("ids"))
-            ).alias("ids")
+            ).alias("ids"),
+            F.max("hot").alias("hot"),
         )
     )
+    if max_trigram_df is not None:
+        is_hot = F.col("hot") | (F.size("ids") > max_trigram_df)
+        id_type = merged.schema["ids"].dataType.simpleString()
+        merged = merged.select(
+            "trigram",
+            F.when(is_hot, F.array().cast(id_type))
+            .otherwise(F.col("ids"))
+            .alias("ids"),
+            is_hot.alias("hot"),
+        )
+    else:
+        # a side already hot keeps empty ids regardless
+        id_type = merged.schema["ids"].dataType.simpleString()
+        merged = merged.select(
+            "trigram",
+            F.when(F.col("hot"), F.array().cast(id_type))
+            .otherwise(F.col("ids"))
+            .alias("ids"),
+            "hot",
+        )
+    return merged
 
 
 def bm25_search(

@@ -742,6 +742,89 @@ def test_curriculum_order_stages_and_determinism(spark):
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
 
 
+def test_exact_rank_matches_window_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.ranking import exact_rank
+
+    # ties in the value column, unique tiebreak, multiple groups
+    rows = [(i, i % 7, "g" + str(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "val", "grp"])
+    got = {
+        (r.grp, r.id): r.rk
+        for r in exact_rank(
+            df, order_cols=("val", "id"), part_cols=("grp",),
+            rank_col="rk", num_partitions=5,
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("val", "id")
+    want = {
+        (r.grp, r.id): r.rk
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # global (no partition) form, with totals
+    ranked, totals = exact_rank(
+        df, order_cols=("val", "id"), rank_col="rk", num_partitions=5,
+        return_totals=True,
+    )
+    got_g = {r.id: r.rk for r in ranked.collect()}
+    wg = Window.orderBy("val", "id")
+    want_g = {
+        r.id: r.rk for r in df.withColumn("rk", F.row_number().over(wg)).collect()
+    }
+    assert got_g == want_g and totals == {(): 200}
+    # empty input
+    assert exact_rank(
+        df.filter("id < 0"), order_cols=("val", "id"), num_partitions=3
+    ).count() == 0
+
+
+def test_ntile_expr_matches_ansi_ntile(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.ranking import ntile_expr
+
+    for n, k in [(40, 4), (41, 4), (43, 4), (3, 7), (1, 2), (100, 9)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+        got = df.select(
+            "r", F.expr(ntile_expr("r", n, k)).alias("s")
+        )
+        want = df.select(
+            "r", F.ntile(k).over(Window.orderBy("r")).alias("s")
+        )
+        assert got.exceptAll(want).count() == 0, (n, k)
+        assert want.exceptAll(got).count() == 0, (n, k)
+
+
+def test_curriculum_scale_path_equals_ntile_form(spark):
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.curation import (
+        curriculum_order,
+        curriculum_order_ntile,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = [tuple(r) for r in curriculum_order(docs, n_stages=4).collect()]
+    want = [
+        tuple(r) for r in curriculum_order_ntile(docs, n_stages=4).collect()
+    ]
+    assert got == want and len(got) > 0
+    # n < n_stages edge: NTILE gives each row its own bucket
+    tiny = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    got2 = [tuple(r) for r in curriculum_order(tiny, n_stages=5).collect()]
+    want2 = [
+        tuple(r) for r in curriculum_order_ntile(tiny, n_stages=5).collect()
+    ]
+    assert got2 == want2 and [r[2] for r in got2] == [1, 2]
+
+
 def test_source_scorecard_golden(spark):
     from adenhq_hive_spark.operators.curation import source_scorecard
 

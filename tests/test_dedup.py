@@ -227,6 +227,80 @@ def test_dedup_incremental_semantics(spark):
     assert got == [12, 15]
 
 
+def test_dedup_incremental_prebuilt_postings_path(spark):
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.dedup import (
+        build_shingle_postings,
+        dedup_incremental,
+        update_shingle_postings,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0")
+    want = sorted(r.doc_id for r in dedup_incremental(new, corpus).collect())
+    postings = build_shingle_postings(corpus)
+    hashes = corpus.select(F.md5("text").alias("_h")).distinct()
+    got = sorted(
+        r.doc_id
+        for r in dedup_incremental(
+            new, corpus, corpus_postings=postings, corpus_hashes=hashes
+        ).collect()
+    )
+    assert got == want
+    # the prebuilt relations are what's USED (not re-derived from
+    # corpus_df): an EMPTY index drops nothing against the corpus
+    empty_p = postings.filter(F.lit(False))
+    empty_h = hashes.filter(F.lit(False))
+    loose = dedup_incremental(
+        new, corpus, corpus_postings=empty_p, corpus_hashes=empty_h
+    ).count()
+    strict = len(want)
+    assert loose >= strict
+    # delta-maintained index == full rebuild over the grown corpus
+    half = corpus.filter("doc_id % 2 = 0")
+    rest = corpus.filter("doc_id % 2 != 0")
+    merged = update_shingle_postings(build_shingle_postings(half), rest)
+    full = build_shingle_postings(corpus)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_dedup_incremental_hot_shingle_cap(spark):
+    from adenhq_hive_spark.operators.dedup import dedup_incremental
+
+    # 10 corpus docs all sharing boilerplate shingles {a b c, b c d}
+    corpus = spark.createDataFrame(
+        [(i, f"a b c d f{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            # shares hot {a b c, b c d} + rare {c d f1} with doc 1:
+            # candidate survives via the rare shingle, exact verify
+            # counts the hot ones too (3/4 >= 0.5) -> dropped
+            (100, "z a b c d f1"),
+            # overlaps ONLY via the two hot shingles (2/4 = 0.5):
+            # dropped without a cap, KEPT with it (the documented miss)
+            (101, "a b c d e"),
+            (102, "entirely unrelated content with no shared words"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = sorted(
+        r.doc_id for r in dedup_incremental(new, corpus).collect()
+    )
+    assert uncapped == [102]
+    capped = sorted(
+        r.doc_id
+        for r in dedup_incremental(new, corpus, max_shingle_df=3).collect()
+    )
+    assert capped == [101, 102]
+
+
 def test_cluster_capped_dedup_golden(spark):
     from adenhq_hive_spark.operators.dedup import cluster_capped_dedup
 

@@ -60,6 +60,82 @@ def test_index_reuse_and_candidate_superset(spark):
     postings.unpersist()
 
 
+def test_short_texts_emit_no_junk_postings(spark):
+    # texts under 3 chars must contribute ZERO postings: Spark's
+    # sequence(1, 0) is descending ([1, 0]) and would otherwise emit
+    # sub-trigram junk keys (including '' for empty docs)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abcd")], "doc_id long, text string"
+    )
+    rows = build_trigram_postings(docs).collect()
+    got = {r.trigram: list(r.ids) for r in rows}
+    assert got == {"abc": [3], "bcd": [3]}
+    assert all(len(t) == 3 for t in got)
+
+
+def test_hot_trigram_cap_bounds_posting_rows_and_stays_exact(spark):
+    # a boilerplate trigram shared by every doc must become a TOMBSTONE
+    # (hot=true, empty ids), never an unbounded id array
+    rows = [(i, f"the common prefix uniq{i:03d}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = build_trigram_postings(docs, max_trigram_df=10)
+    by_tri = {r.trigram: r for r in postings.collect()}
+    assert by_tri["the"].hot and by_tri["the"].ids == []
+    assert all(len(r.ids) <= 10 for r in by_tri.values())
+    # low-df trigrams keep real postings ("049" only in doc 49)
+    assert by_tri["049"].ids == [49] and not by_tri["049"].hot
+
+    def scan(needle):
+        return sorted(
+            r.doc_id
+            for r in docs.filter(F.col("text").contains(needle)).collect()
+        )
+
+    # partially-hot needle ("the" hot, rest live) — exact via live prune
+    for needle in ["the common", "uniq007", "common prefix uniq04"]:
+        got = [
+            r.doc_id
+            for r in trigram_search(docs, needle, postings=postings).collect()
+        ]
+        assert got == scan(needle), needle
+    # ALL-hot needle degrades to the exact scan
+    all_hot = trigram_search(docs, "the c", postings=postings)
+    assert [r.doc_id for r in all_hot.collect()] == scan("the c")
+    # a trigram absent from the corpus -> provably empty, no scan
+    assert trigram_search(docs, "zzzqqq", postings=postings).count() == 0
+
+
+def test_update_postings_cap_demotes_grown_lists(spark):
+    base = spark.createDataFrame(
+        [(i, f"alpha uniq{i}") for i in range(3)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(i, f"alpha uniq{i}") for i in range(3, 8)],
+        "doc_id long, text string",
+    )
+    from adenhq_hive_spark.operators.search import update_trigram_postings
+
+    postings = build_trigram_postings(base, max_trigram_df=4)
+    merged = update_trigram_postings(postings, delta, max_trigram_df=4)
+    by_tri = {r.trigram: r for r in merged.collect()}
+    # "alp" df grows 3 -> 8, past the cap: demoted to tombstone
+    assert by_tri["alp"].hot and by_tri["alp"].ids == []
+    # still-small trigrams keep merged sorted ids ("iq1" only in doc 1)
+    assert by_tri["iq1"].ids == [1] and not by_tri["iq1"].hot
+    assert all(len(r.ids) <= 4 for r in by_tri.values())
+    # search over the merged capped index still equals the scan
+    full = base.unionByName(delta)
+    got = [
+        r.doc_id
+        for r in trigram_search(full, "alpha uniq", postings=merged).collect()
+    ]
+    want = sorted(
+        r.doc_id
+        for r in full.filter(F.col("text").contains("alpha uniq")).collect()
+    )
+    assert got == want and len(got) == 8
+
+
 def test_short_needle_falls_back_to_scan(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     got = [r.doc_id for r in trigram_search(docs, "ag").collect()]
