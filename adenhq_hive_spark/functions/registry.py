@@ -75,6 +75,13 @@ class ToolRegistry:
             parameters={"kind": "udtf"},
         )
 
+    def register_driver_tool(self, spec: ToolSpec) -> None:
+        """Catalog-only registration for DRIVER-side tools (e.g. MCP
+        server tools behind a process boundary): listed and callable via
+        ``spec.fn``, but never exposed as an executor-side UDF — a
+        subprocess pipe cannot ship in a closure."""
+        self._tools[spec.name] = spec
+
     def list_tools(self) -> list[dict[str, Any]]:
         return [
             {

@@ -291,6 +291,50 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
+def test_salted_join_spreads_hot_key_across_reducers(spark):
+    """The manual-salting path for when AQE cannot help (broadcast-
+    ineligible side, known-skewed key): the shuffle must partition on
+    (key, __salt) — ONE hot key then lands on `salt` reducers instead
+    of one — and the result must equal the plain join."""
+    skewed = spark.range(0, 100_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",  # 90% key 0
+        "id AS payload",
+    )
+    dim = spark.range(0, 1_000).selectExpr("id AS k", "id * 2 AS attr")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(skewed, dim, on="k", salt=8)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        # the exchange key includes the salt: the hot key is spread
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", final)
+        assert any("k#" in p and "__salt#" in p for p in parts), final
+        # correctness on the same skewed input
+        plain = skewed.join(dim, "k").groupBy("k").count()
+        salted = joined.groupBy("k").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+        # the hot key's rows really occupy all `salt` buckets
+        n_buckets = (
+            skewed.filter("k = 0")
+            .select(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in skewed.columns]),
+                    F.lit(8),
+                ).alias("s")
+            )
+            .distinct()
+            .count()
+        )
+        assert n_buckets == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 # ---- curation tier: the 100 TB posture of the hygiene ops ------------------
 
 
