@@ -99,3 +99,70 @@ class ConversationStore:
         analytics over message histories — the documents-table shape)."""
         df = self._all()
         return df if conv_id is None else df.filter(F.col("conv_id") == conv_id)
+
+
+def render_chat_transcripts(
+    df: DataFrame,
+    conv_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    content_col: str = "props",
+    role_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Chat-SFT formatting: render per-conversation event streams into a
+    single role-tagged transcript — the deterministic template stage
+    between raw logs and sequence packing in a training-data pipeline
+    (each turn becomes ``<|role|>content``, turns joined by newlines in
+    (ts, id) order).
+
+    Shape: one groupBy on the conversation key; the per-key transcript
+    is assembled JVM-side (sort_array over (ts, id, line) structs →
+    transform → array_join), so ordering is total and engine-portable
+    (DuckDB twin: ``string_agg(line, chr(10) ORDER BY ts, id)``). A
+    transcript must fit in a row — the chat-transcript contract; for
+    corpora with pathological conversation lengths, cap turns per key
+    upstream (events-table sessions are bounded by construction).
+
+    Output: (conv_col, n_turns, n_chars, fingerprint) — the md5
+    fingerprint stands in for the rendered text so downstream equality
+    (dedup, split routing) never moves the transcript itself.
+    """
+    roles = role_map or {
+        "signup": "system",
+        "purchase": "assistant",
+        "error": "tool",
+    }
+    role = F.lit(None).cast("string")
+    expr = None
+    for k, v in roles.items():
+        cond = F.col(type_col) == k
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    role = expr.otherwise("user") if expr is not None else F.lit("user")
+    line = F.concat(F.lit("<|"), role, F.lit("|>"), F.col(content_col))
+    per_turn = df.select(
+        F.col(conv_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        line.alias("_line"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_ts", "_id", "_line"))),
+            lambda s: s["_line"],
+        ),
+        "\n",
+    )
+    return (
+        per_turn.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            rendered.alias("_r"),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            F.length("_r").cast("long").alias("n_chars"),
+            F.md5("_r").alias("fingerprint"),
+        )
+    )

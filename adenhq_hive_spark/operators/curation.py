@@ -906,14 +906,16 @@ def curriculum_order(
     base = df.select(
         F.col(id_col), ws_token_count(text_col).alias("n_tokens")
     )
-    ranked, totals = exact_rank(
-        base, order_cols=("n_tokens", id_col), rank_col="_r",
-        return_totals=True,
+    ranked = exact_rank(base, order_cols=("n_tokens", id_col), rank_col="_r")
+    # total row count rides in as a broadcast single-row COLUMN so the
+    # stage assignment stays inside one lazy plan (no driver action)
+    total = base.agg(F.count("*").cast("long").alias("_n"))
+    staged = (
+        ranked.join(F.broadcast(total))
+        .withColumn("stage", F.expr(ntile_expr("_r", "_n", n_stages)))
+        .drop("_r", "_n")
+        .withColumn("_m", F.md5(F.col(id_col).cast("string")))
     )
-    n = totals.get((), 0)
-    staged = ranked.withColumn(
-        "stage", F.expr(ntile_expr("_r", n, n_stages))
-    ).withColumn("_m", F.md5(F.col(id_col).cast("string")))
     out = exact_rank(
         staged, order_cols=("_m", id_col), part_cols=("stage",),
         rank_col="pos",

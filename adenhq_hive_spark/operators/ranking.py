@@ -6,23 +6,21 @@ through one task (Spark logs ``WindowExec: No Partition Defined``) — a
 non-starter at 100 TB. The classic scalable replacement is the same shape
 Spark's own sort uses: range-partition on the keys (so partition index
 order IS key order), rank locally inside each partition, then add the
-prefix-sum of partition row counts as an offset. The only driver-side
-state is one count per (partition, group) — P·|groups| values, never rows.
+prefix-sum of partition row counts as an offset.
 
-Cost: one range shuffle + one balanced hash shuffle (the per-pid local
-window) + a broadcast join against the P·|groups|-row offset table. Both
-shuffles are balanced by construction; no stage ever holds more than one
-partition's rows in a single task.
+Everything is ONE declarative plan — the offsets come from a window over
+the per-(partition, group) count relation (P·|groups| rows, metadata-
+sized), never from a driver-side collect — so Catalyst's ReuseExchange
+computes the range shuffle once and the operator adds no extra job, no
+eager materialization, and no recompute-determinism caveat.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def exact_rank(
@@ -36,20 +34,22 @@ def exact_rank(
     """Exact ``ROW_NUMBER() OVER (PARTITION BY part_cols ORDER BY
     order_cols)`` computed distributed: range-partition on
     (part_cols, order_cols), rank locally per physical partition, add
-    broadcast prefix-sum offsets.
+    prefix-sum offsets joined back by broadcast.
 
     ``order_cols`` must be a total order within each group (include a
     unique tiebreak column) — otherwise ties at range-partition
     boundaries make the rank partition-assignment-dependent.
 
-    Determinism note: the offset table is computed from one pass over the
-    range-partitioned data and the ranked output recomputes that shuffle
-    lineage; ``repartitionByRange`` is deterministic for a deterministic
-    input (fixed sampling seed), which parquet scans are. For iterative
-    reuse at cluster scale, persist ``df`` first.
+    Cost: one range shuffle (reused by the counts branch via
+    ReuseExchange), one balanced per-partition window, one broadcast
+    join against the P·|groups|-row offset relation. No stage ever
+    holds more than one partition's rows in a single task.
 
     Returns the input columns plus ``rank_col`` (1-based bigint); with
-    ``return_totals=True`` also returns ``{group_tuple: n_rows}``.
+    ``return_totals=True`` also returns ``{group_tuple: n_rows}``
+    (this variant does run one small aggregation job for the totals —
+    prefer a lazy broadcast of the total as a COLUMN when the consumer
+    is another Spark expression, as curriculum_order does).
     """
     spark = df.sparkSession
     part_cols = list(part_cols)
@@ -59,51 +59,64 @@ def exact_rank(
     parted = df.repartitionByRange(P, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
-    counts = parted.groupBy("_pid", *part_cols).count().collect()
-    per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
-    for r in counts:
-        per_group[tuple(r[c] for c in part_cols)].append(
-            (r["_pid"], r["count"])
-        )
-    off_rows = []
-    totals: dict[tuple, int] = {}
-    for g, lst in per_group.items():
-        acc = 0
-        for pid, c in sorted(lst):
-            off_rows.append((pid, *g, acc))
-            acc += c
-        totals[g] = acc
-    # build the offset-table schema from the parted side so join key
-    # types line up exactly (incl. int vs bigint part cols)
-    key_schema = parted.select("_pid", *part_cols).schema
-    off_schema = StructType(
-        list(key_schema.fields) + [StructField("_off", LongType(), False)]
+    counts = parted.groupBy("_pid", *part_cols).agg(
+        F.count("*").alias("_cnt")
     )
-    off_df = spark.createDataFrame(off_rows, off_schema)
+    # offsets: exclusive prefix sum of counts in pid order. The window
+    # relation is P·|groups| rows of metadata — partitioned by a
+    # constant when there are no groups so WindowExec still has a
+    # defined partitioning (never the whole DATA in one task).
+    base_w = (
+        Window.partitionBy(*part_cols)
+        if part_cols
+        else Window.partitionBy(F.lit(0))
+    )
+    w_off = base_w.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        *part_cols,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
     local_w = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
     ranked = (
         parted.withColumn("_lr", F.row_number().over(local_w))
-        .join(F.broadcast(off_df), ["_pid", *part_cols])
+        .join(F.broadcast(offsets), ["_pid", *part_cols])
         .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
     if return_totals:
+        rows = counts.groupBy(*part_cols).agg(
+            F.sum("_cnt").alias("_n")
+        ).collect()
+        totals = {
+            tuple(r[c] for c in part_cols): r["_n"] for r in rows
+        }
         return ranked, totals
     return ranked
 
 
-def ntile_expr(rank_col: str, n: int, k: int) -> str:
+def ntile_expr(rank_col: str, n, k: int) -> str:
     """SQL expression assigning ANSI NTILE(k) buckets from a 1-based
     total-order rank over ``n`` rows — the map-only companion to
     :func:`exact_rank` (first ``n % k`` buckets get ``n//k + 1`` rows,
-    the rest ``n//k``; exact integer arithmetic, engine-portable)."""
-    q, rem = divmod(int(n), int(k))
-    cut = rem * (q + 1)
+    the rest ``n//k``; exact integer arithmetic, engine-portable).
+
+    ``n`` may be an int literal or the NAME of a bigint column holding
+    the total (e.g. a broadcast single-row count joined in), so the
+    whole assignment can stay lazy inside one plan.
+    """
+    n_sql = str(int(n)) if not isinstance(n, str) else n
+    k = int(k)
+    q = f"({n_sql} DIV {k})"
+    rem = f"({n_sql} % {k})"
+    cut = f"({rem} * ({q} + 1))"
     # ELSE branch is unreachable when q == 0 (cut == n), but keep the
     # denominator nonzero so ANSI mode can't trip on it
     return (
         f"CAST(CASE WHEN {rank_col} <= {cut} "
-        f"THEN ({rank_col} - 1) DIV {q + 1} + 1 "
-        f"ELSE {rem} + ({rank_col} - {cut} - 1) DIV {max(q, 1)} + 1 "
+        f"THEN ({rank_col} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {rem} + ({rank_col} - {cut} - 1) DIV greatest({q}, 1) + 1 "
         f"END AS INT)"
     )

@@ -3242,3 +3242,82 @@ Q(QuerySpec(
                )) = 0
     """,
 ))
+
+
+# ---- r5 additions: indexed-incremental hash twin + chat formatting --------
+
+
+def _dedup_incr_indexed_builder(spark, sf):
+    """Same semantics as pl_dedup_incremental, but exercised through the
+    PREBUILT index path (corpus_postings + corpus_hashes injected) — the
+    green hash proves the never-re-shingle path is value-identical to
+    the from-scratch tier."""
+    from ..operators.dedup import build_shingle_postings, dedup_incremental
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    newb = docs.filter(F.col("doc_id") >= 250)
+    return (
+        dedup_incremental(
+            newb,
+            corpus,
+            k=3,
+            threshold=0.5,
+            corpus_postings=build_shingle_postings(corpus),
+            corpus_hashes=corpus.select(F.md5("text").alias("_h")).distinct(),
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+from . import _REGISTRY as _REG  # noqa: E402 (needs prior registrations)
+
+Q(QuerySpec(
+    name="pl_dedup_incr_indexed",
+    doc="dedup_incremental via the persisted-index path: prebuilt "
+        "(shingle, cid, n_b) postings + distinct corpus hashes injected "
+        "(operators/dedup.py:build_shingle_postings), so the batch never "
+        "re-reads corpus text. Shares pl_dedup_incremental's oracle — "
+        "the hash row pins path equivalence.",
+    builder=_dedup_incr_indexed_builder,
+    oracle_sql_str=_REG["pl_dedup_incremental"].oracle_sql_str,
+))
+
+Q(QuerySpec(
+    name="pl_chat_format",
+    doc="Chat-SFT transcript rendering: per-conversation role-tagged "
+        "transcript (<|role|>content lines in (ts, id) order), emitted "
+        "as (conv, n_turns, n_chars, md5 fingerprint) "
+        "(operators/conversation.py:render_chat_transcripts) — the "
+        "deterministic template stage between raw event logs and "
+        "sequence packing.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.conversation",
+        fromlist=["render_chat_transcripts"],
+    ).render_chat_transcripts(load_table(spark, sf, "events"))
+    .orderBy("user_id")
+    .limit(500),
+    oracle_sql_str="""
+        WITH lines AS (
+          SELECT user_id, ts, event_id,
+                 '<|' || CASE event_type
+                           WHEN 'signup' THEN 'system'
+                           WHEN 'purchase' THEN 'assistant'
+                           WHEN 'error' THEN 'tool'
+                           ELSE 'user' END || '|>' || props AS line
+          FROM events
+        ), rendered AS (
+          SELECT user_id, COUNT(*) AS n_turns,
+                 string_agg(line, chr(10) ORDER BY ts, event_id) AS r
+          FROM lines
+          GROUP BY user_id
+        )
+        SELECT user_id, n_turns,
+               CAST(length(r) AS BIGINT) AS n_chars,
+               md5(r) AS fingerprint
+        FROM rendered
+        ORDER BY user_id NULLS LAST
+        LIMIT 500
+    """,
+))

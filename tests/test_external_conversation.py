@@ -78,3 +78,34 @@ class TestConversationStore:
         df = store.as_df("c1")
         assert df.count() == 5
         assert df.filter("role = 'user'").count() == 5
+
+
+def test_render_chat_transcripts_golden(spark):
+    import hashlib
+    from datetime import datetime
+
+    from adenhq_hive_spark.operators.conversation import (
+        render_chat_transcripts,
+    )
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: out-of-order input, ts ties broken by event_id
+        (3, t(2), 1, "purchase", '{"x":3}'),
+        (1, t(1), 1, "signup", '{"x":1}'),
+        (2, t(1), 1, "click", '{"x":2}'),
+        # user 2: single unknown-type turn -> default role 'user'
+        (4, t(5), 2, "view", '{"y":9}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, props string"
+    )
+    out = {r.user_id: r for r in render_chat_transcripts(df).collect()}
+    want1 = '<|system|>{"x":1}\n<|user|>{"x":2}\n<|assistant|>{"x":3}'
+    assert out[1].n_turns == 3
+    assert out[1].n_chars == len(want1)
+    assert out[1].fingerprint == hashlib.md5(want1.encode()).hexdigest()
+    want2 = '<|user|>{"y":9}'
+    assert out[2].n_turns == 1
+    assert out[2].fingerprint == hashlib.md5(want2.encode()).hexdigest()
