@@ -1017,3 +1017,96 @@ def source_scorecard(
         frac4(F.col("_g"), n).alias("gopher_pass_rate"),
         frac4(F.col("_d"), n).alias("dup_rate"),
     ).orderBy(source_col)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2, i.e. sampling
+    probability ∝ share^(1/2)) — the standard low-resource up-weighting
+    used for multilingual / multi-source pretraining mixes (the
+    exponent-smoothed sampling of mBERT/XLM-style recipes): raw token
+    shares are flattened so small sources are seen more than their raw
+    share and dominant sources less.
+
+    Engine-portable by construction: the smoothing uses
+    ``FLOOR(SQRT(n_tokens))`` — IEEE-754 requires sqrt to be correctly
+    rounded, so both engines compute the SAME double and the SAME floor
+    (the ceil(sqrt) portability argument of cluster_capped_dedup) — and
+    every emitted fraction is exact integer arithmetic over the bigint
+    (sqrt_tokens, total) pair via frac4; no float accumulates anywhere.
+
+    Shape: one map-side token count + one |sources|-row aggregate + a
+    window over that tiny relation (constant-partitioned: it holds one
+    row per source, never data). Output: (source, n_tokens, raw_share,
+    weight) ordered by source — ``weight`` is the T=2 mixture column to
+    feed mixture_sample's rate table or a loader's sampler.
+    """
+    from .text import frac4, ws_token_count
+
+    per_source = (
+        df.select(F.col(source_col), ws_token_count(text_col).alias("_t"))
+        .groupBy(source_col)
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    sq = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    with_sq = per_source.withColumn("_sq", sq)
+    w = Window.partitionBy(F.lit(0))  # |sources| rows — metadata-sized
+    return (
+        with_sq.withColumn("_tot", F.sum("n_tokens").over(w))
+        .withColumn("_sqtot", F.sum("_sq").over(w))
+        .select(
+            source_col,
+            "n_tokens",
+            frac4(F.col("n_tokens"), F.col("_tot")).alias("raw_share"),
+            frac4(F.col("_sq"), F.col("_sqtot")).alias("weight"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "user_id",
+    id_col: str = "event_id",
+    score_col: str = "value",
+) -> DataFrame:
+    """Preference-pair construction (RLHF/DPO data prep): within each
+    candidate group, pair the highest-scored response (*chosen*) with
+    the lowest-scored (*rejected*) — the standard best-vs-worst pairing
+    for reward-model / DPO training sets built from scored candidate
+    pools.
+
+    One aggregation, no window: chosen = MAX(struct(score, id)),
+    rejected = MIN(struct(score, id)) — lexicographic struct ordering
+    gives a deterministic tiebreak on equal scores (engine-portable:
+    the oracle ranks by (score DESC, id DESC) / (score ASC, id ASC)).
+    Groups with fewer than two candidates are dropped (no pair exists);
+    ``margin`` is the raw score difference of the SAME two doubles on
+    both engines, so it hashes identically without rounding.
+
+    Output: (group_col, n_candidates, chosen_id, chosen_score,
+    rejected_id, rejected_score, margin), ordered by group.
+    """
+    agg = (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max(F.struct(F.col(score_col), F.col(id_col))).alias("_c"),
+            F.min(F.struct(F.col(score_col), F.col(id_col))).alias("_r"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+    )
+    return agg.select(
+        group_col,
+        "n_candidates",
+        F.col(f"_c.{id_col}").alias("chosen_id"),
+        F.col(f"_c.{score_col}").alias("chosen_score"),
+        F.col(f"_r.{id_col}").alias("rejected_id"),
+        F.col(f"_r.{score_col}").alias("rejected_score"),
+        (F.col(f"_c.{score_col}") - F.col(f"_r.{score_col}")).alias(
+            "margin"
+        ),
+    ).orderBy(group_col)

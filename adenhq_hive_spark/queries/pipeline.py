@@ -3321,3 +3321,86 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="pl_temperature_mix",
+    doc="Temperature-scaled mixture weights (T=2): sampling weight per "
+        "source ∝ sqrt(token share) — the exponent-smoothed multilingual "
+        "/ multi-source sampling recipe "
+        "(operators/curation.py:temperature_mixture). Portable: "
+        "FLOOR(SQRT(bigint)) is identical across engines (IEEE "
+        "correctly-rounded sqrt) and all fractions are exact-integer "
+        "frac4 over (sqrt_tokens, totals).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["temperature_mixture"],
+    ).temperature_mixture(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH per AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+          GROUP BY source
+        ), sq AS (
+          SELECT source, n_tokens,
+                 CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                   AS sq_t,
+                 CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot,
+                 CAST(SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))
+                               AS BIGINT)) OVER () AS BIGINT) AS sqtot
+          FROM per
+        )
+        SELECT source, n_tokens,
+               ((n_tokens * 20000 + tot) - (n_tokens * 20000 + tot)
+                  % (2 * tot)) / (2 * tot) / 10000 AS raw_share,
+               ((sq_t * 20000 + sqtot) - (sq_t * 20000 + sqtot)
+                  % (2 * sqtot)) / (2 * sqtot) / 10000 AS weight
+        FROM sq
+        ORDER BY source NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_pref_pairs",
+    doc="Preference-pair construction for reward-model/DPO training: "
+        "per candidate group (user's scored purchase events stand in "
+        "for a scored response pool), chosen = best score, rejected = "
+        "worst, deterministic (score, id) struct tiebreak, raw-double "
+        "margin (operators/curation.py:preference_pairs).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["preference_pairs"],
+    ).preference_pairs(
+        load_table(spark, sf, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+    ),
+    oracle_sql_str="""
+        WITH p AS (
+          SELECT user_id, event_id, value
+          FROM events WHERE event_type = 'purchase'
+        ), ranked AS (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id DESC)
+                   AS rn_top,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value ASC, event_id ASC)
+                   AS rn_bot,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM p
+        )
+        SELECT t.user_id,
+               CAST(t.n AS BIGINT) AS n_candidates,
+               t.event_id AS chosen_id,
+               t.value AS chosen_score,
+               b.event_id AS rejected_id,
+               b.value AS rejected_score,
+               t.value - b.value AS margin
+        FROM (SELECT * FROM ranked WHERE rn_top = 1 AND n >= 2) t
+        JOIN (SELECT * FROM ranked WHERE rn_bot = 1) b USING (user_id)
+        ORDER BY user_id NULLS LAST
+    """,
+))

@@ -570,3 +570,54 @@ def contract_gate_stream(
         )
 
     return stream.writeStream.foreachBatch(write)
+
+
+def postings_maintain_stream(
+    doc_stream: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Ingest-time inverted-index maintenance: each arriving document
+    batch's (shingle, cid, n_b) posting rows are appended to a persisted
+    shingle-postings index (operators/dedup.build_shingle_postings) —
+    the streaming twin of update_shingle_postings, and the piece that
+    keeps :func:`~adenhq_hive_spark.operators.dedup.dedup_incremental`'s
+    ``corpus_postings`` current WITHOUT ever re-reading corpus text.
+
+    Posting rows are per-(shingle, doc), so the merge is a pure append:
+    no per-key regroup, no read-modify-write of existing index rows —
+    a micro-batch costs O(batch), never O(corpus). foreachBatch is
+    at-least-once, so rows land in ``epoch_id=N`` partitions with
+    dynamic partition overwrite: an epoch retry REPLACES its own
+    partition instead of double-counting a batch's shingles.
+
+    Read the index back with :func:`read_postings_index` (drops the
+    epoch bookkeeping column). At cluster scale, compact + bucket the
+    accumulated epochs by ``shingle`` periodically (the
+    save_trigram_index pattern) so probe joins are shuffle-free.
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    from ..operators.dedup import build_shingle_postings
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            build_shingle_postings(batch_df, text_col, id_col, k)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(index_dir)
+        )
+
+    return doc_stream.writeStream.foreachBatch(write)
+
+
+def read_postings_index(spark, index_dir: str) -> DataFrame:
+    """The streaming-maintained shingle-postings index as the
+    (cid, n_b, shingle) relation dedup_incremental consumes — same
+    column order as build_shingle_postings, so full-rebuild parity
+    checks compare positionally."""
+    return spark.read.parquet(index_dir).select("cid", "n_b", "shingle")

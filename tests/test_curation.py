@@ -845,3 +845,48 @@ def test_source_scorecard_golden(spark):
     assert d.gopher_pass_rate == 0.0       # 12 words < min 50
     assert 0.0 <= d.mean_quality <= 1.0
     assert c.n_tokens == 65 + 66
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    import math
+
+    from adenhq_hive_spark.operators.curation import temperature_mixture
+
+    # big: 3 docs x 16 tokens = 48; small: 1 doc x 3 tokens
+    rows = [(i, " ".join(f"w{j}" for j in range(16)), "big") for i in range(3)]
+    rows += [(99, "a b c", "small")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in temperature_mixture(df).collect()}
+    assert out["big"].n_tokens == 48 and out["small"].n_tokens == 3
+    tot = 51
+    sq_b, sq_s = math.isqrt(48), math.isqrt(3)
+    assert out["big"].raw_share == round(48 / tot, 4)
+    # temperature flattening: small source's weight > raw share,
+    # big source's weight < raw share
+    assert out["small"].weight > out["small"].raw_share
+    assert out["big"].weight < out["big"].raw_share
+    assert out["big"].weight == round(sq_b / (sq_b + sq_s) + 1e-12, 4) or \
+        abs(out["big"].weight - sq_b / (sq_b + sq_s)) < 1e-4
+    # weights sum to ~1 across sources
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 2e-4
+
+
+def test_preference_pairs_golden(spark):
+    from adenhq_hive_spark.operators.curation import preference_pairs
+
+    rows = [
+        # group 1: clear best/worst
+        (1, 10, 5.0), (1, 11, 1.0), (1, 12, 3.0),
+        # group 2: score tie at the top -> larger id wins chosen;
+        # tie at the bottom -> smaller id wins rejected
+        (2, 20, 9.0), (2, 21, 9.0), (2, 22, 2.0), (2, 23, 2.0),
+        # group 3: single candidate -> dropped
+        (3, 30, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "value"])
+    out = {r.user_id: r for r in preference_pairs(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].chosen_id, out[1].rejected_id) == (10, 11)
+    assert out[1].margin == 4.0 and out[1].n_candidates == 3
+    assert (out[2].chosen_id, out[2].rejected_id) == (21, 22)
+    assert out[2].margin == 7.0

@@ -976,3 +976,61 @@ def test_contract_gate_stream_routes_and_quarantines(spark, tmp_path):
     assert bad.count() == 3                 # whole batch quarantined
     report = json.loads(bad.select("contract_report").first()[0])
     assert report == {"not_null(doc_id)": 1, "unique(doc_id)": 1}
+
+
+def test_postings_maintain_stream_parity_and_consume(spark, tmp_path):
+    import pandas as pd_
+
+    from adenhq_hive_spark.operators.dedup import (
+        build_shingle_postings,
+        dedup_incremental,
+    )
+    from adenhq_hive_spark.streaming.events import (
+        postings_maintain_stream,
+        read_postings_index,
+    )
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "totally different corpus content here now"),
+        (3, "yet another unrelated body of words"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger-free default
+    # still batches per discovery; parity must hold regardless of split)
+    pd_.DataFrame(corpus[:2], columns=["doc_id", "text"]).to_parquet(
+        str(src / "a.parquet"))
+    pd_.DataFrame(corpus[2:], columns=["doc_id", "text"]).to_parquet(
+        str(src / "b.parquet"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src))
+    idx = str(tmp_path / "index")
+    q = postings_maintain_stream(stream, idx).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_postings_index(spark, idx)
+    corpus_df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    want = build_shingle_postings(corpus_df)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # the maintained index IS dedup_incremental's corpus_postings
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # exact dup
+         (11, "alpha beta gamma delta epsilon other"),  # near dup
+         (12, "fresh unique content nothing shared")],
+        ["doc_id", "text"],
+    )
+    hashes = corpus_df.selectExpr("md5(text) AS _h").distinct()
+    kept = sorted(
+        r.doc_id
+        for r in dedup_incremental(
+            new, corpus_df, corpus_postings=got, corpus_hashes=hashes
+        ).collect()
+    )
+    assert kept == [12]
