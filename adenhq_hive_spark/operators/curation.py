@@ -1053,10 +1053,13 @@ def temperature_mixture(
     )
     sq = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
     with_sq = per_source.withColumn("_sq", sq)
-    w = Window.partitionBy(F.lit(0))  # |sources| rows — metadata-sized
+    # totals ride in as a broadcast single-row cross join (a global
+    # window over the |sources|-row relation would be unpartitioned)
+    totals = with_sq.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("_sq").alias("_sqtot")
+    )
     return (
-        with_sq.withColumn("_tot", F.sum("n_tokens").over(w))
-        .withColumn("_sqtot", F.sum("_sq").over(w))
+        with_sq.join(F.broadcast(totals))
         .select(
             source_col,
             "n_tokens",
@@ -1110,3 +1113,54 @@ def preference_pairs(
             "margin"
         ),
     ).orderBy(group_col)
+
+
+def length_buckets(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Power-of-two sequence-length histogram per source — the batch-
+    shape planning table for length-bucketed training loaders (docs in
+    the same bucket pad to the same 2^k context, so the histogram IS
+    the padding-waste / batch-mix forecast; the planning companion to
+    pack_sequences and pl_pack_efficiency).
+
+    Bucket k holds docs with token count in [2^(k-1), 2^k); bucket 0 is
+    empty docs. Engine-portable without log(): k = len(binary(n)) — an
+    exact integer string length on both engines (Spark ``bin``, DuckDB
+    ``format('{:b}', …)``) — so no correctly-rounded-log2 concern
+    exists. Map-only per-doc bucketing + one small aggregation.
+
+    Output: (source, bucket, lo_tokens, hi_tokens, n_docs, n_tokens),
+    ordered.
+    """
+    from .text import ws_token_count
+
+    n = ws_token_count(text_col)
+    bucket = (
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.length(F.bin(n.cast("bigint"))))
+        .cast("int")
+    )
+    per_doc = df.select(
+        F.col(source_col), n.alias("_t"), bucket.alias("bucket")
+    )
+    lo = F.expr(
+        "CAST(CASE WHEN bucket = 0 THEN 0 "
+        "ELSE shiftleft(1L, bucket - 1) END AS BIGINT)"
+    )
+    hi = F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)")
+    return (
+        per_doc.groupBy(source_col, "bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+        .select(
+            source_col,
+            "bucket",
+            lo.alias("lo_tokens"),
+            hi.alias("hi_tokens"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy(source_col, "bucket")
+    )

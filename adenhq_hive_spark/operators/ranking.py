@@ -62,22 +62,25 @@ def exact_rank(
     counts = parted.groupBy("_pid", *part_cols).agg(
         F.count("*").alias("_cnt")
     )
-    # offsets: exclusive prefix sum of counts in pid order. The window
-    # relation is P·|groups| rows of metadata — partitioned by a
-    # constant when there are no groups so WindowExec still has a
-    # defined partitioning (never the whole DATA in one task).
-    base_w = (
-        Window.partitionBy(*part_cols)
-        if part_cols
-        else Window.partitionBy(F.lit(0))
+    # offsets: exclusive prefix sum of counts in pid order, computed as
+    # a triangular self-join over the counts relation (P·|groups| rows
+    # of metadata — at most a few thousand pairs). A window would be
+    # terser, but a global-ordered window here would either log the
+    # "No Partition Defined" warning or need a constant partition key
+    # that constant-folding erases; the join form is warning-free and
+    # equally lazy.
+    lo = counts.select(
+        F.col("_pid").alias("_lo_pid"),
+        *[F.col(c).alias(f"_lo_{c}") for c in part_cols],
+        F.col("_cnt").alias("_lo_cnt"),
     )
-    w_off = base_w.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_pid",
-        *part_cols,
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    join_cond = F.col("_lo_pid") < F.col("_pid")
+    for c in part_cols:
+        join_cond = join_cond & (F.col(f"_lo_{c}").eqNullSafe(F.col(c)))
+    offsets = (
+        counts.join(F.broadcast(lo), join_cond, "left")
+        .groupBy("_pid", *part_cols)
+        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_off"))
     )
     local_w = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
     ranked = (

@@ -3404,3 +3404,38 @@ Q(QuerySpec(
         ORDER BY user_id NULLS LAST
     """,
 ))
+
+Q(QuerySpec(
+    name="pl_length_buckets",
+    doc="Power-of-two sequence-length histogram per source — the "
+        "length-bucketed-loader planning table (docs in bucket k pad "
+        "to 2^k) (operators/curation.py:length_buckets). Portable "
+        "bucketing via binary-string length, no log2.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["length_buckets"],
+    ).length_buckets(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH per AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS BIGINT) AS t
+          FROM documents
+        ), b AS (
+          SELECT source, t,
+                 CASE WHEN t = 0 THEN 0
+                      ELSE CAST(length(format('{:b}', t)) AS INT)
+                 END AS bucket
+          FROM per
+        )
+        SELECT source, bucket,
+               CAST(CASE WHEN bucket = 0 THEN 0
+                         ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_tokens,
+               CAST((1 << bucket) - 1 AS BIGINT) AS hi_tokens,
+               COUNT(*) AS n_docs,
+               CAST(SUM(t) AS BIGINT) AS n_tokens
+        FROM b
+        GROUP BY source, bucket
+        ORDER BY source NULLS LAST, bucket NULLS LAST
+    """,
+))

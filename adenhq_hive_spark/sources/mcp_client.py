@@ -221,6 +221,89 @@ class MCPStdioClient:
         self.close()
 
 
+class MCPHttpClient:
+    """Synchronous JSON-RPC 2.0 client over HTTP POST — the second MCP
+    transport the reference supports (mcp_client.py:231-329: one POST
+    per request to the server's endpoint, response routed by id).
+    Stdlib-only (urllib); same public surface as :class:`MCPStdioClient`
+    (connect/list_tools/call_tool/close, context manager), so callers
+    are transport-agnostic.
+    """
+
+    def __init__(self, name: str, url: str, timeout: float = 15.0,
+                 headers: dict[str, str] | None = None):
+        self.name = name
+        self.url = url
+        self.timeout = timeout
+        self.headers = {"Content-Type": "application/json"}
+        if headers:
+            self.headers.update(headers)
+        self._next_id = 0
+        self.server_info: dict[str, Any] = {}
+        # duck-typed config so register_mcp_tools prefixes identically
+        self.config = MCPServerConfig(name=name, command=[], timeout=timeout)
+
+    def _post(self, payload: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(payload).encode(),
+            headers=self.headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode())
+
+    def _request(self, method: str, params: dict) -> dict:
+        self._next_id += 1
+        msg = self._post(
+            {"jsonrpc": "2.0", "id": self._next_id,
+             "method": method, "params": params}
+        )
+        if "error" in msg:
+            err = msg["error"]
+            raise MCPError(
+                err.get("code", -1), err.get("message", ""), err.get("data")
+            )
+        return msg.get("result", {})
+
+    def connect(self) -> None:
+        result = self._request(
+            "initialize",
+            {
+                "protocolVersion": PROTOCOL_VERSION,
+                "capabilities": {},
+                "clientInfo": {
+                    "name": "adenhq_hive_spark", "version": "1.0"
+                },
+            },
+        )
+        self.server_info = result.get("serverInfo", {})
+        # initialized notification (no id; servers must accept and
+        # return nothing of consequence — ignore any body)
+        try:
+            self._post(
+                {"jsonrpc": "2.0", "method": "notifications/initialized",
+                 "params": {}}
+            )
+        except Exception:
+            pass  # some HTTP servers 202/204 notifications; not fatal
+
+    list_tools = MCPStdioClient.list_tools
+    call_tool = MCPStdioClient.call_tool
+
+    def close(self) -> None:  # stateless transport
+        return None
+
+    def __enter__(self) -> "MCPHttpClient":
+        self.connect()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def mcp_fetch_fn(client: MCPStdioClient, tool_name: str):
     """Adapt one MCP tool to the ``external_source`` FetchFn contract:
     the tool's JSON result (a list of row dicts, or a JSON string of

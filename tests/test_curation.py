@@ -890,3 +890,24 @@ def test_preference_pairs_golden(spark):
     assert out[1].margin == 4.0 and out[1].n_candidates == 3
     assert (out[2].chosen_id, out[2].rejected_id) == (21, 22)
     assert out[2].margin == 7.0
+
+
+def test_length_buckets_golden(spark):
+    from adenhq_hive_spark.operators.curation import length_buckets
+
+    rows = [
+        (1, "", "a"),                                  # 0 tokens -> bucket 0
+        (2, "w", "a"),                                 # 1 -> bucket 1 [1,1]
+        (3, "w w w", "a"),                             # 3 -> bucket 2 [2,3]
+        (4, " ".join(["w"] * 8), "a"),                 # 8 -> bucket 4 [8,15]
+        (5, " ".join(["w"] * 15), "a"),                # 15 -> bucket 4
+        (6, " ".join(["w"] * 16), "b"),                # 16 -> bucket 5 [16,31]
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.source, r.bucket): r for r in length_buckets(df).collect()}
+    assert out[("a", 0)].n_docs == 1 and out[("a", 0)].lo_tokens == 0
+    assert out[("a", 1)].lo_tokens == 1 and out[("a", 1)].hi_tokens == 1
+    assert out[("a", 2)].n_tokens == 3
+    b4 = out[("a", 4)]
+    assert (b4.lo_tokens, b4.hi_tokens, b4.n_docs, b4.n_tokens) == (8, 15, 2, 23)
+    assert out[("b", 5)].lo_tokens == 16 and out[("b", 5)].hi_tokens == 31

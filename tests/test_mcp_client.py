@@ -82,3 +82,47 @@ def test_registry_catalog_and_external_source(spark):
         )
         got = sorted((r.i, r.sq) for r in df.collect())
         assert got == [(0, 0), (1, 1), (2, 4), (3, 9)]
+
+
+def test_http_transport_round_trip():
+    import http.server
+    import json as j
+    import threading
+
+    from adenhq_hive_spark.sources.mcp_client import MCPHttpClient
+
+    from .toy_mcp_server import handle
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            msg = j.loads(self.rfile.read(n).decode())
+            out = handle(msg)
+            if out is None:  # notification
+                self.send_response(202)
+                self.end_headers()
+                return
+            body = j.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/mcp"
+        with MCPHttpClient("toyhttp", url) as c:
+            assert c.server_info.get("name") == "toy"
+            tools = c.list_tools()
+            assert [x["name"] for x in tools] == ["add", "rows", "boom"]
+            assert c.call_tool("add", {"a": 20, "b": 22}) == "42"
+            with pytest.raises(MCPError, match="kaboom"):
+                c.call_tool("boom", {})
+    finally:
+        srv.shutdown()

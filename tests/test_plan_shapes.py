@@ -547,3 +547,42 @@ def test_skew_report_golden_and_topk_plan(spark):
     # top-k stays TakeOrderedAndProject — never a global sort
     plan = _plan(skew_report(df, "k", top=2))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r5_ops_plan_shapes(spark):
+    """100 TB posture of the r5 additions, locked in:
+    - pl_curriculum: every Window is partitioned (the exact-rank scale
+      path) — no single-task global ordering anywhere in the plan;
+    - pl_pref_pairs: ONE aggregation with map-side partial max/min, no
+      window, no join of the data with itself;
+    - pl_chat_format: one data shuffle (the conversation groupBy) and a
+      TakeOrderedAndProject for the ordered LIMIT;
+    - pl_temperature_mix / pl_length_buckets: map-side partial sums.
+    """
+    import re
+
+    def executed(name):
+        df = QUERIES[name].run(spark, SF_SMOKE)
+        df.write.mode("overwrite").format("noop").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = executed("pl_curriculum")
+    for line in p.splitlines():
+        if "Window [" in line:
+            spec = line.split("windowspecdefinition(")[1]
+            # a partitioned window lists partition columns before the
+            # frame; an unpartitioned one starts with the frame spec
+            assert not spec.startswith("specifiedwindowframe"), line
+
+    p = executed("pl_pref_pairs")
+    assert "partial_max" in p and "partial_min" in p
+    assert "Window" not in p
+    assert "Join" not in p  # single-agg shape, no self-join
+
+    p = executed("pl_chat_format")
+    assert "partial_collect_list" in p
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+    for name in ("pl_temperature_mix", "pl_length_buckets"):
+        assert "partial_sum" in executed(name)

@@ -49,43 +49,59 @@ def text_result(text):
     return {"content": [{"type": "text", "text": text}]}
 
 
+def handle(msg: dict) -> dict | None:
+    """Pure JSON-RPC dispatch shared by the stdio loop and the HTTP
+    test harness. Returns the response message, or None for
+    notifications."""
+    method = msg.get("method", "")
+    rid = msg.get("id")
+    if rid is None:
+        return None  # notification (e.g. notifications/initialized)
+
+    def ok(result):
+        return {"jsonrpc": "2.0", "id": rid, "result": result}
+
+    def err(code, message):
+        return {"jsonrpc": "2.0", "id": rid,
+                "error": {"code": code, "message": message}}
+
+    if method == "initialize":
+        return ok({
+            "protocolVersion": msg["params"].get("protocolVersion"),
+            "capabilities": {"tools": {}},
+            "serverInfo": {"name": "toy", "version": "0.1"},
+        })
+    if method == "tools/list":
+        return ok({"tools": TOOLS})
+    if method == "tools/call":
+        name = msg["params"]["name"]
+        args = msg["params"].get("arguments", {})
+        if name == "add":
+            return ok(text_result(str(args["a"] + args["b"])))
+        if name == "rows":
+            rows = [{"i": i, "sq": i * i} for i in range(args["n"])]
+            return ok(text_result(json.dumps(rows)))
+        if name == "boom":
+            return ok({
+                "isError": True,
+                "content": [{"type": "text", "text": "kaboom"}],
+            })
+        return err(-32602, f"unknown tool {name}")
+    return err(-32601, f"method not found: {method}")
+
+
 def main() -> None:
     for line in sys.stdin:
         line = line.strip()
         if not line:
             continue
-        msg = json.loads(line)
-        method = msg.get("method", "")
-        rid = msg.get("id")
-        if rid is None:
-            continue  # notification (e.g. notifications/initialized)
-        if method == "initialize":
-            reply(rid, {
-                "protocolVersion": msg["params"].get("protocolVersion"),
-                "capabilities": {"tools": {}},
-                "serverInfo": {"name": "toy", "version": "0.1"},
-            })
-        elif method == "tools/list":
-            reply(rid, {"tools": TOOLS})
-        elif method == "tools/call":
-            name = msg["params"]["name"]
-            args = msg["params"].get("arguments", {})
-            if name == "add":
-                reply(rid, text_result(str(args["a"] + args["b"])))
-            elif name == "rows":
-                rows = [{"i": i, "sq": i * i} for i in range(args["n"])]
-                reply(rid, text_result(json.dumps(rows)))
-            elif name == "boom":
-                reply(rid, {
-                    "isError": True,
-                    "content": [{"type": "text", "text": "kaboom"}],
-                })
-            else:
-                reply(rid, error={"code": -32602,
-                                  "message": f"unknown tool {name}"})
+        out = handle(json.loads(line))
+        if out is None:
+            continue
+        if "error" in out:
+            reply(out["id"], error=out["error"])
         else:
-            reply(rid, error={"code": -32601,
-                              "message": f"method not found: {method}"})
+            reply(out["id"], out["result"])
 
 
 if __name__ == "__main__":
