@@ -557,3 +557,61 @@ def phash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+def phash_portable(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Engine-portable twin of :func:`media_phash`'s mean-threshold
+    bit-packing algebra (the pattern pl_minhash_portable /
+    pl_simhash_portable use for the sketch tiers): the same
+    one-bit-per-component aHash, made value-checkable against a SQL
+    oracle by removing every float knife-edge from the decision.
+
+    Portability devices (each rounding step is deterministic and
+    identical on both engines; the *decision* is exact integer):
+
+    - components quantize to ``q_i = FLOOR(x_i * scale)`` as BIGINT
+      (float->double cast is exact; one double multiply, one floor);
+    - the mean-threshold ``x_i > mean`` becomes the denominator-cleared
+      integer inequality ``q_i * n > sum(q)`` — no division, no double
+      compare, so a component equal to the mean bit-agrees everywhere;
+    - the 64-bit hash is emitted as two 32-bit halves (``phash_hi``
+      bits 32..63, ``phash_lo`` bits 0..31) so neither engine touches
+      the BIGINT sign bit (DuckDB raises on ``1::BIGINT << 63``).
+
+    Map-only (no shuffle): at 100 TB this runs as a projection inside
+    the scan stage, one pass over the vector column.  Output:
+    (id, phash_hi, phash_lo, nbits), nbits = popcount of the full hash.
+    """
+    qs = (
+        f"transform({vec_col}, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    half = (
+        "aggregate(zip_with(__q, sequence(0, size(__q) - 1), "
+        "(q, i) -> IF(i >= {lo} AND i < {hi} "
+        "AND q * size(__q) > __s, "
+        "shiftleft(1L, CAST(i - {lo} AS INT)), 0L)), "
+        "0L, (a, b) -> a + b)"
+    )
+    return (
+        vectors.select(
+            F.col(id_col).alias("id"), F.expr(qs).alias("__q")
+        )
+        .withColumn(
+            "__s", F.expr("aggregate(__q, 0L, (a, b) -> a + b)")
+        )
+        .select(
+            "id",
+            F.expr(half.format(lo=32, hi=64)).alias("phash_hi"),
+            F.expr(half.format(lo=0, hi=32)).alias("phash_lo"),
+        )
+        .withColumn(
+            "nbits",
+            F.bit_count("phash_hi") + F.bit_count("phash_lo"),
+        )
+    )

@@ -2903,6 +2903,57 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_phash_portable",
+    doc="Engine-portable twin of pl_media_phash's mean-threshold "
+        "bit-packing algebra (operators/multimodal.py:phash_portable), "
+        "the pattern pl_minhash_portable/pl_simhash_portable use for "
+        "the sketch tiers: per-vector 64-bit aHash over the embeddings "
+        "table with every float knife-edge removed — components "
+        "quantize to FLOOR(x*10000) BIGINT, the mean threshold is the "
+        "denominator-cleared integer inequality q*n > sum(q), and the "
+        "hash ships as two 32-bit halves (DuckDB raises on 1::BIGINT "
+        "<< 63). Green hash = the packing algebra the media tier uses "
+        "is value-identical across engines; map-only, no shuffle.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.multimodal",
+        fromlist=["phash_portable"],
+    ).phash_portable(
+        load_table(spark, sf, "embeddings")
+    ).orderBy("id"),
+    oracle_sql_str="""
+        WITH q AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+                   AS qs
+          FROM embeddings
+        ),
+        s AS (
+          SELECT id, qs, len(qs) AS n,
+                 list_aggregate(qs, 'sum') AS total
+          FROM q
+        ),
+        bits AS (
+          SELECT id, i - 1 AS bit,
+                 CASE WHEN qs[i] * n > total THEN 1 ELSE 0 END AS b
+          FROM s, unnest(range(1, n + 1)) AS r(i)
+        )
+        SELECT id,
+               CAST(SUM(CASE WHEN bit >= 32
+                    THEN b * (1::BIGINT << (bit - 32)) ELSE 0 END)
+                    AS BIGINT) AS phash_hi,
+               CAST(SUM(CASE WHEN bit < 32
+                    THEN b * (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS phash_lo,
+               CAST(SUM(b) AS INT) AS nbits
+        FROM bits
+        GROUP BY id
+        ORDER BY id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_skew_report",
     doc="Join-key skew diagnosis: top-20 heaviest orders.o_custkey keys "
         "with row counts, integer-exact percent share, and the salt "

@@ -219,3 +219,46 @@ def test_phash_groups_cover_exact_duplicates(spark):
         ]
         assert len(members) == g.n
         assert min(members) == g.keep_id
+
+
+def test_phash_portable_golden_bits(spark):
+    """Pin the quantize -> integer-mean-threshold -> split-halves algebra
+    on hand-computed vectors (knife-edge component included)."""
+    from adenhq_hive_spark.operators.multimodal import phash_portable
+
+    # v1: q = [10000, 0, 0, 0], sum=10000, n=4 -> bit i set iff
+    # q_i*4 > 10000: only component 0 (40000 > 10000). hash = 1.
+    # v2: all equal -> q_i*n == sum for every i -> no bits (strict >).
+    # v3: 40 components; component 35 dominant -> only bit 35 set
+    # (phash_hi bit 3 = 8).
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.5] * 4),
+        (3, [0.0] * 35 + [2.0] + [0.0] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["id"]: (r["phash_hi"], r["phash_lo"], r["nbits"])
+        for r in phash_portable(df).collect()
+    }
+    assert got[1] == (0, 1, 1)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (8, 0, 1)
+
+
+def test_phash_portable_matches_media_phash_algebra(spark):
+    """The twin's bit pattern equals media_phash's float mean-threshold
+    on vectors where quantization can't flip a decision (components far
+    from the mean) — same algebra, different portability device."""
+    from adenhq_hive_spark.operators.multimodal import phash_portable
+
+    rows = [(i, [float((i * 7 + j * 13) % 5) for j in range(16)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    twin = {r["id"]: r["phash_hi"] * (1 << 32) + r["phash_lo"]
+            for r in phash_portable(df).collect()}
+    # float mean-threshold reference, in python
+    for i, vec in rows:
+        mean = sum(vec) / len(vec)
+        expected = sum(1 << j for j, x in enumerate(vec) if x > mean)
+        assert twin[i] == expected, (i, vec)
