@@ -184,15 +184,7 @@ class Engine:
         if cache_key is not None and cache_key in self._result_cache:
             self._result_cache.move_to_end(cache_key)
             self.cache_hits += 1
-            cached_env = self._result_cache[cache_key]
-            # Hand back a per-call copy (fresh row dicts + fresh lists):
-            # a caller post-processing env.rows in place must not poison
-            # the cached snapshot for later callers.
-            env = replace(
-                cached_env,
-                columns=list(cached_env.columns),
-                rows=[dict(r) for r in cached_env.rows],
-            )
+            env = self._copy_env(self._result_cache[cache_key])
             self._record(sql, max_rows, t0, env, cached=True)
             return env
         if cache_key is not None:
@@ -224,11 +216,28 @@ class Engine:
             truncated=truncated,
         )
         if cache_key is not None:
-            self._result_cache[cache_key] = env
+            # the cached snapshot must be private: the envelope handed
+            # back on the MISS is as mutable to the caller as a hit copy
+            # (rows hold nested lists/dicts from asDict(recursive=True),
+            # so both store and return sides need deep copies)
+            self._result_cache[cache_key] = self._copy_env(env)
             while len(self._result_cache) > self._result_cache_size:
                 self._result_cache.popitem(last=False)
         self._record(sql, max_rows, t0, env, cached=False)
         return env
+
+    @staticmethod
+    def _copy_env(env: ResultEnvelope) -> ResultEnvelope:
+        """Deep per-call copy of a cached envelope: fresh row dicts AND
+        fresh nested containers (arrays/structs collect as lists/dicts),
+        so no caller mutation can reach the cached snapshot."""
+        import copy as _copy
+
+        return replace(
+            env,
+            columns=list(env.columns),
+            rows=_copy.deepcopy(env.rows),
+        )
 
     def describe_dataset(self, with_row_counts: bool = True) -> dict:
         """Catalog listing: tables, column schemas, optional row counts

@@ -128,12 +128,13 @@ def render_chat_transcripts(
     fingerprint stands in for the rendered text so downstream equality
     (dedup, split routing) never moves the transcript itself.
     """
-    roles = role_map or {
-        "signup": "system",
-        "purchase": "assistant",
-        "error": "tool",
-    }
-    role = F.lit(None).cast("string")
+    if role_map is None:  # {} is a valid request: everything is 'user'
+        role_map = {
+            "signup": "system",
+            "purchase": "assistant",
+            "error": "tool",
+        }
+    roles = role_map
     expr = None
     for k, v in roles.items():
         cond = F.col(type_col) == k

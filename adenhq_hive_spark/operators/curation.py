@@ -1090,11 +1090,17 @@ def preference_pairs(
     ``margin`` is the raw score difference of the SAME two doubles on
     both engines, so it hashes identically without rounding.
 
+    NULL-scored candidates are excluded up front: an unscored response
+    is not comparable, and leaving it in would diverge from any SQL
+    twin (Spark's min(struct) sorts a NULL field smallest; SQL window
+    ranks default NULLS LAST — opposite picks for *rejected*).
+
     Output: (group_col, n_candidates, chosen_id, chosen_score,
     rejected_id, rejected_score, margin), ordered by group.
     """
     agg = (
-        df.groupBy(group_col)
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(group_col)
         .agg(
             F.count("*").alias("n_candidates"),
             F.max(F.struct(F.col(score_col), F.col(id_col))).alias("_c"),

@@ -581,14 +581,18 @@ def phash_portable(
       compare, so a component equal to the mean bit-agrees everywhere;
     - the 64-bit hash is emitted as two 32-bit halves (``phash_hi``
       bits 32..63, ``phash_lo`` bits 0..31) so neither engine touches
-      the BIGINT sign bit (DuckDB raises on ``1::BIGINT << 63``).
+      the BIGINT sign bit (DuckDB raises on ``1::BIGINT << 63``);
+    - the hash is over the FIRST 64 components (``slice`` before
+      quantize, threshold sum included) — a 64-bit hash cannot carry
+      more, and slicing on both sides keeps the engine/oracle contract
+      dimension-independent instead of silently diverging past dim 64.
 
     Map-only (no shuffle): at 100 TB this runs as a projection inside
     the scan stage, one pass over the vector column.  Output:
     (id, phash_hi, phash_lo, nbits), nbits = popcount of the full hash.
     """
     qs = (
-        f"transform({vec_col}, "
+        f"transform(slice({vec_col}, 1, 64), "
         f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
     )
     half = (

@@ -144,15 +144,19 @@ def trigram_search(
             .select(id_col)
             .orderBy(id_col)
         )
-    if built_inline:
-        # capped inline build is probed twice (hot info + candidates):
-        # materialize it once instead of re-shingling the corpus
-        from pyspark import StorageLevel
-
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     if "hot" not in postings.columns:  # legacy/un-capped index
         postings = postings.withColumn("hot", F.lit(False))
-    probe = postings.filter(F.col("trigram").isin(tris))
+    # The hot-aware probe reads the index twice (hot info + candidate
+    # explode). Materialize ONLY the needle's trigram rows once
+    # (≤ |needle| rows): the underlying index plan executes exactly
+    # once — whether the caller persisted their postings or not — and
+    # what's retained is probe-sized, not the whole index (the earlier
+    # whole-index persist leaked MEMORY_AND_DISK blocks across calls;
+    # localCheckpoint blocks are context-cleaned when the frame is
+    # garbage-collected).
+    probe = postings.filter(
+        F.col("trigram").isin(tris)
+    ).localCheckpoint()
     info = probe.select("trigram", "hot").collect()  # ≤ |needle| rows
     present = {r["trigram"] for r in info}
     hot = {r["trigram"] for r in info if r["hot"]}
@@ -265,41 +269,52 @@ def update_trigram_postings(
     ``max_trigram_df`` set a merged list that grows past the cap is
     demoted to a tombstone — so the index's bounded-row invariant
     survives incremental growth.
+
+    Bounded-row discipline: hotness is decided FIRST, from map-side
+    partial sums of list sizes (integers only — no id array ever rides
+    through that aggregation), and the id-carrying merge then runs over
+    the provably-cool keys alone. The delta build takes the same cap,
+    so a stop-trigram arriving in a huge batch never materializes its
+    full id list anywhere in the merge — the invariant the cap exists
+    for holds transiently, not just in the output. (The union subtree
+    is referenced by both aggregations; the delta is batch-sized, so
+    the re-execution is the cheap side by construction.)
     """
-    delta = build_trigram_postings(new_docs, text_col, id_col)
+    delta = build_trigram_postings(
+        new_docs, text_col, id_col, max_trigram_df=max_trigram_df
+    )
     if "hot" not in postings.columns:  # legacy index
         postings = postings.withColumn("hot", F.lit(False))
-    merged = (
-        postings.unionByName(delta)
-        .groupBy("trigram")
-        .agg(
-            F.array_sort(
-                F.flatten(F.collect_list("ids"))
-            ).alias("ids"),
-            F.max("hot").alias("hot"),
-        )
-    )
+    if "hot" not in delta.columns:  # uncapped build has no hot column
+        delta = delta.withColumn("hot", F.lit(False))
+    both = postings.unionByName(delta)
+    id_type = postings.schema["ids"].dataType.simpleString()
+    # pass 1 — integers only: merged size + sticky hot flag per trigram
+    hot_expr = F.col("any_hot")
     if max_trigram_df is not None:
-        is_hot = F.col("hot") | (F.size("ids") > max_trigram_df)
-        id_type = merged.schema["ids"].dataType.simpleString()
-        merged = merged.select(
-            "trigram",
-            F.when(is_hot, F.array().cast(id_type))
-            .otherwise(F.col("ids"))
-            .alias("ids"),
-            is_hot.alias("hot"),
+        hot_expr = hot_expr | (F.col("n_total") > max_trigram_df)
+    status = (
+        both.groupBy("trigram")
+        .agg(
+            F.sum(F.size("ids")).alias("n_total"),
+            F.max("hot").alias("any_hot"),
         )
-    else:
-        # a side already hot keeps empty ids regardless
-        id_type = merged.schema["ids"].dataType.simpleString()
-        merged = merged.select(
-            "trigram",
-            F.when(F.col("hot"), F.array().cast(id_type))
-            .otherwise(F.col("ids"))
-            .alias("ids"),
-            "hot",
-        )
-    return merged
+        .select("trigram", hot_expr.alias("hot"))
+    )
+    hot_keys = status.filter(F.col("hot")).select("trigram")
+    tombstones = hot_keys.select(
+        "trigram",
+        F.array().cast(id_type).alias("ids"),
+        F.lit(True).alias("hot"),
+    )
+    # pass 2 — id arrays, cool keys only (every merged list ≤ cap)
+    cool = (
+        both.join(F.broadcast(hot_keys), "trigram", "left_anti")
+        .groupBy("trigram")
+        .agg(F.array_sort(F.flatten(F.collect_list("ids"))).alias("ids"))
+        .withColumn("hot", F.lit(False))
+    )
+    return cool.unionByName(tombstones)
 
 
 def bm25_search(

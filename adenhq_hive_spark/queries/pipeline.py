@@ -1474,11 +1474,13 @@ Q(QuerySpec(
             ON a.s = b.s AND a.id < b.id
         ),
         nearb AS (
+          -- within-batch tier goes through ngram_jaccard_pairs, which
+          -- filters the ROUNDed jaccard — test the same value here
           SELECT DISTINCT p.id_b
           FROM pairs p JOIN shd sa ON sa.id = p.id_a
           JOIN shd sb ON sb.id = p.id_b
-          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+          WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
         )
         SELECT doc_id FROM ded
         WHERE doc_id NOT IN (SELECT id_b FROM nearb)
@@ -2923,7 +2925,7 @@ Q(QuerySpec(
     oracle_sql_str="""
         WITH q AS (
           SELECT vec_id AS id,
-                 list_transform(embedding,
+                 list_transform(embedding[1:64],
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
                    AS qs
           FROM embeddings
@@ -3431,7 +3433,8 @@ Q(QuerySpec(
     oracle_sql_str="""
         WITH p AS (
           SELECT user_id, event_id, value
-          FROM events WHERE event_type = 'purchase'
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
         ), ranked AS (
           SELECT user_id, event_id, value,
                  ROW_NUMBER() OVER (PARTITION BY user_id

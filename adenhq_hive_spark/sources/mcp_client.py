@@ -114,7 +114,17 @@ class MCPStdioClient:
                 msg = json.loads(line)
             except ValueError:
                 continue  # non-protocol noise on stdout
-            if "id" in msg and msg["id"] is not None:
+            if "method" in msg:
+                # a message WITH a method is server-initiated (a
+                # notification, or — with an id — a server REQUEST such
+                # as ping/roots/list; its id is the server's own
+                # numbering and may collide with a pending client call,
+                # so it must never be routed as a response)
+                if "id" in msg and msg["id"] is not None:
+                    self._answer_server_request(msg)
+                else:
+                    self.notifications.append(msg)
+            elif "id" in msg and msg["id"] is not None:
                 with self._cond:
                     self._pending[msg["id"]] = msg
                     self._cond.notify_all()
@@ -122,6 +132,27 @@ class MCPStdioClient:
                 self.notifications.append(msg)
         with self._cond:  # EOF: wake waiters so they can fail fast
             self._cond.notify_all()
+
+    def _answer_server_request(self, msg: dict) -> None:
+        """Reply to a server-initiated request: pings get an empty
+        result (keepalive contract); anything else gets method-not-found
+        so the server never hangs on our silence."""
+        reply: dict
+        if msg.get("method") == "ping":
+            reply = {"jsonrpc": "2.0", "id": msg["id"], "result": {}}
+        else:
+            reply = {
+                "jsonrpc": "2.0",
+                "id": msg["id"],
+                "error": {
+                    "code": -32601,
+                    "message": f"method not supported: {msg.get('method')}",
+                },
+            }
+        try:
+            self._send(reply)
+        except (RuntimeError, OSError):
+            pass  # server went away; the read loop will notice EOF
 
     def _send(self, msg: dict) -> None:
         if self._proc is None or self._proc.stdin is None:

@@ -911,3 +911,24 @@ def test_length_buckets_golden(spark):
     b4 = out[("a", 4)]
     assert (b4.lo_tokens, b4.hi_tokens, b4.n_docs, b4.n_tokens) == (8, 15, 2, 23)
     assert out[("b", 5)].lo_tokens == 16 and out[("b", 5)].hi_tokens == 31
+
+
+def test_preference_pairs_null_scores_excluded(spark):
+    """NULL-scored candidates are not comparable: they can be neither
+    chosen nor rejected, and a group left with < 2 scored candidates
+    emits no pair (Spark's min(struct) would otherwise pick the NULL
+    row as 'rejected' while a SQL twin ranks NULLS LAST)."""
+    from adenhq_hive_spark.operators.curation import preference_pairs
+
+    rows = [
+        ("g1", 1, 5.0), ("g1", 2, None), ("g1", 3, 1.0),
+        ("g2", 4, 7.0), ("g2", 5, None),          # one scored -> no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, value double"
+    )
+    got = preference_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["chosen_id"], r["rejected_id"]) == ("g1", 1, 3)
+    assert r["n_candidates"] == 2  # the null candidate never counted

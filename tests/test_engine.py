@@ -307,3 +307,21 @@ def test_sql_analysis_error_enveloped_and_recorded(spark):
     assert len(h) == 1 and not h[0]["success"]
     assert eng.history(limit=0) == []       # [-0:] pitfall guarded
     assert eng.history(limit=-3) == []
+
+
+def test_result_cache_miss_return_and_nested_values_are_private(spark):
+    """The envelope returned on the MISS (store) path and nested
+    containers reached through a HIT copy must both be unable to poison
+    the cached snapshot."""
+    from adenhq_hive_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    stmt = "SELECT COUNT(*) AS n, array(1, 2) AS xs FROM region"
+    first = eng.sql(stmt, use_cache=True)      # miss: stores snapshot
+    first.rows[0]["n"] = -999                  # mutate the MISS result
+    first.rows[0]["xs"].append(99)             # ...and a nested list
+    hit = eng.sql(stmt, use_cache=True)
+    assert hit.rows == [{"n": 5, "xs": [1, 2]}]
+    hit.rows[0]["xs"].append(77)               # nested mutation via HIT
+    clean = eng.sql(stmt, use_cache=True)
+    assert clean.rows == [{"n": 5, "xs": [1, 2]}]

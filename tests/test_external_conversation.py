@@ -109,3 +109,28 @@ def test_render_chat_transcripts_golden(spark):
     want2 = '<|user|>{"y":9}'
     assert out[2].n_turns == 1
     assert out[2].fingerprint == hashlib.md5(want2.encode()).hexdigest()
+
+
+def test_render_chat_transcripts_empty_role_map_means_all_user(spark):
+    """role_map={} is a valid request (no mapping, everything 'user'),
+    not a fall-through to the demo defaults."""
+    from adenhq_hive_spark.operators.conversation import (
+        render_chat_transcripts,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [("u1", 1, "2024-01-01T00:00:00", "signup", "hi"),
+            ("u1", 2, "2024-01-01T00:00:01", "purchase", "buy")]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts string, "
+              "event_type string, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import hashlib
+    out = render_chat_transcripts(df, role_map={}).collect()
+    expected = "<|user|>hi\n<|user|>buy"
+    assert out[0]["fingerprint"] == hashlib.md5(
+        expected.encode()
+    ).hexdigest()
+    defaulted = render_chat_transcripts(df).collect()
+    assert defaulted[0]["fingerprint"] != out[0]["fingerprint"]

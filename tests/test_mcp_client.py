@@ -126,3 +126,19 @@ def test_http_transport_round_trip():
                 c.call_tool("boom", {})
     finally:
         srv.shutdown()
+
+
+def test_server_initiated_request_with_colliding_id_not_a_response():
+    """A server REQUEST (id + method, e.g. ping) must never be routed
+    as the response to an in-flight client call with the same id — the
+    client answers it and still returns the real tool result."""
+    cfg = _config(env={"TOY_MCP_PING_BEFORE_CALL": "1"})
+    with MCPStdioClient(cfg) as c:
+        # the toy server emits {"id": <call id>, "method": "ping"}
+        # immediately before every tools/call response
+        assert c.call_tool("add", {"a": 20, "b": 22}) == "42"
+        assert c.call_tool("add", {"a": 1, "b": 2}) == "3"
+        # the pings were handled as requests, not mistaken for replies
+        assert all(
+            n.get("method") != "ping" for n in c.notifications
+        )

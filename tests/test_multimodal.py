@@ -262,3 +262,23 @@ def test_phash_portable_matches_media_phash_algebra(spark):
         mean = sum(vec) / len(vec)
         expected = sum(1 << j for j, x in enumerate(vec) if x > mean)
         assert twin[i] == expected, (i, vec)
+
+
+def test_phash_portable_caps_at_64_components(spark):
+    """Vectors past 64 dims: hash and threshold sum both come from the
+    FIRST 64 components only (sliced on both engine and oracle sides),
+    so the contract can't silently diverge when dimensionality grows."""
+    from adenhq_hive_spark.operators.multimodal import phash_portable
+
+    rows = [
+        # dominant component OUTSIDE the 64-window: first 64 all equal
+        # -> zero bits; tail is invisible to hash AND sum
+        (1, [0.0] * 64 + [9.9] * 6),
+        # dominant inside the window, noise outside
+        (2, [0.0] * 3 + [5.0] + [0.0] * 60 + [7.7] * 6),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: (r["phash_hi"], r["phash_lo"], r["nbits"])
+           for r in phash_portable(df).collect()}
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 8, 1)

@@ -247,3 +247,41 @@ def test_bm25_matches_python_reference(spark):
     want.sort(key=lambda x: (-x[1], x[0]))
     assert got == [(i, r + 1, s) for r, (i, s) in enumerate(want)]
     assert got[0][0] in (1, 4) and all(g[0] != 3 for g in got)
+
+
+def test_update_postings_never_materializes_hot_arrays(spark):
+    """Incremental merge bounded-row discipline: a trigram crossing the
+    cap via a big batch becomes a tombstone, the delta build itself is
+    capped, and already-hot keys stay hot with empty ids."""
+    from adenhq_hive_spark.operators.search import (
+        build_trigram_postings,
+        update_trigram_postings,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "xyz unique%d" % i) for i in range(2)],
+        "doc_id long, text string",
+    )
+    idx = build_trigram_postings(base, max_trigram_df=3)
+    batch = spark.createDataFrame(
+        [(100 + i, "xyzq") for i in range(5)], "doc_id long, text string"
+    )
+    merged = update_trigram_postings(
+        idx, batch, max_trigram_df=3
+    ).collect()
+    by_tri = {r["trigram"]: r for r in merged}
+    # 'xyz' df: 2 (base) + 5 (batch) = 7 > 3 -> tombstone, no ids kept
+    assert by_tri["xyz"]["hot"] and by_tri["xyz"]["ids"] == []
+    # 'yzq' df: 5 (batch alone) > 3 -> the capped DELTA already demoted
+    assert by_tri["yzq"]["hot"] and by_tri["yzq"]["ids"] == []
+    # cool keys merge normally and stay sorted
+    assert not by_tri["uni"]["hot"] and by_tri["uni"]["ids"] == [0, 1]
+    # sticky: re-merge an empty-ish batch, hot keys stay tombstoned
+    batch2 = spark.createDataFrame(
+        [(200, "abc")], "doc_id long, text string"
+    )
+    again = {r["trigram"]: r for r in update_trigram_postings(
+        spark.createDataFrame(merged), batch2, max_trigram_df=3
+    ).collect()}
+    assert again["xyz"]["hot"] and again["xyz"]["ids"] == []
+    assert again["abc"]["ids"] == [200]

@@ -91,11 +91,23 @@ def handle(msg: dict) -> dict | None:
 
 
 def main() -> None:
+    import os
+
+    ping_before_call = bool(os.environ.get("TOY_MCP_PING_BEFORE_CALL"))
     for line in sys.stdin:
         line = line.strip()
         if not line:
             continue
-        out = handle(json.loads(line))
+        msg = json.loads(line)
+        if "method" not in msg:
+            continue  # a reply to a server-initiated request — consume
+        if ping_before_call and msg.get("method") == "tools/call":
+            # server-initiated REQUEST whose id deliberately collides
+            # with the in-flight client call: a correct client must not
+            # deliver this as the call's response
+            print(json.dumps({"jsonrpc": "2.0", "id": msg["id"],
+                              "method": "ping"}), flush=True)
+        out = handle(msg)
         if out is None:
             continue
         if "error" in out:
