@@ -404,3 +404,101 @@ def bm25_search(
             "score",
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints per document (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS local fingerprinting scheme): hash every
+    lowercase char ``k``-gram, slide a window of ``w`` consecutive
+    hashes, keep the MIN of each window, dedupe. Guarantees: any shared
+    substring of length >= k + w - 1 yields at least one shared
+    fingerprint (detection threshold t = k + w - 1), while only
+    ~2/(w+1) of positions are kept — the sampled-but-guaranteed middle
+    ground between full k-gram sets (huge) and one-hash-per-doc
+    MinHash (whole-doc only).
+
+    All in-row (map-only, no shuffle): hashes via the portable
+    md5-prefix-int idiom (operators/dedup.py:306 — 8 hex chars here,
+    fits 32 bits), window mins via transform+slice+array_min, O(n·w)
+    per doc. Docs shorter than ``k`` chars emit nothing; docs with
+    fewer than ``w`` k-grams emit the min of what exists (the
+    every-doc-fingerprinted clamp both engines share).
+
+    Output: (id_col, fp) — one row per DISTINCT fingerprint per doc.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) "
+        f"- {k} + 1, 0)), i -> substring(lower({text_col}), i, {k}))"
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    with_h = df.select(F.col(id_col), hashes.alias("_h")).filter(
+        F.size("_h") >= 1
+    )
+    mins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_h) - {w} "
+        f"+ 1, 1)), j -> array_min(slice(_h, j, {w}))))"
+    )
+    return with_h.select(
+        F.col(id_col), F.explode(mins).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Partial-copy candidate pairs by shared winnowing fingerprints —
+    the PLAGIARISM-shaped dedup tier: a paragraph lifted between two
+    otherwise-different documents shares fingerprints even though
+    whole-doc jaccard is tiny (ngram_jaccard_pairs would never flag
+    it; that tier answers "mostly the same document?", this one
+    answers "contains a copied passage?").
+
+    Shape: fingerprint (map-only), self-join on the fingerprint KEY,
+    count per pair — the inverted-index pattern every dedup tier here
+    uses; cost is driven by fingerprint document-frequency, so
+    ``max_fp_df`` caps boilerplate fingerprints exactly like
+    ngram_jaccard_pairs' max_shingle_df (a header shared by a million
+    docs is evidence of boilerplate, not copying — drop the key, keep
+    the decision exact for surviving pairs by construction: n_shared
+    only ever undercounts on capped keys, symmetrically for every
+    pair).
+
+    Output: (id_a, id_b, n_shared), n_shared >= min_shared, ordered.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )

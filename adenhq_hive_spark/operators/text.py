@@ -707,3 +707,72 @@ def ccnet_buckets(
             .otherwise(F.lit("tail")),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram negative log-probability — one step up
+    the LM-perplexity ladder from :func:`unigram_logprob` (the CCNet
+    recipe scores pages with a corpus-trained LM and keeps the
+    low-perplexity head; a bigram model is the cheapest version that
+    sees word ORDER, so shuffled-word spam that fools unigram scoring
+    stands out).
+
+    Model trained on the corpus itself: p(b | a) = (c(a,b) + 1) /
+    (c(a) + V) — add-one smoothing, V = observed unigram vocabulary.
+    Per doc: mean of -ln p over its n-1 adjacent pairs; single-token
+    and empty docs emit no row (no bigram exists, the mean is
+    undefined — the caller's length filters own those).
+
+    Shape and scale: tokens arrays are built once per side; bigram
+    pairs come from ``zip_with`` over the array and its tail (in-row,
+    no shuffle); corpus bigram counts join back on the bigram KEY — a
+    SHUFFLE join by design (the bigram vocabulary grows with the
+    corpus and is NOT broadcastable at 100 TB, unlike the unigram
+    table, which is and stays broadcast). ln via libm on both engines
+    + ROUND(4) — the pl_unigram_logprob portability device.
+
+    Output: (id_col, n_bigrams, avg_neg_logp), rounded half-even at 4.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    with_toks = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    pairs = with_toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    big = pairs.groupBy("a", "b").agg(F.count("*").alias("c_big"))
+    scored = (
+        pairs.join(big, ["a", "b"])  # shuffle join: bigram-vocab sized
+        .join(F.broadcast(uni.withColumnRenamed("tok", "a")), "a")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "neg_logp",
+            -F.log(
+                (F.col("c_big") + 1)
+                / (F.col("c_uni") + F.col("vocab"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("neg_logp"), 4).alias("avg_neg_logp"),
+    )

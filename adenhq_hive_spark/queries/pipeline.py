@@ -1409,6 +1409,93 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_winnow_pairs",
+    doc="Partial-copy candidate pairs via winnowing fingerprints "
+        "(Schleimer/Wilkerson/Aiken 2003, the MOSS scheme; operators/"
+        "search.py:winnow_overlap_pairs): min-hash of each w=4 window "
+        "over char-5-gram md5-prefix hashes, shared-fingerprint pair "
+        "counts — detects a lifted PASSAGE between otherwise-different "
+        "docs (whole-doc jaccard tiers can't). Guarantee: any shared "
+        "substring >= k+w-1 = 8 chars yields a shared fingerprint. "
+        "Map-only fingerprinting, inverted-index pair join; "
+        "max_fp_df caps boilerplate keys at scale (same contract as "
+        "max_shingle_df).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.search",
+        fromlist=["winnow_overlap_pairs"],
+    ).winnow_overlap_pairs(
+        load_table(spark, sf, "documents"), k=5, w=4, min_shared=3
+    ),
+    oracle_sql_str="""
+        WITH g AS (
+          SELECT doc_id AS id,
+                 list_transform(
+                   range(1, greatest(len(lower(text)) - 5 + 1, 0) + 1),
+                   i -> CAST(('0x' || substr(
+                          md5(substr(lower(text), i, 5)), 1, 8))
+                        AS BIGINT)) AS hs
+          FROM documents
+        ),
+        fp AS (
+          SELECT id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                   j -> list_min(hs[j:j+3])))) AS fp
+          FROM g WHERE len(hs) >= 1
+        )
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= 3
+        ORDER BY id_a, id_b
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_bigram_logprob",
+    doc="Per-doc mean bigram negative log-probability — the CCNet-"
+        "recipe LM quality proxy one rung above pl_unigram_logprob "
+        "(sees word ORDER: shuffled-token spam that fools a unigram "
+        "model scores high here). Add-one-smoothed corpus bigram "
+        "model; bigram counts join on the KEY (shuffle by design — "
+        "the bigram vocabulary is not broadcastable at 100 TB), "
+        "unigram table broadcast (operators/text.py:bigram_logprob). "
+        "ln + ROUND(4) = the established portability device.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["bigram_logprob"]
+    ).bigram_logprob(load_table(spark, sf, "documents"))
+    .orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH tk AS (
+          SELECT doc_id, list_filter(
+                 string_split(lower(text), ' '), t -> t <> '') AS t
+          FROM documents
+        ),
+        pairs AS (
+          SELECT doc_id, t[i] AS a, t[i + 1] AS b
+          FROM tk, unnest(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2
+        ),
+        unic AS (
+          SELECT tok, COUNT(*) AS c_uni
+          FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok
+        ),
+        voc AS (SELECT COUNT(*) AS vocab FROM unic),
+        bigc AS (SELECT a, b, COUNT(*) AS c_big FROM pairs GROUP BY a, b)
+        SELECT p.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln((g.c_big + 1.0) / (u.c_uni + v.vocab))), 4)
+                 AS avg_neg_logp
+        FROM pairs p
+        JOIN bigc g USING (a, b)
+        JOIN unic u ON u.tok = p.a
+        CROSS JOIN voc v
+        GROUP BY p.doc_id
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_dedup_incremental",
     doc="Incremental ingestion dedup: a new batch (doc_id >= 250) "
         "deduplicated against the existing corpus (doc_id < 250) — "

@@ -285,3 +285,63 @@ def test_update_postings_never_materializes_hot_arrays(spark):
     ).collect()}
     assert again["xyz"]["hot"] and again["xyz"]["ids"] == []
     assert again["abc"]["ids"] == [200]
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fp(spark):
+    """MOSS guarantee: any shared substring of length >= k + w - 1
+    (= 8 here) produces at least one shared fingerprint."""
+    from adenhq_hive_spark.operators.search import winnow_overlap_pairs
+
+    shared = "zqxjkwvb"  # 8 chars, appears in both, nowhere else
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb " + shared + " cccc dddd"),
+            (2, "eeee ffff gggg " + shared + " hhhh"),
+            (3, "iiii jjjj kkkk llll mmmm nnnn"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_overlap_pairs(df, k=5, w=4, min_shared=1).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_detects_lifted_passage_where_jaccard_cannot(spark):
+    """A paragraph copied between two otherwise-different documents:
+    whole-doc 3-gram jaccard stays under any sane threshold, the
+    winnowing tier flags the pair."""
+    from adenhq_hive_spark.operators.dedup import ngram_jaccard_pairs
+    from adenhq_hive_spark.operators.search import winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    doc_a = " ".join(f"alpha{i} beta{i}" for i in range(40)) + " " + passage
+    doc_b = passage + " " + " ".join(
+        f"gamma{i} delta{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    jac = ngram_jaccard_pairs(df, k=3, threshold=0.3).collect()
+    assert jac == []  # whole-doc similarity is far below threshold
+    win = winnow_overlap_pairs(df, k=5, w=4, min_shared=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in win] == [(1, 2)]
+
+
+def test_winnow_hot_fp_cap_drops_boilerplate_keys(spark):
+    """max_fp_df: a fingerprint present in every doc (boilerplate
+    header) is excluded from pair evidence."""
+    from adenhq_hive_spark.operators.search import winnow_overlap_pairs
+
+    header = "standard corporate disclaimer text here"
+    docs = [(i, header + f" unique{i} content{i} word{i}")
+            for i in range(6)]
+    uncapped = winnow_overlap_pairs(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        k=5, w=4, min_shared=1,
+    ).count()
+    capped = winnow_overlap_pairs(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        k=5, w=4, min_shared=1, max_fp_df=3,
+    ).count()
+    assert uncapped > 0 and capped < uncapped

@@ -476,3 +476,39 @@ def test_ccnet_buckets_golden(spark):
     assert out[6].lang == "de" and out[6].bucket == "head"
     # integer contract: sum_w is an exact bigint, nll = sum_w/n_bi/1e6
     assert out[4].nll == out[4].sum_w / out[4].n_bi / 1_000_000
+
+
+def test_bigram_logprob_golden(spark):
+    """Hand-computed add-one bigram model: corpus 'a b a b' / 'a b' /
+    'z' -> c(a)=3, c(b)=3, c(z)=1, V=3; c(a,b)=3, c(b,a)=1;
+    p(b|a)=(3+1)/(3+3)=2/3, p(a|b)=(1+1)/(3+3)=1/3. Single-token doc
+    emits no row but DOES grow the vocabulary."""
+    import math
+
+    from adenhq_hive_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    d1 = (2 * -math.log(2 / 3) + -math.log(1 / 3)) / 3
+    assert got[1]["avg_neg_logp"] == round(d1, 4)
+    assert got[2]["avg_neg_logp"] == round(-math.log(2 / 3), 4)
+
+
+def test_bigram_logprob_sees_word_order(spark):
+    """The point of the bigram rung: a shuffled copy of a high-
+    probability doc scores strictly worse (unigram scoring would tie)."""
+    from adenhq_hive_spark.operators.text import bigram_logprob
+
+    base = [(i, "the cat sat on the mat") for i in range(10)]
+    df = spark.createDataFrame(
+        base + [(100, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_neg_logp"]
+           for r in bigram_logprob(df).collect()}
+    assert got[100] > got[0]
