@@ -139,3 +139,37 @@ def score_udf(provider: str | BatchFn = "heuristic"):
         )
 
     return _score
+
+
+def map_completion_udf(provider: BatchFn, prompt_template: str = "{}"):
+    """The direct "LLM call as a column operator": text column →
+    completion text (reference llm/provider.py:61-105 complete() as a
+    batch map).  Unlike the cleaner/judge/score operators there is no
+    deterministic heuristic tier for free-form completion, so a real
+    ``BatchFn`` is REQUIRED (e.g. functions/llm_http.py:
+    http_chat_provider); ``prompt_template`` wraps each input with
+    ``str.format`` before the call.
+
+    NULL rows stay NULL without consuming a request.  Output is
+    bench/feature tier — never part of the hash contract (SURVEY
+    §2.11 non-goals: non-deterministic operators).
+    """
+    if not callable(provider):
+        raise NotImplementedError(
+            "map_completion_udf needs a callable batch provider "
+            "(see functions/llm_http.py:http_chat_provider); there is "
+            "no heuristic completion tier."
+        )
+
+    @pandas_udf("string")
+    def _complete(col: pd.Series) -> pd.Series:
+        mask = col.notna()
+        out = pd.Series([None] * len(col), index=col.index, dtype=object)
+        if mask.any():
+            prompts = [
+                prompt_template.format(x) for x in col[mask].tolist()
+            ]
+            out.loc[mask] = provider(prompts)
+        return out
+
+    return _complete

@@ -1,0 +1,110 @@
+"""HTTP LLM provider for the batch-operator seam (reference
+llm/litellm.py:1-1047 — provider-routed chat completions with retry;
+here re-expressed as the one PUBLIC wire contract every provider gateway
+speaks: the OpenAI-compatible ``POST /v1/chat/completions`` shape, over
+stdlib urllib like sources/mcp_client.py's HTTP transport).
+
+``http_chat_provider`` returns a ``BatchFn`` (``list[str] ->
+list[str]``) pluggable into every operator in functions/llm.py
+(clean_output_udf / judge_udf / score_udf / map_completion_udf).  Design
+points that matter at engine scale:
+
+- **Latency-bound, so thread-fanned**: one chat completion per prompt
+  (the wire protocol has no batch form), issued concurrently with a
+  bounded thread pool PER Arrow batch.  Each executor core processes its
+  own batches, so total in-flight requests ≈ cores × max_workers —
+  size ``max_workers`` against the provider's rate limit, not the CPU.
+- **Retry with capped exponential backoff** on 429/5xx (the two
+  transient classes); 4xx config errors fail fast with the response
+  body in the message.
+- **Deterministic knobs exposed** (temperature=0 default, max_tokens,
+  system prompt) but LLM output remains excluded from the hash
+  contract by SURVEY design — these operators are bench/feature tier.
+- The returned closure is cloudpickle-friendly (stdlib imports inside),
+  so it ships to executors inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def http_chat_provider(
+    url: str,
+    model: str,
+    api_key: str | None = None,
+    system: str | None = None,
+    temperature: float = 0.0,
+    max_tokens: int = 1024,
+    timeout: float = 60.0,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    max_workers: int = 8,
+    extra_headers: dict[str, str] | None = None,
+):
+    """Build a ``BatchFn`` speaking OpenAI-compatible chat completions.
+
+    ``url`` is the full endpoint (e.g. ``http://host:port/v1/chat/
+    completions``).  Raises RuntimeError with the HTTP body on
+    non-retryable errors or after ``max_retries`` transient failures —
+    a failed row fails the batch loudly (silent None rows would leak
+    into training data as empty documents).
+    """
+    headers = {"Content-Type": "application/json"}
+    if api_key:
+        headers["Authorization"] = f"Bearer {api_key}"
+    if extra_headers:
+        headers.update(extra_headers)
+
+    def _one(prompt: str) -> str:
+        import urllib.error
+        import urllib.request
+
+        messages = []
+        if system:
+            messages.append({"role": "system", "content": system})
+        messages.append({"role": "user", "content": prompt})
+        payload = json.dumps(
+            {
+                "model": model,
+                "messages": messages,
+                "temperature": temperature,
+                "max_tokens": max_tokens,
+            }
+        ).encode()
+        last_err: Exception | None = None
+        for attempt in range(max_retries + 1):
+            req = urllib.request.Request(
+                url, data=payload, headers=headers, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    body = json.loads(r.read().decode())
+                return body["choices"][0]["message"]["content"]
+            except urllib.error.HTTPError as e:
+                detail = e.read().decode(errors="replace")[:500]
+                if e.code == 429 or e.code >= 500:
+                    last_err = RuntimeError(
+                        f"LLM HTTP {e.code} (transient): {detail}"
+                    )
+                    time.sleep(min(backoff_s * (2**attempt), 30.0))
+                    continue
+                raise RuntimeError(
+                    f"LLM HTTP {e.code}: {detail}"
+                ) from None
+            except (OSError, KeyError, ValueError) as e:
+                last_err = RuntimeError(f"LLM call failed: {e}")
+                time.sleep(min(backoff_s * (2**attempt), 30.0))
+        raise last_err  # type: ignore[misc]
+
+    def batch(prompts: list[str]) -> list[str]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not prompts:
+            return []
+        workers = max(1, min(max_workers, len(prompts)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(_one, prompts))
+
+    return batch
