@@ -432,6 +432,13 @@ def winnow_fingerprints(
 
     Output: (id_col, fp) — one row per DISTINCT fingerprint per doc.
     """
+    from ..catalog import spread_small_scan
+
+    # the per-position md5 battery runs in the scan stage — spread a
+    # narrow scan first (single-row-group local parquet otherwise pins
+    # the whole fingerprint pass to 1-2 cores; no-op at cluster scale,
+    # see catalog.spread_small_scan)
+    df = spread_small_scan(df)
     grams = F.expr(
         f"transform(sequence(1, greatest(length(lower({text_col})) "
         f"- {k} + 1, 0)), i -> substring(lower({text_col}), i, {k}))"

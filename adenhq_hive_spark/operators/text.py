@@ -776,3 +776,48 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("neg_logp"), 4).alias("avg_neg_logp"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the gibberish
+    detector of the quality battery: base64/hex blobs and packed or
+    encrypted payloads score HIGH (near ln of the alphabet size),
+    repeated-character spam scores LOW; natural language sits in a
+    stable mid band. The standard cheap filter for binary-ish rows that
+    slip into a text corpus.
+
+    Computed in-row from exact integer counts (map-only, no shuffle —
+    the per-(doc, char) explode+groupBy formulation would shuffle one
+    row per corpus CHARACTER, which at 100 TB is the corpus itself):
+    H = ln N − (Σ n_c·ln n_c)/N over the doc's distinct characters,
+    O(distinct·len) per row inside codegen. ln + ROUND(4) is the
+    established cross-engine device. Empty docs are excluded (entropy
+    of nothing is undefined; length filters own those rows).
+
+    Output: (id_col, n_chars, entropy), rounded at 4.
+    """
+    from ..catalog import spread_small_scan
+
+    # O(distinct·len) per-row battery runs in the scan stage — spread a
+    # narrow scan first (same adoption as quality/gopher; no-op at scale)
+    df = spread_small_scan(df)
+    with_cs = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.expr(
+            f"transform(sequence(1, length({text_col})), "
+            f"i -> substring({text_col}, i, 1))"
+        ).alias("_cs"),
+    )
+    entropy = F.expr(
+        "ROUND(LN(n_chars) - "
+        "aggregate(transform(array_distinct(_cs), "
+        "d -> size(filter(_cs, c -> c = d))), "
+        "CAST(0.0 AS DOUBLE), (a, n) -> a + n * LN(n)) "
+        "/ n_chars, 4)"
+    )
+    return with_cs.select(id_col, "n_chars", entropy.alias("entropy"))

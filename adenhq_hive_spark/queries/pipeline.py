@@ -1409,6 +1409,38 @@ Q(QuerySpec(
 
 
 Q(QuerySpec(
+    name="pl_char_entropy",
+    doc="Per-doc Shannon character entropy (nats) — the gibberish "
+        "detector: base64/hex/packed blobs score near ln(alphabet), "
+        "repeated-char spam scores near 0, natural language sits in a "
+        "stable mid band (operators/text.py:char_entropy). In-row "
+        "exact-integer counts, map-only (the explode formulation "
+        "would shuffle one row per corpus CHARACTER); ln + ROUND(4) "
+        "portability device.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["char_entropy"]
+    ).char_entropy(load_table(spark, sf, "documents"))
+    .orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH cs AS (
+          SELECT doc_id, len(text) AS n_chars,
+                 list_transform(range(1, len(text) + 1),
+                                i -> substr(text, i, 1)) AS chars
+          FROM documents WHERE len(text) > 0
+        )
+        SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+               ROUND(ln(n_chars) - list_aggregate(
+                 list_transform(
+                   list_transform(list_distinct(chars),
+                     d -> len(list_filter(chars, c -> c = d))),
+                   c -> c * ln(c)), 'sum') / n_chars, 4) AS entropy
+        FROM cs
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
     name="pl_winnow_pairs",
     doc="Partial-copy candidate pairs via winnowing fingerprints "
         "(Schleimer/Wilkerson/Aiken 2003, the MOSS scheme; operators/"
@@ -1418,13 +1450,18 @@ Q(QuerySpec(
         "docs (whole-doc jaccard tiers can't). Guarantee: any shared "
         "substring >= k+w-1 = 8 chars yields a shared fingerprint. "
         "Map-only fingerprinting, inverted-index pair join; "
-        "max_fp_df caps boilerplate keys at scale (same contract as "
-        "max_shingle_df).",
+        "max_fp_df=50 caps boilerplate keys (same contract as "
+        "max_shingle_df) — synthetic docs share template passages, and "
+        "an uncapped hot fingerprint fans the pair join out "
+        "quadratically (measured: 12 s -> 14 MIN from sf0.1 to sf1 "
+        "before the cap); the oracle applies the identical cap, so the "
+        "hash row pins the capped semantics.",
     builder=lambda spark, sf: __import__(
         "adenhq_hive_spark.operators.search",
         fromlist=["winnow_overlap_pairs"],
     ).winnow_overlap_pairs(
-        load_table(spark, sf, "documents"), k=5, w=4, min_shared=3
+        load_table(spark, sf, "documents"), k=5, w=4, min_shared=3,
+        max_fp_df=50,
     ),
     oracle_sql_str="""
         WITH g AS (
@@ -1441,9 +1478,13 @@ Q(QuerySpec(
                    range(1, greatest(len(hs) - 4 + 1, 1) + 1),
                    j -> list_min(hs[j:j+3])))) AS fp
           FROM g WHERE len(hs) >= 1
-        )
+        ),
+        cool AS (
+          SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50
+        ),
+        live AS (SELECT f.* FROM fp f JOIN cool USING (fp))
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
-        FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+        FROM live a JOIN live b ON a.fp = b.fp AND a.id < b.id
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= 3
         ORDER BY id_a, id_b

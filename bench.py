@@ -62,6 +62,9 @@ HEADLINE = [
     "pl_source_scorecard",  # per-source governance table
     "pl_hot_shingles",   # boilerplate census sizing max_shingle_df
     "pl_bm25",           # BM25 ranked retrieval (query-sized shuffle)
+    "pl_bigram_logprob", # bigram-LM quality proxy (keyed shuffle join)
+    "pl_char_entropy",   # in-row Shannon entropy gibberish filter
+    "pl_winnow_pairs",   # MOSS winnowing partial-copy pairs (capped)
 ]
 
 

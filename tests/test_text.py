@@ -512,3 +512,30 @@ def test_bigram_logprob_sees_word_order(spark):
     got = {r["doc_id"]: r["avg_neg_logp"]
            for r in bigram_logprob(df).collect()}
     assert got[100] > got[0]
+
+
+def test_char_entropy_separates_blob_spam_and_language(spark):
+    """The filter's reason to exist: repeated-char spam ~0 nats,
+    base64-ish blobs near ln(alphabet), English in between; exact
+    value pinned for a two-symbol doc (H = ln 2 at 50/50)."""
+    import math
+
+    from adenhq_hive_spark.operators.text import char_entropy
+
+    blob = "QWxhZGRpbjpvcGVuIHNlc2FtZQ93c5X2kL8mN4pR7vT1yU6iO0eZaBcD"
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),
+            (2, "abab"),
+            (3, "the cat sat on the mat by the door"),
+            (4, blob),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 5 not in got                      # empty docs excluded
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["entropy"] == round(math.log(2), 4)
+    assert got[1]["entropy"] < got[3]["entropy"] < got[4]["entropy"]
+    assert got[4]["n_chars"] == len(blob)
