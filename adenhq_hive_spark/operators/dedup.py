@@ -1052,3 +1052,112 @@ def hot_shingles(
         .orderBy(F.col("df").desc(), "shingle")
         .limit(top)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(a in b) = |A ∩ B| / |A|
+    over distinct word-k-gram shingle sets (Broder 1997's containment
+    measure — the companion to resemblance/jaccard).  Finds the pair
+    shapes symmetric tiers miss: a short document quoted whole inside a
+    long one has jaccard ~ |A|/|B| (tiny) but containment ~ 1.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shingles
+    computed once, posting lists expanded to ordered in-group pairs
+    JVM-side, one shuffle on the shingle key); the per-pair intersection
+    feeds BOTH directions of the asymmetric measure, so the join cost is
+    identical to the symmetric tier.  ``max_shingle_df`` is the same
+    boilerplate hot-key cap (candidates only).  Docs with fewer than
+    ``min_shingles`` distinct shingles are excluded (a 1-shingle doc is
+    trivially "contained" everywhere — pure noise).
+
+    Emits (id_sub, id_sup, containment): id_sub's shingle set is
+    ``containment``-covered by id_sup's.  Values exact (frac4 half-up).
+    """
+    from ..catalog import spread_small_scan
+
+    sh = spread_small_scan(df).select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+    )
+    sh = _materialize(sh)
+    sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(
+        F.col("n_sh") >= min_shingles
+    )
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    postings = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if max_shingle_df is not None:
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    pair_struct = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    from .text import frac4
+
+    if max_shingle_df is not None:
+        # candidates only; verify with the FULL shingle sets so the cap
+        # never changes a reported containment value (the
+        # ngram_jaccard_pairs capped-branch contract)
+        cand = (
+            postings.filter(F.size("ids") > 1)
+            .select(F.explode(F.expr(pair_struct)).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = cand.union(
+            cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        with_sets = (
+            cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .join(sizes.select(F.col("id").alias("id_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b")), "id_b")
+        )
+        return (
+            with_sets.withColumn(
+                "containment",
+                frac4(
+                    F.size(F.array_intersect("sh_a", "sh_b")), F.size("sh_a")
+                ),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select(
+                F.col("id_a").alias("id_sub"),
+                F.col("id_b").alias("id_sup"),
+                "containment",
+            )
+        )
+    inter = (
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_struct)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # both directions from the one intersection table (no second join
+    # pass): unordered (a < b) pair -> the two ordered candidate rows
+    both = inter.union(
+        inter.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "n_inter"
+        )
+    )
+    return (
+        both.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn("containment", frac4(F.col("n_inter"), F.col("n_a")))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("id_sub"),
+            F.col("id_b").alias("id_sup"),
+            "containment",
+        )
+    )

@@ -794,3 +794,161 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "rank", "neg_id", "cosine")
     )
+
+
+def _train_pq_codebooks(
+    mat: np.ndarray, m: int, n_codes: int, seed: int, iters: int = 20
+) -> np.ndarray:
+    """Deterministic per-subvector Lloyd k-means: split each training
+    row into ``m`` contiguous subvectors, cluster each subspace
+    independently (L2). Returns (m, n_codes, dsub) codebooks."""
+    n, d = mat.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subvectors")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        k = min(n_codes, len(sub))
+        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k < n_codes:  # pad with copies so code values stay in range
+            cent = np.vstack([cent, np.repeat(cent[:1], n_codes - k, axis=0)])
+        books[j] = cent
+    return books
+
+
+def pq_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 65_536,
+    refine: int = 0,
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization (Jégou,
+    Douze, Schmid 2011 — the FAISS ``PQ`` index) with asymmetric
+    distance computation (ADC), optionally with an exact re-rank
+    refinement stage (``refine`` > 0: ADC retrieves a shortlist of
+    ``refine * k`` candidates per query, which are re-scored with
+    their FULL vectors — the FAISS ``IndexRefineFlat`` pattern; the
+    exact pass touches only shortlist-many vectors, so the scan
+    economics survive while recall climbs from code-resolution-bound
+    to shortlist-bound).
+
+    THE memory story for ANN at 100 TB: each unit-normalized vector is
+    compressed to ``m`` sub-codes (here 8 codes x 16 centroids = 8
+    half-bytes — a 64-d float32 vector's 256 B become 4-8 B, 32-64x),
+    so a trillion-vector index fits a cluster's RAM where raw vectors
+    cannot.  Build: codebooks trained driver-side on a hard-bounded
+    sample (the FAISS pattern — training subsamples, encoding is the
+    distributed full pass), broadcast, one Arrow-batch argmin per
+    subvector.  Query: per (query, subvector) partial-dot lookup tables
+    (m x n_codes floats per query — tiny, broadcast); approximate
+    cosine = sum of m table lookups per candidate, one vectorized
+    numpy gather per Arrow batch.  Exactness: scores are approximate
+    (quantized candidates), ranking gated by recall@k vs the exact
+    tier (pl_pq_recall), the same contract as the LSH/IVF tiers.
+    """
+    spark = vectors.sparkSession
+
+    def unit(df: DataFrame, ident: str) -> DataFrame:
+        n = _norm(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.transform(vec_col, lambda x: x.cast("double") / n).alias(f"{ident}_v"),
+        )
+
+    v = unit(vectors, "cand_id")
+    q = unit(queries, "query_id")
+
+    sample = np.array(
+        [r[0] for r in v.select("cand_id_v").limit(max_train_rows).collect()],
+        dtype=np.float64,
+    )
+    if sample.size == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    books = _train_pq_codebooks(sample, m, n_codes, seed)
+    dsub = books.shape[2]
+    bc = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf("array<int>")
+    def encode(vcol: pd.Series) -> pd.Series:
+        mat = np.array(list(vcol), dtype=np.float64)
+        codes = np.empty((len(mat), len(bc.value)), dtype=np.int32)
+        for j, cent in enumerate(bc.value):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(codes.tolist())
+
+    # (n_queries, m, n_codes) ADC tables: partial dot of each query
+    # subvector with every centroid. Queries are the SMALL side by
+    # contract (an anchor/probe set) — collected + broadcast whole.
+    qrows = q.collect()
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["query_id_v"] for r in qrows], dtype=np.float64)
+    tabs = np.einsum("qjd,jcd->qjc",
+                     qmat.reshape(len(qmat), len(books), dsub), books)
+    bt = spark.sparkContext.broadcast((qids, tabs))
+
+    codes_df = v.select("cand_id", encode("cand_id_v").alias("codes"))
+
+    def score_batches(it):
+        ids, tables = bt.value
+        for pdf in it:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            arange = np.arange(codes.shape[1])
+            for qi, qid in enumerate(ids):
+                # gather: sum_j tables[qi, j, codes[:, j]]
+                s = tables[qi][arange[None, :], codes].sum(axis=1)
+                yield pd.DataFrame({
+                    "query_id": np.full(len(pdf), qid, dtype=np.int64),
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "cosine": np.round(s, 4),
+                })
+
+    scored = codes_df.mapInPandas(
+        score_batches, "query_id long, cand_id long, cosine double"
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cosine")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine * k)
+        .select("query_id", "cand_id")
+    )
+    exact = (
+        shortlist.join(v, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_dot(F.col("query_id_v"), F.col("cand_id_v")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )

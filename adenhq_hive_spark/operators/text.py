@@ -821,3 +821,152 @@ def char_entropy(
         "/ n_chars, 4)"
     )
     return with_cs.select(id_col, "n_chars", entropy.alias("entropy"))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style blocklist page filter (Raffel et al. 2020 drop pages
+    containing any "bad word"; the reference's content-guard analog is
+    its LLM-judged hallucination gate, operators/guard.py — this is the
+    deterministic lexical tier that runs BEFORE any model).
+
+    One compiled alternation regex with word boundaries, evaluated
+    JVM-side (``regexp_count`` — map-only, whole-stage codegen, zero
+    shuffle), so at 100 TB this is a pure scan-stage filter with full
+    predicate pushdown of any upstream column pruning.  Adds
+    ``bl_hits`` (total blocklisted-term occurrences, case-insensitive)
+    and ``bl_pass`` (hits <= max_hits).  Terms are regex-escaped and
+    sorted so the pattern is deterministic for a given set.
+    """
+    import re
+
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    for w in blocklist:
+        # \b anchors only delimit word-character edges, and the oracle
+        # engine (RE2) has no lookarounds to offer instead — so the
+        # operator's contract is word-edged terms (C4's list is).
+        if not w or not (re.match(r"\w", w[0]) and re.match(r"\w", w[-1])):
+            raise ValueError(
+                f"blocklist term {w!r} must start and end with a word "
+                "character (\\b boundary semantics)"
+            )
+    pattern = (
+        r"\b(?:" + "|".join(re.escape(w.lower()) for w in sorted(set(blocklist)))
+        + r")\b"
+    )
+    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern))
+    return df.withColumn("bl_hits", hits).withColumn(
+        "bl_pass", hits <= F.lit(max_hits)
+    )
+
+
+def zipf_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """Vocabulary head-coverage: for each K in ``ks``, how many corpus
+    token occurrences are covered by the K most frequent types — the
+    Zipf curve summary that sizes tokenizer vocabularies and detects
+    boilerplate-dominated corpora (a healthy natural corpus covers
+    ~45%% at K=100; near-100%% means template spam).
+
+    Scale shape: token-count aggregation (one shuffle, map-side
+    partial), then the top-``max(ks)`` types via orderBy+limit
+    (TakeOrderedAndProject — NO global window over the full vocabulary,
+    which at 100 TB holds billions of noise types), a row_number over
+    the <= max(ks) surviving rows, and a broadcast join against the
+    threshold list.  Emits one row per K: (k, n_types_used,
+    covered_tokens, share) with ``share`` as the exact half-up
+    integer-arithmetic fraction (frac4 contract).
+    """
+    spark = df.sparkSession
+    kmax = max(ks)
+    toks = df.select(
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                           lambda t: t != "")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total_tokens"))
+    top = freq.orderBy(F.desc("c"), "tok").limit(kmax)
+    # post-limit window over <= kmax rows — the established bm25
+    # pattern (operators/search.py): single-partition is fine at k rows
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    ks_df = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k int")
+    cov = (
+        ranked.join(F.broadcast(ks_df), F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_types_used"), F.sum("c").alias("covered_tokens"))
+    )
+    return (
+        cov.join(F.broadcast(total))
+        .select(
+            "k",
+            "n_types_used",
+            "covered_tokens",
+            frac4(F.col("covered_tokens"), F.col("total_tokens")).alias("share"),
+        )
+        .orderBy("k")
+    )
+
+
+def source_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-source distinctive vocabulary: for every (source, token),
+    the log-lift of the token's in-source rate over its corpus rate
+    (ln((c_s/n_s)/(c/n)), add-nothing — min_count filters the noise
+    floor instead), top-``top_k`` per source by (lift desc, tok asc).
+    The corpus-governance staple: "what is domain X actually about",
+    the input to mixture-weight and decontamination decisions.
+
+    Scale shape: one token explode feeding BOTH aggregations
+    (per-source counts, then corpus counts derived from them — the
+    corpus table is never re-scanned), corpus totals broadcast, corpus
+    per-token counts joined on the token KEY (shuffle by design: the
+    token vocabulary is not broadcastable at 100 TB), final top-k via a
+    window partitioned BY SOURCE (bounded per-partition work; no
+    global ordering).
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                           lambda t: t != "")).alias("tok"),
+    )
+    tf_s = ex.groupBy("grp", "tok").agg(F.count("*").alias("c_s"))
+    tf = tf_s.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    n_s = tf_s.groupBy("grp").agg(F.sum("c_s").alias("n_s"))
+    tot = tf.agg(F.sum("c").alias("n"))
+    lift = F.round(
+        F.log(
+            (F.col("c_s").cast("double") * F.col("n"))
+            / (F.col("n_s").cast("double") * F.col("c"))
+        ),
+        4,
+    )
+    scored = (
+        tf_s.filter(F.col("c_s") >= min_count)
+        .join(tf, "tok")
+        .join(F.broadcast(n_s), "grp")
+        .join(F.broadcast(tot))
+        .withColumn("lift", lift)
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("lift").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col), "rank", "tok", "c_s", "lift"
+        )
+    )

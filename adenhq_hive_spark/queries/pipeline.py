@@ -3621,3 +3621,189 @@ Q(QuerySpec(
         ORDER BY source NULLS LAST, bucket NULLS LAST
     """,
 ))
+
+
+# ---- round-5 second window: cleaning / governance / PQ tiers --------------
+
+Q(QuerySpec(
+    name="pl_blocklist",
+    doc="C4-style blocklist page filter (operators/text.py:"
+        "blocklist_filter): word-boundary alternation regex counted "
+        "JVM-side (regexp_count — map-only, zero shuffle at any "
+        "scale), hits + pass flag per doc. Oracle: RE2 "
+        "regexp_extract_all length on the identical pattern.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["blocklist_filter"]
+    ).blocklist_filter(load_table(spark, sf, "documents"), ["drop", "slow"])
+    .select("doc_id", "bl_hits", "bl_pass")
+    .orderBy("doc_id"),
+    oracle_sql_str=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(?:drop|slow)\b')) AS INT) AS bl_hits,
+               len(regexp_extract_all(lower(text),
+                    '\b(?:drop|slow)\b')) <= 0 AS bl_pass
+        FROM documents
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_zipf_coverage",
+    doc="Vocabulary head-coverage (operators/text.py:zipf_coverage): "
+        "token share covered by the top-K types, K in (10,100,1000) — "
+        "the Zipf summary that sizes tokenizer vocabularies. Scale "
+        "shape: agg + TakeOrderedAndProject top-K (no global window "
+        "over the full vocabulary) + broadcast threshold join; share "
+        "is the exact frac4 integer fraction.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["zipf_coverage"]
+    ).zipf_coverage(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '')) AS tok
+          FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+        ranked AS (
+          SELECT tok, c,
+                 row_number() OVER (ORDER BY c DESC, tok) AS rank
+          FROM freq
+        ),
+        tot AS (SELECT SUM(c) AS total_tokens FROM freq),
+        ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        SELECT k, COUNT(*) AS n_types_used,
+               CAST(SUM(c) AS BIGINT) AS covered_tokens,
+               CAST((CAST(SUM(c) AS BIGINT) * 20000 + t.total_tokens)
+                    // (2 * t.total_tokens) AS DOUBLE) / 10000 AS share
+        FROM ranked JOIN ks ON rank <= k CROSS JOIN tot t
+        GROUP BY k, t.total_tokens
+        ORDER BY k
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_source_keywords",
+    doc="Per-source distinctive vocabulary by corpus-relative log-lift "
+        "(operators/text.py:source_keywords): one explode feeds both "
+        "aggregation levels, corpus totals broadcast, per-token corpus "
+        "counts joined on the token key (the vocabulary is not "
+        "broadcastable at 100 TB), top-5 per source via a window "
+        "partitioned BY SOURCE. ln + ROUND(4) portability device "
+        "(established by pl_unigram_logprob).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["source_keywords"]
+    ).source_keywords(load_table(spark, sf, "documents"),
+                      top_k=5, min_count=5)
+    .orderBy("source", "rank"),
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT source AS grp,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '')) AS tok
+          FROM documents
+        ),
+        tf_s AS (SELECT grp, tok, COUNT(*) AS c_s FROM ex GROUP BY grp, tok),
+        tf AS (SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c FROM tf_s GROUP BY tok),
+        ns AS (SELECT grp, CAST(SUM(c_s) AS BIGINT) AS n_s FROM tf_s GROUP BY grp),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf),
+        scored AS (
+          SELECT s.grp, s.tok, s.c_s,
+                 ROUND(ln((CAST(s.c_s AS DOUBLE) * t.n)
+                          / (CAST(ns.n_s AS DOUBLE) * f.c)), 4) AS lift
+          FROM tf_s s
+          JOIN tf f USING (tok) JOIN ns USING (grp) CROSS JOIN tot t
+          WHERE s.c_s >= 5
+        ),
+        rk AS (
+          SELECT grp, tok, c_s, lift,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY lift DESC, tok) AS rank
+          FROM scored
+        )
+        SELECT grp AS source, CAST(rank AS INT) AS rank, tok, c_s, lift
+        FROM rk WHERE rank <= 5
+        ORDER BY source, rank
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_containment",
+    doc="Asymmetric shingle-containment pairs (Broder 1997 containment "
+        "C(A in B) = |A∩B|/|A|; operators/dedup.py:containment_pairs) — "
+        "catches a short doc quoted whole inside a long one, where "
+        "jaccard ~ |A|/|B| stays under every symmetric threshold. Same "
+        "inverted-index single-shuffle shape as pl_ngram_jaccard; both "
+        "directions derived from ONE intersection table. frac4-exact "
+        "values.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup", fromlist=["containment_pairs"]
+    ).containment_pairs(load_table(spark, sf, "documents"),
+                        k=3, threshold=0.9, min_shingles=5)
+    .orderBy("id_sub", "id_sup"),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ),
+        sizes AS (SELECT id, len(shs) AS n FROM sh WHERE len(shs) >= 5),
+        ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id <> b.id
+          GROUP BY a.id, b.id
+        )
+        SELECT i.id_a AS id_sub, i.id_b AS id_sup,
+               CAST((i.n_inter * 20000 + sa.n)
+                    // (2 * sa.n) AS DOUBLE) / 10000 AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE (i.n_inter * 20000 + sa.n) // (2 * sa.n) >= 9000
+        ORDER BY id_sub, id_sup
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_pq_topk",
+    doc="Approximate cosine top-5 via product quantization + exact "
+        "refine (operators/similarity.py:pq_cosine_topk — Jégou 2011 "
+        "ADC; 16 subvectors x 16 centroids = 64-bit codes, 32x vector "
+        "compression, refine=8 exact re-rank of the ADC shortlist). "
+        "Quality driver-visible via pl_pq_recall.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity", fromlist=["pq_cosine_topk"]
+    ).pq_cosine_topk(*_queries_vecs(spark, sf), k=5, m=16, refine=8),
+    has_oracle=False,
+))
+
+
+Q(QuerySpec(
+    name="pl_pq_recall",
+    doc="Driver-visible PQ quality gate: recall@5 of pl_pq_topk's "
+        "configuration (m=16, 16 centroids, refine=8) vs the exact "
+        "tier, in-engine; oracle pins (n_exact=25, recall_ok=true) at "
+        ">= 0.6 (measured 0.84 at sf0.1, 0.80 at sf0.01; refine=4 "
+        "dips to 0.56 at sf0.1 and m=8 unrefined to 0.28 — the exact "
+        "re-rank of the 8k-deep ADC shortlist is what buys the "
+        "margin).",
+    builder=lambda spark, sf: _recall_vs_exact(
+        __import__(
+            "adenhq_hive_spark.operators.similarity",
+            fromlist=["pq_cosine_topk"],
+        ).pq_cosine_topk(*_queries_vecs(spark, sf), k=5, m=16, refine=8),
+        cosine_topk(*_queries_vecs(spark, sf), k=5),
+        threshold=0.6,
+    ),
+    oracle_sql_str="""
+        SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS recall_ok
+    """,
+))

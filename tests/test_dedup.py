@@ -434,3 +434,70 @@ def test_hot_shingles_census(spark):
     )
     got = {r.shingle: r.df for r in hot_shingles(rep, top=10).collect()}
     assert got["a b c"] == 2
+
+
+# ---- containment_pairs ----------------------------------------------------
+
+
+def test_containment_quoted_doc_found_where_jaccard_misses(spark):
+    from adenhq_hive_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta"
+    long = short + (
+        " one two three four five six seven eight nine ten"
+        " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+        " eighteen nineteen twenty twentyone twentytwo twentythree"
+        " twentyfour twentyfive twentysix twentyseven twentyeight"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, threshold=0.9, min_shingles=3).collect()
+    assert [(r.id_sub, r.id_sup, r.containment) for r in cont] == [(1, 2, 1.0)]
+    # the symmetric tier at 0.5 cannot see this pair
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_is_directional(spark):
+    from adenhq_hive_spark.operators.dedup import containment_pairs
+
+    a = "one two three four five six seven"
+    b = a + " eight nine ten eleven twelve thirteen fourteen fifteen"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = containment_pairs(df, threshold=0.3, min_shingles=3).collect()
+    got = {(r.id_sub, r.id_sup): r.containment for r in rows}
+    # A fully inside B; B only partially covered by A
+    assert got[(1, 2)] == 1.0
+    assert got[(2, 1)] < 1.0
+
+
+def test_containment_min_shingles_drops_trivial_docs(spark):
+    from adenhq_hive_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc here"), (2, "tiny doc here plus more words after")],
+        "doc_id long, text string",
+    )
+    # doc 1 has 1 shingle -> excluded by the default floor
+    assert containment_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_hot_shingle_cap_keeps_values_exact(spark):
+    from adenhq_hive_spark.operators.dedup import containment_pairs
+
+    base = "shared template words forming boilerplate shingles always present"
+    df = spark.createDataFrame(
+        [(i, base + f" unique{i} tail{i} words{i} here{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.id_sub, r.id_sup): r.containment
+        for r in containment_pairs(df, threshold=0.3).collect()
+    }
+    capped_rows = containment_pairs(df, threshold=0.3, max_shingle_df=3).collect()
+    for r in capped_rows:
+        # the cap may drop candidates but must never change a value
+        assert uncapped[(r.id_sub, r.id_sup)] == r.containment

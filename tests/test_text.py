@@ -539,3 +539,125 @@ def test_char_entropy_separates_blob_spam_and_language(spark):
     assert got[2]["entropy"] == round(math.log(2), 4)
     assert got[1]["entropy"] < got[3]["entropy"] < got[4]["entropy"]
     assert got[4]["n_chars"] == len(blob)
+
+
+# ---- blocklist_filter -----------------------------------------------------
+
+
+def test_blocklist_word_boundaries_and_case(spark):
+    from adenhq_hive_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the slow fox is slow"),
+            (2, "clean text here"),
+            (3, "Slowly DROP the drop"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.bl_hits, r.bl_pass)
+        for r in blocklist_filter(df, ["slow", "drop"]).collect()
+    }
+    assert out[1] == (2, False)
+    assert out[2] == (0, True)
+    # 'Slowly' is NOT a word-boundary match; 'DROP' and 'drop' both are
+    assert out[3] == (2, False)
+
+
+def test_blocklist_max_hits_tolerance(spark):
+    from adenhq_hive_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "one slow word")], "doc_id long, text string")
+    assert blocklist_filter(df, ["slow"], max_hits=1).collect()[0].bl_pass is True
+
+
+def test_blocklist_empty_list_raises(spark):
+    from adenhq_hive_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_filter(df, [])
+
+
+def test_blocklist_internal_metachars_escaped(spark):
+    from adenhq_hive_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "send e-mail today"), (2, "send exmail today")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bl_hits for r in blocklist_filter(df, ["e-mail"]).collect()}
+    # the hyphen is literal: 'e-mail' matches, 'exmail' does not
+    assert out[1] == 1 and out[2] == 0
+
+
+def test_blocklist_non_word_edged_term_raises(spark):
+    from adenhq_hive_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        # \b cannot bound a ')' edge (and RE2 oracles have no lookarounds)
+        blocklist_filter(df, ["f(x)"])
+
+
+# ---- zipf_coverage --------------------------------------------------------
+
+
+def test_zipf_coverage_exact_small(spark):
+    from adenhq_hive_spark.operators.text import zipf_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # freq: a=3, b=2, c=1; total 6
+    rows = {r.k: r for r in zipf_coverage(df, ks=(1, 2, 3)).collect()}
+    assert rows[1].covered_tokens == 3 and rows[1].share == 0.5
+    assert rows[2].covered_tokens == 5 and rows[2].share == 0.8333
+    assert rows[3].covered_tokens == 6 and rows[3].share == 1.0
+    assert rows[3].n_types_used == 3
+
+
+def test_zipf_coverage_k_larger_than_vocab(spark):
+    from adenhq_hive_spark.operators.text import zipf_coverage
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    row = zipf_coverage(df, ks=(1000,)).collect()[0]
+    assert row.n_types_used == 2 and row.share == 1.0
+
+
+def test_zipf_coverage_no_global_window_over_vocab(spark):
+    """The full-vocabulary stage must be TakeOrderedAndProject (orderBy +
+    limit), never a global row_number over every type."""
+    from adenhq_hive_spark.operators.text import zipf_coverage
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = zipf_coverage(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---- source_keywords ------------------------------------------------------
+
+
+def test_source_keywords_surfaces_distinctive_token(spark):
+    from adenhq_hive_spark.operators.text import source_keywords
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha common filler words here", "A"))
+        rows.append((100 + i, "beta common filler words here", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_keywords(df, top_k=1, min_count=5).collect()
+    top = {r.source: r.tok for r in out}
+    assert top == {"A": "alpha", "B": "beta"}
+
+
+def test_source_keywords_min_count_floor(spark):
+    from adenhq_hive_spark.operators.text import source_keywords
+
+    df = spark.createDataFrame(
+        [(1, "rare word soup", "A"), (2, "word soup word soup word", "B")],
+        "doc_id long, text string, source string",
+    )
+    toks = {r.tok for r in source_keywords(df, min_count=5).collect()}
+    assert "rare" not in toks  # appears once, under the floor
