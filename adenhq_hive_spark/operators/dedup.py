@@ -1161,3 +1161,57 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word-
+    k-gram shingles that appear in NO other document — the per-doc
+    attribution twin of :func:`hot_shingles` (which censuses the
+    corpus side).  Low novelty = template/boilerplate page; ~1.0 =
+    unique content.  The ranking signal curation recipes use to pick
+    cluster representatives and to down-weight mirror-heavy sources.
+
+    Scale shape: one shingle explode, per-shingle document frequency
+    (map-side-combined count), join back on the shingle key, per-doc
+    aggregate — two key shuffles, no pair join, no driver state.
+    Emits (id_col, n_sh, n_shared, novelty) with frac4-exact values;
+    docs with zero shingles report novelty 1.0.
+    """
+    from ..catalog import spread_small_scan
+
+    from .text import frac4
+
+    sh = spread_small_scan(df).select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+    )
+    sh = _materialize(sh)
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    shared = (
+        ex.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    base = sh.select("id", F.size("sh").alias("n_sh0"))
+    return (
+        base.join(shared.drop("n_sh"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_sh0").alias("n_sh"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(F.col("n_sh0") == 0, F.lit(1.0)).otherwise(
+                frac4(
+                    F.col("n_sh0") - F.coalesce("n_shared", F.lit(0)),
+                    F.col("n_sh0"),
+                )
+            ).alias("novelty"),
+        )
+    )

@@ -509,3 +509,73 @@ def winnow_overlap_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (Cormack, Clarke, Büttcher 2009): fuse the BM25 top-``pool`` and
+    the exact-cosine top-``pool`` lists by
+
+        rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))
+
+    — the standard production pattern (Elasticsearch/Vespa hybrid
+    mode): rank positions, not incomparable scores, are what fuse.
+
+    Scale shape: each leg keeps its own optimal plan (BM25's
+    query-sized shuffle; cosine's broadcast-query BLAS) and the fusion
+    joins two <= pool-row relations — driver-negligible at any corpus
+    size.  A doc appearing in only one list contributes only that
+    list's term (full outer join, missing rank -> no contribution).
+    Output: (id_col, rank, rrf, bm25_rank, cos_rank).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    lex = bm25_search(docs, query_terms, k=pool, id_col=id_col).select(
+        F.col(id_col).alias("id"), F.col("rank").alias("bm25_rank")
+    )
+    sem = (
+        cosine_topk(
+            vectors,
+            vectors.filter(F.col(vec_id_col) == query_vec_id),
+            k=pool,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+        .select(F.col("cand_id").alias("id"), F.col("rank").alias("cos_rank"))
+    )
+    fused = lex.join(sem, "id", "full_outer").withColumn(
+        "rrf",
+        F.round(
+            F.when(
+                F.col("bm25_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("bm25_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("cos_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("cos_rank")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "id")
+    # post-join window over <= 2*pool rows (the bm25 post-limit pattern)
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", "rrf", "bm25_rank", "cos_rank"
+        )
+    )

@@ -3807,3 +3807,198 @@ Q(QuerySpec(
         SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS recall_ok
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_hybrid_search",
+    doc="Hybrid lexical+semantic retrieval via reciprocal-rank fusion "
+        "(operators/search.py:hybrid_search — Cormack 2009 RRF, "
+        "k_rrf=60, the Elasticsearch/Vespa hybrid-mode recipe): BM25 "
+        "top-20 and exact-cosine top-20 fused on rank positions; each "
+        "leg keeps its own optimal plan (query-sized shuffle / "
+        "broadcast-query BLAS) and fusion joins two <= 20-row "
+        "relations. Oracle composes the proven pl_bm25 + "
+        "pl_cosine_topk formulations.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.search", fromlist=["hybrid_search"]
+    ).hybrid_search(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "embeddings"),
+        ["spark", "window", "merge"],
+        query_vec_id=0, k=10, pool=20,
+    ),
+    oracle_sql_str="""
+        WITH lens AS (
+          SELECT doc_id AS id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS dl
+          FROM documents
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+        ),
+        hits AS (
+          SELECT doc_id AS id, term, COUNT(*) AS tf
+          FROM (
+            SELECT doc_id, unnest(list_filter(
+                   string_split(lower(text), ' '), x -> x <> '')) AS term
+            FROM documents
+          )
+          WHERE term IN ('merge', 'spark', 'window')
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+        bscored AS (
+          SELECT h.id,
+                 SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (h.tf * 2.2)
+                   / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+                 ) AS raw
+          FROM hits h
+          JOIN dfreq d USING (term)
+          JOIN lens l ON l.id = h.id
+          CROSS JOIN stats s
+          GROUP BY h.id
+        ),
+        lex AS (
+          SELECT id, CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(raw, 4) DESC, id) AS INT) AS bm25_rank
+          FROM bscored
+          ORDER BY ROUND(raw, 4) DESC, id
+          LIMIT 20
+        ),
+        sem AS (
+          SELECT cand_id AS id, CAST(rank AS INT) AS cos_rank FROM (
+            SELECT v.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY ROUND(list_cosine_similarity(
+                                  CAST(q.embedding AS DOUBLE[]),
+                                  CAST(v.embedding AS DOUBLE[])), 4)
+                              DESC, v.vec_id) AS rank
+            FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id = 0
+          ) t WHERE rank <= 20
+        ),
+        fused AS (
+          SELECT COALESCE(l.id, s.id) AS id, l.bm25_rank, s.cos_rank,
+                 ROUND(
+                   COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
+                   + COALESCE(1.0 / (60 + s.cos_rank), 0.0), 6) AS rrf
+          FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+        )
+        SELECT id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS INT)
+                 AS rank,
+               rrf, bm25_rank, cos_rank
+        FROM fused
+        ORDER BY rrf DESC, id
+        LIMIT 10
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_novelty",
+    doc="Per-document novelty: fraction of a doc's distinct word-3-gram "
+        "shingles appearing in NO other document (operators/dedup.py:"
+        "shingle_novelty — the per-doc attribution twin of "
+        "pl_hot_shingles' corpus census; low = template page). Two key "
+        "shuffles (shingle df, then per-doc agg), no pair join. "
+        "frac4-exact.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup", fromlist=["shingle_novelty"]
+    ).shingle_novelty(load_table(spark, sf, "documents"))
+    .orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT doc_id AS id, list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+               AS shs
+          FROM documents
+        ),
+        ex AS (SELECT id, unnest(shs) AS shingle FROM sh),
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+        shared AS (
+          SELECT e.id,
+                 COUNT(*) AS n_sh,
+                 SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_shared
+          FROM ex e JOIN dfreq d USING (shingle)
+          GROUP BY e.id
+        )
+        SELECT s.id AS doc_id,
+               CAST(len(s.shs) AS INT) AS n_sh,
+               CAST(COALESCE(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+               CASE WHEN len(s.shs) = 0 THEN 1.0
+                    ELSE CAST(((len(s.shs) - COALESCE(sh2.n_shared, 0))
+                               * 20000 + len(s.shs))
+                              // (2 * len(s.shs)) AS DOUBLE) / 10000
+               END AS novelty
+        FROM sh s LEFT JOIN shared sh2 ON sh2.id = s.id
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_lang_mismatch",
+    doc="Per-source language-drift governance rollup: docs whose "
+        "heuristic lang-ID (operators/text.py:lang_id) disagrees with "
+        "the declared lang column — the mislabeled-subcorpus detector "
+        "that gates mixture-weight decisions. Map-only feature + one "
+        "grouped agg. frac4-exact mismatch share.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["lang_id", "frac4"]
+    ).lang_id(load_table(spark, sf, "documents"))
+    .groupBy("source")
+    .agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lang_pred") != F.col("lang"), 1).otherwise(0))
+        .alias("n_mismatch"),
+    )
+    .select(
+        "source", "n_docs", "n_mismatch",
+        __import__(
+            "adenhq_hive_spark.operators.text", fromlist=["frac4"]
+        ).frac4(F.col("n_mismatch"), F.col("n_docs")).alias("mismatch_frac"),
+    )
+    .orderBy("source"),
+    oracle_sql_str=r"""
+        WITH h AS (
+          SELECT source, lang,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['the','and','of','to','is'])) AS h_en,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['der','die','und','ist','nicht'])) AS h_de,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['el','la','que','de','es'])) AS h_es,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['le','la','et','est','les'])) AS h_fr,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['的','是','了','在','不'])) AS h_zh
+          FROM documents
+        ),
+        p AS (
+          SELECT source, lang,
+                 CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'de'
+                      WHEN h_es = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'es'
+                      WHEN h_fr = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'fr'
+                      ELSE 'zh' END AS lang_pred
+          FROM h
+        ),
+        agg AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END)
+                   AS n_mismatch
+          FROM p GROUP BY source
+        )
+        SELECT source, n_docs, CAST(n_mismatch AS BIGINT) AS n_mismatch,
+               CAST((n_mismatch * 20000 + n_docs) // (2 * n_docs)
+                    AS DOUBLE) / 10000 AS mismatch_frac
+        FROM agg
+        ORDER BY source
+    """,
+))

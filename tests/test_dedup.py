@@ -501,3 +501,42 @@ def test_containment_hot_shingle_cap_keeps_values_exact(spark):
     for r in capped_rows:
         # the cap may drop candidates but must never change a value
         assert uncapped[(r.id_sub, r.id_sup)] == r.containment
+
+
+# ---- shingle_novelty ------------------------------------------------------
+
+
+def test_novelty_unique_and_duplicated_docs(spark):
+    from adenhq_hive_spark.operators.dedup import shingle_novelty
+
+    same = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, "entirely different words appear here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in shingle_novelty(df).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[3].n_shared == 0 and out[3].n_sh == 4
+
+
+def test_novelty_empty_doc_reports_one(spark):
+    from adenhq_hive_spark.operators.dedup import shingle_novelty
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in shingle_novelty(df).collect()}
+    assert out[1].n_sh == 0 and out[1].novelty == 1.0
+
+
+def test_novelty_partial_overlap_exact_fraction(spark):
+    from adenhq_hive_spark.operators.dedup import shingle_novelty
+
+    # doc 1: shingles {a b c, b c d}; doc 2 shares exactly 'a b c'
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in shingle_novelty(df).collect()}
+    assert out[1].n_sh == 2 and out[1].n_shared == 1
+    assert out[1].novelty == 0.5

@@ -345,3 +345,79 @@ def test_winnow_hot_fp_cap_drops_boilerplate_keys(spark):
         k=5, w=4, min_shared=1, max_fp_df=3,
     ).count()
     assert uncapped > 0 and capped < uncapped
+
+
+# ---- hybrid_search (RRF) --------------------------------------------------
+
+
+def _hybrid_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge window spark merge"),
+            (1, "spark window table row"),
+            (2, "totally unrelated words here"),
+            (3, "filler content nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    # vec 2 is the best semantic match for query vec 0; vec 1 moderate
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.7, 0.7, 0.0]),
+            (2, [0.99, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return docs, emb
+
+
+def test_hybrid_doc_in_both_lists_wins(spark):
+    from adenhq_hive_spark.operators.search import hybrid_search
+
+    docs, emb = _hybrid_fixture(spark)
+    out = hybrid_search(
+        docs, emb, ["spark", "merge"], query_vec_id=0, k=4, pool=3
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 appears in BOTH lists -> two RRF terms; doc 0 only lexical,
+    # doc 2 only semantic
+    assert by_id[1].bm25_rank is not None and by_id[1].cos_rank is not None
+    assert out[0].doc_id == 1
+    assert by_id[1].rrf > by_id[0].rrf
+    assert by_id[1].rrf > by_id[2].rrf
+
+
+def test_hybrid_rrf_value_is_rank_reciprocal_sum(spark):
+    from adenhq_hive_spark.operators.search import hybrid_search
+
+    docs, emb = _hybrid_fixture(spark)
+    out = {
+        r.doc_id: r
+        for r in hybrid_search(
+            docs, emb, ["spark", "merge"], query_vec_id=0, k=4, pool=3
+        ).collect()
+    }
+    for r in out.values():
+        expect = 0.0
+        if r.bm25_rank is not None:
+            expect += 1.0 / (60 + r.bm25_rank)
+        if r.cos_rank is not None:
+            expect += 1.0 / (60 + r.cos_rank)
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
+
+
+def test_hybrid_single_leg_doc_still_surfaces(spark):
+    from adenhq_hive_spark.operators.search import hybrid_search
+
+    docs, emb = _hybrid_fixture(spark)
+    ids = {
+        r.doc_id
+        for r in hybrid_search(
+            docs, emb, ["unrelated"], query_vec_id=0, k=4, pool=3
+        ).collect()
+    }
+    # doc 2 is the only lexical hit for 'unrelated'; semantic-only docs
+    # from the cosine leg also appear
+    assert 2 in ids
