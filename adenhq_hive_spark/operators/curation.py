@@ -1170,3 +1170,40 @@ def length_buckets(
         )
         .orderBy(source_col, "bucket")
     )
+
+
+def event_sequences(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_len: int = 256,
+) -> DataFrame:
+    """Per-user ordered event-type sequences — the sequence-modeling
+    dataset builder (next-event-prediction / session-LM training): all
+    of a user's events sorted by (ts, id), types space-joined into one
+    training string, truncated to the first ``max_len`` events.
+
+    ``max_len`` is the scale knob: a bot user with 10^8 events would
+    otherwise build one unbounded in-memory array row (the same
+    hot-key contract as max_shingle_df); ``n_events`` still reports
+    the FULL count so truncation is visible downstream.  One shuffle
+    on the user key; the sort is array_sort inside the aggregate
+    (JVM-side, no window).  Emits (user_col, n_events, first_ts,
+    last_ts, seq_text).
+    """
+    ev = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col)))
+    )
+    seq = F.transform(F.slice(ev, 1, max_len), lambda s: s[type_col])
+    return (
+        df.groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.array_join(seq, " ").alias("seq_text"),
+        )
+        .orderBy(user_col)
+    )

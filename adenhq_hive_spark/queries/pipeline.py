@@ -4002,3 +4002,29 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_event_sequences",
+    doc="Per-user ordered event-type sequences (operators/curation.py:"
+        "event_sequences) — the next-event-prediction dataset builder: "
+        "(ts, event_id)-sorted types space-joined per user, truncated "
+        "at 256 events (hot-user cap; n_events keeps the full count). "
+        "One user-key shuffle, array_sort inside the aggregate — no "
+        "window. Oracle: ORDER BY list aggregation + slice.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["event_sequences"]
+    ).event_sequences(load_table(spark, sf, "events")),
+    oracle_sql_str="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               array_to_string(
+                 (list(event_type ORDER BY ts, event_id))[1:256], ' ')
+                 AS seq_text
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+))

@@ -65,6 +65,10 @@ HEADLINE = [
     "pl_bigram_logprob", # bigram-LM quality proxy (keyed shuffle join)
     "pl_char_entropy",   # in-row Shannon entropy gibberish filter
     "pl_winnow_pairs",   # MOSS winnowing partial-copy pairs (capped)
+    "pl_containment",    # asymmetric quoted-doc containment pairs
+    "pl_pq_topk",        # product-quantization ANN + exact refine
+    "pl_hybrid_search",  # BM25 + cosine reciprocal-rank fusion
+    "pl_novelty",        # per-doc unique-shingle share (df join-back)
 ]
 
 

@@ -932,3 +932,33 @@ def test_preference_pairs_null_scores_excluded(spark):
     r = got[0]
     assert (r["user_id"], r["chosen_id"], r["rejected_id"]) == ("g1", 1, 3)
     assert r["n_candidates"] == 2  # the null candidate never counted
+
+
+# ---- event_sequences ------------------------------------------------------
+
+
+def test_event_sequences_order_and_truncation(spark):
+    from datetime import datetime
+
+    from adenhq_hive_spark.operators.curation import event_sequences
+
+    rows = [
+        # user 1: out-of-insertion-order timestamps; tie on ts broken by id
+        (3, datetime(2026, 1, 1, 10, 0, 2), 1, "c"),
+        (1, datetime(2026, 1, 1, 10, 0, 0), 1, "a"),
+        (2, datetime(2026, 1, 1, 10, 0, 0), 1, "b"),
+        # user 2: four events, cap at 3 below
+        (4, datetime(2026, 1, 1, 9, 0, 0), 2, "w"),
+        (5, datetime(2026, 1, 1, 9, 1, 0), 2, "x"),
+        (6, datetime(2026, 1, 1, 9, 2, 0), 2, "y"),
+        (7, datetime(2026, 1, 1, 9, 3, 0), 2, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.user_id: r for r in event_sequences(df, max_len=3).collect()}
+    assert out[1].seq_text == "a b c"
+    # truncated to first 3 events but n_events reports the full count
+    assert out[2].seq_text == "w x y" and out[2].n_events == 4
+    assert out[2].first_ts == datetime(2026, 1, 1, 9, 0, 0)
+    assert out[2].last_ts == datetime(2026, 1, 1, 9, 3, 0)
