@@ -1195,14 +1195,11 @@ def shingle_novelty(
     shared = (
         ex.join(dfreq, "shingle")
         .groupBy("id")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
-        )
+        .agg(F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"))
     )
     base = sh.select("id", F.size("sh").alias("n_sh0"))
     return (
-        base.join(shared.drop("n_sh"), "id", "left")
+        base.join(shared, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("n_sh0").alias("n_sh"),

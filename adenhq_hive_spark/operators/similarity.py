@@ -62,6 +62,19 @@ def _pair_cosine(a: F.Column, b: F.Column) -> F.Column:
 _TOPK_SCHEMA = "query_id long, rank int, cand_id long, cosine double"
 
 
+def _unit_vectors(
+    df: DataFrame, id_col: str, vec_col: str, ident: str
+) -> DataFrame:
+    """id alias + unit-normalized double vector (``{ident}_v``) — the
+    shared pre-normalization step of the ANN tiers (cosine on unit
+    vectors = plain dot product)."""
+    n = _norm(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(ident),
+        F.transform(vec_col, lambda x: x.cast("double") / n).alias(f"{ident}_v"),
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -287,15 +300,8 @@ def ivf_cosine_topk(
     """
     spark = vectors.sparkSession
 
-    def unit(df: DataFrame, ident: str) -> DataFrame:
-        n = _norm(F.col(vec_col))
-        return df.select(
-            F.col(id_col).alias(ident),
-            F.transform(vec_col, lambda x: x.cast("double") / n).alias(f"{ident}_v"),
-        )
-
-    v = unit(vectors, "cand_id")
-    q = unit(queries, "query_id")
+    v = _unit_vectors(vectors, id_col, vec_col, "cand_id")
+    q = _unit_vectors(queries, id_col, vec_col, "query_id")
 
     # Training sample is hard-bounded by limit(); the driver never sees
     # more than max_train_rows vectors regardless of input size.
@@ -836,6 +842,7 @@ def pq_cosine_topk(
     seed: int = 42,
     max_train_rows: int = 65_536,
     refine: int = 0,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k cosine via product quantization (Jégou,
     Douze, Schmid 2011 — the FAISS ``PQ`` index) with asymmetric
@@ -862,19 +869,35 @@ def pq_cosine_topk(
     tier (pl_pq_recall), the same contract as the LSH/IVF tiers.
     """
     spark = vectors.sparkSession
+    for side, name in ((queries, "queries"), (vectors, "vectors")):
+        id_type = dict(side.dtypes).get(id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"pq_cosine_topk requires an integral id column; "
+                f"{name} {id_col!r} is {id_type!r}"
+            )
 
-    def unit(df: DataFrame, ident: str) -> DataFrame:
-        n = _norm(F.col(vec_col))
-        return df.select(
-            F.col(id_col).alias(ident),
-            F.transform(vec_col, lambda x: x.cast("double") / n).alias(f"{ident}_v"),
-        )
+    v = _unit_vectors(vectors, id_col, vec_col, "cand_id")
+    # reused by up to three jobs (training-sample collect, encode pass,
+    # refine join) — materialize once instead of re-scanning + re-
+    # normalizing the corpus per job
+    from .dedup import _materialize
 
-    v = unit(vectors, "cand_id")
-    q = unit(queries, "query_id")
+    v = _materialize(v)
+    q = _unit_vectors(queries, id_col, vec_col, "query_id")
 
+    # Training sample is hard-bounded AND deterministic: TakeOrdered by
+    # id, so the codebooks (and the recall gate) don't depend on
+    # partition order once the corpus exceeds the cap.
     sample = np.array(
-        [r[0] for r in v.select("cand_id_v").limit(max_train_rows).collect()],
+        [
+            r[0]
+            for r in v.select("cand_id", "cand_id_v")
+            .orderBy("cand_id")
+            .limit(max_train_rows)
+            .select("cand_id_v")
+            .collect()
+        ],
         dtype=np.float64,
     )
     if sample.size == 0:
@@ -885,6 +908,8 @@ def pq_cosine_topk(
 
     @F.pandas_udf("array<int>")
     def encode(vcol: pd.Series) -> pd.Series:
+        if len(vcol) == 0:
+            return pd.Series([], dtype=object)
         mat = np.array(list(vcol), dtype=np.float64)
         codes = np.empty((len(mat), len(bc.value)), dtype=np.int32)
         for j, cent in enumerate(bc.value):
@@ -895,8 +920,16 @@ def pq_cosine_topk(
 
     # (n_queries, m, n_codes) ADC tables: partial dot of each query
     # subvector with every centroid. Queries are the SMALL side by
-    # contract (an anchor/probe set) — collected + broadcast whole.
-    qrows = q.collect()
+    # contract (an anchor/probe set) — collected + broadcast, bounded
+    # by max_queries (raise, never silently OOM the driver).
+    qrows = q.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_cosine_topk query side exceeds max_queries={max_queries}; "
+            "raise the cap explicitly or batch the query set"
+        )
+    if not qrows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["query_id_v"] for r in qrows], dtype=np.float64)
     tabs = np.einsum("qjd,jcd->qjc",
@@ -908,6 +941,8 @@ def pq_cosine_topk(
     def score_batches(it):
         ids, tables = bt.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
             arange = np.arange(codes.shape[1])
             for qi, qid in enumerate(ids):

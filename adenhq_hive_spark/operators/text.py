@@ -850,10 +850,14 @@ def blocklist_filter(
         # \b anchors only delimit word-character edges, and the oracle
         # engine (RE2) has no lookarounds to offer instead — so the
         # operator's contract is word-edged terms (C4's list is).
-        if not w or not (re.match(r"\w", w[0]) and re.match(r"\w", w[-1])):
+        # ASCII-only: Java regex \b is Unicode-aware but RE2's is not,
+        # so a term like 'über' would count differently per engine.
+        if not w or not (
+            re.match(r"\w", w[0], re.ASCII) and re.match(r"\w", w[-1], re.ASCII)
+        ):
             raise ValueError(
-                f"blocklist term {w!r} must start and end with a word "
-                "character (\\b boundary semantics)"
+                f"blocklist term {w!r} must start and end with an ASCII "
+                "word character (cross-engine \\b boundary semantics)"
             )
     pattern = (
         r"\b(?:" + "|".join(re.escape(w.lower()) for w in sorted(set(blocklist)))
@@ -886,6 +890,9 @@ def zipf_coverage(
     integer-arithmetic fraction (frac4 contract).
     """
     spark = df.sparkSession
+    if not ks:
+        raise ValueError("ks must be a non-empty sequence of thresholds")
+    ks = tuple(sorted(set(int(k) for k in ks)))
     kmax = max(ks)
     toks = df.select(
         F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),

@@ -362,3 +362,31 @@ def test_pq_dim_not_divisible_raises(spark):
 
     with pytest.raises(ValueError):
         _train_pq_codebooks(np.zeros((4, 10)), m=3, n_codes=4, seed=0)
+
+
+def test_pq_query_cap_raises(spark, emb):
+    from adenhq_hive_spark.operators.similarity import pq_cosine_topk
+
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_cosine_topk(emb, emb, k=1, max_queries=3)
+
+
+def test_pq_non_integral_id_raises(spark, emb):
+    from adenhq_hive_spark.operators.similarity import pq_cosine_topk
+
+    bad = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError, match="integral"):
+        pq_cosine_topk(bad, bad.limit(1), k=1)
+
+
+def test_pq_training_sample_is_order_deterministic(spark, emb):
+    """The codebook sample is TakeOrdered by id, so repartitioning the
+    corpus cannot change the trained codebooks (or the recall gate)."""
+    from adenhq_hive_spark.operators.similarity import pq_cosine_topk
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    a = pq_cosine_topk(emb, qs, k=3, m=16, refine=4, max_train_rows=64)
+    b = pq_cosine_topk(
+        emb.repartition(7), qs, k=3, m=16, refine=4, max_train_rows=64
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

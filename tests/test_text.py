@@ -661,3 +661,33 @@ def test_source_keywords_min_count_floor(spark):
     )
     toks = {r.tok for r in source_keywords(df, min_count=5).collect()}
     assert "rare" not in toks  # appears once, under the floor
+
+
+def test_blocklist_non_ascii_term_raises(spark):
+    """Java \\b is Unicode-aware, RE2's is ASCII-only — a non-ASCII term
+    would count differently per engine, so it must be rejected."""
+    from adenhq_hive_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "mit über allem")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_filter(df, ["über"])
+
+
+def test_zipf_coverage_duplicate_ks_not_double_counted(spark):
+    from adenhq_hive_spark.operators.text import zipf_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = zipf_coverage(df, ks=(2, 2)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_types_used == 2 and rows[0].covered_tokens == 5
+    assert rows[0].share == 0.8333
+
+
+def test_zipf_coverage_empty_ks_raises(spark):
+    from adenhq_hive_spark.operators.text import zipf_coverage
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        zipf_coverage(df, ks=())
