@@ -252,3 +252,73 @@ def test_pack_efficiency_matches_python_replay(spark):
         waste = (Decimal(split_seqs * L - total) / Decimal(split_seqs * L)
                  ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
         assert Decimal(str(r.waste_frac_split)) == waste
+
+
+def test_round5_ops_python_replay_properties(spark):
+    """Seeded-random corpus: the r5 second-window operators must match
+    exact python replays (blocklist hit counts, novelty fractions,
+    zipf coverage monotonicity, containment bounds + direction)."""
+    import random
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from adenhq_hive_spark.operators.dedup import (
+        containment_pairs,
+        shingle_novelty,
+    )
+    from adenhq_hive_spark.operators.text import blocklist_filter, zipf_coverage
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "slow", "drop", "gamma", "delta", "night"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # blocklist: hits == exact word-token count of the blocked terms
+    bl = {r.doc_id: r.bl_hits for r in blocklist_filter(df, ["slow", "drop"]).collect()}
+    for i, t in docs:
+        expect = sum(1 for w in t.split() if w in ("slow", "drop"))
+        assert bl[i] == expect, (i, t)
+
+    # zipf coverage: share monotone non-decreasing in k, bounded by 1.0,
+    # and exact vs python at each k
+    rows = {r.k: r for r in zipf_coverage(df, ks=(1, 3, 7)).collect()}
+    toks = [w for _, t in docs for w in t.lower().split() if w]
+    from collections import Counter
+
+    freq = Counter(toks)
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    prev = 0.0
+    for k in (1, 3, 7):
+        covered = sum(c for _, c in ordered[:k])
+        assert rows[k].covered_tokens == covered
+        share = (Decimal(covered * 20000 + len(toks)) // (2 * len(toks))) / 10000
+        assert Decimal(str(rows[k].share)) == share
+        assert rows[k].share >= prev and rows[k].share <= 1.0
+        prev = rows[k].share
+
+    # novelty: n_shared <= n_sh, novelty in [0,1], exact replay
+    def sh3(t):
+        w = t.split(" ")
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    sets = {i: sh3(t) for i, t in docs}
+    nov = {r.doc_id: r for r in shingle_novelty(df).collect()}
+    for i, _ in docs:
+        mine = sets[i]
+        shared = sum(
+            1 for s in mine if any(s in sets[j] for j in sets if j != i)
+        )
+        assert nov[i].n_sh == len(mine)
+        assert nov[i].n_shared == shared
+        assert 0.0 <= nov[i].novelty <= 1.0
+
+    # containment: values in (0,1], direction consistent with replay
+    cont = containment_pairs(df, threshold=0.5, min_shingles=3).collect()
+    for r in cont:
+        a, b = sets[r.id_sub], sets[r.id_sup]
+        expect = (Decimal(len(a & b) * 20000 + len(a)) // (2 * len(a))) / 10000
+        assert Decimal(str(r.containment)) == expect
+        assert 0.5 <= r.containment <= 1.0
