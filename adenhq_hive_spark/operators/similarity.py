@@ -886,9 +886,55 @@ def pq_cosine_topk(
     v = _materialize(v)
     q = _unit_vectors(queries, id_col, vec_col, "query_id")
 
-    # Training sample is hard-bounded AND deterministic: TakeOrdered by
-    # id, so the codebooks (and the recall gate) don't depend on
-    # partition order once the corpus exceeds the cap.
+    books = _pq_fit(v, m, n_codes, seed, max_train_rows)
+    if books is None:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    collected = _pq_collect_queries(q, max_queries, "pq_cosine_topk")
+    if collected is None:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    qids, qmat = collected
+
+    codes_df = _pq_encode(v, books)
+    scored = _pq_adc_scores(codes_df, qids, qmat, books)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cosine")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine * k)
+        .select("query_id", "cand_id")
+    )
+    exact = (
+        shortlist.join(v, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_dot(F.col("query_id_v"), F.col("cand_id_v")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )
+
+
+def _pq_fit(
+    v: DataFrame, m: int, n_codes: int, seed: int, max_train_rows: int
+):
+    """Train codebooks on a bounded, DETERMINISTIC sample (TakeOrdered
+    by id — partition order cannot change the codebooks once the
+    corpus exceeds the cap). Returns (m, n_codes, dsub) or None on an
+    empty corpus."""
     sample = np.array(
         [
             r[0]
@@ -901,10 +947,15 @@ def pq_cosine_topk(
         dtype=np.float64,
     )
     if sample.size == 0:
-        return spark.createDataFrame([], _TOPK_SCHEMA)
-    books = _train_pq_codebooks(sample, m, n_codes, seed)
+        return None
+    return _train_pq_codebooks(sample, m, n_codes, seed)
+
+
+def _pq_encode(v: DataFrame, books: np.ndarray) -> DataFrame:
+    """Distributed encode: (cand_id, codes array<int>) — one Arrow-batch
+    argmin per subvector against the broadcast codebooks."""
     dsub = books.shape[2]
-    bc = spark.sparkContext.broadcast(books)
+    bc = v.sparkSession.sparkContext.broadcast(books)
 
     @F.pandas_udf("array<int>")
     def encode(vcol: pd.Series) -> pd.Series:
@@ -918,25 +969,37 @@ def pq_cosine_topk(
             codes[:, j] = np.argmin(d2, axis=1)
         return pd.Series(codes.tolist())
 
-    # (n_queries, m, n_codes) ADC tables: partial dot of each query
-    # subvector with every centroid. Queries are the SMALL side by
-    # contract (an anchor/probe set) — collected + broadcast, bounded
-    # by max_queries (raise, never silently OOM the driver).
+    return v.select("cand_id", encode("cand_id_v").alias("codes"))
+
+
+def _pq_collect_queries(q: DataFrame, max_queries: int, who: str):
+    """Bounded query-side collect (raise, never silently OOM the
+    driver). Returns (qids, qmat) or None when the query side is
+    empty."""
     qrows = q.limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
-            f"pq_cosine_topk query side exceeds max_queries={max_queries}; "
+            f"{who} query side exceeds max_queries={max_queries}; "
             "raise the cap explicitly or batch the query set"
         )
     if not qrows:
-        return spark.createDataFrame([], _TOPK_SCHEMA)
+        return None
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["query_id_v"] for r in qrows], dtype=np.float64)
-    tabs = np.einsum("qjd,jcd->qjc",
-                     qmat.reshape(len(qmat), len(books), dsub), books)
-    bt = spark.sparkContext.broadcast((qids, tabs))
+    return qids, qmat
 
-    codes_df = v.select("cand_id", encode("cand_id_v").alias("codes"))
+
+def _pq_adc_scores(
+    codes_df: DataFrame, qids: np.ndarray, qmat: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """ADC scoring of stored codes against broadcast per-query lookup
+    tables ((n_queries, m, n_codes) partial dots — tiny); one
+    vectorized numpy gather per Arrow batch. Self-matches excluded."""
+    dsub = books.shape[2]
+    tabs = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qmat), len(books), dsub), books
+    )
+    bt = codes_df.sparkSession.sparkContext.broadcast((qids, tabs))
 
     def score_batches(it):
         ids, tables = bt.value
@@ -954,9 +1017,92 @@ def pq_cosine_topk(
                     "cosine": np.round(s, 4),
                 })
 
-    scored = codes_df.mapInPandas(
+    return codes_df.mapInPandas(
         score_batches, "query_id long, cand_id long, cosine double"
     ).filter(F.col("cand_id") != F.col("query_id"))
+
+
+def save_pq_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 65_536,
+) -> None:
+    """Persist a PQ index: ``<path>/codes`` (one row per vector —
+    id + m small ints, the 32-64x-compressed representation that IS the
+    point of PQ at 100 TB) and ``<path>/books`` (m x n_codes centroid
+    rows — driver-tiny). Build is the one linear corpus pass (train on
+    the bounded sample, encode distributed); probes then run against
+    the stored codes with NO training, NO re-encode, NO touch of the
+    original vectors (see :func:`pq_query_index`). Re-run to refresh —
+    derived state, idempotent by construction."""
+    from .dedup import _materialize
+
+    spark = vectors.sparkSession
+    v = _unit_vectors(vectors, id_col, vec_col, "cand_id")
+    v = _materialize(v)
+    books = _pq_fit(v, m, n_codes, seed, max_train_rows)
+    if books is None:
+        raise ValueError("cannot build a PQ index over an empty corpus")
+    _pq_encode(v, books).write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 0,
+    vectors: DataFrame | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Probe a persisted PQ index (:func:`save_pq_index`): load the
+    driver-tiny codebooks, ADC-score the stored codes, top-k — the
+    steady-state ANN cost (the build's training+encode pass is paid
+    once, not per query batch; the trigram-index precedent).
+
+    ``refine`` > 0 exact-re-ranks the ADC shortlist and therefore needs
+    the ORIGINAL vectors (the index stores only codes — pass the source
+    ``vectors`` DataFrame; only shortlist-many rows are touched via the
+    join)."""
+    if refine > 0 and vectors is None:
+        raise ValueError(
+            "refine > 0 requires the original `vectors` DataFrame — the "
+            "index stores only the compressed codes"
+        )
+    brows = (
+        spark.read.parquet(f"{path}/books")
+        .orderBy("j", "c")
+        .collect()
+    )
+    mm = max(r["j"] for r in brows) + 1
+    nc = max(r["c"] for r in brows) + 1
+    dsub = len(brows[0]["vals"])
+    books = np.empty((mm, nc, dsub), dtype=np.float64)
+    for r in brows:
+        books[r["j"], r["c"]] = r["vals"]
+
+    codes_df = spark.read.parquet(f"{path}/codes")
+    q = _unit_vectors(queries, id_col, vec_col, "query_id")
+    collected = _pq_collect_queries(q, max_queries, "pq_query_index")
+    if collected is None:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    qids, qmat = collected
+    scored = _pq_adc_scores(codes_df, qids, qmat, books)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
@@ -971,6 +1117,7 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= refine * k)
         .select("query_id", "cand_id")
     )
+    v = _unit_vectors(vectors, id_col, vec_col, "cand_id")
     exact = (
         shortlist.join(v, "cand_id")
         .join(F.broadcast(q), "query_id")

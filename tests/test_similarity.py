@@ -390,3 +390,60 @@ def test_pq_training_sample_is_order_deterministic(spark, emb):
         emb.repartition(7), qs, k=3, m=16, refine=4, max_train_rows=64
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_persisted_index_probe_matches_direct(spark, emb, tmp_path):
+    """Build-once probe-many: pq_query_index over the stored codes must
+    return exactly what the direct operator computes with the same
+    (deterministic) codebooks — with and without the refine pass."""
+    from adenhq_hive_spark.operators.similarity import (
+        pq_cosine_topk,
+        pq_query_index,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pqidx")
+    save_pq_index(emb, path, m=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+
+    direct = sorted(map(tuple, pq_cosine_topk(emb, qs, k=5, m=16).collect()))
+    probed = sorted(map(tuple, pq_query_index(spark, path, qs, k=5).collect()))
+    assert probed == direct
+
+    direct_r = sorted(
+        map(tuple, pq_cosine_topk(emb, qs, k=5, m=16, refine=4).collect())
+    )
+    probed_r = sorted(
+        map(
+            tuple,
+            pq_query_index(
+                spark, path, qs, k=5, refine=4, vectors=emb
+            ).collect(),
+        )
+    )
+    assert probed_r == direct_r
+
+
+def test_pq_index_refine_requires_vectors(spark, emb, tmp_path):
+    from adenhq_hive_spark.operators.similarity import (
+        pq_query_index,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pqidx2")
+    save_pq_index(emb.limit(50), path, m=16)
+    with pytest.raises(ValueError, match="original"):
+        pq_query_index(spark, path, emb.limit(1), refine=2)
+
+
+def test_pq_index_codes_are_compact(spark, emb, tmp_path):
+    """The stored representation is id + m small ints per vector — the
+    compression contract that makes PQ the 100 TB ANN memory story."""
+    from adenhq_hive_spark.operators.similarity import save_pq_index
+
+    path = str(tmp_path / "pqidx3")
+    save_pq_index(emb, path, m=8, n_codes=16)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.columns == ["cand_id", "codes"]
+    row = codes.first()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
