@@ -1207,3 +1207,71 @@ def event_sequences(
         )
         .orderBy(user_col)
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Corpus-level datasheet: ONE row summarizing the whole corpus —
+    the dataset-card numbers (Gebru et al. 2021 "Datasheets for
+    Datasets") a release ships with: volume (docs/tokens/sources/
+    langs), central length, mean quality, Gopher pass rate, exact-dup
+    rate. The corpus-level twin of :func:`source_scorecard` (which is
+    the per-source mixture-weight input).
+
+    Same scale shape as the scorecard: map-only per-doc features, one
+    content-hash window for the dup flag, then a single global
+    aggregate (multi-DISTINCT handled by Spark's expand — three
+    shuffled partial aggs, output is one row). All fractions exact
+    integer arithmetic; the median uses the q17-proven
+    PERCENTILE/MEDIAN dual form.
+    """
+    from .text import frac4, gopher_rules, quality_score, ws_token_count
+
+    q = quality_score(df, text_col=text_col).select(
+        id_col, source_col, lang_col, text_col, "quality_score"
+    )
+    g = gopher_rules(
+        df, text_col=text_col, id_col=id_col, min_stop_hits=min_stop_hits
+    ).select(id_col, "gopher_ok")
+    dup = df.select(
+        F.col(id_col),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+            )
+            > 1
+        ).alias("is_dup"),
+    )
+    joined = (
+        q.withColumn("n_toks", ws_token_count(text_col))
+        .join(g, id_col)
+        .join(dup, id_col)
+    )
+    qs10 = F.round(F.col("quality_score") * 10).cast("long")
+    agg = joined.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(F.expr("percentile(n_toks, 0.5)"), 4).alias("med_tokens"),
+        F.sum(qs10).alias("_qs10"),
+        F.sum(F.col("gopher_ok").cast("long")).alias("_g"),
+        F.sum(F.col("is_dup").cast("long")).alias("_d"),
+    )
+    n = F.col("n_docs")
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_tokens",
+        "med_tokens",
+        frac4(F.col("_qs10"), n * 10).alias("mean_quality"),
+        frac4(F.col("_g"), n).alias("gopher_pass_rate"),
+        frac4(F.col("_d"), n).alias("dup_rate"),
+    )

@@ -4028,3 +4028,110 @@ Q(QuerySpec(
         ORDER BY user_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_dataset_card",
+    doc="Corpus-level datasheet (operators/curation.py:dataset_card — "
+        "Gebru 2021 dataset-card numbers): ONE row with volume "
+        "(docs/tokens/sources/langs), median length (q17-proven "
+        "PERCENTILE/MEDIAN dual form), integer-exact mean quality, "
+        "Gopher pass rate, exact-dup rate. The corpus-level twin of "
+        "pl_source_scorecard; map-only features + one content-hash "
+        "window + a single global aggregate.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["dataset_card"]
+    ).dataset_card(load_table(spark, sf, "documents")),
+    oracle_sql_str=r"""
+        WITH q AS (
+          SELECT doc_id, source, lang,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_toks,
+                 CAST(ROUND((
+                   (CASE WHEN len(string_split_regex(text, '\s+'))
+                              BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                            / len(string_split_regex(text, '\s+'))
+                            BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN CAST(length(text)
+                           - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                           AS DOUBLE) / length(text) <= 0.2
+                      THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN CAST(length(text)
+                           - length(regexp_replace(text, '[0-9]', '', 'g'))
+                           AS DOUBLE) / length(text) <= 0.3
+                      THEN 0.1 ELSE 0.0 END)
+                   + (CASE WHEN len(list_intersect(
+                           string_split_regex(text, '\s+'),
+                           ['the','and','of','to','is'])) > 0
+                      THEN 0.1 ELSE 0.0 END)) * 10) AS BIGINT) AS qs10
+          FROM documents
+        ),
+        gm AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '')) AS n_words,
+                 greatest(len(list_filter(string_split_regex(text, '\n'),
+                     x -> x <> '')), 1) AS n_lines,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+                 len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.')) AS symbol_hits,
+                 len(list_filter(list_filter(string_split_regex(text, '\n'),
+                     x -> x <> ''),
+                     l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+                 len(list_filter(list_filter(string_split_regex(text, '\n'),
+                     x -> x <> ''),
+                     l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                   AS ellipsis_lines,
+                 len(list_filter(list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> ''),
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                 len(list_intersect(
+                     list_transform(list_filter(
+                         string_split_regex(text, '\s+'), x -> x <> ''),
+                         w -> lower(w)),
+                     ['the','be','to','of','and','that','have','with']))
+                   AS stop_hits,
+                 greatest(len(list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '')), 1) AS qd
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 (n_words >= 50 AND n_words <= 100000
+                  AND word_chars >= 3 * qd AND word_chars <= 10 * qd
+                  AND symbol_hits * 10 < qd
+                  AND bullet_lines * 10 < 9 * n_lines
+                  AND ellipsis_lines * 10 < 3 * n_lines
+                  AND alpha_words * 10 >= 8 * qd
+                  AND stop_hits >= 1) AS gopher_ok
+          FROM gm
+        ),
+        d AS (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) > 1 AS is_dup
+          FROM documents
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n_docs,
+                 COUNT(DISTINCT q.source) AS n_sources,
+                 COUNT(DISTINCT q.lang) AS n_langs,
+                 CAST(SUM(q.n_toks) AS BIGINT) AS n_tokens,
+                 ROUND(MEDIAN(q.n_toks), 4) AS med_tokens,
+                 CAST(SUM(q.qs10) AS BIGINT) AS sq,
+                 CAST(SUM(CASE WHEN g.gopher_ok THEN 1 ELSE 0 END)
+                      AS BIGINT) AS sg,
+                 CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END)
+                      AS BIGINT) AS sd
+          FROM q JOIN g USING (doc_id) JOIN d USING (doc_id)
+        )
+        SELECT n_docs, n_sources, n_langs, n_tokens, med_tokens,
+               CAST((sq * 20000 + n_docs * 10) // (2 * n_docs * 10)
+                    AS DOUBLE) / 10000 AS mean_quality,
+               CAST((sg * 20000 + n_docs) // (2 * n_docs) AS DOUBLE)
+                 / 10000 AS gopher_pass_rate,
+               CAST((sd * 20000 + n_docs) // (2 * n_docs) AS DOUBLE)
+                 / 10000 AS dup_rate
+        FROM agg
+    """,
+))

@@ -962,3 +962,25 @@ def test_event_sequences_order_and_truncation(spark):
     assert out[2].seq_text == "w x y" and out[2].n_events == 4
     assert out[2].first_ts == datetime(2026, 1, 1, 9, 0, 0)
     assert out[2].last_ts == datetime(2026, 1, 1, 9, 3, 0)
+
+
+def test_dataset_card_exact_small_corpus(spark):
+    from adenhq_hive_spark.operators.curation import dataset_card
+
+    same = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [
+            (1, same, "en", "web"),
+            (2, same, "en", "web"),          # exact dup of 1
+            (3, "short text here", "de", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = dataset_card(df).collect()[0]
+    assert r.n_docs == 3 and r.n_sources == 2 and r.n_langs == 2
+    assert r.n_tokens == 13 + 13 + 3
+    assert r.med_tokens == 13.0
+    # exactly one of the three rows is a duplicate occurrence
+    assert r.dup_rate == 0.3333
+    assert 0.0 <= r.mean_quality <= 1.0
+    assert 0.0 <= r.gopher_pass_rate <= 1.0
