@@ -1134,3 +1134,204 @@ def pq_query_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cosine")
     )
+
+
+def update_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ index maintenance: encode a new vector batch with
+    the FROZEN stored codebooks and append the codes — the operation
+    that keeps a 100 TB ANN index current as data arrives (a rebuild
+    re-trains and re-encodes everything; the delta encode touches only
+    the batch). The codebooks are deliberately not refreshed: PQ
+    centroids drift slowly, and FAISS practice is periodic re-train +
+    full re-encode as a separate maintenance event, not per batch.
+
+    Idempotence is the caller's contract (the update_trigram_postings
+    precedent): re-appending the same batch duplicates ids — feed each
+    batch once (foreachBatch epoch-id pattern) or dedup downstream.
+    """
+    brows = spark.read.parquet(f"{path}/books").orderBy("j", "c").collect()
+    mm = max(r["j"] for r in brows) + 1
+    nc = max(r["c"] for r in brows) + 1
+    dsub = len(brows[0]["vals"])
+    books = np.empty((mm, nc, dsub), dtype=np.float64)
+    for r in brows:
+        books[r["j"], r["c"]] = r["vals"]
+    v = _unit_vectors(new_vectors, id_col, vec_col, "cand_id")
+    _pq_encode(v, books).write.mode("append").parquet(f"{path}/codes")
+
+
+def ivfpq_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    refine: int = 0,
+    seed: int = 42,
+    max_train_rows: int = 65_536,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k cosine via the FAISS ``IVF{n},PQ{m}`` composite
+    (Jégou 2011 §IV): coarse IVF partitioning + product-quantized
+    RESIDUALS within each cell — the production trillion-vector shape,
+    combining IVF's scan-fraction knob (``n_probe/n_centroids``) with
+    PQ's 32-64x memory compression.
+
+    Build: coarse spherical k-means on a bounded deterministic sample;
+    every vector assigned to its nearest centroid and its RESIDUAL
+    (v - centroid) PQ-encoded in the same Arrow pass — residual
+    encoding is what makes the composite beat flat PQ: residuals are
+    small and centered, so the same code budget quantizes them finer.
+
+    Query: approximate cosine decomposes as q·v ≈ q·c + q·residual,
+    where q·c is one scalar per (query, probed cell) and q·residual is
+    the standard ADC table lookup (tables are cell-INDEPENDENT — built
+    once per query); only the ``n_probe`` probed cells' codes are
+    scored. ``refine`` > 0 exact-re-ranks the shortlist from the
+    original vectors. Quality gated by recall@k vs the exact tier.
+    """
+    spark = vectors.sparkSession
+    for side, name in ((queries, "queries"), (vectors, "vectors")):
+        id_type = dict(side.dtypes).get(id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"ivfpq_cosine_topk requires an integral id column; "
+                f"{name} {id_col!r} is {id_type!r}"
+            )
+    from .dedup import _materialize
+
+    v = _materialize(_unit_vectors(vectors, id_col, vec_col, "cand_id"))
+    q = _unit_vectors(queries, id_col, vec_col, "query_id")
+
+    sample = np.array(
+        [
+            r[0]
+            for r in v.select("cand_id", "cand_id_v")
+            .orderBy("cand_id")
+            .limit(max_train_rows)
+            .select("cand_id_v")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    if sample.size == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    coarse = _train_spherical_kmeans(sample, n_centroids, seed)
+    assign = np.argmax(sample @ coarse.T, axis=1)
+    books = _train_pq_codebooks(
+        sample - coarse[assign], m, n_codes, seed
+    )
+    dsub = books.shape[2]
+    bc = spark.sparkContext.broadcast((coarse, books))
+
+    def encode_batches(it):
+        C, B = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["cand_id_v"]), dtype=np.float64)
+            cell = np.argmax(mat @ C.T, axis=1)
+            resid = mat - C[cell]
+            codes = np.empty((len(mat), len(B)), dtype=np.int32)
+            for j, cent in enumerate(B):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "cand_id": pdf["cand_id"].to_numpy(),
+                "cell": cell.astype(np.int32),
+                "codes": list(codes.tolist()),
+            })
+
+    codes_df = v.mapInPandas(
+        encode_batches, "cand_id long, cell int, codes array<int>"
+    )
+
+    collected = _pq_collect_queries(q, max_queries, "ivfpq_cosine_topk")
+    if collected is None:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    qids, qmat = collected
+    # per-query ADC tables over RESIDUAL codebooks (cell-independent)
+    tabs = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qmat), len(books), dsub), books
+    )
+    # probed cells per query by q·c desc (centroid-id tie-break)
+    qc = qmat @ coarse.T                      # (nq, n_centroids)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(qc.shape[1]), qc.shape), -qc), axis=1
+    )[:, :n_probe]
+    probe_rows = [
+        (int(qids[i]), int(c), float(qc[i, c]))
+        for i in range(len(qids))
+        for c in order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, qdotc double"
+    )
+    qidx = {int(qid): i for i, qid in enumerate(qids)}
+    bt = spark.sparkContext.broadcast((qidx, tabs))
+
+    joined = codes_df.join(F.broadcast(probes), "cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+
+    def score_batches(it):
+        idx, tables = bt.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = pdf["query_id"].map(idx).to_numpy(dtype=np.int64)
+            arange = np.arange(codes.shape[1])
+            # per-row gather from that row's own query table
+            s = tables[qi[:, None], arange[None, :], codes].sum(axis=1)
+            s = s + pdf["qdotc"].to_numpy()
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "cand_id": pdf["cand_id"].to_numpy(),
+                "cosine": np.round(s, 4),
+            })
+
+    scored = joined.select("query_id", "cand_id", "codes", "qdotc").mapInPandas(
+        score_batches, "query_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cosine")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine * k)
+        .select("query_id", "cand_id")
+    )
+    exact = (
+        shortlist.join(v, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_dot(F.col("query_id_v"), F.col("cand_id_v")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )

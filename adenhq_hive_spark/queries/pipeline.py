@@ -4135,3 +4135,47 @@ Q(QuerySpec(
         FROM agg
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_ivfpq_topk",
+    doc="Approximate cosine top-5 via the FAISS IVF,PQ composite "
+        "(operators/similarity.py:ivfpq_cosine_topk — coarse IVF "
+        "cells + product-quantized RESIDUALS, q·v ≈ q·c + ADC(q, "
+        "residual); 16 cells, 8 probed, m=16 codes, refine=8 exact "
+        "re-rank). The production trillion-vector shape: scan "
+        "fraction n_probe/n_centroids AND 32x memory compression. "
+        "Quality driver-visible via pl_ivfpq_recall.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity",
+        fromlist=["ivfpq_cosine_topk"],
+    ).ivfpq_cosine_topk(
+        *_queries_vecs(spark, sf), k=5, n_probe=8, refine=8
+    ),
+    has_oracle=False,
+))
+
+
+Q(QuerySpec(
+    name="pl_ivfpq_recall",
+    doc="Driver-visible IVFPQ quality gate: recall@5 of pl_ivfpq_topk's "
+        "configuration (16 cells, n_probe=8, m=16, refine=8) vs the "
+        "exact tier, in-engine; oracle pins (n_exact=25, "
+        "recall_ok=true) at >= 0.5 — the IVF-tier worst-case-random "
+        "bound (measured 0.72 at sf0.1, 0.76 at sf0.01 on the "
+        "unclustered random testdata; residual-PQ beats plain IVF's "
+        "0.6 at the same probe fraction).",
+    builder=lambda spark, sf: _recall_vs_exact(
+        __import__(
+            "adenhq_hive_spark.operators.similarity",
+            fromlist=["ivfpq_cosine_topk"],
+        ).ivfpq_cosine_topk(
+            *_queries_vecs(spark, sf), k=5, n_probe=8, refine=8
+        ),
+        cosine_topk(*_queries_vecs(spark, sf), k=5),
+        threshold=0.5,
+    ),
+    oracle_sql_str="""
+        SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS recall_ok
+    """,
+))
