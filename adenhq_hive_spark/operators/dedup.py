@@ -1212,3 +1212,90 @@ def shingle_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection: per-document maximal word-position
+    ranges entirely covered by word k-grams that also occur in at least
+    ``min_docs - 1`` OTHER documents — the span-level removal plan of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), where duplicated substrings are cut from documents rather
+    than dropping whole near-duplicate docs.  Cross-document only by
+    default (intra-doc repetition is pl_intradoc_dedup's job; reference
+    parity: the engine's dedup surface is aden-hive's document tooling
+    generalized to corpus curation — see SURVEY §2 pipeline tier).
+
+    Algorithm (all relational, no pair join — LINEAR in corpus size,
+    unlike the jaccard tier's candidate-pair expansion):
+      1. positional k-grams (id, pos, gram), pos 1-based;
+      2. grams with document frequency >= min_docs (count over distinct
+         docs — one key shuffle with partial aggs);
+      3. join positions back on the gram key (second key shuffle);
+      4. per-doc gaps-and-islands: two duplicated grams at starts p < p'
+         overlap/adjoin iff p' - p <= k, so a new island opens when the
+         gap exceeds k; islands merge to spans
+         [min(pos), max(pos) + k - 1];
+      5. keep spans of >= min_words covered words.
+
+    Per-doc window partitions by id (never a global window).  A hot
+    boilerplate gram costs one posting row per occurrence here — there
+    is no posting-list pair expansion, so no ``max_shingle_df`` analog
+    is needed.  Output (id_col, span_start, span_end, span_words,
+    n_dup_grams), all BIGINT, totally ordered by (id, span_start).
+    """
+    from pyspark.sql import Window
+
+    from ..catalog import spread_small_scan
+
+    from .ngrams import word_ngrams
+
+    ps = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+        )
+        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    )
+    ps = _materialize(ps)
+    dup = (
+        ps.select("gram", "id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .filter(F.col("gdf") >= min_docs)
+        .select("gram")
+    )
+    dpos = ps.join(dup, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dpos.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w))
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "span_words",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
+        )
+        .filter(F.col("span_words") >= min_words)
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            "span_words",
+            "n_dup_grams",
+        )
+    )

@@ -1335,3 +1335,81 @@ def ivfpq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cosine")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """Embedding-space eval-set leakage detection: flag every corpus
+    vector whose cosine similarity to ANY eval-set vector reaches
+    ``threshold`` — the semantic twin of the n-gram
+    ``decontaminate`` tier (paraphrased/reformatted eval leakage that
+    shares no 13-gram still lands next to the eval point in embedding
+    space; cf. the contamination audits in GPT-3/PaLM appendices).
+
+    Scale shape: the eval set is driver-bounded (``max_eval`` guard,
+    raise-not-OOM) and broadcast as ONE normalized numpy matrix; the
+    corpus scan stays distributed and each Arrow batch scores all eval
+    vectors with a single BLAS matmul — map-only, ZERO shuffles, cost
+    linear in corpus size. Per flagged row emits the nearest eval id
+    (ties: smallest eval_id) and the rounded cosine.
+
+    Returns (id_col, eval_id, cosine) for flagged corpus rows only.
+    """
+    spark = corpus.sparkSession
+    id_type = dict(eval_df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"semantic_decontaminate requires an integral eval id column; "
+            f"{id_col!r} is {id_type!r}"
+        )
+    erows = eval_df.select(id_col, vec_col).limit(max_eval + 1).collect()
+    if len(erows) > max_eval:
+        raise ValueError(
+            f"semantic_decontaminate eval side exceeds max_eval={max_eval}; "
+            "shard the eval set or raise the cap explicitly"
+        )
+    out_schema = f"{id_col} long, eval_id long, cosine double"
+    if not erows:
+        return spark.createDataFrame([], out_schema)
+    e_ids = np.array([r[0] for r in erows], dtype=np.int64)
+    e_mat = np.array([r[1] for r in erows], dtype=np.float64)
+    e_mat /= np.linalg.norm(e_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((e_ids, e_mat))
+
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+
+    def score(it):
+        ids_e, mat_e = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["_cv"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ mat_e.T, 4)            # (batch, n_eval)
+            # argmax by (cosine desc, eval_id asc): lexsort on the
+            # negated sims with ids as tiebreak, row-wise
+            best = np.zeros(len(ids), dtype=np.int64)
+            best_sim = np.zeros(len(ids))
+            for i in range(len(ids)):
+                row = sims[i]
+                j = np.lexsort((ids_e, -row))[0]
+                best[i] = ids_e[j]
+                best_sim[i] = row[j]
+            keep = best_sim >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        id_col: ids[keep],
+                        "eval_id": best[keep],
+                        "cosine": best_sim[keep],
+                    }
+                )
+
+    return c.mapInPandas(score, schema=out_schema)

@@ -4179,3 +4179,101 @@ Q(QuerySpec(
         SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS recall_ok
     """,
 ))
+
+
+def _dedup_spans_builder(spark, sf):
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        load_table(spark, sf, "documents"), k=4, min_words=8, min_docs=2
+    ).orderBy("doc_id", "span_start")
+
+
+Q(QuerySpec(
+    name="pl_dedup_spans",
+    doc="Exact duplicated-span removal plan (Lee et al. 2022 substring "
+        "dedup): per-doc maximal word ranges covered by cross-document "
+        "duplicated 4-grams, merged gaps-and-islands, spans >= 8 words "
+        "(operators/dedup.py:duplicated_spans — linear, no pair join). "
+        "Oracle = positional-struct unnest + window islands in DuckDB.",
+    builder=_dedup_spans_builder,
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+        ), ps AS (
+          SELECT id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT id, unnest(list_transform(
+                range(1, greatest(len(t) - 3, 0) + 1),
+                i -> struct_pack(pos := i,
+                                 gram := array_to_string(t[i:i+3], ' ')))) AS u
+            FROM toks)
+        ), dup AS (
+          SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT id) AS gdf FROM ps GROUP BY gram)
+          WHERE gdf >= 2
+        ), dpos AS (
+          SELECT id, pos FROM ps WHERE gram IN (SELECT gram FROM dup)
+        ), flagged AS (
+          SELECT id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY id ORDER BY pos) > 4
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dpos
+        ), isl AS (
+          SELECT id, pos, SUM(new_isl)
+               OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS island
+          FROM flagged
+        )
+        SELECT id AS doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 3 - MIN(pos) + 1 AS BIGINT) AS span_words,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY id, island
+        HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
+        ORDER BY doc_id, span_start
+    """,
+))
+
+
+def _sem_decontaminate_builder(spark, sf):
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        threshold=0.38,
+    ).orderBy("vec_id")
+
+
+Q(QuerySpec(
+    name="pl_sem_decontaminate",
+    doc="Embedding-space eval-leakage flags: corpus vectors (vec_id>=25) "
+        "whose nearest eval vector (vec_id<25) reaches cosine 0.38 "
+        "(operators/similarity.py:semantic_decontaminate — broadcast "
+        "eval matrix, map-only BLAS scan, zero shuffles). Threshold sits "
+        "in the tail of the random-testdata distribution; production "
+        "use is ~0.95 on real embeddings. Semantic twin of the 13-gram "
+        "pl_decontaminate tier.",
+    builder=_sem_decontaminate_builder,
+    oracle_sql_str="""
+        SELECT vec_id, eval_id, cosine FROM (
+          SELECT c.vec_id AS vec_id, q.vec_id AS eval_id,
+                 ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])),
+                       4) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                CAST(c.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])), 4)
+                            DESC, q.vec_id) AS rn
+          FROM embeddings c JOIN embeddings q
+            ON q.vec_id < 25 AND c.vec_id >= 25
+        ) t
+        WHERE rn = 1 AND cosine >= 0.38
+        ORDER BY vec_id
+    """,
+))

@@ -540,3 +540,94 @@ def test_novelty_partial_overlap_exact_fraction(spark):
     out = {r.doc_id: r for r in shingle_novelty(df).collect()}
     assert out[1].n_sh == 2 and out[1].n_shared == 1
     assert out[1].novelty == 0.5
+
+
+# ---- duplicated_spans -----------------------------------------------------
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_dup_spans_exact_shared_run(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans
+
+    shared = _words("s", 10)  # 10-word run shared by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, _words("a", 5) + " " + shared + " " + _words("b", 5)),
+            (2, _words("c", 3) + " " + shared + " " + _words("d", 7)),
+            (3, _words("e", 20)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(df, k=4, min_words=8).collect()
+    got = {(r.doc_id, r.span_start, r.span_end) for r in rows}
+    # doc 1: shared run covers word positions 6..15; doc 2: 4..13
+    assert got == {(1, 6, 15), (2, 4, 13)}
+    for r in rows:
+        assert r.span_words == 10 and r.n_dup_grams == 7  # 10 - 4 + 1
+
+
+def test_dup_spans_merges_overlapping_grams_and_filters_short(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans
+
+    # two shared runs separated by > k unique words must NOT merge;
+    # a 5-word shared run (< min_words=8) must be dropped
+    run1 = _words("x", 9)
+    run2 = _words("y", 5)
+    gap = _words("g", 8)
+    df = spark.createDataFrame(
+        [
+            (1, run1 + " " + gap + " " + run2),
+            (2, run1 + " " + _words("z", 8) + " " + run2),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(df, k=4, min_words=8).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_words) for r in rows}
+    assert got == {(1, 1, 9, 9), (2, 1, 9, 9)}
+
+
+def test_dup_spans_intra_doc_repeat_not_flagged(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans
+
+    # the same 8-word run twice INSIDE one doc, nowhere else: cross-doc
+    # df of each gram is 1, so no span (intra-doc tier handles this)
+    run = _words("r", 8)
+    df = spark.createDataFrame(
+        [(1, run + " " + _words("m", 6) + " " + run), (2, _words("q", 15))],
+        "doc_id long, text string",
+    )
+    assert duplicated_spans(df, k=4, min_words=8).count() == 0
+
+
+def test_dup_spans_adjacent_runs_merge_within_k(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans
+
+    # doc 1 shares run A with doc 2 and run B with doc 3; A and B are
+    # adjacent in doc 1 (gap <= k) so they merge into ONE span there
+    run_a = _words("a", 8)
+    run_b = _words("b", 8)
+    df = spark.createDataFrame(
+        [
+            (1, run_a + " " + run_b),
+            (2, run_a + " " + _words("p", 10)),
+            (3, _words("q", 10) + " " + run_b),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(df, k=4, min_words=8).collect()
+    by_doc = {r.doc_id: (r.span_start, r.span_end) for r in rows}
+    assert by_doc[1] == (1, 16)
+    assert by_doc[2] == (1, 8)
+    assert by_doc[3] == (11, 18)
+
+
+def test_dup_spans_short_docs_yield_nothing(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    assert duplicated_spans(df, k=4, min_words=8).count() == 0

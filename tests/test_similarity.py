@@ -537,3 +537,62 @@ def test_ivfpq_non_integral_id_raises(spark, emb):
     bad = emb.withColumn("vec_id", F.col("vec_id").cast("double"))
     with pytest.raises(ValueError, match="integral"):
         ivfpq_cosine_topk(bad, bad.limit(1), k=1)
+
+
+# ---- semantic_decontaminate ------------------------------------------------
+
+
+def test_sem_decontaminate_flags_identical_and_skips_orthogonal(spark):
+    from adenhq_hive_spark.operators.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [2.0, 0.0, 0.0]),   # parallel to eval 0 -> cosine 1.0
+            (101, [0.0, 0.0, 5.0]),   # orthogonal to both -> 0.0
+            (102, [1.0, 1.0, 0.0]),   # 0.7071 to both -> tie
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, ev, threshold=0.5).collect()
+    }
+    assert set(rows) == {100, 102}
+    assert rows[100].eval_id == 0 and rows[100].cosine == 1.0
+    # tie on cosine -> smallest eval_id wins
+    assert rows[102].eval_id == 0 and rows[102].cosine == 0.7071
+
+
+def test_sem_decontaminate_empty_eval_returns_empty(spark):
+    from adenhq_hive_spark.operators.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = semantic_decontaminate(corpus, ev, threshold=0.0)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "eval_id", "cosine"]
+
+
+def test_sem_decontaminate_eval_cap_and_id_type_guards(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="max_eval"):
+        semantic_decontaminate(corpus, ev, max_eval=2)
+    ev_str = ev.withColumn("vec_id", ev.vec_id.cast("string"))
+    with _pytest.raises(ValueError, match="integral"):
+        semantic_decontaminate(corpus, ev_str)
