@@ -1,0 +1,148 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters with exact
+verification.
+
+The scale problem: "which tokens exceed x basis points of a 100 TB
+corpus" cannot be answered by `GROUP BY token` alone without shuffling
+the full (token, 1) stream — billions of distinct keys, one shuffle row
+per token occurrence.  The sketch route bounds the shuffle to a constant
+per partition:
+
+1.  Each input partition summarizes its token stream with a Misra-Gries
+    sketch of capacity ``m`` (Misra & Gries 1982).  MG guarantees: any
+    item with partition count > N_p/m survives that partition's sketch.
+    By pigeonhole, an item with GLOBAL count > N/m exceeds N_p/m in at
+    least one partition, so the union of per-partition survivors is a
+    superset of every global heavy hitter.  The per-batch work is a
+    vectorized pandas ``value_counts`` (an exact, error-0 summary)
+    merged into the running sketch with the mergeable-summaries rule
+    (Agarwal et al. 2012): add counters; if more than ``m`` remain,
+    subtract the (m+1)-th largest counter value from all and drop the
+    non-positives — never a per-token Python loop.
+2.  The candidate union (at most m rows per partition, independent of
+    data size) is exactly re-counted in one more pass: tokens are
+    broadcast-joined against the candidate set BEFORE the shuffle, so
+    the exact GROUP BY touches candidate tokens only.
+
+Because step 1 can only over-generate and step 2 is exact, the final
+output is IDENTICAL to the exact heavy-hitter answer — which is why
+pl_heavy_hitters carries a plain SQL oracle (GROUP BY + HAVING) and a
+hash row, unlike typical sketch queries that settle for accuracy gates.
+The sketch is the candidate generator, not the answer.
+
+Two full scans total (sketch+total, then verify); the corpus total
+rides the sketch pass as one extra row per partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_reference(values, capacity: int) -> dict:
+    """Textbook one-at-a-time MG, used by tests as the ground truth for
+    the vectorized merge's guarantee (counter error <= N/capacity and
+    the survivor superset property)."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def mg_merge(counters: pd.Series, batch: pd.Series, capacity: int) -> pd.Series:
+    """Merge an exact batch summary into an MG sketch (Agarwal et al.
+    2012): add, then if over capacity subtract the (capacity+1)-th
+    largest value and drop non-positive counters.  Error grows by at
+    most N_batch/capacity per merge, preserving the global N/capacity
+    bound."""
+    merged = counters.add(batch, fill_value=0)
+    if len(merged) > capacity:
+        cut = merged.nlargest(capacity + 1).iloc[-1]
+        merged = merged - cut
+        merged = merged[merged > 0]
+    return merged
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_share_bp: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact corpus-level heavy-hitter tokens via sketch-then-verify.
+
+    Emits every whitespace token whose occurrence count is at least
+    ``min_share_bp`` basis points (1 bp = 1/10000) of all token
+    occurrences, with its exact count and integer-floor bp share —
+    sorted by (count desc, token).  ``capacity`` must satisfy
+    capacity >= 10000 / min_share_bp for the MG superset guarantee
+    (checked; the default 4096 covers thresholds down to 3 bp).
+    """
+    if capacity * min_share_bp < 10_000:
+        raise ValueError(
+            f"capacity={capacity} cannot guarantee the {min_share_bp}bp "
+            f"threshold: need capacity >= {10_000 // min_share_bp + 1}"
+        )
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("token")
+    )
+
+    def partial_sketch(it):
+        sk = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            n_part += len(pdf)
+            sk = mg_merge(sk, pdf["token"].value_counts(), capacity)
+        yield pd.DataFrame(
+            {
+                "token": list(sk.index) + [None],
+                "part_total": [None] * len(sk) + [n_part],
+            }
+        )
+
+    sketch = toks.mapInPandas(
+        partial_sketch, "token string, part_total long"
+    )
+    # One job materializes both outputs of the sketch pass: the bounded
+    # candidate union and the exact corpus token total.
+    srows = sketch.collect()
+    total = sum(r.part_total for r in srows if r.token is None)
+    cand = sorted({r.token for r in srows if r.token is not None})
+    if not cand or total == 0:
+        return spark.createDataFrame(
+            [], "token string, n bigint, share_bp bigint"
+        )
+    cand_df = F.broadcast(spark.createDataFrame([(t,) for t in cand], "token string"))
+    counted = toks.join(cand_df, "token").groupBy("token").agg(
+        F.count("*").alias("n")
+    )
+    # threshold on the cleared integer inequality (n * 10000 >= bp * total),
+    # share as integer floor bp — no doubles anywhere in the contract
+    return (
+        counted.filter(
+            F.col("n") * 10_000 >= F.lit(min_share_bp) * F.lit(total)
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(f"(n * 10000) div {int(total)}").cast("bigint"),
+        )
+        .select("token", F.col("n").cast("bigint").alias("n"), "share_bp")
+        .orderBy(F.desc("n"), "token")
+    )

@@ -4277,3 +4277,37 @@ Q(QuerySpec(
         ORDER BY vec_id
     """,
 ))
+
+
+def _heavy_hitters_builder(spark, sf):
+    from ..operators.sketch import heavy_hitters
+
+    return heavy_hitters(
+        load_table(spark, sf, "documents"), min_share_bp=200
+    )
+
+
+Q(QuerySpec(
+    name="pl_heavy_hitters",
+    doc="Corpus heavy-hitter tokens (>= 200 basis points of all token "
+        "occurrences) via per-partition Misra-Gries sketches + exact "
+        "re-count of the bounded candidate union (operators/sketch.py:"
+        "heavy_hitters). The sketch only GENERATES candidates (MG "
+        "superset guarantee), the verify pass is exact — so the output "
+        "hash-matches the plain GROUP BY oracle while the shuffle stays "
+        "candidate-sized at any corpus scale.",
+    builder=_heavy_hitters_builder,
+    oracle_sql_str="""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS token
+          FROM documents
+        ), tot AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((COUNT(*) * 10000) // (SELECT n FROM tot) AS BIGINT)
+                 AS share_bp
+        FROM tok GROUP BY token
+        HAVING COUNT(*) * 10000 >= 200 * (SELECT n FROM tot)
+        ORDER BY n DESC, token
+    """,
+))
