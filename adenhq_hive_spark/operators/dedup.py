@@ -1299,3 +1299,54 @@ def duplicated_spans(
             "n_dup_grams",
         )
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`duplicated_spans` removal plan: cut every word
+    whose position falls inside a flagged span and re-join the
+    survivors — the "remove the duplicated substring, keep the rest of
+    the document" step of Lee et al. 2022 (dropping whole documents
+    wastes the unique remainder; span surgery keeps it).
+
+    Scale shape: spans aggregate to one bounded array per doc (a doc of
+    W words has at most W/min_words spans), one key-shuffle join back
+    to the corpus, then the cut is pure JVM higher-order expressions —
+    no Python, no window, no second shuffle.  Docs without spans pass
+    through verbatim (null-safe exists).  Emits (id_col, clean_text,
+    n_removed) with n_removed = words cut, ordered output left to the
+    caller.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    joined = df.select(id_col, text_col).join(sp, id_col, "left")
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda w, i: F.struct(w.alias("w"), (i + 1).alias("pos")),
+        ),
+        lambda z: ~F.coalesce(
+            F.exists(
+                F.col("_spans"),
+                lambda s: (z.pos >= s.s) & (z.pos <= s.e),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda z: z.w), " ").alias(
+            "clean_text"
+        ),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -4311,3 +4311,73 @@ Q(QuerySpec(
         ORDER BY n DESC, token
     """,
 ))
+
+
+def _span_scrub_builder(spark, sf):
+    from ..operators.dedup import duplicated_spans, scrub_spans
+
+    docs = load_table(spark, sf, "documents")
+    spans = duplicated_spans(docs, k=4, min_words=8, min_docs=2)
+    return scrub_spans(docs, spans).orderBy("doc_id")
+
+
+Q(QuerySpec(
+    name="pl_span_scrub",
+    doc="Span surgery: cut the cross-document duplicated ranges found "
+        "by pl_dedup_spans out of each document, keeping the unique "
+        "remainder (operators/dedup.py:scrub_spans — bounded per-doc "
+        "span arrays, one key-shuffle join, JVM-side word filter). "
+        "Hash row covers the full rewritten text of every doc.",
+    builder=_span_scrub_builder,
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+        ), ps AS (
+          SELECT id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT id, unnest(list_transform(
+                range(1, greatest(len(t) - 3, 0) + 1),
+                i -> struct_pack(pos := i,
+                                 gram := array_to_string(t[i:i+3], ' ')))) AS u
+            FROM toks)
+        ), dup AS (
+          SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT id) AS gdf FROM ps GROUP BY gram)
+          WHERE gdf >= 2
+        ), dpos AS (
+          SELECT id, pos FROM ps WHERE gram IN (SELECT gram FROM dup)
+        ), flagged AS (
+          SELECT id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY id ORDER BY pos) > 4
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dpos
+        ), isl AS (
+          SELECT id, pos, SUM(new_isl)
+               OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS island
+          FROM flagged
+        ), spans AS (
+          SELECT id, MIN(pos) AS s, MAX(pos) + 3 AS e
+          FROM isl GROUP BY id, island
+          HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
+        ), words AS (
+          SELECT id, u.pos AS pos, u.w AS w FROM (
+            SELECT id, unnest(list_transform(range(1, len(t) + 1),
+                i -> struct_pack(pos := i, w := t[i]))) AS u
+            FROM toks)
+        ), kept AS (
+          SELECT w1.id, w1.pos, w1.w FROM words w1
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.id = w1.id
+                              AND w1.pos BETWEEN s.s AND s.e)
+        )
+        SELECT tk.id AS doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks tk LEFT JOIN (
+          SELECT id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY id) k ON k.id = tk.id
+        ORDER BY doc_id
+    """,
+))

@@ -1552,3 +1552,45 @@ Q(QuerySpec(
         ORDER BY cohort_week NULLS LAST, week_offset NULLS LAST
     """,
 ))
+
+# ---- time-RANGE window frames (Q81-Q82) ------------------------------------
+# RANGE frames bound by calendar intervals over a timestamp ORDER BY —
+# the frame is defined by VALUE distance, not row count, so duplicate
+# timestamps (frame peers) make the result deterministic without a
+# unique tie-break in the window order. Both engines accept the same
+# `RANGE BETWEEN INTERVAL n unit PRECEDING AND CURRENT ROW` syntax, so
+# these stay single-form portable (verified value-identical).
+
+Q(QuerySpec(
+    name="q81",
+    doc="Trailing 7-day revenue per customer: time-RANGE window "
+        "(INTERVAL 6 DAYS PRECEDING) over o_orderdate with the exact "
+        "decimal money-sum discipline.",
+    engine_sql="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                    AND CURRENT ROW)
+                    AS DOUBLE) AS rev_7d
+        FROM orders
+        ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST
+        LIMIT 500
+    """,
+))
+
+Q(QuerySpec(
+    name="q82",
+    doc="Trailing 1-hour activity count per user: time-RANGE window "
+        "over the events stream (exercises the detected-unit ns/us "
+        "timestamp path through a value-bounded frame).",
+    engine_sql="""
+        SELECT user_id, event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOURS PRECEDING
+                                        AND CURRENT ROW) AS n_1h
+        FROM events
+        ORDER BY user_id NULLS LAST, event_id NULLS LAST
+        LIMIT 500
+    """,
+))

@@ -631,3 +631,37 @@ def test_dup_spans_short_docs_yield_nothing(spark):
         [(1, "a b c"), (2, "a b c"), (3, "")], "doc_id long, text string"
     )
     assert duplicated_spans(df, k=4, min_words=8).count() == 0
+
+
+def test_scrub_spans_cuts_only_flagged_ranges(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans, scrub_spans
+
+    shared = _words("s", 10)
+    docs = spark.createDataFrame(
+        [
+            (1, _words("a", 5) + " " + shared + " " + _words("b", 5)),
+            (2, _words("c", 3) + " " + shared + " " + _words("d", 7)),
+            (3, _words("e", 20)),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=4, min_words=8)
+    out = {r.doc_id: r for r in scrub_spans(docs, spans).collect()}
+    assert out[1].clean_text == _words("a", 5) + " " + _words("b", 5)
+    assert out[1].n_removed == 10
+    assert out[2].clean_text == _words("c", 3) + " " + _words("d", 7)
+    # untouched doc passes through verbatim with n_removed 0
+    assert out[3].clean_text == _words("e", 20) and out[3].n_removed == 0
+
+
+def test_scrub_spans_exact_duplicate_scrubs_to_empty(spark):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans, scrub_spans
+
+    t = _words("x", 12)
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    spans = duplicated_spans(docs, k=4, min_words=8)
+    out = {r.doc_id: r for r in scrub_spans(docs, spans).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 12
+    assert out[2].clean_text == "" and out[2].n_removed == 12
