@@ -4381,3 +4381,90 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+def _asof_directional_builder(direction, tolerance):
+    def build(spark, sf):
+        ev = load_table(spark, sf, "events")
+        return (
+            asof_join(
+                ev.filter(F.col("event_type") == "purchase")
+                .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"),
+                ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", F.col("event_id").alias("click_id")),
+                on="user_id",
+                right_values=["click_id", "ts"],
+                order_col="click_id",
+                direction=direction,
+                tolerance=tolerance,
+            )
+            .filter(F.col("asof_click_id").isNotNull())
+            .select(
+                "purchase_id",
+                F.col("asof_click_id").alias("click_id"),
+                F.col("asof_ts").alias("click_ts"),
+            )
+            .orderBy("purchase_id")
+            .limit(2000)
+        )
+
+    return build
+
+
+Q(QuerySpec(
+    name="pl_asof_forward",
+    doc="Forward as-of with tolerance: for each purchase, the EARLIEST "
+        "click of the same user at-or-after it and within 1 hour "
+        "(operators/asof.py direction='forward', tolerance=3600 — same "
+        "union+carry shape as backward, descending scan, no pair join). "
+        "Oracle = bounded range join + row_number.",
+    builder=_asof_directional_builder("forward", 3600.0),
+    oracle_sql_str="""
+        SELECT purchase_id, click_id, click_ts
+        FROM (
+          SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                 c.ts AS click_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts ASC, c.event_id DESC) AS rn
+          FROM events p
+          JOIN events c ON c.user_id = p.user_id
+                        AND c.event_type = 'click'
+                        AND c.ts >= p.ts
+                        AND c.ts <= p.ts + INTERVAL 1 HOUR
+          WHERE p.event_type = 'purchase'
+        ) x
+        WHERE rn = 1
+        ORDER BY purchase_id NULLS LAST
+        LIMIT 2000
+    """,
+))
+
+Q(QuerySpec(
+    name="pl_asof_nearest",
+    doc="Nearest as-of: for each purchase, the click of the same user "
+        "closest in time on EITHER side; equidistant resolves backward "
+        "(the only choice a streaming execution could also make). "
+        "Engine = two shared-exchange window scans (operators/asof.py "
+        "direction='nearest'); oracle ranks all candidates by "
+        "(|delta|, backward-first, click_id desc).",
+    builder=_asof_directional_builder("nearest", None),
+    oracle_sql_str="""
+        SELECT purchase_id, click_id, click_ts
+        FROM (
+          SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                 c.ts AS click_ts,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                            CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                            c.event_id DESC) AS rn
+          FROM events p
+          JOIN events c ON c.user_id = p.user_id
+                        AND c.event_type = 'click'
+          WHERE p.event_type = 'purchase'
+        ) x
+        WHERE rn = 1
+        ORDER BY purchase_id NULLS LAST
+        LIMIT 2000
+    """,
+))
