@@ -621,3 +621,93 @@ def read_postings_index(spark, index_dir: str) -> DataFrame:
     column order as build_shingle_postings, so full-rebuild parity
     checks compare positionally."""
     return spark.read.parquet(index_dir).select("cid", "n_b", "shingle")
+
+
+_HH_OUT = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("bucket_total", T.LongType()),
+    ]
+)
+_HH_STATE = T.StructType(
+    [
+        T.StructField("counters_json", T.StringType()),
+        T.StructField("total", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    capacity: int = 1024,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.sketch.heavy_hitters`: a
+    continuously-maintained Misra-Gries candidate sketch over the token
+    stream of arriving documents.
+
+    Tokens hash to one of ``n_buckets`` state keys (xxhash64 pmod), so
+    sketch maintenance parallelizes across buckets AND every occurrence
+    of a given token lands in the SAME bucket — the per-bucket MG
+    guarantee (count > bucket_total/capacity survives, undercount at
+    most bucket_total/capacity) is therefore a global per-token
+    guarantee, not a per-partition one.  Each trigger emits the full
+    current sketch of every updated bucket (at most ``capacity`` rows
+    per bucket — bounded output); downstream consumers union buckets
+    and, as in the batch tier, re-count candidates exactly when an
+    exact answer is needed.  The batch twin's sketch-then-verify
+    contract is pinned by the parity test (stream candidates ⊇ batch
+    candidates on the same files).
+
+    State per bucket: a JSON counter map (bounded by capacity) + the
+    bucket's exact token total.
+    """
+    import json
+
+    from ..operators.sketch import mg_merge
+
+    toks = doc_stream.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("token")
+    ).select(
+        "token",
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        counters_json, total = (
+            state.get if state.exists else ("{}", 0)
+        )
+        sk = pd.Series(json.loads(counters_json), dtype="int64")
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            total += len(pdf)
+            sk = mg_merge(sk, pdf["token"].value_counts(), capacity)
+        state.update((json.dumps({k: int(v) for k, v in sk.items()}), total))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(sk),
+                "token": list(sk.index),
+                "mg_count": [int(v) for v in sk.values],
+                "bucket_total": [total] * len(sk),
+            }
+        )
+
+    return toks.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

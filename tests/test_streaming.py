@@ -1034,3 +1034,68 @@ def test_postings_maintain_stream_parity_and_consume(spark, tmp_path):
         ).collect()
     )
     assert kept == [12]
+
+
+def test_heavy_hitters_stream_state_and_batch_parity(spark, tmp_path):
+    import os
+    import pandas as pd_
+
+    from adenhq_hive_spark.operators.sketch import heavy_hitters
+    from adenhq_hive_spark.streaming.events import (
+        heavy_hitters_stream,
+        run_to_completion,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+
+    def write_file(name, docs, mtime, start_id=0):
+        pdf = pd_.DataFrame(
+            [(start_id + i, t) for i, t in enumerate(docs)],
+            columns=["doc_id", "text"],
+        )
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    # 'hh' 15x per file (30 total); fillers are all unique so a small
+    # capacity evicts them while 'hh' must survive both triggers
+    docs1 = [("hh " * 3 + " ".join(f"a{i}_{j}" for j in range(7))) for i in range(5)]
+    docs2 = [("hh " * 3 + " ".join(f"b{i}_{j}" for j in range(7))) for i in range(5)]
+    write_file("f1.parquet", docs1, 1_000_000)
+    write_file("f2.parquet", docs2, 2_000_000, start_id=100)
+
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_to_completion(
+        heavy_hitters_stream(raw, capacity=8, n_buckets=4),
+        "hh_stream",
+        str(tmp_path / "hh_ck"),
+        output_mode="update",
+    )
+    try:
+        rows = spark.sql("SELECT * FROM hh_stream").collect()
+    finally:
+        q.stop()
+    # final sketch per bucket = rows carrying that bucket's max total
+    # (update mode re-emits the whole bucket sketch each trigger)
+    max_total = {}
+    for r in rows:
+        max_total[r.bucket] = max(max_total.get(r.bucket, 0), r.bucket_total)
+    final = {
+        r.token: r for r in rows if r.bucket_total == max_total[r.bucket]
+    }
+    hh = final["hh"]
+    # cumulative across BOTH triggers, undercount bounded by total/cap
+    assert hh.mg_count <= 30
+    assert hh.mg_count >= 30 - (hh.bucket_total // 8 + 1)
+
+    # batch-twin parity: every exact heavy hitter is a stream candidate
+    batch_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs1 + docs2)],
+        "doc_id long, text string",
+    )
+    exact = heavy_hitters(batch_df, min_share_bp=1500, capacity=64).collect()
+    assert {r.token for r in exact} <= set(final)
