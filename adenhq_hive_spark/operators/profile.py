@@ -111,3 +111,88 @@ def approx_quantiles_gate(
     return ranks.select(
         F.lit(len(probs)).alias("n_checked"), ok.alias("within_tol")
     )
+
+
+def ks_drift(
+    df: "DataFrame",
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> "DataFrame":
+    """Two-sample Kolmogorov-Smirnov distance of each group's value
+    distribution against the REST of the corpus — the distribution-drift
+    detector curation recipes run per source/shard (a crawler config
+    change shows up as a length-CDF shift long before quality averages
+    move).
+
+    Exact integer formulation: KS = max_x |F_g(x) - F_rest(x)| compares
+    as the cleared numerator |cum_g(x)·n_rest − cum_rest(x)·n_g| over
+    the constant denominator n_g·n_rest, so the maximum is decided in
+    integer arithmetic (DECIMAL(38,0) products — BIGINT wraps once
+    corpus-level cum·n products pass ~9.2e18, i.e. ~3e9 docs) and only
+    the final reported fraction rounds (frac4, half-up, portable).
+
+    Scale shape: per-(group, value) counts → dense (group × pooled
+    value) grid via cross join with the distinct-value list → per-group
+    cumulative windows (PARTITIONED by group, never global) → corpus
+    cumulative recovered as the SUM of per-group cums at each value
+    (one keyed shuffle — no single-partition window over the value
+    grid). Grid size = |groups| · |distinct values|, metadata-sized
+    for any realistic value column (doc lengths, scores).
+
+    Emits (group_col, n_docs, ks) sorted by group.
+    """
+    from pyspark.sql import Window
+
+    from .text import frac4
+
+    counts = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count("*").alias("c"))
+    )
+    groups = counts.select(group_col).distinct()
+    values = counts.select(value_col).distinct()
+    grid = groups.crossJoin(values)
+    dense = grid.join(counts, [group_col, value_col], "left").select(
+        group_col,
+        value_col,
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = dense.withColumn("cum_g", F.sum("c").over(wg))
+    corpus = cums.groupBy(value_col).agg(F.sum("cum_g").alias("cum_all"))
+    totals = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    n_total = df.count()
+    dec = "decimal(38,0)"
+    joined = (
+        cums.join(corpus, value_col)
+        .join(totals, group_col)
+        .withColumn("n_rest", F.lit(n_total) - F.col("n_g"))
+        .withColumn(
+            "ks_num",
+            F.abs(
+                F.col("cum_g").cast(dec) * F.col("n_rest").cast(dec)
+                - (F.col("cum_all") - F.col("cum_g")).cast(dec)
+                * F.col("n_g").cast(dec)
+            ),
+        )
+    )
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.first("n_g").alias("n_docs"),
+            F.max("ks_num").alias("ks_num"),
+            F.first(F.col("n_g").cast(dec) * F.col("n_rest").cast(dec)).alias(
+                "den"
+            ),
+        )
+        .select(
+            group_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            frac4(F.col("ks_num"), F.col("den")).alias("ks"),
+        )
+        .orderBy(group_col)
+    )

@@ -4468,3 +4468,62 @@ Q(QuerySpec(
         LIMIT 2000
     """,
 ))
+
+
+def _ks_drift_builder(spark, sf):
+    from ..operators.profile import ks_drift
+
+    return ks_drift(
+        load_table(spark, sf, "documents"), value_col="n_chars",
+        group_col="source",
+    )
+
+
+Q(QuerySpec(
+    name="pl_ks_drift",
+    doc="Per-source length-distribution drift: exact two-sample "
+        "Kolmogorov-Smirnov distance of each source's n_chars CDF vs "
+        "the rest of the corpus (operators/profile.py:ks_drift — "
+        "integer-cleared max |cum_g*n_rest - cum_rest*n_g|, dense "
+        "group x value grid, partitioned cumulative windows only).",
+    builder=_ks_drift_builder,
+    oracle_sql_str="""
+        WITH counts AS (
+          SELECT source AS g, n_chars AS v, COUNT(*) AS c
+          FROM documents GROUP BY source, n_chars
+        ), grid AS (
+          SELECT gg.g, vv.v
+          FROM (SELECT DISTINCT g FROM counts) gg
+          CROSS JOIN (SELECT DISTINCT v FROM counts) vv
+        ), dense AS (
+          SELECT grid.g, grid.v, COALESCE(c.c, 0) AS c
+          FROM grid LEFT JOIN counts c ON c.g = grid.g AND c.v = grid.v
+        ), cums AS (
+          SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cum_g
+          FROM dense
+        ), corpus AS (
+          SELECT v, SUM(cum_g) AS cum_all FROM cums GROUP BY v
+        ), totals AS (
+          SELECT source AS g, COUNT(*) AS n_g FROM documents GROUP BY source
+        ), tot AS (SELECT COUNT(*) AS n FROM documents),
+        j AS (
+          SELECT cums.g, cums.cum_g, corpus.cum_all, totals.n_g,
+                 (SELECT n FROM tot) - totals.n_g AS n_rest
+          FROM cums
+          JOIN corpus ON corpus.v = cums.v
+          JOIN totals ON totals.g = cums.g
+        ), m AS (
+          SELECT g,
+                 MAX(abs(CAST(cum_g AS HUGEINT) * n_rest
+                         - CAST(cum_all - cum_g AS HUGEINT) * n_g)) AS ks_num,
+                 ANY_VALUE(CAST(n_g AS HUGEINT) * n_rest) AS den,
+                 ANY_VALUE(n_g) AS n_g
+          FROM j GROUP BY g
+        )
+        SELECT g AS source, CAST(n_g AS BIGINT) AS n_docs,
+               CAST((ks_num * 20000 + den) // (2 * den) AS DOUBLE) / 10000
+                 AS ks
+        FROM m ORDER BY source
+    """,
+))

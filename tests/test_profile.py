@@ -43,3 +43,39 @@ def test_approx_quantiles_gate(spark):
     # (looser) bound — the gate tolerance scales with 1/accuracy
     row2 = approx_quantiles_gate(df, "v", accuracy=100).collect()[0]
     assert row2.within_tol
+
+
+# ---- ks_drift ---------------------------------------------------------------
+
+
+def test_ks_drift_disjoint_supports_is_one(spark):
+    from adenhq_hive_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 30), ("b", 40)],
+        "source string, n_chars long",
+    )
+    out = {r.source: r for r in ks_drift(df).collect()}
+    assert out["a"].ks == 1.0 and out["b"].ks == 1.0
+    assert out["a"].n_docs == 2
+
+
+def test_ks_drift_identical_distributions_is_zero(spark):
+    from adenhq_hive_spark.operators.profile import ks_drift
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.source: r.ks for r in ks_drift(df).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_ks_drift_known_half_overlap(spark):
+    from adenhq_hive_spark.operators.profile import ks_drift
+
+    # A = {1,2}, B = {1,3}: CDFs diverge by 0.5 at value 2 exactly
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 3)],
+        "source string, n_chars long",
+    )
+    out = {r.source: r.ks for r in ks_drift(df).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
