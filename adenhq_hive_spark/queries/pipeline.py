@@ -4527,3 +4527,93 @@ Q(QuerySpec(
         FROM m ORDER BY source
     """,
 ))
+
+
+def _span_rate_builder(spark, sf):
+    from ..operators.dedup import duplicated_spans
+    from ..operators.text import frac4, ws_token_count
+
+    docs = load_table(spark, sf, "documents")
+    spans = duplicated_spans(docs, k=4, min_words=8, min_docs=2)
+    dup_words = (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("span_words").alias("dup_words"))
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_words"),
+    )
+    return (
+        totals.join(dup_words, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            frac4(
+                F.coalesce("dup_words", F.lit(0)), F.col("n_words")
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+Q(QuerySpec(
+    name="pl_span_rate",
+    doc="Per-source duplicated-span burden: words inside cross-document "
+        "duplicated ranges (pl_dedup_spans plan) over total words — the "
+        "governance number that says WHERE span surgery pays before "
+        "running it (composes duplicated_spans + a per-source rollup; "
+        "word totals use the raw single-space split, matching span "
+        "positions which index that same split).",
+    builder=_span_rate_builder,
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+        ), ps AS (
+          SELECT id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT id, unnest(list_transform(
+                range(1, greatest(len(t) - 3, 0) + 1),
+                i -> struct_pack(pos := i,
+                                 gram := array_to_string(t[i:i+3], ' ')))) AS u
+            FROM toks)
+        ), dup AS (
+          SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT id) AS gdf FROM ps GROUP BY gram)
+          WHERE gdf >= 2
+        ), dpos AS (
+          SELECT id, pos FROM ps WHERE gram IN (SELECT gram FROM dup)
+        ), flagged AS (
+          SELECT id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY id ORDER BY pos) > 4
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dpos
+        ), isl AS (
+          SELECT id, pos, SUM(new_isl)
+               OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS island
+          FROM flagged
+        ), spans AS (
+          SELECT id, MAX(pos) + 3 - MIN(pos) + 1 AS span_words
+          FROM isl GROUP BY id, island
+          HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
+        ), dup_w AS (
+          SELECT d.source, SUM(s.span_words) AS dup_words
+          FROM spans s JOIN documents d ON d.doc_id = s.id
+          GROUP BY d.source
+        ), tot AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(len(string_split(text, ' '))) AS n_words
+          FROM documents GROUP BY source
+        )
+        SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST(t.n_words AS BIGINT) AS n_words,
+               CAST(COALESCE(w.dup_words, 0) AS BIGINT) AS dup_words,
+               CAST((COALESCE(w.dup_words, 0) * 20000 + t.n_words)
+                    // (2 * t.n_words) AS DOUBLE) / 10000 AS dup_share
+        FROM tot t LEFT JOIN dup_w w ON w.source = t.source
+        ORDER BY t.source
+    """,
+))

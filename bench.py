@@ -69,6 +69,10 @@ HEADLINE = [
     "pl_pq_topk",        # product-quantization ANN + exact refine
     "pl_hybrid_search",  # BM25 + cosine reciprocal-rank fusion
     "pl_novelty",        # per-doc unique-shingle share (df join-back)
+    "pl_dedup_spans",    # duplicated-span detection (linear, no pair join)
+    "pl_span_scrub",     # span surgery: cut duplicated ranges, keep rest
+    "pl_sem_decontaminate",  # embedding-space eval leakage (map-only BLAS)
+    "pl_ks_drift",       # per-source KS distribution drift (integer-exact)
 ]
 
 
