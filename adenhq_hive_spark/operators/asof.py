@@ -37,9 +37,16 @@ from pyspark.sql import functions as F
 
 
 def _ts_delta(a: F.Column, b: F.Column, is_timestamp: bool) -> F.Column:
-    """(a - b) in seconds for timestamps, column units otherwise."""
+    """(a - b) in seconds for time-like columns, column units otherwise.
+
+    Time-like covers timestamp, timestamp_ntz and date — all cast to
+    TIMESTAMP first: the session-tz shift a ntz/date cast applies is
+    identical on both operands, so the DELTA is unaffected."""
     if is_timestamp:
-        return (F.unix_micros(a) - F.unix_micros(b)) / F.lit(1_000_000.0)
+        return (
+            F.unix_micros(a.cast("timestamp"))
+            - F.unix_micros(b.cast("timestamp"))
+        ) / F.lit(1_000_000.0)
     return a - b
 
 
@@ -65,7 +72,8 @@ def asof_join(
         right_values = [c for c in right.columns if c not in (on, right_ts)]
 
     left_cols = left.columns
-    is_ts = dict(left.dtypes).get(left_ts) == "timestamp"
+    lt = dict(left.dtypes).get(left_ts, "")
+    is_ts = lt.startswith("timestamp") or lt == "date"
     # side marker: right rows sort before left rows at equal ts, so a
     # right row with right_ts == left_ts is visible to that left row
     # (the <= in Q33); mirrored for the forward scan.

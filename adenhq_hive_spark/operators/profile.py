@@ -192,7 +192,11 @@ def ks_drift(
         .select(
             group_col,
             F.col("n_docs").cast("long").alias("n_docs"),
-            frac4(F.col("ks_num"), F.col("den")).alias("ks"),
+            # a single-group corpus has no "rest": den = n_g*0 = 0 and
+            # the KS distance is undefined — report NULL, never divide
+            F.when(F.col("den") == 0, F.lit(None)).otherwise(
+                frac4(F.col("ks_num"), F.col("den"))
+            ).alias("ks"),
         )
         .orderBy(group_col)
     )

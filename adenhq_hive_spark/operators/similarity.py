@@ -1362,12 +1362,13 @@ def semantic_decontaminate(
     Returns (id_col, eval_id, cosine) for flagged corpus rows only.
     """
     spark = corpus.sparkSession
-    id_type = dict(eval_df.dtypes).get(id_col)
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise ValueError(
-            f"semantic_decontaminate requires an integral eval id column; "
-            f"{id_col!r} is {id_type!r}"
-        )
+    for side, sdf in (("eval", eval_df), ("corpus", corpus)):
+        id_type = dict(sdf.dtypes).get(id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"semantic_decontaminate requires an integral {side} id "
+                f"column; {id_col!r} is {id_type!r}"
+            )
     erows = eval_df.select(id_col, vec_col).limit(max_eval + 1).collect()
     if len(erows) > max_eval:
         raise ValueError(
@@ -1380,6 +1381,11 @@ def semantic_decontaminate(
     e_ids = np.array([r[0] for r in erows], dtype=np.int64)
     e_mat = np.array([r[1] for r in erows], dtype=np.float64)
     e_mat /= np.linalg.norm(e_mat, axis=1, keepdims=True)
+    # pre-sort by eval_id: np.argmax returns the FIRST maximum, so the
+    # (cosine desc, eval_id asc) tie-break falls out of one vectorized
+    # argmax per batch — no per-row lexsort
+    order = np.argsort(e_ids)
+    e_ids, e_mat = e_ids[order], e_mat[order]
     bq = spark.sparkContext.broadcast((e_ids, e_mat))
 
     c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
@@ -1393,15 +1399,9 @@ def semantic_decontaminate(
             mat = np.array(list(pdf["_cv"]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = np.round(mat @ mat_e.T, 4)            # (batch, n_eval)
-            # argmax by (cosine desc, eval_id asc): lexsort on the
-            # negated sims with ids as tiebreak, row-wise
-            best = np.zeros(len(ids), dtype=np.int64)
-            best_sim = np.zeros(len(ids))
-            for i in range(len(ids)):
-                row = sims[i]
-                j = np.lexsort((ids_e, -row))[0]
-                best[i] = ids_e[j]
-                best_sim[i] = row[j]
+            j = sims.argmax(axis=1)        # first max = smallest eval_id
+            best = ids_e[j]
+            best_sim = sims[np.arange(len(ids)), j]
             keep = best_sim >= threshold
             if keep.any():
                 yield pd.DataFrame(

@@ -4181,23 +4181,12 @@ Q(QuerySpec(
 ))
 
 
-def _dedup_spans_builder(spark, sf):
-    from ..operators.dedup import duplicated_spans
-
-    return duplicated_spans(
-        load_table(spark, sf, "documents"), k=4, min_words=8, min_docs=2
-    ).orderBy("doc_id", "span_start")
-
-
-Q(QuerySpec(
-    name="pl_dedup_spans",
-    doc="Exact duplicated-span removal plan (Lee et al. 2022 substring "
-        "dedup): per-doc maximal word ranges covered by cross-document "
-        "duplicated 4-grams, merged gaps-and-islands, spans >= 8 words "
-        "(operators/dedup.py:duplicated_spans — linear, no pair join). "
-        "Oracle = positional-struct unnest + window islands in DuckDB.",
-    builder=_dedup_spans_builder,
-    oracle_sql_str="""
+# Shared DuckDB CTE prefix: the duplicated-span PLAN (positional 4-gram
+# document frequency -> join-back -> gaps-and-islands) — the oracle
+# prefix for pl_dedup_spans and both queries that compose it
+# (pl_span_scrub, pl_span_rate); one definition so the three oracles
+# cannot drift (same pattern as _CLUSTER_LABELS_CTE).
+_SPANS_PLAN_CTE = """\
         WITH toks AS (
           SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
         ), ps AS (
@@ -4224,7 +4213,27 @@ Q(QuerySpec(
                OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
                AS island
           FROM flagged
-        )
+        )"""
+
+
+def _dedup_spans_builder(spark, sf):
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        load_table(spark, sf, "documents"), k=4, min_words=8, min_docs=2
+    ).orderBy("doc_id", "span_start")
+
+
+Q(QuerySpec(
+    name="pl_dedup_spans",
+    doc="Exact duplicated-span removal plan (Lee et al. 2022 substring "
+        "dedup): per-doc maximal word ranges covered by cross-document "
+        "duplicated 4-grams, merged gaps-and-islands, spans >= 8 words "
+        "(operators/dedup.py:duplicated_spans — linear, no pair join). "
+        "Oracle = positional-struct unnest + window islands in DuckDB.",
+    builder=_dedup_spans_builder,
+    oracle_sql_str=f"""
+{_SPANS_PLAN_CTE}
         SELECT id AS doc_id,
                CAST(MIN(pos) AS BIGINT) AS span_start,
                CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
@@ -4329,34 +4338,8 @@ Q(QuerySpec(
         "span arrays, one key-shuffle join, JVM-side word filter). "
         "Hash row covers the full rewritten text of every doc.",
     builder=_span_scrub_builder,
-    oracle_sql_str="""
-        WITH toks AS (
-          SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
-        ), ps AS (
-          SELECT id, u.pos AS pos, u.gram AS gram FROM (
-            SELECT id, unnest(list_transform(
-                range(1, greatest(len(t) - 3, 0) + 1),
-                i -> struct_pack(pos := i,
-                                 gram := array_to_string(t[i:i+3], ' ')))) AS u
-            FROM toks)
-        ), dup AS (
-          SELECT gram FROM (
-            SELECT gram, COUNT(DISTINCT id) AS gdf FROM ps GROUP BY gram)
-          WHERE gdf >= 2
-        ), dpos AS (
-          SELECT id, pos FROM ps WHERE gram IN (SELECT gram FROM dup)
-        ), flagged AS (
-          SELECT id, pos,
-                 CASE WHEN pos - lag(pos) OVER
-                      (PARTITION BY id ORDER BY pos) > 4
-                      THEN 1 ELSE 0 END AS new_isl
-          FROM dpos
-        ), isl AS (
-          SELECT id, pos, SUM(new_isl)
-               OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
-               AS island
-          FROM flagged
-        ), spans AS (
+    oracle_sql_str=f"""
+{_SPANS_PLAN_CTE}, spans AS (
           SELECT id, MIN(pos) AS s, MAX(pos) + 3 AS e
           FROM isl GROUP BY id, island
           HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
@@ -4568,34 +4551,8 @@ Q(QuerySpec(
         "word totals use the raw single-space split, matching span "
         "positions which index that same split).",
     builder=_span_rate_builder,
-    oracle_sql_str="""
-        WITH toks AS (
-          SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
-        ), ps AS (
-          SELECT id, u.pos AS pos, u.gram AS gram FROM (
-            SELECT id, unnest(list_transform(
-                range(1, greatest(len(t) - 3, 0) + 1),
-                i -> struct_pack(pos := i,
-                                 gram := array_to_string(t[i:i+3], ' ')))) AS u
-            FROM toks)
-        ), dup AS (
-          SELECT gram FROM (
-            SELECT gram, COUNT(DISTINCT id) AS gdf FROM ps GROUP BY gram)
-          WHERE gdf >= 2
-        ), dpos AS (
-          SELECT id, pos FROM ps WHERE gram IN (SELECT gram FROM dup)
-        ), flagged AS (
-          SELECT id, pos,
-                 CASE WHEN pos - lag(pos) OVER
-                      (PARTITION BY id ORDER BY pos) > 4
-                      THEN 1 ELSE 0 END AS new_isl
-          FROM dpos
-        ), isl AS (
-          SELECT id, pos, SUM(new_isl)
-               OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
-               AS island
-          FROM flagged
-        ), spans AS (
+    oracle_sql_str=f"""
+{_SPANS_PLAN_CTE}, spans AS (
           SELECT id, MAX(pos) + 3 - MIN(pos) + 1 AS span_words
           FROM isl GROUP BY id, island
           HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8

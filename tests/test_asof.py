@@ -89,3 +89,18 @@ def test_asof_unknown_direction_raises(sides):
     left, right = sides
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", direction="sideways")
+
+
+def test_asof_timestamp_ntz_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 12:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 11:58:00", 9)], "k long, ts string, val long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = asof_join(left, right, on="k", tolerance=60.0).collect()
+    assert out[0].asof_val is None  # 120 s away > 60 s tolerance
+    out2 = asof_join(left, right, on="k", tolerance=180.0).collect()
+    assert out2[0].asof_val == 9

@@ -79,3 +79,13 @@ def test_ks_drift_known_half_overlap(spark):
     )
     out = {r.source: r.ks for r in ks_drift(df).collect()}
     assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_ks_drift_single_group_reports_null_not_div_by_zero(spark):
+    from adenhq_hive_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(
+        [("only", v) for v in (1, 2, 3)], "source string, n_chars long"
+    )
+    rows = ks_drift(df).collect()
+    assert len(rows) == 1 and rows[0].ks is None and rows[0].n_docs == 3

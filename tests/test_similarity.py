@@ -596,3 +596,18 @@ def test_sem_decontaminate_eval_cap_and_id_type_guards(spark):
     ev_str = ev.withColumn("vec_id", ev.vec_id.cast("string"))
     with _pytest.raises(ValueError, match="integral"):
         semantic_decontaminate(corpus, ev_str)
+
+
+def test_sem_decontaminate_corpus_id_guard(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1.5, [1.0, 0.0])], "vec_id double, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="corpus id"):
+        semantic_decontaminate(corpus, ev)
