@@ -586,3 +586,64 @@ def test_r5_ops_plan_shapes(spark):
 
     for name in ("pl_temperature_mix", "pl_length_buckets"):
         assert "partial_sum" in executed(name)
+
+
+def test_fourth_window_ops_plan_shapes(spark):
+    """100 TB posture of the fourth-window additions, locked in:
+    - pl_sem_decontaminate: MAP-ONLY — zero exchanges of any kind (the
+      eval matrix rides a broadcast variable, not a plan-side join);
+    - pl_dedup_spans: no cartesian/broadcast-nested-loop pair join, all
+      windows partitioned (per-doc islands), partial aggs on the gram
+      df count;
+    - pl_heavy_hitters: the exact verify joins the token stream against
+      the bounded candidate set as a BROADCAST join (the one hash
+      exchange belongs to the candidate-only group-by);
+    - pl_asof_nearest: no pair join (union+carry, windows partitioned
+      by user), exactly the key exchanges — never a range join;
+    - q81: a single partitioned window over orders, no join.
+    """
+    import re
+
+    def executed(name):
+        df = QUERIES[name].run(spark, SF_SMOKE)
+        df.write.mode("overwrite").format("noop").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # the OPERATOR is map-only (the registered query adds an orderBy
+    # range exchange for the hash contract's total order — not counted)
+    from adenhq_hive_spark.operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    op = semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        threshold=0.38,
+    )
+    op.write.mode("overwrite").format("noop").save()
+    p = op._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
+
+    p = executed("pl_dedup_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+    for line in p.splitlines():
+        if "Window [" in line:
+            spec = line.split("windowspecdefinition(")[1]
+            assert not spec.startswith("specifiedwindowframe"), line
+
+    p = executed("pl_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = executed("pl_asof_nearest")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for line in p.splitlines():
+        if "Window [" in line:
+            spec = line.split("windowspecdefinition(")[1]
+            assert not spec.startswith("specifiedwindowframe"), line
+
+    p = executed("q81")
+    assert "Join" not in p
+    assert len(re.findall(r"Window \[", p)) == 1
