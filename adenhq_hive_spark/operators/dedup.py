@@ -1350,3 +1350,124 @@ def scrub_spans(
         ),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def build_gram_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Corpus-side index for incremental span dedup: per word-k-gram
+    DISTINCT-document frequency (gram, gdf).  Persist/bucket this table
+    once; batches then join it instead of re-shingling the corpus —
+    the span-tier analog of :func:`build_shingle_postings` (jaccard
+    tier) and ``update_trigram_postings`` (search tier)."""
+    from .ngrams import word_ngrams
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), k))
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+    )
+
+
+def update_gram_postings(
+    postings: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Merge a new batch into the gram postings: distinct-doc counts add
+    because batch ids are disjoint from corpus ids (the ingest
+    contract).  Proven equal to a full rebuild in tests — the
+    delta-maintain path for a continuously-growing corpus."""
+    delta = build_gram_postings(batch, text_col, id_col, k)
+    return (
+        postings.withColumnsRenamed({"gdf": "gdf_a"})
+        .join(delta.withColumnsRenamed({"gdf": "gdf_b"}), "gram", "full")
+        .select(
+            "gram",
+            (
+                F.coalesce("gdf_a", F.lit(0)) + F.coalesce("gdf_b", F.lit(0))
+            ).alias("gdf"),
+        )
+    )
+
+
+def dedup_spans_incremental(
+    batch: DataFrame,
+    corpus_postings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_words: int = 8,
+) -> DataFrame:
+    """Duplicated spans of a NEW batch against corpus ∪ batch, without
+    touching corpus text: a batch gram is duplicated iff it exists in
+    the corpus postings (gdf >= 1 — some corpus doc has it) OR in at
+    least 2 distinct batch docs.  Because corpus and batch doc sets are
+    disjoint, this is EXACTLY the full-corpus :func:`duplicated_spans`
+    condition (total distinct docs >= 2) restricted to batch ids —
+    pinned by a property test and the shared driver oracle.
+
+    Cost: linear in the BATCH (positional explode + one join against
+    the postings key), never in the corpus.
+    """
+    from pyspark.sql import Window
+
+    from .ngrams import word_ngrams
+
+    ps = (
+        batch.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+        )
+        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    )
+    ps = _materialize(ps)
+    batch_df_counts = (
+        ps.select("gram", "id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("bdf"))
+    )
+    dup = (
+        batch_df_counts.join(
+            corpus_postings.select("gram", "gdf"), "gram", "left"
+        )
+        .filter((F.coalesce("gdf", F.lit(0)) >= 1) | (F.col("bdf") >= 2))
+        .select("gram")
+    )
+    dpos = ps.join(dup, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dpos.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w))
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "span_words",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
+        )
+        .filter(F.col("span_words") >= min_words)
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            "span_words",
+            "n_dup_grams",
+        )
+    )

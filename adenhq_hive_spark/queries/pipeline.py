@@ -4574,3 +4574,37 @@ Q(QuerySpec(
         ORDER BY t.source
     """,
 ))
+
+
+def _span_incr_builder(spark, sf):
+    from ..operators.dedup import build_gram_postings, dedup_spans_incremental
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return dedup_spans_incremental(
+        batch, build_gram_postings(corpus), k=4, min_words=8
+    ).orderBy("doc_id", "span_start")
+
+
+Q(QuerySpec(
+    name="pl_span_incr",
+    doc="Incremental span dedup: duplicated spans of the NEW batch "
+        "(doc_id>=250) against corpus ∪ batch via the persisted gram-"
+        "frequency postings — batch-linear, corpus text never re-read "
+        "(operators/dedup.py:dedup_spans_incremental). Oracle = the "
+        "full-corpus spans plan restricted to batch ids, so the hash "
+        "row pins incremental == full.",
+    builder=_span_incr_builder,
+    oracle_sql_str=f"""
+{_SPANS_PLAN_CTE}
+        SELECT id AS doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 3 - MIN(pos) + 1 AS BIGINT) AS span_words,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM isl WHERE id >= 250 GROUP BY id, island
+        HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
+        ORDER BY doc_id, span_start
+    """,
+))

@@ -665,3 +665,52 @@ def test_scrub_spans_exact_duplicate_scrubs_to_empty(spark):
     out = {r.doc_id: r for r in scrub_spans(docs, spans).collect()}
     assert out[1].clean_text == "" and out[1].n_removed == 12
     assert out[2].clean_text == "" and out[2].n_removed == 12
+
+
+def test_span_incremental_equals_full_restricted(spark):
+    from adenhq_hive_spark.operators.dedup import (
+        build_gram_postings,
+        dedup_spans_incremental,
+        duplicated_spans,
+    )
+
+    shared = _words("s", 10)
+    rows = [
+        (1, _words("a", 5) + " " + shared),            # corpus
+        (2, _words("b", 20)),                          # corpus
+        (10, shared + " " + _words("c", 5)),           # batch: dup vs corpus
+        (11, _words("d", 3) + " " + _words("e", 9)),   # batch: unique
+        (12, _words("e", 9) + " " + _words("f", 4)),   # batch: dup vs batch 11
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter("doc_id < 10")
+    batch = df.filter("doc_id >= 10")
+    incr = dedup_spans_incremental(
+        batch, build_gram_postings(corpus), k=4, min_words=8
+    )
+    full = duplicated_spans(df, k=4, min_words=8).filter("doc_id >= 10")
+    key = ["doc_id", "span_start", "span_end", "span_words", "n_dup_grams"]
+    assert sorted(map(tuple, incr.select(key).collect())) == sorted(
+        map(tuple, full.select(key).collect())
+    )
+    # and the batch-vs-batch duplicate was actually exercised
+    assert incr.filter("doc_id = 12").count() >= 1
+
+
+def test_update_gram_postings_equals_rebuild(spark):
+    from adenhq_hive_spark.operators.dedup import (
+        build_gram_postings,
+        update_gram_postings,
+    )
+
+    a = spark.createDataFrame(
+        [(1, _words("x", 6)), (2, _words("x", 6))], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, _words("x", 6) + " " + _words("y", 5))], "doc_id long, text string"
+    )
+    merged = update_gram_postings(build_gram_postings(a), b)
+    rebuilt = build_gram_postings(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
