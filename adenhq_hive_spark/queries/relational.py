@@ -1594,3 +1594,21 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="q83",
+    doc="Numeric-RANGE window: parts within a 50-unit retail-price band "
+        "below each part, per brand — value-bounded frame over a DOUBLE "
+        "ORDER BY (the numeric sibling of q81's calendar-interval "
+        "frame; deterministic because the frame depends on values, "
+        "not row order).",
+    engine_sql="""
+        SELECT p_brand, p_partkey,
+               COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+                              RANGE BETWEEN 50.0 PRECEDING
+                                        AND CURRENT ROW) AS n_band
+        FROM part
+        ORDER BY p_brand NULLS LAST, p_partkey NULLS LAST
+        LIMIT 500
+    """,
+))

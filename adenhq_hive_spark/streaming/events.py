@@ -711,3 +711,29 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def distinct_users_stream(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-type tumbling-window APPROXIMATE distinct users — the
+    streaming cardinality rollup (active-user dashboards) where an
+    exact distinct would keep every seen id in state forever.
+
+    Spark's approx_count_distinct is HyperLogLog++: fixed ~KB sketch
+    per (window, type) group regardless of user count, and the sketch
+    merge is commutative, so micro-batch boundaries cannot change the
+    estimate — the batch twin computed on the same rows yields the
+    IDENTICAL number (pinned in tests), making this one of the few
+    approximate operators with exact stream/batch parity.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "approx_users",
+        )
+    )

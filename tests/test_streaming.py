@@ -1099,3 +1099,58 @@ def test_heavy_hitters_stream_state_and_batch_parity(spark, tmp_path):
     )
     exact = heavy_hitters(batch_df, min_share_bp=1500, capacity=64).collect()
     assert {r.token for r in exact} <= set(final)
+
+
+def test_distinct_users_stream_matches_batch_hll(spark, tmp_path):
+    import os
+    import pandas as pd_
+
+    from adenhq_hive_spark.streaming.events import (
+        distinct_users_stream,
+        run_to_completion,
+    )
+
+    src = tmp_path / "du_src"
+    src.mkdir()
+    rows1 = [(i, pd_.Timestamp("2026-01-01 10:%02d:00" % (i % 60)), "click", i % 7)
+             for i in range(100)]
+    rows2 = [(1000 + i, pd_.Timestamp("2026-01-01 10:%02d:00" % (i % 60)), "click", i % 11)
+             for i in range(100)]
+    for name, rows, mt in (("a.parquet", rows1, 1_000_000),
+                           ("b.parquet", rows2, 2_000_000)):
+        pdf = pd_.DataFrame(rows, columns=["event_id", "ts", "event_type", "user_id"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mt, mt))
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_to_completion(
+        distinct_users_stream(raw),
+        "du_stream",
+        str(tmp_path / "du_ck"),
+        output_mode="complete",
+    )
+    try:
+        got = {
+            (r.hour, r.event_type): r.approx_users
+            for r in spark.sql("SELECT * FROM du_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("a"))
+        .select(F.col("win.start").alias("hour"), "event_type", "a")
+        .collect()
+    )
+    # HLL++ merge is commutative: micro-batched == single-batch exactly
+    assert got == {(r.hour, r.event_type): r.a for r in batch}
+    # and the estimate is close to truth (11 distinct users)
+    assert abs(next(iter(got.values())) - 11) <= 2
