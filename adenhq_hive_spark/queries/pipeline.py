@@ -4608,3 +4608,84 @@ Q(QuerySpec(
         ORDER BY doc_id, span_start
     """,
 ))
+
+
+def _scrub_pipeline(spark, sf):
+    from ..operators.curation import hash_split
+    from ..operators.dedup import duplicated_spans, scrub_spans
+    from ..operators.text import ws_token_count
+
+    docs = load_table(spark, sf, "documents")
+    spans = duplicated_spans(docs, k=4, min_words=8, min_docs=2)
+    clean = scrub_spans(docs, spans)
+    kept = clean.withColumn(
+        "n_words", ws_token_count(F.col("clean_text")).cast("long")
+    ).filter(F.col("n_words") >= 20)
+    return (
+        hash_split(kept)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+        )
+        .orderBy("split")
+    )
+
+
+Q(QuerySpec(
+    name="pl_scrub_pipeline",
+    doc="Capstone of the span tier: detect cross-document duplicated "
+        "ranges -> cut them (span surgery) -> drop documents gutted "
+        "below 20 surviving words -> md5-routed train/val/test split -> "
+        "per-split doc/word/removed totals. Every stage is the operator "
+        "its standalone query exercises; the oracle replays the chain "
+        "as one DuckDB CTE pipeline.",
+    builder=_scrub_pipeline,
+    oracle_sql_str=f"""
+{_SPANS_PLAN_CTE}, spans AS (
+          SELECT id, MIN(pos) AS s, MAX(pos) + 3 AS e
+          FROM isl GROUP BY id, island
+          HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
+        ), words AS (
+          SELECT id, u.pos AS pos, u.w AS w FROM (
+            SELECT id, unnest(list_transform(range(1, len(t) + 1),
+                i -> struct_pack(pos := i, w := t[i]))) AS u
+            FROM toks)
+        ), kept AS (
+          SELECT w1.id, w1.pos, w1.w FROM words w1
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.id = w1.id
+                              AND w1.pos BETWEEN s.s AND s.e)
+        ), clean AS (
+          SELECT tk.id AS doc_id,
+                 COALESCE(k.clean_text, '') AS clean_text,
+                 CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT)
+                   AS n_removed
+          FROM toks tk LEFT JOIN (
+            SELECT id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY id) k ON k.id = tk.id
+        ), keepn AS (
+          SELECT doc_id, n_removed,
+                 CAST(len(list_filter(string_split(clean_text, ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_words
+          FROM clean
+          WHERE len(list_filter(string_split(clean_text, ' '),
+                                x -> x <> '')) >= 20
+        )
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_removed) AS BIGINT) AS n_removed
+        FROM keepn
+        GROUP BY split
+        ORDER BY split
+    """,
+))
