@@ -4689,3 +4689,127 @@ Q(QuerySpec(
         ORDER BY split
     """,
 ))
+
+
+def _drop_ledger(spark, sf):
+    from ..operators.ngrams import word_ngrams
+    from ..operators.text import repetition_stats, ws_token_count
+
+    docs = load_table(spark, sf, "documents")
+    rep = repetition_stats(docs, n=2).select("doc_id", "rep_ok")
+    base = docs.join(rep, "doc_id", "left").withColumn(
+        "n_tokens", ws_token_count(F.col("text"))
+    )
+    q_fail = (F.col("n_tokens") < 20) | ~F.coalesce(
+        F.col("rep_ok"), F.lit(True)
+    )
+    keep1 = base.filter(~q_fail)
+    keepers = (
+        keep1.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("kid"))
+        .select(F.col("kid").alias("doc_id"), F.lit(True).alias("is_keeper"))
+    )
+    g5 = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), 5, lowercase=True))
+        ).alias("gram"),
+    )
+    ev = g5.filter(F.col("source") == "src0").select("gram").distinct()
+    bad = (
+        g5.filter(F.col("source") != "src0")
+        .join(ev, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_bad", F.lit(True))
+    )
+    return (
+        base.join(keepers, "doc_id", "left")
+        .join(bad, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(q_fail, "quality")
+            .when(~F.coalesce("is_keeper", F.lit(False)), "duplicate")
+            .when(F.col("source") == "src0", "eval_holdout")
+            .when(F.coalesce("is_bad", F.lit(False)), "contaminated")
+            .otherwise("kept")
+            .alias("drop_stage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q(QuerySpec(
+    name="pl_drop_ledger",
+    doc="Per-document drop provenance through the curation capstone: the "
+        "FIRST stage that removed each doc (quality | duplicate | "
+        "eval_holdout | contaminated | kept) under exactly "
+        "pl_curation_pipeline's stage semantics — the 'why did my "
+        "document disappear' debugging table a curation run ships with. "
+        "One row per corpus doc; oracle replays the stage conditions as "
+        "a CASE over the capstone's own CTE blocks.",
+    builder=_drop_ledger,
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id, text, source,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM documents
+        ),
+        g2 AS (
+          SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 1,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+1], ' ')))
+               AS gram
+          FROM documents
+        ),
+        pg AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+        ),
+        rep AS (
+          SELECT doc_id,
+                 (MAX(c) * 10000 <= SUM(c) * 2000
+                  AND (SUM(c) - COUNT(*)) * 10000 <= SUM(c) * 6000) AS rep_ok
+          FROM pg GROUP BY doc_id
+        ),
+        keep1 AS (
+          SELECT t.* FROM toks t JOIN rep USING (doc_id)
+          WHERE rep.rep_ok AND t.n_tokens >= 20
+        ),
+        ded AS (
+          SELECT MIN(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)
+        ),
+        g5 AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+4], ' '))))
+               AS gram
+          FROM documents
+        ),
+        ev AS (SELECT DISTINCT gram FROM g5 WHERE source = 'src0'),
+        bad AS (
+          SELECT DISTINCT doc_id FROM g5
+          WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)
+        )
+        SELECT d.doc_id,
+               CASE
+                 WHEN t.n_tokens < 20 OR NOT COALESCE(r.rep_ok, TRUE)
+                   THEN 'quality'
+                 WHEN d.doc_id NOT IN (SELECT doc_id FROM ded)
+                   THEN 'duplicate'
+                 WHEN d.source = 'src0' THEN 'eval_holdout'
+                 WHEN d.doc_id IN (SELECT doc_id FROM bad)
+                   THEN 'contaminated'
+                 ELSE 'kept'
+               END AS drop_stage
+        FROM documents d
+        JOIN toks t USING (doc_id)
+        LEFT JOIN rep r USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+))

@@ -984,3 +984,19 @@ def test_dataset_card_exact_small_corpus(spark):
     assert r.dup_rate == 0.3333
     assert 0.0 <= r.mean_quality <= 1.0
     assert 0.0 <= r.gopher_pass_rate <= 1.0
+
+
+def test_drop_ledger_kept_set_matches_capstone(spark):
+    from adenhq_hive_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    ledger = qs["pl_drop_ledger"].run(spark, sf)
+    kept = ledger.filter("drop_stage = 'kept'").count()
+    capstone_docs = sum(
+        r.n_docs for r in qs["pl_curation_pipeline"].run(spark, sf).collect()
+    )
+    assert kept == capstone_docs
+    stages = {r.drop_stage for r in ledger.select("drop_stage").distinct().collect()}
+    assert stages <= {"quality", "duplicate", "eval_holdout",
+                      "contaminated", "kept"}
