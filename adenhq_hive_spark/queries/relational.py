@@ -1612,3 +1612,47 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="q84",
+    doc="Running DISTINCT user count per event type by day — the "
+        "first-occurrence-flag + cumulative-sum rewrite of COUNT("
+        "DISTINCT) OVER, which no engine supports directly: each "
+        "user contributes on their first-seen day only, then a "
+        "partitioned running sum accumulates.",
+    engine_sql="""
+        WITH firsts AS (
+          SELECT event_type, user_id,
+                 MIN(CAST(date_trunc('DAY', ts) AS TIMESTAMP)) AS first_day
+          FROM events GROUP BY event_type, user_id
+        ), daily AS (
+          SELECT event_type, first_day AS day, COUNT(*) AS new_users
+          FROM firsts GROUP BY event_type, first_day
+        )
+        SELECT event_type, day,
+               CAST(SUM(new_users) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS users_to_date
+        FROM daily
+        ORDER BY event_type NULLS LAST, day NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q85",
+    doc="Distribution-standing window functions: percent_rank and "
+        "cume_dist of each customer's balance within their market "
+        "segment (unique tie-break key makes both deterministic; "
+        "identical IEEE division then ROUND 4 on both engines).",
+    engine_sql="""
+        SELECT c_mktsegment, c_custkey,
+               ROUND(percent_rank() OVER w, 4) AS pr,
+               ROUND(cume_dist() OVER w, 4) AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment NULLS LAST, c_custkey NULLS LAST
+        LIMIT 500
+    """,
+))
