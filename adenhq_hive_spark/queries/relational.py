@@ -1656,3 +1656,31 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="q86",
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4): gap-filled 60-day "
+        "order calendar ending at the newest order date — empty days "
+        "appear with zero counts, the shape dashboards need and plain "
+        "GROUP BY cannot produce. Single-form portable; depth bounded "
+        "(60) well under the engine recursion limit.",
+    engine_sql="""
+        WITH RECURSIVE days(d) AS (
+          SELECT CAST(date_trunc('DAY', MAX(o_orderdate)) AS TIMESTAMP)
+                 - INTERVAL 59 DAYS FROM orders
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM days
+          WHERE d < (SELECT CAST(date_trunc('DAY', MAX(o_orderdate))
+                          AS TIMESTAMP)
+                     FROM orders)
+        ), daily AS (
+          SELECT CAST(date_trunc('DAY', o_orderdate) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n
+          FROM orders
+          GROUP BY CAST(date_trunc('DAY', o_orderdate) AS TIMESTAMP)
+        )
+        SELECT d.d AS day, CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_orders
+        FROM days d LEFT JOIN daily dd ON dd.day = d.d
+        ORDER BY day NULLS LAST
+    """,
+))
