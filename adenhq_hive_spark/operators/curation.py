@@ -1275,3 +1275,53 @@ def dataset_card(
         frac4(F.col("_g"), n).alias("gopher_pass_rate"),
         frac4(F.col("_d"), n).alias("dup_rate"),
     )
+
+
+def verify_shards(
+    spark,
+    path: str,
+    expected_manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Close the shard-integrity loop: recompute :func:`shard_manifest`
+    over the export on disk and diff it against the expected manifest
+    (the one written at export time).  One row per shard in either
+    manifest with a ``status``:
+
+    - ``ok``        — all fields match;
+    - ``corrupt``   — shard exists on both sides but any of count /
+      ranges / checksum differs (a flipped row, truncated file, or
+      reordered+rewritten content);
+    - ``missing``   — in the expected manifest, absent on disk;
+    - ``unexpected``— on disk, absent from the expected manifest.
+
+    Full-outer join on shard_id, manifest-sized — the check is a scan
+    of the export (the XOR checksum needs no sort) plus a tiny join.
+    """
+    actual = shard_manifest(spark, path, id_col=id_col, text_col=text_col)
+    fields = ["n_rows", "min_pos", "max_pos", "min_id", "max_id", "checksum"]
+    e = expected_manifest.select(
+        "shard_id", *[F.col(c).alias(f"e_{c}") for c in fields]
+    )
+    a = actual.select(
+        "shard_id", *[F.col(c).alias(f"a_{c}") for c in fields]
+    )
+    same = None
+    for c in fields:
+        eq = F.col(f"e_{c}").eqNullSafe(F.col(f"a_{c}"))
+        same = eq if same is None else (same & eq)
+    return (
+        e.join(a, "shard_id", "full")
+        .select(
+            "shard_id",
+            F.when(F.col("e_n_rows").isNull(), "unexpected")
+            .when(F.col("a_n_rows").isNull(), "missing")
+            .when(same, "ok")
+            .otherwise("corrupt")
+            .alias("status"),
+            F.col("e_n_rows").alias("expected_rows"),
+            F.col("a_n_rows").alias("actual_rows"),
+        )
+        .orderBy("shard_id")
+    )

@@ -1000,3 +1000,45 @@ def test_drop_ledger_kept_set_matches_capstone(spark):
     stages = {r.drop_stage for r in ledger.select("drop_stage").distinct().collect()}
     assert stages <= {"quality", "duplicate", "eval_holdout",
                       "contaminated", "kept"}
+
+
+def test_verify_shards_statuses(spark, tmp_path):
+    import shutil
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.curation import (
+        shard_manifest,
+        verify_shards,
+        write_training_shards,
+    )
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "vshards")
+    write_training_shards(docs, out)
+    expected = shard_manifest(spark, out).collect()
+    expected_df = spark.createDataFrame(expected)
+
+    # untouched export: every shard ok
+    v = verify_shards(spark, out, expected_df).collect()
+    assert v and all(r.status == "ok" for r in v)
+
+    # tamper one doc -> exactly that shard goes corrupt, rest stay ok
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    write_training_shards(tampered, out)
+    v2 = {r.shard_id: r.status for r in verify_shards(spark, out, expected_df).collect()}
+    assert list(v2.values()).count("corrupt") == 1
+    assert all(s in ("ok", "corrupt") for s in v2.values())
+
+    # delete a shard directory -> missing
+    write_training_shards(docs, out)
+    victim = expected[0].shard_id
+    shutil.rmtree(f"{out}/shard_id={victim}")
+    v3 = {r.shard_id: r.status for r in verify_shards(spark, out, expected_df).collect()}
+    assert v3[victim] == "missing"
+    assert all(s == "ok" for k, s in v3.items() if k != victim)
