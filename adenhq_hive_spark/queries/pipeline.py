@@ -4813,3 +4813,72 @@ Q(QuerySpec(
         ORDER BY d.doc_id
     """,
 ))
+
+
+def _attribution_builder(spark, sf):
+    from ..operators.text import frac4
+
+    ev = load_table(spark, sf, "events")
+    j = asof_join(
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"),
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id")),
+        on="user_id",
+        right_values=["click_id"],
+        order_col="click_id",
+        direction="backward",
+        tolerance=3600.0,
+    )
+    return (
+        j.withColumn(
+            "day", F.date_trunc("DAY", F.col("ts")).cast("timestamp")
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(
+                F.when(F.col("asof_click_id").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_attributed"),
+        )
+        .withColumn(
+            "attribution_rate",
+            frac4(F.col("n_attributed"), F.col("n_purchases")),
+        )
+        .orderBy("day")
+    )
+
+
+Q(QuerySpec(
+    name="pl_attribution",
+    doc="Last-touch attribution rate per day: share of purchases with a "
+        "same-user click within the preceding hour — composes the "
+        "backward as-of join WITH tolerance (operators/asof.py) into a "
+        "daily rollup; oracle = bounded EXISTS range probe.",
+    builder=_attribution_builder,
+    oracle_sql_str="""
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ), att AS (
+          SELECT p.event_id,
+                 CAST(date_trunc('DAY', p.ts) AS TIMESTAMP) AS day,
+                 EXISTS (SELECT 1 FROM events c
+                         WHERE c.user_id = p.user_id
+                           AND c.event_type = 'click'
+                           AND c.ts <= p.ts
+                           AND c.ts >= p.ts - INTERVAL 1 HOUR) AS has_click
+          FROM p
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN has_click THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_attributed,
+               CAST((SUM(CASE WHEN has_click THEN 1 ELSE 0 END) * 20000
+                     + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000
+                 AS attribution_rate
+        FROM att
+        GROUP BY day
+        ORDER BY day
+    """,
+))
