@@ -737,3 +737,73 @@ def distinct_users_stream(
             "approx_users",
         )
     )
+
+
+def span_scrub_stream(
+    doc_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_words: int = 8,
+):
+    """Ingest-time span surgery: each arriving document batch is checked
+    for duplicated spans against everything ingested BEFORE it (plus
+    batch-internal repeats), scrubbed, and written clean — the streaming
+    composition of dedup_spans_incremental + scrub_spans, with the gram
+    postings index maintained in the same trigger (the
+    postings_maintain_stream pattern).
+
+    Ordering/idempotence: the index is epoch-partitioned and each batch
+    EXCLUDES ITS OWN epoch when reading it, so an at-least-once retry of
+    epoch N sees exactly the pre-N corpus again instead of flagging
+    every one of its own grams as duplicates; both sinks use dynamic
+    partition overwrite, so the retry replaces rather than appends.
+    First-seen copies pass through verbatim; only later arrivals lose
+    the repeated range — the online policy a growing corpus wants
+    (earlier docs are already in downstream snapshots).
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    import os
+
+    from ..operators.dedup import (
+        build_gram_postings,
+        dedup_spans_incremental,
+        scrub_spans,
+    )
+
+    spark = doc_stream.sparkSession
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(index_dir):
+            idx = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("epoch_id") != epoch_id)
+                .groupBy("gram")
+                .agg(F.sum("gdf").alias("gdf"))
+            )
+        else:
+            idx = spark.createDataFrame([], "gram string, gdf bigint")
+        spans = dedup_spans_incremental(
+            batch_df, idx, text_col, id_col, k, min_words
+        )
+        clean = scrub_spans(batch_df, spans, text_col, id_col)
+        (
+            clean.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+        (
+            build_gram_postings(batch_df, text_col, id_col, k)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(index_dir)
+        )
+
+    return doc_stream.writeStream.foreachBatch(write)

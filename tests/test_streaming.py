@@ -1154,3 +1154,57 @@ def test_distinct_users_stream_matches_batch_hll(spark, tmp_path):
     assert got == {(r.hour, r.event_type): r.a for r in batch}
     # and the estimate is close to truth (11 distinct users)
     assert abs(next(iter(got.values())) - 11) <= 2
+
+
+def test_span_scrub_stream_scrubs_later_arrivals_only(spark, tmp_path):
+    import os
+    import pandas as pd_
+
+    from adenhq_hive_spark.streaming.events import span_scrub_stream
+
+    def _w(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    shared = _w("s", 10)
+
+    def write_file(name, rows, mtime):
+        pdf = pd_.DataFrame(rows, columns=["doc_id", "text"])
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    # batch 1: the ORIGINAL copy + an unrelated doc
+    write_file("f1.parquet",
+               [(1, _w("a", 5) + " " + shared), (2, _w("b", 20))],
+               1_000_000)
+    # batch 2: a later doc repeating the run, one clean doc
+    write_file("f2.parquet",
+               [(10, shared + " " + _w("c", 5)), (11, _w("d", 20))],
+               2_000_000)
+
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        span_scrub_stream(
+            raw, str(tmp_path / "ss_idx"), str(tmp_path / "ss_out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "ss_out")).collect()
+    }
+    # first-seen copy untouched; later arrival loses exactly the run
+    assert out[1].clean_text == _w("a", 5) + " " + shared
+    assert out[1].n_removed == 0
+    assert out[10].clean_text == _w("c", 5) and out[10].n_removed == 10
+    assert out[2].n_removed == 0 and out[11].n_removed == 0
