@@ -4882,3 +4882,55 @@ Q(QuerySpec(
         ORDER BY day
     """,
 ))
+
+
+def _event_transitions(spark, sf):
+    from pyspark.sql import Window
+
+    from ..operators.text import frac4
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    return (
+        trans.join(tot, "prev")
+        .select("prev", "next", "n", frac4(F.col("n"), F.col("n_prev")).alias("p"))
+        .orderBy("prev", "next")
+    )
+
+
+Q(QuerySpec(
+    name="pl_event_transitions",
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current), counts + frac4-exact "
+        "probabilities — the behavior-model training table (and the "
+        "sanity check that pl_event_sequences' ordering contract holds "
+        "corpus-wide). Lag window partitioned per user, one grouped "
+        "count, totals joined back on the prev key.",
+    builder=_event_transitions,
+    oracle_sql_str="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), trans AS (
+          SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM seq WHERE prev IS NOT NULL
+          GROUP BY prev, event_type
+        ), tot AS (
+          SELECT prev, SUM(n) AS n_prev FROM trans GROUP BY prev
+        )
+        SELECT t.prev, t.next, CAST(t.n AS BIGINT) AS n,
+               CAST((t.n * 20000 + o.n_prev) // (2 * o.n_prev)
+                    AS DOUBLE) / 10000 AS p
+        FROM trans t JOIN tot o ON o.prev = t.prev
+        ORDER BY t.prev NULLS LAST, t.next NULLS LAST
+    """,
+))
