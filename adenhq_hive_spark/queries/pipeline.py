@@ -4934,3 +4934,61 @@ Q(QuerySpec(
         ORDER BY t.prev NULLS LAST, t.next NULLS LAST
     """,
 ))
+
+
+def _leak_census(spark, sf):
+    from ..operators.ngrams import word_ngrams
+
+    docs = load_table(spark, sf, "documents")
+    g5 = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), 5, lowercase=True))
+        ).alias("gram"),
+    )
+    ev = g5.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    corpus = g5.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("corpus_doc_id"), "gram"
+    )
+    return (
+        ev.join(corpus, "gram")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("corpus_doc_id").cast("long").alias("n_leaky_docs"),
+            F.count_distinct("gram").cast("long").alias("n_shared_grams"),
+        )
+        .orderBy("eval_doc_id")
+    )
+
+
+Q(QuerySpec(
+    name="pl_leak_census",
+    doc="Eval-leakage census: for each eval document (src0), how many "
+        "corpus documents share a 5-gram with it and through how many "
+        "distinct grams — the triage table that says WHICH benchmark "
+        "items are burned before decontamination decides what to drop. "
+        "Gram-key join with count-distinct partial aggs; only leaking "
+        "eval docs appear.",
+    builder=_leak_census,
+    oracle_sql_str="""
+        WITH g5 AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+4], ' '))))
+               AS gram
+          FROM documents
+        )
+        SELECT e.doc_id AS eval_doc_id,
+               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_leaky_docs,
+               CAST(COUNT(DISTINCT e.gram) AS BIGINT) AS n_shared_grams
+        FROM g5 e JOIN g5 c
+          ON e.gram = c.gram AND e.source = 'src0' AND c.source <> 'src0'
+        GROUP BY e.doc_id
+        ORDER BY eval_doc_id
+    """,
+))
