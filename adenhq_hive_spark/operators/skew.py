@@ -112,3 +112,57 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(top)
     )
+
+
+def compaction_plan(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    suffix: str = ".parquet",
+) -> DataFrame:
+    """Small-file compaction plan for a (possibly partitioned) parquet
+    directory: bin-packs each partition directory's data files into
+    groups of ~``target_mb`` so a rewrite job can coalesce them — the
+    remedy for the many-small-files failure mode that kills scan
+    throughput at scale (every file is a task + a footer read).
+
+    Deterministic: files are first-fit packed in name order, so the
+    same directory always yields the same plan (re-runs are idempotent
+    and the plan itself is diffable). Listing walks the driver-local
+    filesystem — at cluster scale, swap the walker for a FileSystem
+    listing; the packing logic is the part that matters and is pure.
+
+    Returns (partition, group_id, n_files, total_bytes, files),
+    ordered; single-file groups already at/above target are flagged by
+    n_files = 1 (nothing to do). Only data files matching ``suffix``
+    count; _SUCCESS/checksum droppings are ignored.
+    """
+    import os
+
+    target = target_mb * 1024 * 1024
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        for f in sorted(files):
+            if not f.endswith(suffix):
+                continue
+            full = os.path.join(root, f)
+            by_part.setdefault("" if rel == "." else rel, []).append(
+                (f, os.path.getsize(full))
+            )
+    rows = []
+    for part in sorted(by_part):
+        group, size, gid = [], 0, 0
+        for name, nbytes in by_part[part]:
+            if group and size + nbytes > target:
+                rows.append((part, gid, len(group), size, group))
+                group, size, gid = [], 0, gid + 1
+            group.append(name)
+            size += nbytes
+        if group:
+            rows.append((part, gid, len(group), size, group))
+    return spark.createDataFrame(
+        rows,
+        "partition string, group_id int, n_files int, total_bytes long, "
+        "files array<string>",
+    ).orderBy("partition", "group_id")
