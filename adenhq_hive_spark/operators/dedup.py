@@ -1471,3 +1471,87 @@ def dedup_spans_incremental(
             "n_dup_grams",
         )
     )
+
+
+def span_witnesses(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """:func:`duplicated_spans` plus PROVENANCE: each span carries a
+    witness — another document containing the span's starting k-gram —
+    turning "this range is duplicated" into "duplicated with whom"
+    (the row a curator opens to decide boilerplate vs mirror vs quote).
+
+    The witness is derived from bounded per-gram MIN/MAX doc-id
+    aggregates only (witness = min id if that isn't the doc itself,
+    else max id) — never a per-gram id list, so a boilerplate gram
+    shared by millions of documents costs two BIGINTs, not an
+    unbounded posting row (the trigram-postings lesson applied).
+    Deterministic: the smallest qualifying witness for the span START.
+
+    Output (id_col, span_start, span_end, span_words, witness_doc),
+    ordered by (id, span_start).
+    """
+    from pyspark.sql import Window
+
+    from ..catalog import spread_small_scan
+
+    from .ngrams import word_ngrams
+
+    ps = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+        )
+        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    )
+    ps = _materialize(ps)
+    gstats = (
+        ps.select("gram", "id")
+        .distinct()
+        .groupBy("gram")
+        .agg(
+            F.min("id").alias("g_min"),
+            F.max("id").alias("g_max"),
+            F.count("*").alias("gdf"),
+        )
+        .filter(F.col("gdf") >= min_docs)
+        .select("gram", "g_min", "g_max")
+    )
+    dpos = ps.join(gstats, "gram").select("id", "pos", "g_min", "g_max")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dpos.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w))
+    spans = (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            # witness of the START position: min_by/max_by on pos keeps
+            # the aggregation bounded (no island-wide list)
+            F.min_by("g_min", "pos").alias("s_min"),
+            F.min_by("g_max", "pos").alias("s_max"),
+        )
+        .withColumn(
+            "span_words",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
+        )
+        .filter(F.col("span_words") >= min_words)
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_words",
+        F.when(F.col("s_min") != F.col("id"), F.col("s_min"))
+        .otherwise(F.col("s_max"))
+        .cast("long")
+        .alias("witness_doc"),
+    )

@@ -4992,3 +4992,63 @@ Q(QuerySpec(
         ORDER BY eval_doc_id
     """,
 ))
+
+
+def _span_witness_builder(spark, sf):
+    from ..operators.dedup import span_witnesses
+
+    return span_witnesses(
+        load_table(spark, sf, "documents"), k=4, min_words=8, min_docs=2
+    ).orderBy("doc_id", "span_start")
+
+
+Q(QuerySpec(
+    name="pl_span_witness",
+    doc="Span provenance: every duplicated span with a witness doc "
+        "sharing its starting 4-gram (operators/dedup.py:span_witnesses "
+        "— witnesses from bounded per-gram MIN/MAX id aggregates, never "
+        "a posting list, so hot boilerplate grams cost two BIGINTs). "
+        "Same island algebra as pl_dedup_spans.",
+    builder=_span_witness_builder,
+    oracle_sql_str="""
+        WITH toks AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+        ), ps AS (
+          SELECT id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT id, unnest(list_transform(
+                range(1, greatest(len(t) - 3, 0) + 1),
+                i -> struct_pack(pos := i,
+                                 gram := array_to_string(t[i:i+3], ' ')))) AS u
+            FROM toks)
+        ), gstats AS (
+          SELECT gram, MIN(id) AS g_min, MAX(id) AS g_max
+          FROM (SELECT DISTINCT gram, id FROM ps)
+          GROUP BY gram HAVING COUNT(*) >= 2
+        ), dpos AS (
+          SELECT p.id, p.pos, g.g_min, g.g_max
+          FROM ps p JOIN gstats g ON g.gram = p.gram
+        ), flagged AS (
+          SELECT id, pos, g_min, g_max,
+                 CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY id ORDER BY pos) > 4
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM dpos
+        ), isl AS (
+          SELECT id, pos, g_min, g_max, SUM(new_isl)
+               OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS island
+          FROM flagged
+        )
+        SELECT id AS doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 3 - MIN(pos) + 1 AS BIGINT) AS span_words,
+               CAST(CASE WHEN arg_min(g_min, pos) <> id
+                         THEN arg_min(g_min, pos)
+                         ELSE arg_min(g_max, pos) END AS BIGINT)
+                 AS witness_doc
+        FROM isl GROUP BY id, island
+        HAVING MAX(pos) + 3 - MIN(pos) + 1 >= 8
+        ORDER BY doc_id, span_start
+    """,
+))

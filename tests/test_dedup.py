@@ -714,3 +714,21 @@ def test_update_gram_postings_equals_rebuild(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_span_witness_points_at_the_sharing_doc(spark):
+    from adenhq_hive_spark.operators.dedup import span_witnesses
+
+    shared = _words("s", 10)
+    df = spark.createDataFrame(
+        [
+            (1, _words("a", 5) + " " + shared),
+            (2, shared + " " + _words("b", 5)),
+            (3, _words("c", 20)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_witnesses(df, k=4, min_words=8).collect()}
+    assert out[1].witness_doc == 2   # min gram-holder is 1 itself -> max
+    assert out[2].witness_doc == 1   # min gram-holder 1 differs -> min
+    assert 3 not in out
