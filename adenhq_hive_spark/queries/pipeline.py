@@ -5052,3 +5052,4 @@ Q(QuerySpec(
         ORDER BY doc_id, span_start
     """,
 ))
+

@@ -1657,14 +1657,7 @@ Q(QuerySpec(
     """,
 ))
 
-Q(QuerySpec(
-    name="q86",
-    doc="Recursive CTE (WITH RECURSIVE, Spark 4): gap-filled 60-day "
-        "order calendar ending at the newest order date — empty days "
-        "appear with zero counts, the shape dashboards need and plain "
-        "GROUP BY cannot produce. Single-form portable; depth bounded "
-        "(60) well under the engine recursion limit.",
-    engine_sql="""
+_Q86_SQL = """
         WITH RECURSIVE days(d) AS (
           SELECT CAST(date_trunc('DAY', MAX(o_orderdate)) AS TIMESTAMP)
                  - INTERVAL 59 DAYS FROM orders
@@ -1682,5 +1675,43 @@ Q(QuerySpec(
         SELECT d.d AS day, CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_orders
         FROM days d LEFT JOIN daily dd ON dd.day = d.d
         ORDER BY day NULLS LAST
+    """
+
+Q(QuerySpec(
+    name="q86",
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4): gap-filled 60-day "
+        "order calendar ending at the newest order date — empty days "
+        "appear with zero counts, the shape dashboards need and plain "
+        "GROUP BY cannot produce. Single-form portable; depth bounded "
+        "(60) well under the engine recursion limit.",
+    engine_sql=_Q86_SQL,
+))
+
+Q(QuerySpec(
+    name="pl_calendar_fill",
+    doc="Scale-path twin of q86: the same gap-filled 60-day order "
+        "calendar via sequence()+explode — ONE job instead of 60 "
+        "recursion micro-plans (27x at sf1, see BASELINE). Shares "
+        "q86's recursive oracle, so the hash row pins the two "
+        "formulations equal.",
+    engine_sql="""
+        WITH bounds AS (
+          SELECT CAST(date_trunc('DAY', MAX(o_orderdate)) AS TIMESTAMP)
+                   AS mx
+          FROM orders
+        ), days AS (
+          SELECT explode(sequence(mx - INTERVAL 59 DAYS, mx,
+                                  INTERVAL 1 DAY)) AS d
+          FROM bounds
+        ), daily AS (
+          SELECT CAST(date_trunc('DAY', o_orderdate) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n
+          FROM orders
+          GROUP BY CAST(date_trunc('DAY', o_orderdate) AS TIMESTAMP)
+        )
+        SELECT d.d AS day, CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_orders
+        FROM days d LEFT JOIN daily dd ON dd.day = d.d
+        ORDER BY day NULLS LAST
     """,
+    oracle_sql_str=_Q86_SQL,
 ))
