@@ -322,3 +322,62 @@ def test_round5_ops_python_replay_properties(spark):
         expect = (Decimal(len(a & b) * 20000 + len(a)) // (2 * len(a))) / 10000
         assert Decimal(str(r.containment)) == expect
         assert 0.5 <= r.containment <= 1.0
+
+
+# -- duplicated spans vs brute-force python reference -----------------------
+
+
+def _py_spans(corpus, k=4, min_words=8, min_docs=2):
+    """Brute-force reference: positional k-grams, cross-doc df, merge
+    starts within k, emit [start, end] word spans (1-based)."""
+    grams = {}
+    per_doc = {}
+    for did, text in corpus:
+        toks = text.split(" ")
+        pos = []
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            pos.append((i + 1, g))
+            grams.setdefault(g, set()).add(did)
+        per_doc[did] = pos
+    out = []
+    for did, pos in per_doc.items():
+        dups = [p for p, g in pos if len(grams[g]) >= min_docs]
+        start = prev = None
+        spans = []
+        for p in dups:
+            if start is None:
+                start = prev = p
+            elif p - prev > k:
+                spans.append((start, prev + k - 1))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            spans.append((start, prev + k - 1))
+        for s, e in spans:
+            if e - s + 1 >= min_words:
+                out.append((did, s, e, e - s + 1))
+    return sorted(out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicated_spans_matches_python_reference(spark, docs):
+    from adenhq_hive_spark.operators.dedup import duplicated_spans
+
+    corpus = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_words)
+        for r in duplicated_spans(df, k=4, min_words=8).collect()
+    )
+    assert got == _py_spans(corpus)
