@@ -1214,6 +1214,62 @@ def shingle_novelty(
     )
 
 
+def _positional_grams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    spread: bool = True,
+    cache: bool = True,
+) -> DataFrame:
+    """(id, pos, gram) positional word-k-gram rows, pos 1-based — the
+    shared first stage of every span-tier operator (one definition so
+    the position arithmetic cannot drift between them).  ``cache=False``
+    skips the persist for per-micro-batch callers (a long-running
+    stream would otherwise accumulate never-released cached plans)."""
+    from ..catalog import spread_small_scan
+
+    from .ngrams import word_ngrams
+
+    src = spread_small_scan(df) if spread else df
+    ps = src.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    return _materialize(ps) if cache else ps
+
+
+def _with_islands(dpos: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands id over duplicated gram starts: two grams at
+    starts p < p' overlap/adjoin iff p' - p <= k, so a new island opens
+    when the gap exceeds k.  Window partitioned per doc, never global."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    return dpos.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w))
+
+
+def _island_spans(isl: DataFrame, k: int, min_words: int, extra=()) -> DataFrame:
+    """Merge islands to spans [min(pos), max(pos)+k-1], keep spans of
+    >= min_words covered words; ``extra`` adds per-island aggregates."""
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            *extra,
+        )
+        .withColumn(
+            "span_words",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
+        )
+        .filter(F.col("span_words") >= min_words)
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1228,43 +1284,22 @@ def duplicated_spans(
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"), where duplicated substrings are cut from documents rather
     than dropping whole near-duplicate docs.  Cross-document only by
-    default (intra-doc repetition is pl_intradoc_dedup's job; reference
-    parity: the engine's dedup surface is aden-hive's document tooling
-    generalized to corpus curation — see SURVEY §2 pipeline tier).
+    default (intra-doc repetition is pl_intradoc_dedup's job).
 
     Algorithm (all relational, no pair join — LINEAR in corpus size,
-    unlike the jaccard tier's candidate-pair expansion):
-      1. positional k-grams (id, pos, gram), pos 1-based;
-      2. grams with document frequency >= min_docs (count over distinct
-         docs — one key shuffle with partial aggs);
-      3. join positions back on the gram key (second key shuffle);
-      4. per-doc gaps-and-islands: two duplicated grams at starts p < p'
-         overlap/adjoin iff p' - p <= k, so a new island opens when the
-         gap exceeds k; islands merge to spans
-         [min(pos), max(pos) + k - 1];
-      5. keep spans of >= min_words covered words.
+    unlike the jaccard tier's candidate-pair expansion): positional
+    k-grams (:func:`_positional_grams`) → grams with distinct-doc
+    frequency >= min_docs (one key shuffle with partial aggs) → join
+    positions back on the gram key → per-doc gaps-and-islands merge
+    (:func:`_with_islands` / :func:`_island_spans`).
 
-    Per-doc window partitions by id (never a global window).  A hot
-    boilerplate gram costs one posting row per occurrence here — there
-    is no posting-list pair expansion, so no ``max_shingle_df`` analog
-    is needed.  Output (id_col, span_start, span_end, span_words,
-    n_dup_grams), all BIGINT, totally ordered by (id, span_start).
+    A hot boilerplate gram costs one posting row per occurrence here —
+    there is no posting-list pair expansion, so no ``max_shingle_df``
+    analog is needed.  Output (id_col, span_start, span_end,
+    span_words, n_dup_grams), all BIGINT, totally ordered by
+    (id, span_start) up to the caller's orderBy.
     """
-    from pyspark.sql import Window
-
-    from ..catalog import spread_small_scan
-
-    from .ngrams import word_ngrams
-
-    ps = (
-        spread_small_scan(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
-        )
-        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
-    )
-    ps = _materialize(ps)
+    ps = _positional_grams(df, text_col, id_col, k)
     dup = (
         ps.select("gram", "id")
         .distinct()
@@ -1274,30 +1309,16 @@ def duplicated_spans(
         .select("gram")
     )
     dpos = ps.join(dup, "gram").select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    isl = dpos.withColumn(
-        "new_isl",
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
-    ).withColumn("island", F.sum("new_isl").over(w))
-    return (
-        isl.groupBy("id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k - 1).cast("long").alias("span_end"),
-            F.count("*").cast("long").alias("n_dup_grams"),
-        )
-        .withColumn(
-            "span_words",
-            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
-        )
-        .filter(F.col("span_words") >= min_words)
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            "span_words",
-            "n_dup_grams",
-        )
+    spans = _island_spans(
+        _with_islands(dpos, k), k, min_words,
+        extra=(F.count("*").cast("long").alias("n_dup_grams"),),
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_words",
+        "n_dup_grams",
     )
 
 
@@ -1306,6 +1327,7 @@ def scrub_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply a :func:`duplicated_spans` removal plan: cut every word
     whose position falls inside a flagged span and re-join the
@@ -1317,10 +1339,13 @@ def scrub_spans(
     W words has at most W/min_words spans), one key-shuffle join back
     to the corpus, then the cut is pure JVM higher-order expressions —
     no Python, no window, no second shuffle.  Docs without spans pass
-    through verbatim (null-safe exists).  Emits (id_col, clean_text,
-    n_removed) with n_removed = words cut, ordered output left to the
-    caller.
+    through verbatim (null-safe exists).  ``carry_cols`` forwards
+    additional metadata columns from ``df`` into the output (an ingest
+    pipeline scrubbing (doc_id, text, source, lang) keeps source/lang).
+    Emits (id_col, *carry_cols, clean_text, n_removed), ordering left
+    to the caller.
     """
+    carry = list(carry_cols or [])
     sp = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
@@ -1328,7 +1353,7 @@ def scrub_spans(
             )
         ).alias("_spans")
     )
-    joined = df.select(id_col, text_col).join(sp, id_col, "left")
+    joined = df.select(id_col, *carry, text_col).join(sp, id_col, "left")
     toks = F.split(F.col(text_col), " ")
     kept = F.filter(
         F.transform(
@@ -1345,6 +1370,7 @@ def scrub_spans(
     )
     return joined.select(
         F.col(id_col),
+        *carry,
         F.array_join(F.transform(kept, lambda z: z.w), " ").alias(
             "clean_text"
         ),
@@ -1408,68 +1434,61 @@ def dedup_spans_incremental(
     id_col: str = "doc_id",
     k: int = 4,
     min_words: int = 8,
+    protect_first: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Duplicated spans of a NEW batch against corpus ∪ batch, without
-    touching corpus text: a batch gram is duplicated iff it exists in
-    the corpus postings (gdf >= 1 — some corpus doc has it) OR in at
-    least 2 distinct batch docs.  Because corpus and batch doc sets are
-    disjoint, this is EXACTLY the full-corpus :func:`duplicated_spans`
-    condition (total distinct docs >= 2) restricted to batch ids —
-    pinned by a property test and the shared driver oracle.
+    touching corpus text: a batch gram is duplicated iff it EXISTS in
+    the corpus postings (semi-join on the gram key — the gdf values are
+    never needed, so a raw epoch-appended index works unaggregated) OR
+    it appears in at least 2 distinct batch docs.  Because corpus and
+    batch doc sets are disjoint, this is EXACTLY the full-corpus
+    :func:`duplicated_spans` condition (total distinct docs >= 2)
+    restricted to batch ids — pinned by a property test and the shared
+    driver oracle.
 
-    Cost: linear in the BATCH (positional explode + one join against
-    the postings key), never in the corpus.
+    ``protect_first=True`` exempts, for each batch-internal duplicate
+    gram unknown to the corpus, its occurrence in the LOWEST batch doc
+    id holding it — the streaming first-seen-passes-verbatim policy
+    (without it, both same-batch copies of a passage are scrubbed and
+    the text survives in neither).  Corpus-known grams are flagged in
+    every batch doc regardless (the first copy already lives in the
+    corpus).  ``cache=False`` skips the positional-gram persist for
+    per-micro-batch callers.
+
+    Cost: linear in the BATCH plus one pass over the postings key join,
+    never a corpus re-shingle.
     """
-    from pyspark.sql import Window
-
-    from .ngrams import word_ngrams
-
-    ps = (
-        batch.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
-        )
-        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
-    )
-    ps = _materialize(ps)
-    batch_df_counts = (
+    ps = _positional_grams(batch, text_col, id_col, k, cache=cache)
+    gstats = (
         ps.select("gram", "id")
         .distinct()
         .groupBy("gram")
-        .agg(F.count("*").alias("bdf"))
+        .agg(F.count("*").alias("bdf"), F.min("id").alias("b_min"))
     )
-    dup = (
-        batch_df_counts.join(
-            corpus_postings.select("gram", "gdf"), "gram", "left"
-        )
-        .filter((F.coalesce("gdf", F.lit(0)) >= 1) | (F.col("bdf") >= 2))
-        .select("gram")
+    in_corpus = (
+        corpus_postings.select("gram")
+        .join(gstats.select("gram"), "gram", "left_semi")
+        .distinct()
+        .withColumn("in_c", F.lit(True))
     )
-    dpos = ps.join(dup, "gram").select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    isl = dpos.withColumn(
-        "new_isl",
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
-    ).withColumn("island", F.sum("new_isl").over(w))
-    return (
-        isl.groupBy("id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k - 1).cast("long").alias("span_end"),
-            F.count("*").cast("long").alias("n_dup_grams"),
-        )
-        .withColumn(
-            "span_words",
-            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
-        )
-        .filter(F.col("span_words") >= min_words)
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            "span_words",
-            "n_dup_grams",
-        )
+    joined = ps.join(gstats, "gram").join(in_corpus, "gram", "left")
+    internal = F.col("bdf") >= 2
+    if protect_first:
+        internal = internal & (F.col("id") != F.col("b_min"))
+    dpos = joined.filter(
+        F.coalesce("in_c", F.lit(False)) | internal
+    ).select("id", "pos")
+    spans = _island_spans(
+        _with_islands(dpos, k), k, min_words,
+        extra=(F.count("*").cast("long").alias("n_dup_grams"),),
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_words",
+        "n_dup_grams",
     )
 
 
@@ -1494,23 +1513,9 @@ def span_witnesses(
     Deterministic: the smallest qualifying witness for the span START.
 
     Output (id_col, span_start, span_end, span_words, witness_doc),
-    ordered by (id, span_start).
+    ordered by (id, span_start) up to the caller's orderBy.
     """
-    from pyspark.sql import Window
-
-    from ..catalog import spread_small_scan
-
-    from .ngrams import word_ngrams
-
-    ps = (
-        spread_small_scan(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
-        )
-        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
-    )
-    ps = _materialize(ps)
+    ps = _positional_grams(df, text_col, id_col, k)
     gstats = (
         ps.select("gram", "id")
         .distinct()
@@ -1524,26 +1529,14 @@ def span_witnesses(
         .select("gram", "g_min", "g_max")
     )
     dpos = ps.join(gstats, "gram").select("id", "pos", "g_min", "g_max")
-    w = Window.partitionBy("id").orderBy("pos")
-    isl = dpos.withColumn(
-        "new_isl",
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
-    ).withColumn("island", F.sum("new_isl").over(w))
-    spans = (
-        isl.groupBy("id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+    spans = _island_spans(
+        _with_islands(dpos, k), k, min_words,
+        extra=(
             # witness of the START position: min_by/max_by on pos keeps
             # the aggregation bounded (no island-wide list)
             F.min_by("g_min", "pos").alias("s_min"),
             F.min_by("g_max", "pos").alias("s_max"),
-        )
-        .withColumn(
-            "span_words",
-            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
-        )
-        .filter(F.col("span_words") >= min_words)
+        ),
     )
     return spans.select(
         F.col("id").alias(id_col),

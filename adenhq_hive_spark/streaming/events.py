@@ -755,14 +755,28 @@ def span_scrub_stream(
     postings index maintained in the same trigger (the
     postings_maintain_stream pattern).
 
+    First-seen copies pass through verbatim: corpus-known spans are
+    scrubbed from every later arrival, and for duplicates WITHIN one
+    micro-batch ``protect_first=True`` keeps each batch-internal gram's
+    lowest-id holder intact (otherwise both same-batch copies lose the
+    passage and the text survives nowhere).  All metadata columns of
+    the stream ride through the scrub (``carry_cols``).
+
     Ordering/idempotence: the index is epoch-partitioned and each batch
     EXCLUDES ITS OWN epoch when reading it, so an at-least-once retry of
     epoch N sees exactly the pre-N corpus again instead of flagging
     every one of its own grams as duplicates; both sinks use dynamic
     partition overwrite, so the retry replaces rather than appends.
-    First-seen copies pass through verbatim; only later arrivals lose
-    the repeated range — the online policy a growing corpus wants
-    (earlier docs are already in downstream snapshots).
+
+    Scale: the index is consumed UNAGGREGATED (dedup_spans_incremental
+    only semi-joins gram existence), so a trigger costs one pass over
+    the postings key join — no per-trigger groupBy over corpus history.
+    The per-trigger read still scans the accumulated epochs; compact +
+    bucket them by gram periodically (the save_trigram_index pattern)
+    to keep the probe join pruned as the corpus grows.  The positional
+    grams of each batch are NOT persisted (``cache=False``) — a
+    long-running stream must not accumulate never-released cached
+    plans.
 
     Returns the DataStreamWriter (caller starts it).
     """
@@ -775,21 +789,24 @@ def span_scrub_stream(
     )
 
     spark = doc_stream.sparkSession
+    carry = [c for c in doc_stream.columns if c not in (id_col, text_col)]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if os.path.isdir(index_dir):
             idx = (
                 spark.read.parquet(index_dir)
                 .filter(F.col("epoch_id") != epoch_id)
-                .groupBy("gram")
-                .agg(F.sum("gdf").alias("gdf"))
+                .select("gram")
             )
         else:
-            idx = spark.createDataFrame([], "gram string, gdf bigint")
+            idx = spark.createDataFrame([], "gram string")
         spans = dedup_spans_incremental(
-            batch_df, idx, text_col, id_col, k, min_words
+            batch_df, idx, text_col, id_col, k, min_words,
+            protect_first=True, cache=False,
         )
-        clean = scrub_spans(batch_df, spans, text_col, id_col)
+        clean = scrub_spans(
+            batch_df, spans, text_col, id_col, carry_cols=carry
+        )
         (
             clean.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("overwrite")

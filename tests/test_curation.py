@@ -989,8 +989,10 @@ def test_dataset_card_exact_small_corpus(spark):
 def test_drop_ledger_kept_set_matches_capstone(spark):
     from adenhq_hive_spark.queries import all_queries
 
+    from .conftest import SF_SMOKE
+
     qs = all_queries()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     ledger = qs["pl_drop_ledger"].run(spark, sf)
     kept = ledger.filter("drop_stage = 'kept'").count()
     capstone_docs = sum(

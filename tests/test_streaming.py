@@ -1168,23 +1168,29 @@ def test_span_scrub_stream_scrubs_later_arrivals_only(spark, tmp_path):
     src = tmp_path / "ss_src"
     src.mkdir()
     shared = _w("s", 10)
+    intra = _w("q", 12)
 
     def write_file(name, rows, mtime):
-        pdf = pd_.DataFrame(rows, columns=["doc_id", "text"])
+        pdf = pd_.DataFrame(rows, columns=["doc_id", "text", "source"])
         pdf.to_parquet(str(src / name))
         os.utime(str(src / name), (mtime, mtime))
 
     # batch 1: the ORIGINAL copy + an unrelated doc
     write_file("f1.parquet",
-               [(1, _w("a", 5) + " " + shared), (2, _w("b", 20))],
+               [(1, _w("a", 5) + " " + shared, "s1"),
+                (2, _w("b", 20), "s1")],
                1_000_000)
-    # batch 2: a later doc repeating the run, one clean doc
+    # batch 2: a later doc repeating batch-1's run, one clean doc, and a
+    # SAME-BATCH duplicate pair (docs 12/13) — first-seen must survive
     write_file("f2.parquet",
-               [(10, shared + " " + _w("c", 5)), (11, _w("d", 20))],
+               [(10, shared + " " + _w("c", 5), "s2"),
+                (11, _w("d", 20), "s2"),
+                (12, intra, "s2"),
+                (13, intra + " " + _w("e", 4), "s2")],
                2_000_000)
 
     raw = (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
@@ -1208,3 +1214,9 @@ def test_span_scrub_stream_scrubs_later_arrivals_only(spark, tmp_path):
     assert out[1].n_removed == 0
     assert out[10].clean_text == _w("c", 5) and out[10].n_removed == 10
     assert out[2].n_removed == 0 and out[11].n_removed == 0
+    # same-batch duplicate pair: the lowest id keeps the passage, the
+    # other loses it — the text survives in exactly one document
+    assert out[12].clean_text == intra and out[12].n_removed == 0
+    assert out[13].clean_text == _w("e", 4) and out[13].n_removed == 12
+    # metadata columns ride through the scrub
+    assert out[10].source == "s2" and out[1].source == "s1"
