@@ -1325,3 +1325,81 @@ def verify_shards(
         )
         .orderBy("shard_id")
     )
+
+
+def pack_ffd(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Document-LEVEL packing by first-fit-decreasing: assign whole
+    documents to fixed-budget bins without ever splitting one — the
+    packing policy SFT/preference training uses (an example must stay
+    intact), complementing :func:`pack_sequences`' pretraining-style
+    concat-and-chunk (which splits at the budget boundary).
+
+    FFD is inherently sequential, so the parallel unit is the SHARD:
+    docs route to ``n_shards`` md5 buckets (deterministic, follows the
+    row), each shard runs classic FFD (sort by token count descending,
+    doc id ascending; place each doc in the first bin with room) inside
+    one applyInPandas group.  Shard count is the scale knob — the same
+    contract as shuffle_shard.  Deterministic: same corpus => same
+    bins, bit for bit.
+
+    Docs longer than the budget get a single-doc overflow bin (flagged
+    ``overflow``); everything else is guaranteed to fit.  Output
+    (shard, bin_id, id_col, n_tokens, overflow); python-replay parity
+    and budget invariants pinned in tests (the BPE rows-only pattern —
+    a sequential algorithm has no SQL oracle).
+    """
+    import pandas as pd
+
+    from .text import ws_token_count
+
+    routed = df.select(
+        F.col(id_col).alias("id"),
+        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []          # remaining capacity per bin
+        out_bin, out_over = [], []
+        for _, row in pdf.iterrows():
+            n = int(row.n_tokens)
+            if n > max_tokens:
+                bins.append(0)        # dedicated overflow bin, full
+                out_bin.append(len(bins) - 1)
+                out_over.append(True)
+                continue
+            for b in range(len(bins)):
+                if bins[b] >= n:
+                    bins[b] -= n
+                    out_bin.append(b)
+                    out_over.append(False)
+                    break
+            else:
+                bins.append(max_tokens - n)
+                out_bin.append(len(bins) - 1)
+                out_over.append(False)
+        pdf["bin_id"] = pd.Series(out_bin, dtype="int64")
+        pdf["overflow"] = pd.Series(out_over, dtype="bool")
+        return pdf[["shard", "bin_id", "id", "n_tokens", "overflow"]]
+
+    return (
+        routed.groupBy("shard")
+        .applyInPandas(
+            ffd,
+            "shard int, bin_id long, id long, n_tokens long, overflow boolean",
+        )
+        .withColumnRenamed("id", id_col)
+    )

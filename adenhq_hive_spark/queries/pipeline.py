@@ -5053,3 +5053,21 @@ Q(QuerySpec(
     """,
 ))
 
+
+
+Q(QuerySpec(
+    name="pl_pack_ffd",
+    doc="Doc-level first-fit-decreasing packing manifest (budget 256 "
+        "tokens, 16 md5 shards): whole documents into fixed-budget "
+        "bins, never split — the SFT packing policy, complementing "
+        "pack_sequences' concat-and-chunk (operators/curation.py:"
+        "pack_ffd). Sequential FFD runs shard-local inside "
+        "applyInPandas; rows-only by design (python-replay parity + "
+        "budget invariants in tests, the BPE pattern).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["pack_ffd"]
+    ).pack_ffd(
+        load_table(spark, sf, "documents"), max_tokens=256
+    ).orderBy("shard", "bin_id", "doc_id"),
+    has_oracle=False,
+))

@@ -1044,3 +1044,56 @@ def test_verify_shards_statuses(spark, tmp_path):
     v3 = {r.shard_id: r.status for r in verify_shards(spark, out, expected_df).collect()}
     assert v3[victim] == "missing"
     assert all(s == "ok" for k, s in v3.items() if k != victim)
+
+
+def test_pack_ffd_python_replay_and_invariants(spark):
+    import hashlib
+
+    from adenhq_hive_spark.catalog import load_table
+    from adenhq_hive_spark.operators.curation import pack_ffd
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    budget = 256
+    rows = pack_ffd(docs, max_tokens=budget).collect()
+
+    # python replay: identical shard routing + FFD placement
+    src = docs.selectExpr(
+        "doc_id", "size(filter(split(text, ' '), t -> t != '')) AS n"
+    ).collect()
+    by_shard = {}
+    for r in src:
+        sh = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 16
+        by_shard.setdefault(sh, []).append((r.doc_id, r.n))
+    expect = {}
+    for sh, items in by_shard.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        bins = []
+        for did, n in items:
+            if n > budget:
+                bins.append(0)
+                expect[did] = (sh, len(bins) - 1, True)
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= n:
+                    bins[b] -= n
+                    expect[did] = (sh, b, False)
+                    break
+            else:
+                bins.append(budget - n)
+                expect[did] = (sh, len(bins) - 1, False)
+    got = {r.doc_id: (r.shard, r.bin_id, r.overflow) for r in rows}
+    assert got == expect
+
+    # invariants: every non-overflow bin within budget; overflow bins
+    # hold exactly one over-budget doc
+    fills = {}
+    for r in rows:
+        if not r.overflow:
+            fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    assert all(v <= budget for v in fills.values())
+    over = [r for r in rows if r.overflow]
+    assert all(r.n_tokens > budget for r in over)
+    over_bins = [(r.shard, r.bin_id) for r in over]
+    assert len(over_bins) == len(set(over_bins))
+    assert not set(over_bins) & set(fills)
