@@ -1374,8 +1374,8 @@ def pack_ffd(
         ).reset_index(drop=True)
         bins: list[int] = []          # remaining capacity per bin
         out_bin, out_over = [], []
-        for _, row in pdf.iterrows():
-            n = int(row.n_tokens)
+        for n in pdf["n_tokens"].to_numpy():
+            n = int(n)
             if n > max_tokens:
                 bins.append(0)        # dedicated overflow bin, full
                 out_bin.append(len(bins) - 1)
