@@ -73,6 +73,9 @@ HEADLINE = [
     "pl_span_scrub",     # span surgery: cut duplicated ranges, keep rest
     "pl_sem_decontaminate",  # embedding-space eval leakage (map-only BLAS)
     "pl_ks_drift",       # per-source KS distribution drift (integer-exact)
+    "pl_span_incr",      # incremental span dedup over gram postings
+    "pl_scrub_pipeline", # span capstone: detect -> cut -> gate -> split
+    "pl_leak_census",    # per-eval-doc contamination spread
 ]
 
 
