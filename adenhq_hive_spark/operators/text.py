@@ -977,3 +977,67 @@ def source_keywords(
             F.col("grp").alias(group_col), "rank", "tok", "c_s", "lift"
         )
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 32,
+) -> DataFrame:
+    """Hashing-trick sparse TF-IDF vectors (Weinberger et al. 2009):
+    each term routes to ``md5(term) mod dims`` and its rounded tf·idf
+    weight accumulates per (doc, dimension) — fixed-width features with
+    NO vocabulary table to build, broadcast, or keep consistent across
+    training runs; the bridge from the text tier to the vector tier
+    (the output feeds cosine/ANN exactly like a learned embedding).
+
+    Exactness discipline: per-term weights are ROUND(tf·idf, 4) (the
+    proven pl_tfidf formulation), then summed per dimension as
+    scaled-BIGINT ( ×10000 ) so the accumulation is integer-exact and
+    order-independent — a plain double sum would make the result hash
+    depend on Spark's partial-agg order.  The md5-hex route follows the
+    row (portable across engines/runs, the hash_split contract).
+
+    Scale: one explode, (doc, term) tf with map-side combine, broadcast
+    df + scalar N, then one (doc, dim) aggregation — dim cardinality is
+    ``dims``, so the final shuffle is tiny.  Emits sparse rows
+    (id_col, dim, weight), only non-zero dims.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    tf = ex.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "w4",
+            F.round(
+                F.round(
+                    F.col("tf")
+                    * (
+                        F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                        + F.lit(1.0)
+                    ),
+                    4,
+                )
+                * 10000
+            ).cast("long"),
+        )
+        .withColumn(
+            "dim",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"),
+                F.lit(dims),
+            ).cast("int"),
+        )
+    )
+    return (
+        scored.groupBy("doc", "dim")
+        .agg((F.sum("w4") / 10000.0).alias("weight"))
+        .select(F.col("doc").alias(id_col), "dim", "weight")
+    )

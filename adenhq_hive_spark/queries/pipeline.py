@@ -5071,3 +5071,43 @@ Q(QuerySpec(
     ).orderBy("shard", "bin_id", "doc_id"),
     has_oracle=False,
 ))
+
+
+Q(QuerySpec(
+    name="pl_feature_hash",
+    doc="Hashing-trick sparse TF-IDF vectors, 32 dims (operators/"
+        "text.py:feature_hash — md5-routed dimensions, per-term rounded "
+        "tf*idf summed as scaled BIGINT so accumulation is exact and "
+        "order-independent). The vocabulary-free text->vector bridge; "
+        "oracle replays the same route + integer sum in DuckDB.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["feature_hash"]
+    ).feature_hash(load_table(spark, sf, "documents"), dims=32)
+    .orderBy("doc_id", "dim"),
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM ex WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(('0x' || substr(md5(tf.term), 1, 8)) AS BIGINT)
+                   % 32 AS dim,
+                 CAST(ROUND(ROUND(tf.tf * (ln((n.n_docs + 1.0)
+                                              / (dfreq.df + 1.0)) + 1.0),
+                                  4) * 10000) AS BIGINT) AS w4
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, CAST(dim AS INT) AS dim,
+               CAST(SUM(w4) AS DOUBLE) / 10000 AS weight
+        FROM scored
+        GROUP BY doc_id, dim
+        ORDER BY doc_id, dim
+    """,
+))

@@ -691,3 +691,35 @@ def test_zipf_coverage_empty_ks_raises(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         zipf_coverage(df, ks=())
+
+
+def test_feature_hash_routes_deterministically_and_sums_exactly(spark):
+    import hashlib
+    import math
+
+    from adenhq_hive_spark.operators.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = feature_hash(df, dims=8).collect()
+    # python replay of route + weights
+    def dim(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 8
+
+    def idf(dfreq, n=2):
+        return math.log((n + 1) / (dfreq + 1)) + 1
+
+    expect = {}
+    docs = {1: {"alpha": 2, "beta": 1}, 2: {"beta": 1, "gamma": 1}}
+    dfreqs = {"alpha": 1, "beta": 2, "gamma": 1}
+    for did, tfs in docs.items():
+        for t, tf in tfs.items():
+            w4 = round(round(tf * idf(dfreqs[t]), 4) * 10000)
+            key = (did, dim(t))
+            expect[key] = expect.get(key, 0) + w4
+    got = {(r.doc_id, r.dim): round(r.weight * 10000) for r in rows}
+    assert got == expect
+    # vector tier compatibility: sparse rows pivot to fixed-width arrays
+    assert all(0 <= r.dim < 8 for r in rows)
