@@ -1715,3 +1715,51 @@ Q(QuerySpec(
     """,
     oracle_sql_str=_Q86_SQL,
 ))
+
+Q(QuerySpec(
+    name="q87",
+    doc="Aggregate FILTER clause: per-priority order counts with "
+        "conditional sub-counts in one scan (the standard replacement "
+        "for SUM(CASE) pivots; single-form portable).",
+    engine_sql="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS LAST
+    """,
+))
+
+Q(QuerySpec(
+    name="q88",
+    doc="LOCF gap-fill via LAST_VALUE ... IGNORE NULLS: carry each "
+        "customer's most recent large-order key forward across their "
+        "order history (dual-form: Spark puts IGNORE NULLS after the "
+        "call, DuckDB inside the parens — values identical).",
+    engine_sql="""
+        SELECT o_custkey, o_orderkey,
+               LAST_VALUE(CASE WHEN o_totalprice > 150000
+                               THEN o_orderkey END) IGNORE NULLS
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_big_order
+        FROM orders
+        ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST
+        LIMIT 500
+    """,
+    oracle_sql_str="""
+        SELECT o_custkey, o_orderkey,
+               LAST_VALUE(CASE WHEN o_totalprice > 150000
+                               THEN o_orderkey END IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_big_order
+        FROM orders
+        ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST
+        LIMIT 500
+    """,
+))
