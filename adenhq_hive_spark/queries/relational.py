@@ -1763,3 +1763,21 @@ Q(QuerySpec(
         LIMIT 500
     """,
 ))
+
+Q(QuerySpec(
+    name="q89",
+    doc="GROUP BY ALL / ORDER BY ALL dialect conveniences (both "
+        "engines infer the grouping and ordering keys from the select "
+        "list; single-form portable). QUALIFY is deliberately absent: "
+        "Spark has no QUALIFY clause — its rewrite is the subquery "
+        "row_number pattern q36 already declares.",
+    engine_sql="""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+))
