@@ -5111,3 +5111,111 @@ Q(QuerySpec(
         ORDER BY doc_id, dim
     """,
 ))
+
+
+def _hash_sim_builder(spark, sf):
+    from pyspark.sql import Window
+
+    from ..operators.text import feature_hash
+
+    fh = feature_hash(load_table(spark, sf, "documents"), dims=32)
+    # integer weights: w4 = weight * 10000 exactly (scaled-BIGINT sums)
+    v = fh.select(
+        "doc_id", "dim", F.round(F.col("weight") * 10000).cast("long").alias("w4")
+    )
+    q = v.filter(F.col("doc_id") < 5).withColumnsRenamed(
+        {"doc_id": "qid", "w4": "qw4"}
+    )
+    dots = (
+        q.join(v.filter(F.col("doc_id") >= 5), "dim")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qw4") * F.col("w4")).alias("dot"))
+    )
+    norms = v.groupBy("doc_id").agg(F.sum(F.col("w4") * F.col("w4")).alias("nn"))
+    qn = norms.withColumnsRenamed({"doc_id": "qid", "nn": "qnn"})
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(qn, "qid")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("nn").cast("double") * F.col("qnn").cast("double")),
+                4,
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cosine"), "doc_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 5)
+        .select("qid", "rank", F.col("doc_id").alias("cand_id"), "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+Q(QuerySpec(
+    name="pl_hash_sim",
+    doc="Text similarity WITHOUT embeddings: cosine top-5 neighbors of "
+        "query docs (doc_id<5) over the 32-dim hashing-trick vectors — "
+        "dot products on exact scaled-BIGINT weights (order-independent "
+        "integer sums; only the final cosine divides). Composes "
+        "pl_feature_hash into the similarity tier; query side is "
+        "query-sized, candidates shuffle on the 32 dim keys.",
+    builder=_hash_sim_builder,
+    oracle_sql_str="""
+        WITH ex AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM ex WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(('0x' || substr(md5(tf.term), 1, 8)) AS BIGINT)
+                   % 32 AS dim,
+                 CAST(ROUND(ROUND(tf.tf * (ln((n.n_docs + 1.0)
+                                              / (dfreq.df + 1.0)) + 1.0),
+                                  4) * 10000) AS BIGINT) AS w4
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        vec AS (
+          SELECT doc_id, dim, SUM(w4) AS w4
+          FROM scored GROUP BY doc_id, dim
+        ),
+        norms AS (
+          SELECT doc_id, SUM(w4 * w4) AS nn FROM vec GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT q.doc_id AS qid, c.doc_id AS cand_id,
+                 SUM(q.w4 * c.w4) AS dot
+          FROM vec q JOIN vec c
+            ON q.dim = c.dim AND q.doc_id < 5 AND c.doc_id >= 5
+          GROUP BY q.doc_id, c.doc_id
+        ),
+        cos AS (
+          SELECT qid, cand_id,
+                 ROUND(dot / sqrt(CAST(nq.nn AS DOUBLE)
+                                  * CAST(nc.nn AS DOUBLE)), 4) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.doc_id = dots.qid
+          JOIN norms nc ON nc.doc_id = dots.cand_id
+        )
+        SELECT qid, rank, cand_id, cosine FROM (
+          SELECT qid, cand_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cand_id) AS rank
+          FROM cos
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+))
