@@ -647,3 +647,39 @@ def test_fourth_window_ops_plan_shapes(spark):
     p = executed("q81")
     assert "Join" not in p
     assert len(re.findall(r"Window \[", p)) == 1
+
+
+def test_late_window_ops_plan_shapes(spark):
+    """Scale posture of the late fourth-window additions:
+    - pl_feature_hash: vocabulary (df) and corpus-N sides are BROADCAST
+      onto tf, tf itself rides map-side partial aggregation;
+    - pl_hash_sim: no cartesian/nested-loop pair join anywhere — the
+      dim-key join carries a query-sized left side;
+    - pl_leak_census: gram-key equi-join only, partial aggregation on
+      the distinct counts;
+    - q87 (FILTER aggregates): one scan, map-side partials, no join;
+    - q89 (GROUP BY ALL): plain partial-agg group-by, no join.
+    """
+
+    def executed(name):
+        df = QUERIES[name].run(spark, SF_SMOKE)
+        df.write.mode("overwrite").format("noop").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = executed("pl_feature_hash")
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+    p = executed("pl_hash_sim")
+    assert "CartesianProduct" not in p
+
+    p = executed("pl_leak_census")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+
+    for name in ("q87", "q89"):
+        p = executed(name)
+        assert "partial_count" in p or "partial_sum" in p
+        assert "Join" not in p
