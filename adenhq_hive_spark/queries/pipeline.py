@@ -5219,3 +5219,76 @@ Q(QuerySpec(
         ORDER BY qid, rank
     """,
 ))
+
+
+def _source_overlap(spark, sf):
+    from ..operators.ngrams import word_ngrams
+    from ..operators.text import frac4
+
+    docs = load_table(spark, sf, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), 3))
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"source": "src_a", "n": "n_a"}), "src_a")
+        .join(sizes.withColumnsRenamed({"source": "src_b", "n": "n_b"}), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            frac4(
+                F.col("n_inter"),
+                F.col("n_a") + F.col("n_b") - F.col("n_inter"),
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q(QuerySpec(
+    name="pl_source_overlap",
+    doc="Source-pair mirror detection at the SET level: Jaccard overlap "
+        "of each pair's distinct 3-gram vocabularies (cross_source_dups "
+        "counts near-dup DOC pairs; this asks whether two feeds draw "
+        "from the same underlying text at all). Shingle-key join over "
+        "per-(source, shingle) distinct rows — the pair space is "
+        "|sources|^2, never documents^2.",
+    builder=_source_overlap,
+    oracle_sql_str="""
+        WITH sh AS (
+          SELECT DISTINCT source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+               AS shingle
+          FROM documents
+        ),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT i.src_a, i.src_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST((i.n_inter * 20000 + (sa.n + sb.n - i.n_inter))
+                    // (2 * (sa.n + sb.n - i.n_inter)) AS DOUBLE) / 10000
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.src_a
+        JOIN sizes sb ON sb.source = i.src_b
+        ORDER BY i.src_a, i.src_b
+    """,
+))
