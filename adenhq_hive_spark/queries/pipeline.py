@@ -5292,3 +5292,89 @@ Q(QuerySpec(
         ORDER BY i.src_a, i.src_b
     """,
 ))
+
+
+def _val_coverage(spark, sf):
+    from ..operators.curation import hash_split
+    from ..operators.ngrams import word_ngrams
+    from ..operators.text import frac4
+
+    docs = hash_split(load_table(spark, sf, "documents"))
+    grams = lambda d: d.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), 5, lowercase=True))
+        ).alias("gram"),
+    )
+    train_grams = (
+        grams(docs.filter(F.col("split") == "train")).select("gram").distinct()
+    )
+    vg = grams(docs.filter(F.col("split") == "val"))
+    covered = (
+        vg.join(train_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    totals = vg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            frac4(
+                F.coalesce("n_covered", F.lit(0)), F.col("n_grams")
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q(QuerySpec(
+    name="pl_val_coverage",
+    doc="Train->val n-gram coverage under the deterministic md5 split: "
+        "per val doc, the share of its distinct 5-grams also present "
+        "anywhere in the train split — the memorization-risk / "
+        "generalization-gap audit (high coverage means val mostly "
+        "re-tests training text). Gram-key semi-join, no pair "
+        "expansion; composes hash_split + the decontaminate gram "
+        "algebra.",
+    builder=_val_coverage,
+    oracle_sql_str="""
+        WITH split AS (
+          SELECT doc_id, text,
+                 CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                     THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                     THEN 'val'
+                   ELSE 'test'
+                 END AS split
+          FROM documents
+        ), g AS (
+          SELECT doc_id, split, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+4], ' '))))
+               AS gram
+          FROM split
+        ),
+        tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+        vg AS (SELECT doc_id, gram FROM g WHERE split = 'val'),
+        cov AS (
+          SELECT doc_id, COUNT(*) AS n_covered
+          FROM vg WHERE gram IN (SELECT gram FROM tg)
+          GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id, COUNT(*) AS n_grams FROM vg GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+               CAST((COALESCE(c.n_covered, 0) * 20000 + t.n_grams)
+                    // (2 * t.n_grams) AS DOUBLE) / 10000 AS coverage
+        FROM tot t LEFT JOIN cov c ON c.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """,
+))
