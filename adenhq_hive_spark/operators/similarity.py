@@ -1413,3 +1413,57 @@ def semantic_decontaminate(
                 )
 
     return c.mapInPandas(score, schema=out_schema)
+
+
+def jl_project(
+    df: DataFrame,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with an
+    Achlioptas (2003) ±1 sign matrix derived from md5 — the projection
+    every engine can recompute bit-for-bit (no numpy RNG state to
+    ship): sign(i, j) = +1 iff the first hex char of md5("i_j") < '8'.
+    out_j = Σ_i sign(i, j)·v_i / sqrt(d), evaluated as an IN-ROW left
+    fold (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) so the float
+    accumulation order is identical across engines and the result
+    carries a full oracle hash — rare for a random-projection operator.
+
+    Map-only (the sign matrix is a plan literal, out_dims·d doubles);
+    emits narrow (id_col, dim, value) rows, value rounded to 4.  Use
+    for cheap ANN pre-filtering and distance-preserving sketches of
+    wide embeddings (JL: pairwise distances within 1±ε for
+    out_dims = O(ln n / ε²)).
+    """
+    import hashlib
+
+    in_dims = len(df.select(vec_col).first()[0])
+    inv = 1.0 / (in_dims ** 0.5)
+    signs = [
+        [
+            1.0
+            if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+    cols = []
+    for j in range(out_dims):
+        sarr = F.array(*[F.lit(s) for s in signs[j]])
+        val = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), sarr, lambda x, s: x.cast("double") * s
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * inv,
+            4,
+        )
+        cols.append(F.struct(F.lit(j).alias("dim"), val.alias("value")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("_p")
+    ).select(id_col, F.col("_p.dim").alias("dim"), F.col("_p.value").alias("value"))

@@ -5378,3 +5378,28 @@ Q(QuerySpec(
         ORDER BY t.doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_jl_project",
+    doc="Johnson-Lindenstrauss 64->16 reduction with the md5-derived "
+        "Achlioptas sign matrix (operators/similarity.py:jl_project) — "
+        "in-row left-fold sums make the float accumulation order "
+        "engine-identical, so a random-projection operator carries a "
+        "full oracle hash. Map-only; narrow (vec_id, dim, value) rows.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity", fromlist=["jl_project"]
+    ).jl_project(load_table(spark, sf, "embeddings"), out_dims=16)
+    .orderBy("vec_id", "dim"),
+    oracle_sql_str="""
+        SELECT vec_id, CAST(j AS INT) AS dim,
+               ROUND(list_reduce(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) *
+                          CASE WHEN substr(md5((i-1)::VARCHAR || '_'
+                                               || j::VARCHAR), 1, 1) < '8'
+                               THEN 1.0 ELSE -1.0 END),
+                     (a, b) -> a + b) / 8.0, 4) AS value
+        FROM embeddings, range(0, 16) t(j)
+        ORDER BY vec_id, dim
+    """,
+))

@@ -611,3 +611,36 @@ def test_sem_decontaminate_corpus_id_guard(spark):
     )
     with _pytest.raises(ValueError, match="corpus id"):
         semantic_decontaminate(corpus, ev)
+
+
+def test_jl_project_preserves_pairwise_structure(spark, emb):
+    import numpy as np
+
+    from adenhq_hive_spark.operators.similarity import jl_project
+
+    rows = jl_project(emb, out_dims=16).collect()
+    vecs = {}
+    for r in rows:
+        vecs.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.value
+    assert all(len(v) == 16 for v in vecs.values())
+    # JL property (loose gate): relative pairwise-distance ORDER among a
+    # few probes mostly survives the 64->16 projection
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in emb.limit(20).collect()
+    }
+    ids = sorted(orig)[:10]
+    agree = 0
+    total = 0
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            for c in range(b + 1, len(ids)):
+                i, j, k = ids[a], ids[b], ids[c]
+                d0 = np.linalg.norm(orig[i] - orig[j]) < np.linalg.norm(
+                    orig[i] - orig[k]
+                )
+                p = {m: np.array(vecs[m]) for m in (i, j, k)}
+                d1 = np.linalg.norm(p[i] - p[j]) < np.linalg.norm(p[i] - p[k])
+                agree += d0 == d1
+                total += 1
+    assert agree / total > 0.7
