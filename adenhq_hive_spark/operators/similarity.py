@@ -1425,7 +1425,7 @@ def jl_project(
     Achlioptas (2003) ±1 sign matrix derived from md5 — the projection
     every engine can recompute bit-for-bit (no numpy RNG state to
     ship): sign(i, j) = +1 iff the first hex char of md5("i_j") < '8'.
-    out_j = Σ_i sign(i, j)·v_i / sqrt(d), evaluated as an IN-ROW left
+    out_j = Σ_i sign(i, j)·v_i / sqrt(k), evaluated as an IN-ROW left
     fold (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) so the float
     accumulation order is identical across engines and the result
     carries a full oracle hash — rare for a random-projection operator.
@@ -1439,7 +1439,11 @@ def jl_project(
     import hashlib
 
     in_dims = len(df.select(vec_col).first()[0])
-    inv = 1.0 / (in_dims ** 0.5)
+    # JL scaling is 1/sqrt(OUT dims): each output coordinate is a ±1
+    # combination with variance ||v||^2, so dividing by sqrt(k) makes
+    # E[||proj||^2] = ||v||^2 (dividing by sqrt(d) shrinks norms by
+    # sqrt(k/d) — caught by the distortion-band test)
+    inv = 1.0 / (out_dims ** 0.5)
     signs = [
         [
             1.0

@@ -5398,7 +5398,7 @@ Q(QuerySpec(
                           CASE WHEN substr(md5((i-1)::VARCHAR || '_'
                                                || j::VARCHAR), 1, 1) < '8'
                                THEN 1.0 ELSE -1.0 END),
-                     (a, b) -> a + b) / 8.0, 4) AS value
+                     (a, b) -> a + b) / 4.0, 4) AS value
         FROM embeddings, range(0, 16) t(j)
         ORDER BY vec_id, dim
     """,

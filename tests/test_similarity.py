@@ -623,24 +623,21 @@ def test_jl_project_preserves_pairwise_structure(spark, emb):
     for r in rows:
         vecs.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.value
     assert all(len(v) == 16 for v in vecs.values())
-    # JL property (loose gate): relative pairwise-distance ORDER among a
-    # few probes mostly survives the 64->16 projection
+    # the actual JL promise is bounded DISTORTION, not order among
+    # near-tied distances (iid test vectors concentrate, so ordering is
+    # noise): projected/original distance ratio ~ sqrt(chi2_16/16),
+    # which lies in [0.4, 1.8] w.p. ~0.9998 per pair
     orig = {
         r.vec_id: np.array(r.embedding, dtype=float)
         for r in emb.limit(20).collect()
     }
     ids = sorted(orig)[:10]
-    agree = 0
-    total = 0
+    in_band = total = 0
     for a in range(len(ids)):
         for b in range(a + 1, len(ids)):
-            for c in range(b + 1, len(ids)):
-                i, j, k = ids[a], ids[b], ids[c]
-                d0 = np.linalg.norm(orig[i] - orig[j]) < np.linalg.norm(
-                    orig[i] - orig[k]
-                )
-                p = {m: np.array(vecs[m]) for m in (i, j, k)}
-                d1 = np.linalg.norm(p[i] - p[j]) < np.linalg.norm(p[i] - p[k])
-                agree += d0 == d1
-                total += 1
-    assert agree / total > 0.7
+            i, j = ids[a], ids[b]
+            d0 = np.linalg.norm(orig[i] - orig[j])
+            d1 = np.linalg.norm(np.array(vecs[i]) - np.array(vecs[j]))
+            in_band += 0.4 <= d1 / d0 <= 1.8
+            total += 1
+    assert in_band / total >= 0.9
