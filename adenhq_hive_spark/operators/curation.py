@@ -1403,3 +1403,135 @@ def pack_ffd(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+# ---- Bloom-filter decontamination (broadcast-probe scale path) -------------
+
+_BLOOM_POW2 = [1 << i for i in range(32)]
+
+
+def _bloom_positions(gram: Column, n_bits: int, n_hashes: int) -> Column:
+    """``n_hashes`` bit positions for ``gram``: fixed 8-hex-char slices of
+    md5 reduced mod ``n_bits`` (same md5-slice idiom as the MinHash tier,
+    dedup.py). All JVM expressions; md5 has 32 hex chars so n_hashes <= 4."""
+    if not 1 <= n_hashes <= 4:
+        raise ValueError("n_hashes must be in 1..4 (md5 supplies 4 slices)")
+    h = F.md5(gram)
+    return F.array(*[
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        % F.lit(n_bits)
+        for i in range(n_hashes)
+    ])
+
+
+def build_gram_bloom(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> list[int]:
+    """Dense Bloom filter over the eval split's word ``n``-grams, as a list
+    of ``n_bits // 32`` 32-bit words (BIGINT-safe on every engine — no
+    sign-bit shifts). The collect is bounded by construction: the filter is
+    sized by ``n_bits``, never by the data (2^20 bits = 32768 words ≈ 256 KB
+    on the driver; eval sets are benchmarks — thousands to millions of
+    grams — so even 2^26 bits = 8 MB stays a driver-scale object while the
+    TRAIN side, the 100 TB one, is never collected)."""
+    if n_bits % 32 != 0:
+        raise ValueError("n_bits must be a multiple of 32")
+    n_words = n_bits // 32
+    pos = (
+        eval_df.select(
+            F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .select(
+            F.explode(_bloom_positions(F.col("g"), n_bits, n_hashes))
+            .alias("pos")
+        )
+    )
+    pow2 = F.lit(_BLOOM_POW2)
+    rows = (
+        pos.select(
+            F.shiftright("pos", 5).cast("int").alias("word_idx"),
+            # shiftleft only takes literal shift amounts → per-bit mask via
+            # a 32-entry power-of-two lookup (same trick as the probe).
+            F.element_at(pow2, F.col("pos").cast("int") % 32 + F.lit(1))
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_contains(
+    gram: Column, bloom_words: list[int], n_bits: int, n_hashes: int = 3
+) -> Column:
+    """Map-only membership probe: true iff every hash position's bit is set.
+
+    The filter ships as ONE array literal (pyspark folds a python list into
+    a single Literal, not a 32k-child CreateArray), so the probe is a pure
+    projection — zero shuffle, whole-stage-codegen eligible. Bit test uses
+    an element_at into a 32-entry power-of-two literal array because
+    ``shiftleft`` takes only literal shift amounts."""
+    arr = F.lit(bloom_words)
+    pow2 = F.lit(_BLOOM_POW2)
+    return F.aggregate(
+        _bloom_positions(gram, n_bits, n_hashes),
+        F.lit(True),
+        lambda acc, p: acc & (
+            F.element_at(arr, F.shiftright(p, 5).cast("int") + F.lit(1))
+            .bitwiseAND(
+                F.element_at(pow2, p.cast("int") % 32 + F.lit(1))
+            )
+            != 0
+        ),
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Scale-path decontamination: Bloom-probe train grams, exact-verify the
+    survivors. Output is IDENTICAL to :func:`decontaminate` (Bloom filters
+    have no false negatives, and every candidate is re-checked with a real
+    semi-join), so the two tiers share one oracle — the prune-never-loses
+    pattern (trigram index, operators/search.py).
+
+    Why it scales where the exact tier's shuffle grows with the corpus: the
+    exact tier semi-joins ALL train grams (~100 TB exploded) against the
+    eval gram set; here the first pass is a map-only probe against a
+    broadcast ~256 KB bit array, so only grams that pass the Bloom test —
+    true contaminations plus the fp-rate sliver — enter the verify
+    shuffle. With m/n ≈ 10 bits per eval gram the fp rate is < 2%, so the
+    verify join is ~contamination-sized, not corpus-sized."""
+    from ..catalog import spread_small_scan
+
+    eval_grams = (
+        eval_df.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    bloom = build_gram_bloom(eval_df, text_col, n, n_bits, n_hashes)
+    train_grams = spread_small_scan(train).select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    candidates = train_grams.filter(
+        bloom_contains(F.col("g"), bloom, n_bits, n_hashes)
+    )
+    bad = (
+        candidates.join(eval_grams, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -5403,3 +5403,38 @@ Q(QuerySpec(
         ORDER BY vec_id, dim
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_bloom_decontaminate",
+    doc="Bloom-filter decontamination scale path (operators/curation.py:"
+        "bloom_decontaminate): eval 5-grams folded into a broadcast 2^20-bit "
+        "Bloom array, train grams probed MAP-ONLY (one array-literal "
+        "element_at fold, zero shuffle), only survivors enter the exact "
+        "verify semi-join — so the corpus-sized shuffle of the exact tier "
+        "shrinks to ~contamination size. No false negatives + exact verify "
+        "=> output is bit-identical to pl_decontaminate; the two tiers "
+        "share one oracle (prune-never-loses, the trigram-index pattern).",
+    builder=lambda spark, sf: _curation().bloom_decontaminate(
+        load_table(spark, sf, "documents").filter(F.col("source") != "src0"),
+        load_table(spark, sf, "documents").filter(F.col("source") == "src0"),
+        n=5,
+    ).select("doc_id").orderBy("doc_id"),
+    oracle_sql_str="""
+        WITH g AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> array_to_string(
+                     string_split(lower(text), ' ')[i:i+4], ' '))))
+               AS gram
+          FROM documents
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        bad AS (SELECT DISTINCT doc_id FROM g
+                WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev))
+        SELECT doc_id FROM documents
+        WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id
+    """,
+))

@@ -1097,3 +1097,90 @@ def test_pack_ffd_python_replay_and_invariants(spark):
     over_bins = [(r.shard, r.bin_id) for r in over]
     assert len(over_bins) == len(set(over_bins))
     assert not set(over_bins) & set(fills)
+
+
+# ---- Bloom-filter decontamination scale path -------------------------------
+
+
+def test_bloom_decontaminate_matches_exact_tier(spark, corpus):
+    from adenhq_hive_spark.operators.curation import bloom_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        ["doc_id", "text"],
+    )
+    clean = bloom_decontaminate(corpus, ev, n=5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
+
+
+def test_bloom_decontaminate_exact_under_heavy_false_positives(spark, corpus):
+    """A deliberately undersized filter (64 bits, ~every probe positive)
+    must still produce the exact answer: false positives only add verify
+    work, never rows — the no-false-negative + exact-verify contract."""
+    from adenhq_hive_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        ["doc_id", "text"],
+    )
+    exact = sorted(
+        r.doc_id for r in decontaminate(corpus, ev, n=5).collect()
+    )
+    tiny = sorted(
+        r.doc_id
+        for r in bloom_decontaminate(
+            corpus, ev, n=5, n_bits=64, n_hashes=2
+        ).collect()
+    )
+    assert tiny == exact
+
+
+def test_bloom_probe_prunes_clean_grams(spark, corpus):
+    """The Bloom probe must actually prune: grams of documents with no
+    eval overlap should (at a properly sized filter) mostly fail the
+    probe, so the verify join sees far fewer rows than the corpus."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.curation import (
+        _word_ngrams,
+        bloom_contains,
+        build_gram_bloom,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        ["doc_id", "text"],
+    )
+    n_bits = 1 << 20
+    bloom = build_gram_bloom(ev, "text", n=5, n_bits=n_bits)
+    grams = corpus.select(
+        F.explode(_word_ngrams(F.col("text"), 5)).alias("g")
+    )
+    total = grams.count()
+    survivors = grams.filter(
+        bloom_contains(F.col("g"), bloom, n_bits)
+    ).count()
+    # docs 1 and 3 each contribute exactly one contaminated gram
+    assert survivors < total
+    assert survivors >= 2
+
+
+def test_bloom_positions_reject_bad_params(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.curation import (
+        _bloom_positions,
+        build_gram_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError):
+        _bloom_positions(F.lit("x"), 1024, 5)
+    with _pytest.raises(ValueError):
+        build_gram_bloom(
+            spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]),
+            n_bits=100,
+        )
