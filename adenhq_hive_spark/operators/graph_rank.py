@@ -1,0 +1,96 @@
+"""Link-graph centrality: integer-exact PageRank power iteration.
+
+Curation motivation: over a document-similarity or citation/link graph,
+PageRank-style centrality surfaces template hubs (boilerplate centers) and
+authority pages — a standard quality/priority signal for pretraining-corpus
+selection (the reference has no graph tier; this extends the engine the
+way GraphX/Pregel users would expect, but in pure DataFrame operations).
+
+Scale posture (100 TB / billions of edges):
+
+- Each iteration is exactly ONE shuffle join (ranks ⋈ out-degree-annotated
+  edges on ``src``) plus ONE aggregation (contributions by ``dst``) —
+  the textbook Pregel/GraphX shape expressed as DataFrames, so AQE gets to
+  re-plan per iteration and skew-join hot hub nodes.
+- The edge relation is annotated with out-degrees ONCE and cached; the
+  per-iteration state is a skinny (node, rank) relation.
+- Ranks are scaled BIGINTs with truncating division (``DIV``): integer
+  sums are exact and order-independent, so the result is bit-identical
+  across partitionings, engines, and cluster sizes — which is what lets a
+  fixed-point iterative algorithm carry a full DuckDB oracle hash
+  (oracle = the same iterations unrolled as chained CTEs).
+
+Semantics notes (shared with the oracle formula):
+
+- ``rank0 = SCALE // n_nodes`` for every node.
+- ``rank_{t+1}(v) = ((100-d)% * rank0) // 100
+                    + (d% * Σ_{u→v} (rank_t(u) DIV outdeg(u))) // 100``.
+- Dangling nodes (no out-edges) contribute nothing — their mass is
+  dropped, not redistributed (callers wanting the classic behavior can
+  symmetrize the edge list, which guarantees outdeg ≥ 1 everywhere).
+- All divisions truncate toward zero (Spark ``DIV`` == DuckDB ``//`` on
+  the non-negative values that occur here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """PageRank over a directed edge list, integer-exact.
+
+    Returns (node, rank_scaled) for every node appearing as src OR dst;
+    ``rank_scaled`` is the rank times ``scale``, truncated. ``damping_pct``
+    is the damping factor in percent (integer, so the teleport term stays
+    in exact arithmetic).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in 0..100")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    init = scale // n
+    teleport = ((100 - damping_pct) * init) // 100
+
+    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    ed = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                "outdeg")
+        .cache()
+    )
+
+    pr = nodes.withColumn("r", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        contrib = ed.join(pr, ed["e_src"] == pr["node"]).select(
+            F.col("e_dst").alias("node"),
+            F.expr("r DIV outdeg").alias("c"),
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        pr = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(m, CAST(0 AS BIGINT)))"
+                         " DIV 100")
+            ).alias("r"),
+        )
+    return pr.select("node", F.col("r").alias("rank_scaled"))

@@ -5438,3 +5438,78 @@ Q(QuerySpec(
         ORDER BY doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_pagerank",
+    doc="Integer-exact PageRank (operators/graph_rank.py:pagerank_int) "
+        "over the symmetrized customer-supplier purchase graph (distinct "
+        "(o_custkey, l_suppkey) pairs, both directions so outdeg >= 1 "
+        "everywhere). 3 power iterations, each ONE rank⋈edges shuffle + "
+        "ONE by-dst aggregation — the Pregel shape as DataFrames. Scaled-"
+        "BIGINT truncating arithmetic makes the fixed-point iteration "
+        "bit-identical across engines: the oracle unrolls the identical "
+        "iterations as chained CTEs and the hash matches.",
+    builder=lambda spark, sf: (lambda e0: __import__(
+        "adenhq_hive_spark.operators.graph_rank", fromlist=["pagerank_int"]
+    ).pagerank_int(
+        e0.union(e0.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))),
+        iterations=3,
+    ).orderBy("node"))(
+        load_table(spark, sf, "orders")
+        .join(
+            load_table(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    ),
+    oracle_sql_str="""
+        WITH e0 AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        pr0 AS (SELECT node, (1000000000000 // n) AS r
+                FROM nodes CROSS JOIN cnt),
+        m1 AS (SELECT e.dst AS node, SUM(p.r // deg.d) AS m
+               FROM e JOIN pr0 p ON e.src = p.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        pr1 AS (SELECT nodes.node,
+                       (15 * (1000000000000 // cnt.n)) // 100
+                       + (85 * COALESCE(m1.m, 0)) // 100 AS r
+                FROM nodes CROSS JOIN cnt
+                LEFT JOIN m1 ON nodes.node = m1.node),
+        m2 AS (SELECT e.dst AS node, SUM(p.r // deg.d) AS m
+               FROM e JOIN pr1 p ON e.src = p.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        pr2 AS (SELECT nodes.node,
+                       (15 * (1000000000000 // cnt.n)) // 100
+                       + (85 * COALESCE(m2.m, 0)) // 100 AS r
+                FROM nodes CROSS JOIN cnt
+                LEFT JOIN m2 ON nodes.node = m2.node),
+        m3 AS (SELECT e.dst AS node, SUM(p.r // deg.d) AS m
+               FROM e JOIN pr2 p ON e.src = p.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        pr3 AS (SELECT nodes.node,
+                       (15 * (1000000000000 // cnt.n)) // 100
+                       + (85 * COALESCE(m3.m, 0)) // 100 AS r
+                FROM nodes CROSS JOIN cnt
+                LEFT JOIN m3 ON nodes.node = m3.node)
+        SELECT node, r AS rank_scaled FROM pr3 ORDER BY node
+    """,
+))

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+from adenhq_hive_spark.operators.graph_rank import SCALE, pagerank_int
+
+import pytest
+
+
+def _ranks(df):
+    return {r.node: r.rank_scaled for r in df.collect()}
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: a,b,c,d all point at hub (and back, so nothing dangles)
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+             ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d")]
+    pr = _ranks(pagerank_int(
+        spark.createDataFrame(edges, ["src", "dst"]), iterations=4))
+    assert max(pr, key=pr.get) == "hub"
+    # spokes are symmetric → identical ranks
+    assert len({pr[n] for n in "abcd"}) == 1
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    """Total scaled mass never exceeds SCALE (truncating divisions only
+    lose mass) and stays within rounding slack of it on a graph with no
+    dangling nodes."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    pr = _ranks(pagerank_int(
+        spark.createDataFrame(edges, ["src", "dst"]), iterations=5))
+    total = sum(pr.values())
+    assert total <= SCALE
+    assert total >= SCALE - 1000  # few units lost per truncation
+
+
+def test_pagerank_dangling_mass_dropped(spark):
+    """A node with no out-edges keeps only its teleport share in the
+    next iteration's inputs — documented drop-the-mass semantics."""
+    edges = [("a", "sink")]  # sink never emits
+    pr = _ranks(pagerank_int(
+        spark.createDataFrame(edges, ["src", "dst"]), iterations=1))
+    init = SCALE // 2
+    teleport = (15 * init) // 100
+    assert pr["a"] == teleport  # nothing points at a
+    assert pr["sink"] == teleport + (85 * init) // 100
+
+
+def test_pagerank_stable_under_repartition(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(46)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = _ranks(pagerank_int(df, iterations=3))
+    b = _ranks(pagerank_int(df.repartition(13), iterations=3))
+    assert a == b
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank_int(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank_int(df, damping_pct=101)
