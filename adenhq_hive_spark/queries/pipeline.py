@@ -5513,3 +5513,53 @@ Q(QuerySpec(
         SELECT node, r AS rank_scaled FROM pr3 ORDER BY node
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_zorder",
+    doc="Z-order clustering math (operators/zorder.py): 16-bit Morton "
+        "interleave of (user_id, floor(value)) via magic-mask bit "
+        "spreading — pure JVM &/|/fixed-shift expressions, map-only. The "
+        "rollup groups by the Z-curve cell (zkey >> 8) and reports each "
+        "cell's x/y bounding box: the hash proves every cell covers a "
+        "bounded RECTANGLE (<= 16x16), i.e. range-partitioning by zkey "
+        "gives files whose parquet min/max stats prune on BOTH columns "
+        "(Delta OPTIMIZE ZORDER; layout writer = zorder_layout, "
+        "per-partition bounds pinned in tests/test_zorder.py).",
+    builder=lambda spark, sf: (lambda Z: (
+        load_table(spark, sf, "events")
+        .select(
+            F.col("user_id").alias("x"),
+            F.floor("value").cast("long").alias("y"),
+        )
+        .withColumn("zkey", Z.morton_key(F.col("x"), F.col("y")))
+        .groupBy(F.shiftright("zkey", 8).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    ))(__import__("adenhq_hive_spark.operators.zorder",
+                  fromlist=["morton_key"])),
+    oracle_sql_str="""
+        WITH base AS (
+          SELECT user_id AS x, CAST(floor(value) AS BIGINT) AS y
+          FROM events
+        ),
+        s1 AS (SELECT x, y, x & 65535 AS a, y & 65535 AS b FROM base),
+        s2 AS (SELECT x, y, (a | (a << 8)) & 16711935 AS a,
+                            (b | (b << 8)) & 16711935 AS b FROM s1),
+        s3 AS (SELECT x, y, (a | (a << 4)) & 252645135 AS a,
+                            (b | (b << 4)) & 252645135 AS b FROM s2),
+        s4 AS (SELECT x, y, (a | (a << 2)) & 858993459 AS a,
+                            (b | (b << 2)) & 858993459 AS b FROM s3),
+        s5 AS (SELECT x, y, (a | (a << 1)) & 1431655765 AS a,
+                            (b | (b << 1)) & 1431655765 AS b FROM s4),
+        z AS (SELECT x, y, a | (b << 1) AS zkey FROM s5)
+        SELECT zkey >> 8 AS zbucket, COUNT(*) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+))
