@@ -146,3 +146,85 @@ def heavy_hitters(
         .select("token", F.col("n").cast("bigint").alias("n"), "share_bp")
         .orderBy(F.desc("n"), "token")
     )
+
+
+# ---- HyperLogLog, engine-portable ------------------------------------------
+#
+# Flajolet et al. 2007. The production path for approximate distinct counts
+# is Spark's built-in approx_count_distinct (HLL++, pl_approx_distinct,
+# accuracy-gated); THIS variant exists so the sketch algebra itself carries
+# a full DuckDB oracle hash, the same pattern as the md5-portable MinHash /
+# SimHash twins (dedup.py): md5 is the hash on both engines, the register
+# table is a plain GROUP BY/MAX, and the estimate is computed in scaled
+# integer arithmetic (sum of 2^(33-rho) is exact, division truncates), so
+# a probabilistic sketch becomes bit-reproducible across engines.
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, n_registers: int = 64
+) -> DataFrame:
+    """Dense (register, rho_max) HLL state over ``value_col``.
+
+    register = first-8-hex md5 slice mod m; rho = 1 + leading zeros of the
+    next 32-bit slice (via ``bin()`` string length — identical on DuckDB);
+    empty registers surface with rho_max = 0. One shuffle (the GROUP BY),
+    mergeable by construction (MAX is the merge), m rows out.
+    """
+    if n_registers < 1:
+        raise ValueError("n_registers must be >= 1")
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_registers
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(w))
+    )
+    spark = df.sparkSession
+    all_regs = spark.range(n_registers).select(
+        F.col("id").alias("register")
+    )
+    got = (
+        df.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    return (
+        all_regs.join(got, "register", "left")
+        .select(
+            "register",
+            F.coalesce("rho_max", F.lit(0)).cast("long").alias("rho_max"),
+        )
+    )
+
+
+def hll_estimate(
+    df: DataFrame, value_col: str, n_registers: int = 64
+) -> DataFrame:
+    """One-row raw-HLL distinct estimate in exact integer arithmetic.
+
+    ``est = (alpha_num * m^2 * 2^33) // (alpha_den * S)`` where
+    ``S = Σ_j 2^(33 - rho_j)`` (exact BIGINT — max 64 * 2^33 < 2^40).
+    alpha = 709/1000 (the m=64 constant, integer ratio so both engines
+    divide identically). No small/large-range correction — raw estimator,
+    documented; accuracy is asserted against the exact count in-row.
+    """
+    regs = hll_registers(df, value_col, n_registers)
+    pow2 = F.lit([1 << i for i in range(34)])
+    s = regs.agg(
+        F.sum(
+            F.element_at(pow2, (F.lit(33) - F.col("rho_max")).cast("int")
+                         + F.lit(1))
+        ).alias("s")
+    )
+    exact = df.select(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    m = n_registers
+    return (
+        s.crossJoin(exact)
+        .select(
+            F.lit(m).alias("n_registers"),
+            F.expr(f"{709 * m * m} * CAST({1 << 33} AS BIGINT)"
+                   " DIV (1000 * s)").alias("estimate"),
+            F.col("n_exact"),
+        )
+    )

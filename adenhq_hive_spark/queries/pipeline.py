@@ -5563,3 +5563,91 @@ Q(QuerySpec(
         FROM z GROUP BY zbucket ORDER BY zbucket
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_hll_registers",
+    doc="Engine-portable HyperLogLog register table over o_custkey "
+        "(operators/sketch.py:hll_registers — Flajolet 2007): register = "
+        "md5-slice mod 64, rho = 1 + leading zeros of the next 32-bit "
+        "slice via bin()-length (identical on DuckDB), dense 64 rows with "
+        "empty registers at rho_max 0. The md5-portable twin of the "
+        "production approx_count_distinct tier (pl_approx_distinct), same "
+        "pattern as pl_minhash_portable: the sketch ALGEBRA carries a "
+        "full oracle hash. One GROUP BY shuffle of 64 keys; MAX is the "
+        "merge, so partial aggregation does the map-side combine.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch", fromlist=["hll_registers"]
+    ).hll_registers(load_table(spark, sf, "orders"), "o_custkey")
+    .orderBy("register"),
+    oracle_sql_str="""
+        WITH h AS (
+          SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+        ),
+        rw AS (
+          SELECT CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 64
+                   AS register,
+                 CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS w
+          FROM h
+        ),
+        rho AS (
+          SELECT register,
+                 CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END
+                   AS rho
+          FROM rw
+        ),
+        got AS (SELECT register, MAX(rho) AS rho_max FROM rho
+                GROUP BY register)
+        SELECT r.range AS register,
+               CAST(COALESCE(got.rho_max, 0) AS BIGINT) AS rho_max
+        FROM range(0, 64) r LEFT JOIN got ON r.range = got.register
+        ORDER BY register
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_hll_estimate",
+    doc="Raw HLL distinct estimate in exact integer arithmetic "
+        "(operators/sketch.py:hll_estimate): S = sum over all 64 "
+        "registers of 2^(33-rho) is an exact BIGINT, estimate = "
+        "(709*m^2*2^33) DIV (1000*S) — alpha as the integer ratio "
+        "709/1000, division truncating on both engines, so a "
+        "probabilistic cardinality sketch produces a bit-reproducible "
+        "value. n_exact rides along; the test gates |est-exact| within "
+        "the m=64 error envelope.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch", fromlist=["hll_estimate"]
+    ).hll_estimate(load_table(spark, sf, "orders"), "o_custkey"),
+    oracle_sql_str="""
+        WITH h AS (
+          SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+        ),
+        rw AS (
+          SELECT CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 64
+                   AS register,
+                 CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS w
+          FROM h
+        ),
+        rho AS (
+          SELECT register,
+                 CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END
+                   AS rho
+          FROM rw
+        ),
+        got AS (SELECT register, MAX(rho) AS rho_max FROM rho
+                GROUP BY register),
+        dense AS (
+          SELECT r.range AS register, COALESCE(got.rho_max, 0) AS rho_max
+          FROM range(0, 64) r LEFT JOIN got ON r.range = got.register
+        ),
+        s AS (SELECT SUM(CAST(1 AS BIGINT) << (33 - rho_max)) AS s
+              FROM dense),
+        ex AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+        SELECT 64 AS n_registers,
+               (709 * 64 * 64 * CAST(8589934592 AS BIGINT))
+                 // (1000 * s.s) AS estimate,
+               ex.n_exact
+        FROM s CROSS JOIN ex
+    """,
+))

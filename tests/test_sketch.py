@@ -73,3 +73,57 @@ def test_heavy_hitters_capacity_guard_and_empty(spark):
     out = heavy_hitters(empty, min_share_bp=100, capacity=128)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["token", "n", "share_bp"]
+
+
+# ---- portable HyperLogLog --------------------------------------------------
+
+
+def test_hll_registers_dense_and_merge_is_max(spark):
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 500).select(F.col("id").alias("v"))
+    b = spark.range(400, 900).select(F.col("id").alias("v"))
+    ra = {r.register: r.rho_max
+          for r in hll_registers(a, "v").collect()}
+    rb = {r.register: r.rho_max
+          for r in hll_registers(b, "v").collect()}
+    runion = {r.register: r.rho_max
+              for r in hll_registers(a.union(b), "v").collect()}
+    assert len(ra) == 64 and len(runion) == 64  # dense, empties included
+    assert runion == {k: max(ra[k], rb[k]) for k in ra}
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    """Raw HLL with m=64 has RSE ~1.04/sqrt(64) = 13%; gate at 3 sigma."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.sketch import hll_estimate
+
+    df = spark.range(0, 5000).select(F.col("id").alias("v"))
+    row = hll_estimate(df, "v").collect()[0]
+    assert row.n_exact == 5000
+    assert abs(row.estimate - 5000) <= 0.39 * 5000
+
+
+def test_hll_stable_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.sketch import hll_estimate
+
+    df = spark.range(0, 3000).select(F.col("id").alias("v"))
+    e1 = hll_estimate(df, "v").collect()[0].estimate
+    e2 = hll_estimate(df.repartition(17), "v").collect()[0].estimate
+    assert e1 == e2
+
+
+def test_hll_rejects_bad_params(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.sketch import hll_registers
+
+    df = spark.range(3).select(F.col("id").alias("v"))
+    with _pytest.raises(ValueError):
+        hll_registers(df, "v", n_registers=0)
