@@ -1471,3 +1471,45 @@ def jl_project(
     return df.select(
         F.col(id_col), F.explode(F.array(*cols)).alias("_p")
     ).select(id_col, F.col("_p.dim").alias("dim"), F.col("_p.value").alias("value"))
+
+
+def int8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4x memory compression for ANN serving (FAISS
+    ScalarQuantizer QT_8bit / Milvus SQ8): q_i = floor(v_i * 127 / mx)
+    with mx = max(|v_i|), scale stored per vector for dequantization.
+
+    Every step is a deterministic IEEE double op (cast, multiply, divide,
+    floor) evaluated per element IN-ROW, so the lossy code is
+    bit-identical across engines and carries a full oracle hash (the
+    pl_phash_portable floor-not-round discipline — no round() semantics
+    knife-edge between engines). Map-only, zero shuffle; emits narrow
+    (id, dim, q, scale) rows. All-zero vectors quantize to q = 0 with
+    scale 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    return (
+        df.select(F.col(id_col), v.alias("v"), mx.alias("mx"))
+        .select(
+            id_col,
+            F.posexplode("v").alias("dim", "x"),
+            F.col("mx"),
+        )
+        .select(
+            id_col,
+            "dim",
+            F.when(F.col("mx") == 0.0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(F.col("x") * F.lit(127.0) / F.col("mx"))
+            )
+            .alias("q"),
+            F.round(F.col("mx"), 4).alias("scale"),
+        )
+    )

@@ -5651,3 +5651,35 @@ Q(QuerySpec(
         FROM s CROSS JOIN ex
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_int8_quant",
+    doc="Symmetric per-vector int8 quantization of the embeddings table "
+        "(operators/similarity.py:int8_quantize) — the FAISS-SQ8 4x "
+        "compression for ANN serving: q = floor(v*127/max|v|), per-vector "
+        "scale retained. floor-not-round discipline keeps the lossy code "
+        "bit-identical across engines (pl_phash_portable pattern), so a "
+        "quantizer carries a full oracle hash. Map-only, zero shuffle, "
+        "narrow (id, dim, q, scale) rows.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity", fromlist=["int8_quantize"]
+    ).int8_quantize(load_table(spark, sf, "embeddings"))
+    .orderBy("vec_id", "dim"),
+    oracle_sql_str="""
+        WITH m AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings
+        )
+        SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+               CASE WHEN mx = 0 THEN 0
+                    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                    * 127 / mx) AS BIGINT)
+               END AS q,
+               ROUND(mx, 4) AS scale
+        FROM m CROSS JOIN range(1, 65) t(i)
+        ORDER BY vec_id, dim
+    """,
+))

@@ -641,3 +641,52 @@ def test_jl_project_preserves_pairwise_structure(spark, emb):
             in_band += 0.4 <= d1 / d0 <= 1.8
             total += 1
     assert in_band / total >= 0.9
+
+
+# ---- int8 scalar quantization ----------------------------------------------
+
+
+def test_int8_quantize_golden_and_bounds(spark):
+    from adenhq_hive_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {(r.vec_id, r.dim): (r.q, r.scale)
+            for r in int8_quantize(df).collect()}
+    assert rows[(1, 0)] == (127, 1.0)
+    assert rows[(1, 1)] == (-127, 1.0)
+    assert rows[(1, 2)] == (63, 1.0)   # floor(63.5)
+    assert rows[(1, 3)] == (0, 1.0)
+    # all-zero vector: q=0, scale=0
+    assert all(rows[(2, d)] == (0, 0.0) for d in range(4))
+    assert all(-128 <= q <= 127 for q, _ in rows.values())
+
+
+def test_int8_quantize_reconstruction_error_bounded(spark):
+    """Dequantized q*scale/127 must sit within one quantization step of
+    the original on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.similarity import int8_quantize
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = int8_quantize(emb)
+    orig = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding",
+                                 lambda x: x.cast("double")))
+        .alias("dim", "x"),
+    )
+    # dequantize with the EXACT per-vector max (the output's `scale` is
+    # rounded to 4 decimals for the oracle row, which adds up to 5e-5
+    # of its own error — not what this test measures)
+    mx = orig.groupBy("vec_id").agg(F.max(F.abs("x")).alias("mx"))
+    joined = q.join(orig, ["vec_id", "dim"]).join(mx, "vec_id")
+    bad = joined.filter(
+        (F.col("mx") > 0)
+        & (F.abs(F.col("q") * F.col("mx") / 127.0 - F.col("x"))
+           > F.col("mx") / 127.0 + 1e-9)
+    ).count()
+    assert bad == 0
