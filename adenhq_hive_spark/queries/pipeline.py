@@ -5483,7 +5483,7 @@ Q(QuerySpec(
         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         pr0 AS (SELECT node, (1000000000000 // n) AS r
                 FROM nodes CROSS JOIN cnt),
-        m1 AS (SELECT e.dst AS node, SUM(p.r // deg.d) AS m
+        m1 AS (SELECT e.dst AS node, CAST(SUM(p.r // deg.d) AS BIGINT) AS m
                FROM e JOIN pr0 p ON e.src = p.node
                       JOIN deg ON e.src = deg.src
                GROUP BY e.dst),
@@ -5492,7 +5492,7 @@ Q(QuerySpec(
                        + (85 * COALESCE(m1.m, 0)) // 100 AS r
                 FROM nodes CROSS JOIN cnt
                 LEFT JOIN m1 ON nodes.node = m1.node),
-        m2 AS (SELECT e.dst AS node, SUM(p.r // deg.d) AS m
+        m2 AS (SELECT e.dst AS node, CAST(SUM(p.r // deg.d) AS BIGINT) AS m
                FROM e JOIN pr1 p ON e.src = p.node
                       JOIN deg ON e.src = deg.src
                GROUP BY e.dst),
@@ -5501,7 +5501,7 @@ Q(QuerySpec(
                        + (85 * COALESCE(m2.m, 0)) // 100 AS r
                 FROM nodes CROSS JOIN cnt
                 LEFT JOIN m2 ON nodes.node = m2.node),
-        m3 AS (SELECT e.dst AS node, SUM(p.r // deg.d) AS m
+        m3 AS (SELECT e.dst AS node, CAST(SUM(p.r // deg.d) AS BIGINT) AS m
                FROM e JOIN pr2 p ON e.src = p.node
                       JOIN deg ON e.src = deg.src
                GROUP BY e.dst),
@@ -5641,7 +5641,8 @@ Q(QuerySpec(
           SELECT r.range AS register, COALESCE(got.rho_max, 0) AS rho_max
           FROM range(0, 64) r LEFT JOIN got ON r.range = got.register
         ),
-        s AS (SELECT SUM(CAST(1 AS BIGINT) << (33 - rho_max)) AS s
+        s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (33 - rho_max))
+                   AS BIGINT) AS s
               FROM dense),
         ex AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
         SELECT 64 AS n_registers,
