@@ -76,6 +76,11 @@ HEADLINE = [
     "pl_span_incr",      # incremental span dedup over gram postings
     "pl_scrub_pipeline", # span capstone: detect -> cut -> gate -> split
     "pl_leak_census",    # per-eval-doc contamination spread
+    "pl_bloom_decontaminate",  # broadcast-bloom probe + exact verify
+    "pl_pagerank",       # integer-exact 3-iter PageRank (Pregel shape)
+    "pl_zorder",         # Morton-key locality rollup (map-only + 1 agg)
+    "pl_hll_estimate",   # portable HyperLogLog distinct estimate
+    "pl_int8_quant",     # per-vector int8 embedding quantization
 ]
 
 
