@@ -5684,3 +5684,46 @@ Q(QuerySpec(
         ORDER BY vec_id, dim
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_copurchase_lift",
+    doc="Market-basket association mining (operators/basket.py:"
+        "copurchase_lift — the pairwise/2-itemset Apriori tier): parts "
+        "co-occurring in >= 2 orders with exact ppm-scaled lift. Pair "
+        "space comes from a self-join ON THE BASKET KEY (cost sum of "
+        "basket^2, never |items|^2), mega-baskets capped before the join "
+        "(max_shingle_df discipline; testdata max basket 17 << 64 so the "
+        "capless oracle hashes identically); lift stays in integer "
+        "arithmetic: support * n_baskets * 1e6 DIV (n_a * n_b).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.basket", fromlist=["copurchase_lift"]
+    ).copurchase_lift(
+        load_table(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    ).orderBy("item_a", "item_b"),
+    oracle_sql_str="""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+        ),
+        nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM items),
+        item_n AS (SELECT item, COUNT(*) AS item_n FROM items
+                   GROUP BY item),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 COUNT(*) AS support
+          FROM items a JOIN items b
+            ON a.b = b.b AND a.item < b.item
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        )
+        SELECT p.item_a, p.item_b, p.support,
+               (p.support * nb.n_baskets * CAST(1000000 AS BIGINT))
+                 // (na.item_n * nbc.item_n) AS lift_ppm
+        FROM pairs p
+        JOIN item_n na ON na.item = p.item_a
+        JOIN item_n nbc ON nbc.item = p.item_b
+        CROSS JOIN nb
+        ORDER BY item_a, item_b
+    """,
+))
