@@ -1781,3 +1781,30 @@ Q(QuerySpec(
         ORDER BY ALL
     """,
 ))
+
+Q(QuerySpec(
+    name="q90",
+    doc="Grouped exact multi-percentile bands (p50/p90/p99 of extended "
+        "price per return flag) — the latency-SLO query shape. Dual "
+        "form: Spark's exact `percentile` and DuckDB's `quantile_cont` "
+        "share the linear-interpolation definition; ROUND(...,4) "
+        "closes the float tail.",
+    engine_sql="""
+        SELECT l_returnflag,
+               ROUND(percentile(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(percentile(l_extendedprice, 0.9), 4) AS p90,
+               ROUND(percentile(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    oracle_sql_str="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+))
