@@ -683,3 +683,30 @@ def test_late_window_ops_plan_shapes(spark):
         p = executed(name)
         assert "partial_count" in p or "partial_sum" in p
         assert "Join" not in p
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    """The Bloom membership pass — explode to grams, probe the broadcast
+    array literal — must plan as a pure map stage: any Exchange here
+    would reintroduce the corpus-sized shuffle the tier exists to
+    avoid (the verify join afterwards is the only shuffle)."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.curation import (
+        _word_ngrams,
+        bloom_contains,
+        build_gram_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("source") == "src0")
+    n_bits = 1 << 16
+    bloom = build_gram_bloom(ev, "text", n=5, n_bits=n_bits)
+    probe = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id",
+                F.explode(_word_ngrams(F.col("text"), 5)).alias("g"))
+        .filter(bloom_contains(F.col("g"), bloom, n_bits))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
