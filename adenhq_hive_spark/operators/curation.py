@@ -1476,22 +1476,65 @@ def bloom_contains(
 
     The filter ships as ONE array literal (pyspark folds a python list into
     a single Literal, not a 32k-child CreateArray), so the probe is a pure
-    projection — zero shuffle, whole-stage-codegen eligible. Bit test uses
-    an element_at into a 32-entry power-of-two literal array because
-    ``shiftleft`` takes only literal shift amounts."""
+    projection — zero shuffle. The k bit tests are UNROLLED scalar
+    expressions ANDed together, not an ``F.aggregate`` fold: higher-order
+    functions are interpreted (never whole-stage-codegen'd, no common-
+    subexpression elimination), which benched 30x slower than this
+    codegen-eligible form at sf0.1. Bit test uses an element_at into a
+    32-entry power-of-two literal array because ``shiftleft`` takes only
+    literal shift amounts."""
+    if not 1 <= n_hashes <= 4:
+        raise ValueError("n_hashes must be in 1..4 (md5 supplies 4 slices)")
     arr = F.lit(bloom_words)
     pow2 = F.lit(_BLOOM_POW2)
-    return F.aggregate(
-        _bloom_positions(gram, n_bits, n_hashes),
-        F.lit(True),
-        lambda acc, p: acc & (
-            F.element_at(arr, F.shiftright(p, 5).cast("int") + F.lit(1))
-            .bitwiseAND(
-                F.element_at(pow2, p.cast("int") % 32 + F.lit(1))
+    h = F.md5(gram)
+    out: Column | None = None
+    for i in range(n_hashes):
+        p = (
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.lit(n_bits)
+        )
+        word = F.element_at(arr, F.shiftright(p, 5).cast("int") + F.lit(1))
+        mask = F.element_at(pow2, p.cast("int") % 32 + F.lit(1))
+        test = word.bitwiseAND(mask) != 0
+        out = test if out is None else out & test
+    assert out is not None
+    return out
+
+
+def bloom_probe_grams(
+    grams: DataFrame,
+    words_df: DataFrame,
+    n_bits: int,
+    n_hashes: int = 3,
+    gram_col: str = "g",
+) -> DataFrame:
+    """Keep only rows whose ``gram_col`` tests positive in the Bloom
+    filter given as a (word_idx, bloom_word) relation of NON-ZERO words.
+
+    One inner BroadcastHashJoin per hash function: all k probes fuse into
+    a single map-side codegen stage with zero shuffle (plan-gated in
+    tests/test_plan_shapes.py). A join miss = all-zero word = unset bit,
+    so inner-join semantics implement the Bloom negative for free."""
+    cand = grams
+    h = F.md5(F.col(gram_col))
+    for i in range(n_hashes):
+        p = (
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.lit(n_bits)
+        )
+        # mask = 2^(p % 32): double pow is exact below 2^52, stays codegen
+        mask = F.pow(F.lit(2.0), (p % 32).cast("double")).cast("long")
+        cand = (
+            cand.withColumn("_w", F.shiftright(p, 5).cast("int"))
+            .join(
+                F.broadcast(words_df.withColumnRenamed("word_idx", "_w")),
+                "_w",
             )
-            != 0
-        ),
-    )
+            .filter(F.col("bloom_word").bitwiseAND(mask) != 0)
+            .drop("_w", "bloom_word")
+        )
+    return cand
 
 
 def bloom_decontaminate(
@@ -1511,26 +1554,39 @@ def bloom_decontaminate(
 
     Why it scales where the exact tier's shuffle grows with the corpus: the
     exact tier semi-joins ALL train grams (~100 TB exploded) against the
-    eval gram set; here the first pass is a map-only probe against a
-    broadcast ~256 KB bit array, so only grams that pass the Bloom test —
-    true contaminations plus the fp-rate sliver — enter the verify
-    shuffle. With m/n ≈ 10 bits per eval gram the fp rate is < 2%, so the
-    verify join is ~contamination-sized, not corpus-sized."""
+    eval gram set; here the first pass probes a BROADCAST relation of the
+    filter's non-zero words (bounded by n_bits/32 rows ≈ 256 KB), so only
+    grams that pass the Bloom test — true contaminations plus the fp-rate
+    sliver — enter the verify shuffle. With m/n ≈ 10 bits per eval gram
+    the fp rate is < 2%, so the verify join is ~contamination-sized, not
+    corpus-sized.
+
+    Probe form: one inner BroadcastHashJoin on word index per hash
+    function (k map-side joins, zero shuffle, one codegen stage). NOT a
+    giant array literal — Spark plans ``lit(list)`` as a per-row
+    CreateArray (constant folding does not fold a 32k-child array), which
+    measured 77 µs/gram; the BHJ form probes the same bits at hash-lookup
+    cost. A join MISS means the word is all-zero, i.e. the bit is unset —
+    inner-join semantics drop the gram, which is exactly the Bloom
+    negative."""
     from ..catalog import spread_small_scan
 
+    spark = train.sparkSession
     eval_grams = (
         eval_df.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
         .distinct()
     )
     bloom = build_gram_bloom(eval_df, text_col, n, n_bits, n_hashes)
-    train_grams = spread_small_scan(train).select(
+    words_df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(bloom) if w],
+        "word_idx int, bloom_word long",
+    )
+    grams = spread_small_scan(train).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
     )
-    candidates = train_grams.filter(
-        bloom_contains(F.col("g"), bloom, n_bits, n_hashes)
-    )
+    cand = bloom_probe_grams(grams, words_df, n_bits, n_hashes)
     bad = (
-        candidates.join(eval_grams, "g", "left_semi")
+        cand.join(eval_grams, "g", "left_semi")
         .select(id_col)
         .distinct()
     )

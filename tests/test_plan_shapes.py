@@ -686,15 +686,16 @@ def test_late_window_ops_plan_shapes(spark):
 
 
 def test_bloom_probe_is_shuffle_free(spark):
-    """The Bloom membership pass — explode to grams, probe the broadcast
-    array literal — must plan as a pure map stage: any Exchange here
-    would reintroduce the corpus-sized shuffle the tier exists to
-    avoid (the verify join afterwards is the only shuffle)."""
+    """The Bloom membership pass — explode to grams, probe via k
+    BroadcastHashJoins on word index — must plan with ZERO shuffle
+    exchanges (broadcast exchanges are the point): any hash/range
+    exchange here would reintroduce the corpus-sized shuffle the tier
+    exists to avoid (the verify join afterwards is the only shuffle)."""
     from pyspark.sql import functions as F
 
     from adenhq_hive_spark.operators.curation import (
         _word_ngrams,
-        bloom_contains,
+        bloom_probe_grams,
         build_gram_bloom,
     )
 
@@ -702,11 +703,17 @@ def test_bloom_probe_is_shuffle_free(spark):
     ev = docs.filter(F.col("source") == "src0")
     n_bits = 1 << 16
     bloom = build_gram_bloom(ev, "text", n=5, n_bits=n_bits)
-    probe = (
+    words_df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(bloom) if w],
+        "word_idx int, bloom_word long",
+    )
+    grams = (
         docs.filter(F.col("source") != "src0")
         .select("doc_id",
                 F.explode(_word_ngrams(F.col("text"), 5)).alias("g"))
-        .filter(bloom_contains(F.col("g"), bloom, n_bits))
     )
+    probe = bloom_probe_grams(grams, words_df, n_bits)
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
