@@ -81,6 +81,7 @@ HEADLINE = [
     "pl_zorder",         # Morton-key locality rollup (map-only + 1 agg)
     "pl_hll_estimate",   # portable HyperLogLog distinct estimate
     "pl_int8_quant",     # per-vector int8 embedding quantization
+    "pl_copurchase_lift",  # market-basket pairwise lift (2-itemset tier)
 ]
 
 
