@@ -200,3 +200,100 @@ def ks_drift(
         )
         .orderBy(group_col)
     )
+
+
+def psi_drift(
+    df: "DataFrame",
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    n_buckets: int = 10,
+) -> "DataFrame":
+    """Population Stability Index of each group's value distribution
+    against the rest of the corpus — the industry-standard model-
+    monitoring drift score (PSI < 0.1 stable, 0.1-0.25 moderate shift,
+    > 0.25 action; complements :func:`ks_drift`, which is
+    rank-sensitive where PSI is mass-sensitive).
+
+    ``PSI_g = Σ_b (p_b − q_b)·ln(p_b/q_b)`` over ``n_buckets``
+    equal-width buckets of the GLOBAL [min, max] range, with add-one
+    smoothing on both sides so empty buckets contribute finitely
+    (deterministic — no clamping heuristics). Bucketing is exact
+    integer arithmetic: ``(v − vmin)·B DIV (vmax − vmin + 1)``; only
+    p, q and ln run in doubles, then frac-rounded (the
+    pl_unigram_logprob precedent: ln is bit-portable across engines).
+
+    Scale shape: one (group, bucket) count aggregation, densified over
+    the B-bucket grid (metadata-sized), one bucket-total rollup —
+    no windows at all. Emits (group_col, n_docs, psi) sorted by group.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    spark = df.sparkSession
+    bounds = df.agg(
+        F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).select(
+        group_col,
+        F.expr(
+            f"CAST(({value_col} - vmin) * {n_buckets} AS BIGINT)"
+            " DIV (vmax - vmin + 1)"
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy(group_col, "bucket").agg(
+        F.count("*").alias("c")
+    )
+    groups = counts.select(group_col).distinct()
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    dense = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(counts, [group_col, "bucket"], "left")
+        .select(
+            group_col, "bucket",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    bucket_tot = dense.groupBy("bucket").agg(
+        F.sum("c").alias("c_all")
+    )
+    totals = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    n_total = df.count()
+    j = (
+        dense.join(bucket_tot, "bucket")
+        .join(totals, group_col)
+        .withColumn("n_rest", F.lit(n_total) - F.col("n_g"))
+        .withColumn(
+            "p",
+            (F.col("c") + 1).cast("double")
+            / (F.col("n_g") + n_buckets).cast("double"),
+        )
+        .withColumn(
+            "q",
+            (F.col("c_all") - F.col("c") + 1).cast("double")
+            / (F.col("n_rest") + n_buckets).cast("double"),
+        )
+    )
+    terms = j.select(
+        group_col, "bucket", "n_g",
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+        .alias("term"),
+    )
+    # order-fixed in-row fold (bucket order), not F.sum: a distributed
+    # double sum is partial-aggregation-order dependent, which would
+    # break the oracle hash (the jl_project discipline)
+    return (
+        terms.groupBy(group_col)
+        .agg(
+            F.first("n_g").alias("n_docs"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "term"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"],
+                ),
+                4,
+            ).alias("psi"),
+        )
+        .orderBy(group_col)
+    )

@@ -5727,3 +5727,67 @@ Q(QuerySpec(
         ORDER BY item_a, item_b
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_psi_drift",
+    doc="Population Stability Index per source vs the rest of the corpus "
+        "over 10 equal-width n_chars buckets (operators/profile.py:"
+        "psi_drift) — the model-monitoring drift score complementing the "
+        "rank-sensitive KS tier (pl_ks_drift). Integer-exact bucketing, "
+        "add-one smoothing, and an order-fixed in-row fold for the "
+        "double sum so the score hashes identically across engines. "
+        "One count agg + one bucket rollup, no windows.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile", fromlist=["psi_drift"]
+    ).psi_drift(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH bounds AS (
+          SELECT MIN(n_chars) AS vmin, MAX(n_chars) AS vmax FROM documents
+        ),
+        b AS (
+          SELECT source,
+                 ((n_chars - vmin) * 10) // (vmax - vmin + 1) AS bucket
+          FROM documents CROSS JOIN bounds
+        ),
+        counts AS (SELECT source, bucket, COUNT(*) AS c FROM b
+                   GROUP BY 1, 2),
+        grid AS (
+          SELECT g.source, t.range AS bucket
+          FROM (SELECT DISTINCT source FROM counts) g
+          CROSS JOIN range(0, 10) t
+        ),
+        dense AS (
+          SELECT grid.source, grid.bucket,
+                 CAST(COALESCE(counts.c, 0) AS BIGINT) AS c
+          FROM grid LEFT JOIN counts
+            ON grid.source = counts.source AND grid.bucket = counts.bucket
+        ),
+        btot AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS c_all
+                 FROM dense GROUP BY bucket),
+        tot AS (SELECT source, COUNT(*) AS n_g FROM documents
+                GROUP BY source),
+        nt AS (SELECT COUNT(*) AS n FROM documents),
+        terms AS (
+          SELECT d.source, d.bucket, tot.n_g,
+                 (CAST(d.c + 1 AS DOUBLE) / (tot.n_g + 10)
+                  - CAST(btot.c_all - d.c + 1 AS DOUBLE)
+                    / (nt.n - tot.n_g + 10))
+                 * ln((CAST(d.c + 1 AS DOUBLE) / (tot.n_g + 10))
+                      / (CAST(btot.c_all - d.c + 1 AS DOUBLE)
+                         / (nt.n - tot.n_g + 10))) AS term
+          FROM dense d
+          JOIN btot ON d.bucket = btot.bucket
+          JOIN tot ON d.source = tot.source
+          CROSS JOIN nt
+        )
+        SELECT source, CAST(MIN(n_g) AS BIGINT) AS n_docs,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(term ORDER BY bucket)),
+                   (a, x) -> a + x), 4) AS psi
+        FROM terms
+        GROUP BY source
+        ORDER BY source
+    """,
+))

@@ -89,3 +89,50 @@ def test_ks_drift_single_group_reports_null_not_div_by_zero(spark):
     )
     rows = ks_drift(df).collect()
     assert len(rows) == 1 and rows[0].ks is None and rows[0].n_docs == 3
+
+
+# ---- PSI drift -------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from adenhq_hive_spark.operators.profile import psi_drift
+
+    rows = [(s, v) for s in ("a", "b") for v in range(100)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r.source: r.psi for r in psi_drift(df).collect()}
+    # identical uniform distributions -> PSI ~ 0 (smoothing noise only)
+    assert all(abs(v) < 0.01 for v in out.values())
+
+
+def test_psi_shifted_distribution_flags(spark):
+    from adenhq_hive_spark.operators.profile import psi_drift
+
+    rows = [("base", v) for v in range(1000)] + [
+        ("shifted", 900 + (v % 100)) for v in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r.source: r.psi for r in psi_drift(df).collect()}
+    assert out["shifted"] > 0.25  # action threshold
+    assert out["shifted"] > out["base"] * 0  # defined for both
+    # PSI is symmetric in this two-group setup (each vs rest)
+    assert out["base"] > 0.25
+
+
+def test_psi_stable_under_repartition(spark):
+    from adenhq_hive_spark.operators.profile import psi_drift
+
+    rows = [(f"s{v % 3}", (v * 17) % 500) for v in range(600)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    a = sorted(map(tuple, psi_drift(df).collect()))
+    b = sorted(map(tuple, psi_drift(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_psi_rejects_bad_buckets(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame([("a", 1)], ["source", "n_chars"])
+    with _pytest.raises(ValueError):
+        psi_drift(df, n_buckets=1)
