@@ -5791,3 +5791,40 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_ewma",
+    doc="Trailing exponentially-decayed moving average of event value "
+        "per user (decay 0.9, lookback 8) — the time-series feature-"
+        "engineering primitive for event-stream training features. "
+        "Single-form portable SQL: unrolled LAG terms with exact-"
+        "rational weight literals (9^k/10^k — identical IEEE division "
+        "on both engines) in a fixed left-to-right addition order, "
+        "partial-window starts renormalized by the weight mass of the "
+        "available lags. Named WINDOW clause exercised on both engines; "
+        "partitioned window only — no global ordering.",
+    engine_sql="""
+        SELECT event_id, user_id,
+               ROUND(((CAST(1 AS DOUBLE) / 1) * COALESCE(value, 0.0)
+                 + (CAST(9 AS DOUBLE) / 10) * COALESCE(LAG(value, 1) OVER w, 0.0)
+                 + (CAST(81 AS DOUBLE) / 100) * COALESCE(LAG(value, 2) OVER w, 0.0)
+                 + (CAST(729 AS DOUBLE) / 1000) * COALESCE(LAG(value, 3) OVER w, 0.0)
+                 + (CAST(6561 AS DOUBLE) / 10000) * COALESCE(LAG(value, 4) OVER w, 0.0)
+                 + (CAST(59049 AS DOUBLE) / 100000) * COALESCE(LAG(value, 5) OVER w, 0.0)
+                 + (CAST(531441 AS DOUBLE) / 1000000) * COALESCE(LAG(value, 6) OVER w, 0.0)
+                 + (CAST(4782969 AS DOUBLE) / 10000000) * COALESCE(LAG(value, 7) OVER w, 0.0))
+                 / ((CAST(1 AS DOUBLE) / 1) * (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(9 AS DOUBLE) / 10) * (CASE WHEN LAG(value, 1) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(81 AS DOUBLE) / 100) * (CASE WHEN LAG(value, 2) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(729 AS DOUBLE) / 1000) * (CASE WHEN LAG(value, 3) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(6561 AS DOUBLE) / 10000) * (CASE WHEN LAG(value, 4) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(59049 AS DOUBLE) / 100000) * (CASE WHEN LAG(value, 5) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(531441 AS DOUBLE) / 1000000) * (CASE WHEN LAG(value, 6) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 + (CAST(4782969 AS DOUBLE) / 10000000) * (CASE WHEN LAG(value, 7) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)), 4) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+        LIMIT 2000
+    """,
+))
