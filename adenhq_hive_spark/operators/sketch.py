@@ -228,3 +228,63 @@ def hll_estimate(
             F.col("n_exact"),
         )
     )
+
+
+def hll_estimate_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_registers: int = 64,
+) -> DataFrame:
+    """Per-group raw-HLL distinct estimate (same md5/bin register algebra
+    and integer estimator as :func:`hll_estimate`, keyed by ``group_col``
+    — the per-source vocabulary-size governance rollup). One (group,
+    register) aggregation + a dense grid join; n_exact rides along for
+    the accuracy column. Emits (group, estimate, n_exact) sorted."""
+    if n_registers < 1:
+        raise ValueError("n_registers must be >= 1")
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_registers
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(w))
+    )
+    got = (
+        df.select(F.col(group_col), reg.alias("register"),
+                  rho.alias("rho"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    spark = df.sparkSession
+    groups = df.select(group_col).distinct()
+    all_regs = spark.range(n_registers).select(
+        F.col("id").alias("register")
+    )
+    dense = (
+        groups.crossJoin(F.broadcast(all_regs))
+        .join(got, [group_col, "register"], "left")
+        .select(
+            group_col, "register",
+            F.coalesce("rho_max", F.lit(0)).cast("int").alias("rho_max"),
+        )
+    )
+    pow2 = F.lit([1 << i for i in range(34)])
+    s = dense.groupBy(group_col).agg(
+        F.sum(
+            F.element_at(pow2, (F.lit(33) - F.col("rho_max")) + F.lit(1))
+        ).alias("s")
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    m = n_registers
+    return (
+        s.join(exact, group_col)
+        .select(
+            group_col,
+            F.expr(f"{709 * m * m} * CAST({1 << 33} AS BIGINT)"
+                   " DIV (1000 * s)").alias("estimate"),
+            "n_exact",
+        )
+        .orderBy(group_col)
+    )

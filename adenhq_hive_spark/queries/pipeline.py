@@ -5828,3 +5828,72 @@ Q(QuerySpec(
         LIMIT 2000
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_hll_by_source",
+    doc="Per-source distinct-word estimate via the portable HLL "
+        "(operators/sketch.py:hll_estimate_grouped) — the vocabulary-"
+        "size governance rollup at sketch cost: one (source, register) "
+        "aggregation regardless of vocabulary size, vs the exact "
+        "count-distinct's full word shuffle. Same md5/bin register "
+        "algebra and integer estimator as pl_hll_estimate, so the "
+        "grouped sketch carries a full oracle hash; n_exact rides "
+        "along as the accuracy column.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch",
+        fromlist=["hll_estimate_grouped"],
+    ).hll_estimate_grouped(
+        load_table(spark, sf, "documents").select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        ),
+        "word",
+        "source",
+    ),
+    oracle_sql_str="""
+        WITH words AS (
+          SELECT source, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ),
+        h AS (SELECT source, md5(CAST(word AS VARCHAR)) AS h FROM words),
+        rw AS (
+          SELECT source,
+                 CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 64
+                   AS register,
+                 CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS w
+          FROM h
+        ),
+        rho AS (
+          SELECT source, register,
+                 CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END
+                   AS rho
+          FROM rw
+        ),
+        got AS (SELECT source, register, MAX(rho) AS rho_max FROM rho
+                GROUP BY source, register),
+        grid AS (
+          SELECT g.source, t.range AS register
+          FROM (SELECT DISTINCT source FROM documents) g
+          CROSS JOIN range(0, 64) t
+        ),
+        dense AS (
+          SELECT grid.source, grid.register,
+                 COALESCE(got.rho_max, 0) AS rho_max
+          FROM grid LEFT JOIN got
+            ON grid.source = got.source AND grid.register = got.register
+        ),
+        s AS (SELECT source,
+                     CAST(SUM(CAST(1 AS BIGINT) << (33 - rho_max))
+                          AS BIGINT) AS s
+              FROM dense GROUP BY source),
+        ex AS (SELECT source AS ex_source, COUNT(DISTINCT word) AS n_exact
+               FROM words GROUP BY source)
+        SELECT s.source,
+               (709 * 64 * 64 * CAST(8589934592 AS BIGINT))
+                 // (1000 * s.s) AS estimate,
+               ex.n_exact
+        FROM s JOIN ex ON s.source = ex.ex_source
+        ORDER BY source
+    """,
+))

@@ -127,3 +127,25 @@ def test_hll_rejects_bad_params(spark):
     df = spark.range(3).select(F.col("id").alias("v"))
     with _pytest.raises(ValueError):
         hll_registers(df, "v", n_registers=0)
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    """The grouped estimator on one group's rows must equal the global
+    estimator run on that subset — same algebra, just keyed."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_grouped,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("v"),
+    )
+    grouped = {r.g: (r.estimate, r.n_exact)
+               for r in hll_estimate_grouped(df, "v", "g").collect()}
+    for g in ("0", "1", "2"):
+        sub = df.filter(F.col("g") == g)
+        row = hll_estimate(sub, "v").collect()[0]
+        assert grouped[g] == (row.estimate, row.n_exact)
