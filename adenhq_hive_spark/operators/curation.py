@@ -1591,3 +1591,51 @@ def bloom_decontaminate(
         .distinct()
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def es_weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement, deterministic —
+    Efraimidis & Spirakis 2006 (A-ES): each row draws key = ln(u)/w with
+    u ~ U(0,1]; the k LARGEST keys are a weighted sample without
+    replacement. Complements :func:`quality_weighted_sample` (Bernoulli,
+    no size guarantee) and ``stratified_sample_k`` (exact-k, unweighted).
+
+    u comes from md5 of the id (first 12 hex chars over 2^48, +1 so
+    u > 0), so the "random" draw is reproducible across runs, engines,
+    partitionings and cluster sizes — which also makes the whole sample
+    oracle-hashable. ln and the division are single IEEE ops; ties are
+    md5-collision improbable and broken by id anyway.
+
+    Scale: one partitioned window (per ``group_col``; pass a constant
+    column for a global sample of modest k — a global top-k by key via
+    TakeOrderedAndProject would be the big-k path). Emits the sampled
+    rows with their ``es_key`` and in-group ``rank``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+                16, 10,
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(1 << 48))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("es_key").desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("es_key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

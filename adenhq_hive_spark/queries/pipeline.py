@@ -5897,3 +5897,44 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_es_sample",
+    doc="Exact-k weighted sampling without replacement, 20 docs per "
+        "source weighted by n_chars (operators/curation.py:"
+        "es_weighted_sample_k — Efraimidis-Spirakis 2006 A-ES keys "
+        "ln(u)/w with the md5-derived u, so the draw is reproducible "
+        "across engines and the SAMPLE ITSELF is oracle-hashable). "
+        "Completes the sampling tier: Bernoulli-weighted "
+        "(pl_weighted_sample), exact-k stratified (pl_stratified_"
+        "sample), now exact-k weighted. One partitioned window.",
+    builder=lambda spark, sf: _curation().es_weighted_sample_k(
+        load_table(spark, sf, "documents"),
+        k=20, weight_col="n_chars", group_col="source",
+    ).select(
+        "source", "doc_id", "rank",
+        F.round("es_key", 6).alias("es_key_r6"),
+    ).orderBy("source", "rank"),
+    oracle_sql_str="""
+        WITH keyed AS (
+          SELECT source, doc_id,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 12)) AS BIGINT) + 1.0)
+                    / 281474976710656.0)
+                 / CAST(n_chars AS DOUBLE) AS es_key
+          FROM documents
+        ),
+        ranked AS (
+          SELECT source, doc_id, es_key,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY es_key DESC, doc_id)
+                   AS rank
+          FROM keyed
+        )
+        SELECT source, doc_id, CAST(rank AS INT) AS rank,
+               ROUND(es_key, 6) AS es_key_r6
+        FROM ranked WHERE rank <= 20
+        ORDER BY source, rank
+    """,
+))

@@ -1184,3 +1184,50 @@ def test_bloom_positions_reject_bad_params(spark):
             spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]),
             n_bits=100,
         )
+
+
+# ---- Efraimidis-Spirakis exact-k weighted sampling -------------------------
+
+
+def test_es_sample_exact_k_and_deterministic(spark):
+    from adenhq_hive_spark.operators.curation import es_weighted_sample_k
+
+    rows = [(i, "g" + str(i % 2), (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    out = es_weighted_sample_k(df, k=10, weight_col="w",
+                               group_col="source")
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"g0": 10, "g1": 10}
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in es_weighted_sample_k(
+            df.repartition(7), k=10, weight_col="w", group_col="source"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_es_sample_weight_bias(spark):
+    """Heavily-weighted rows must be sampled far more often: with half
+    the population at weight 100 and half at weight 1, the top-k should
+    be dominated by heavy rows."""
+    from adenhq_hive_spark.operators.curation import es_weighted_sample_k
+
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"]).withColumn(
+        "g", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("all")
+    )
+    out = es_weighted_sample_k(df, k=50, weight_col="w", group_col="g")
+    heavy = sum(1 for r in out.collect() if r.doc_id % 2 == 0)
+    assert heavy >= 40
+
+
+def test_es_sample_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.curation import es_weighted_sample_k
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "w"])
+    with _pytest.raises(ValueError):
+        es_weighted_sample_k(df, k=0, weight_col="w")
