@@ -1808,3 +1808,25 @@ Q(QuerySpec(
         ORDER BY l_returnflag
     """,
 ))
+
+Q(QuerySpec(
+    name="q91",
+    doc="Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL over "
+        "customer-nation multisets (q44/q45 cover the DISTINCT "
+        "variants). Single-form portable — both engines implement the "
+        "SQL-standard multiset min/difference semantics.",
+    engine_sql="""
+        WITH a AS (SELECT c_nationkey AS k FROM customer
+                   WHERE c_acctbal > 1000),
+             b AS (SELECT c_nationkey AS k FROM customer
+                   WHERE c_mktsegment = 'BUILDING')
+        SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+        FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        GROUP BY k
+        UNION ALL
+        SELECT 'except_all' AS op, k, COUNT(*) AS n
+        FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        GROUP BY k
+        ORDER BY op, k
+    """,
+))
