@@ -1830,3 +1830,53 @@ Q(QuerySpec(
         ORDER BY op, k
     """,
 ))
+
+Q(QuerySpec(
+    name="q92",
+    doc="Array higher-order-function suite in one declared query: "
+        "transform + aggregate (fold), filter + size, exists, forall "
+        "over the embedding arrays. Dual form: DuckDB spells these "
+        "list_transform/list_reduce (seeded via list_prepend, matching "
+        "Spark's 0.0 init exactly) and derives exists/forall from "
+        "list_filter lengths. In-row left folds keep the float sums "
+        "order-identical (the jl_project discipline).",
+    engine_sql="""
+        SELECT vec_id,
+               ROUND(aggregate(transform(embedding,
+                                         x -> CAST(x AS DOUBLE)),
+                               CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4)
+                 AS vec_sum,
+               size(filter(embedding, x -> x > 0)) AS n_pos,
+               exists(embedding, x -> x > CAST(0.2 AS FLOAT)) AS has_big,
+               forall(embedding, x -> x > CAST(-0.5 AS FLOAT)) AS bounded,
+               ROUND(aggregate(transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                               CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4)
+                 AS norm2
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    oracle_sql_str="""
+        SELECT vec_id,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE))),
+                   (a, x) -> a + x), 4) AS vec_sum,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT)
+                 AS n_pos,
+               len(list_filter(embedding,
+                               x -> x > CAST(0.2 AS FLOAT))) > 0
+                 AS has_big,
+               len(list_filter(embedding,
+                               x -> NOT (x > CAST(-0.5 AS FLOAT)))) = 0
+                 AS bounded,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, x) -> a + x), 4) AS norm2
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+))
