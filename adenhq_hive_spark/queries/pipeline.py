@@ -5938,3 +5938,105 @@ Q(QuerySpec(
         ORDER BY source, rank
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_ppr",
+    doc="Personalized PageRank from the s_suppkey<=3 supplier cohort "
+        "over "
+        "the symmetrized purchase graph (operators/graph_rank.py:"
+        "personalized_pagerank_int — random walk with restart, "
+        "Haveliwala 2002): teleport mass returns only to the seed set, "
+        "so rank = proximity to the cohort (the similar-items / "
+        "customer-affinity recommendation primitive). Same scaled-"
+        "BIGINT exact iteration as pl_pagerank; oracle = 3 unrolled "
+        "CTE iterations with the seed-cased teleport.",
+    builder=lambda spark, sf: (lambda gr, e0: gr.personalized_pagerank_int(
+        e0.union(e0.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))),
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") <= 3)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))
+                .alias("node")),
+        iterations=3,
+    ).orderBy("node"))(
+        __import__("adenhq_hive_spark.operators.graph_rank",
+                   fromlist=["personalized_pagerank_int"]),
+        load_table(spark, sf, "orders")
+        .join(load_table(spark, sf, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct(),
+    ),
+    oracle_sql_str="""
+        WITH e0 AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        sd AS (
+          SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey <= 3
+        ),
+        sd2 AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+        ns AS (SELECT COUNT(*) AS n FROM sd2),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        pr0 AS (
+          SELECT nodes.node,
+                 CASE WHEN sd2.node IS NOT NULL
+                      THEN (1000000000000 // ns.n) ELSE 0 END AS r
+          FROM nodes CROSS JOIN ns
+          LEFT JOIN sd2 ON nodes.node = sd2.node),
+        m1 AS (SELECT e.dst AS node,
+                      CAST(SUM(p.r // deg.d) AS BIGINT) AS m
+               FROM e JOIN pr0 p ON e.src = p.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        pr1 AS (
+          SELECT nodes.node,
+                 CASE WHEN sd2.node IS NOT NULL
+                      THEN (15 * (1000000000000 // ns.n)) // 100
+                      ELSE 0 END
+                 + (85 * COALESCE(m1.m, 0)) // 100 AS r
+          FROM nodes CROSS JOIN ns
+          LEFT JOIN sd2 ON nodes.node = sd2.node
+          LEFT JOIN m1 ON nodes.node = m1.node),
+        m2 AS (SELECT e.dst AS node,
+                      CAST(SUM(p.r // deg.d) AS BIGINT) AS m
+               FROM e JOIN pr1 p ON e.src = p.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        pr2 AS (
+          SELECT nodes.node,
+                 CASE WHEN sd2.node IS NOT NULL
+                      THEN (15 * (1000000000000 // ns.n)) // 100
+                      ELSE 0 END
+                 + (85 * COALESCE(m2.m, 0)) // 100 AS r
+          FROM nodes CROSS JOIN ns
+          LEFT JOIN sd2 ON nodes.node = sd2.node
+          LEFT JOIN m2 ON nodes.node = m2.node),
+        m3 AS (SELECT e.dst AS node,
+                      CAST(SUM(p.r // deg.d) AS BIGINT) AS m
+               FROM e JOIN pr2 p ON e.src = p.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        pr3 AS (
+          SELECT nodes.node,
+                 CASE WHEN sd2.node IS NOT NULL
+                      THEN (15 * (1000000000000 // ns.n)) // 100
+                      ELSE 0 END
+                 + (85 * COALESCE(m3.m, 0)) // 100 AS r
+          FROM nodes CROSS JOIN ns
+          LEFT JOIN sd2 ON nodes.node = sd2.node
+          LEFT JOIN m3 ON nodes.node = m3.node)
+        SELECT node, r AS rank_scaled FROM pr3 ORDER BY node
+    """,
+))

@@ -58,3 +58,42 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank_int(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank_int(df, damping_pct=101)
+
+
+def test_personalized_pagerank_proximity_to_seed(spark):
+    """In a two-cluster graph with the seed in cluster A, A-nodes must
+    outrank the structurally-identical B-nodes."""
+    from adenhq_hive_spark.operators.graph_rank import (
+        personalized_pagerank_int,
+    )
+
+    def ring(names):
+        return [(names[i], names[(i + 1) % len(names)])
+                for i in range(len(names))] + [
+            (names[(i + 1) % len(names)], names[i])
+            for i in range(len(names))
+        ]
+
+    a = ["a1", "a2", "a3"]
+    b = ["b1", "b2", "b3"]
+    edges = ring(a) + ring(b) + [("a1", "b1"), ("b1", "a1")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a1",)], ["node"])
+    pr = {r.node: r.rank_scaled
+          for r in personalized_pagerank_int(df, seeds,
+                                             iterations=4).collect()}
+    assert pr["a1"] == max(pr.values())
+    assert min(pr[n] for n in a) > max(pr[n] for n in b)
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.graph_rank import (
+        personalized_pagerank_int,
+    )
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("zzz",)], ["node"])
+    with _pytest.raises(ValueError, match="no seed overlaps"):
+        personalized_pagerank_int(df, seeds)
