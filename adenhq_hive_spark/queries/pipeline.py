@@ -6040,3 +6040,75 @@ Q(QuerySpec(
         SELECT node, r AS rank_scaled FROM pr3 ORDER BY node
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_trend_slope",
+    doc="Per-event-type ingest-volume trend: exact OLS slope over daily "
+        "counts, all moments as BIGINT sums (x re-based to each type's "
+        "first day so n*Sxx*1e6 stays far under 2^63) and only the "
+        "final ratio divided — slope_ppm = (n*Sxy - Sx*Sy)*1e6 DIV "
+        "(n*Sxx - Sx^2), NULLIF-guarded for single-day types on both "
+        "engines. The is-this-source-growing governance signal with a "
+        "full hash (regr_slope exists on both engines but accumulates "
+        "doubles in engine-specific order — this formulation is "
+        "order-free). Two aggregations, no windows.",
+    engine_sql="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')
+                      AS BIGINT) AS d,
+                 COUNT(*) AS y
+          FROM events
+          GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        based AS (
+          SELECT event_type,
+                 d - MIN(d) OVER (PARTITION BY event_type) AS x, y
+          FROM daily
+        ),
+        mom AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM based
+          GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               (n * sxy - sx * sy) * CAST(1000000 AS BIGINT)
+                 DIV NULLIF(n * sxx - sx * sx, 0) AS slope_ppm
+        FROM mom
+        ORDER BY event_type
+    """,
+    oracle_sql_str="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d,
+                 COUNT(*) AS y
+          FROM events
+          GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        based AS (
+          SELECT event_type,
+                 d - MIN(d) OVER (PARTITION BY event_type) AS x, y
+          FROM daily
+        ),
+        mom AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM based
+          GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               (n * sxy - sx * sy) * CAST(1000000 AS BIGINT)
+                 // NULLIF(n * sxx - sx * sx, 0) AS slope_ppm
+        FROM mom
+        ORDER BY event_type
+    """,
+))
