@@ -243,15 +243,23 @@ def hll_estimate_grouped(
     the accuracy column. Emits (group, estimate, n_exact) sorted."""
     if n_registers < 1:
         raise ValueError("n_registers must be >= 1")
-    h = F.md5(F.col(value_col).cast("string"))
-    reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_registers
-    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # materialize the hash ONCE per row — deriving register and rho from
+    # a shared h column instead of two inline F.md5 copies halves the
+    # md5 work (projection-level CSE does not always merge them)
+    hashed = df.select(
+        F.col(group_col),
+        F.md5(F.col(value_col).cast("string")).alias("h"),
+    )
+    reg = (
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % n_registers
+    )
+    w = F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
     rho = F.when(w == 0, F.lit(33)).otherwise(
         F.lit(33) - F.length(F.bin(w))
     )
     got = (
-        df.select(F.col(group_col), reg.alias("register"),
-                  rho.alias("rho"))
+        hashed.select(F.col(group_col), reg.alias("register"),
+                      rho.alias("rho"))
         .groupBy(group_col, "register")
         .agg(F.max("rho").alias("rho_max"))
     )
