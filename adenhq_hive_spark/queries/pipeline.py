@@ -6112,3 +6112,58 @@ Q(QuerySpec(
         ORDER BY event_type
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_itemsim",
+    doc="Item-item collaborative filtering over order baskets "
+        "(operators/basket.py:item_cosine_topk — Sarwar 2001, "
+        "binarized): top-5 neighbors per part by co-occurrence cosine "
+        "support/sqrt(n_a*n_b), symmetrized pair space from the "
+        "basket-keyed self-join, PARTITIONED ranking window with "
+        "rounded-score + id tiebreak so the neighbor table hashes "
+        "identically across engines — the customers-also-bought table.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.basket", fromlist=["item_cosine_topk"]
+    ).item_cosine_topk(
+        load_table(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        k=5, min_support=2,
+    ).orderBy("item_a", "rank"),
+    oracle_sql_str="""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+        ),
+        item_n AS (SELECT item, COUNT(*) AS item_n FROM items
+                   GROUP BY item),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+          FROM items a JOIN items b ON a.b = b.b AND a.item < b.item
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        ),
+        sym AS (
+          SELECT item_a, item_b, support FROM pairs
+          UNION ALL
+          SELECT item_b AS item_a, item_a AS item_b, support FROM pairs
+        ),
+        scored AS (
+          SELECT s.item_a, s.item_b, s.support,
+                 ROUND(CAST(s.support AS DOUBLE)
+                       / sqrt(CAST(na.item_n AS DOUBLE)
+                              * CAST(nb.item_n AS DOUBLE)), 4) AS cosine
+          FROM sym s
+          JOIN item_n na ON na.item = s.item_a
+          JOIN item_n nb ON nb.item = s.item_b
+        ),
+        ranked AS (
+          SELECT item_a, item_b, support, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY item_a
+                                    ORDER BY cosine DESC, item_b)
+                   AS rank
+          FROM scored
+        )
+        SELECT item_a, item_b, support, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY item_a, rank
+    """,
+))

@@ -55,3 +55,40 @@ def test_copurchase_mega_basket_capped(spark):
 def test_copurchase_rejects_bad_support(baskets):
     with pytest.raises(ValueError):
         copurchase_lift(baskets, "order_id", "item", min_support=0)
+
+
+def test_item_cosine_topk_golden(spark):
+    from adenhq_hive_spark.operators.basket import item_cosine_topk
+
+    # b1: {x,y}; b2: {x,y}; b3: {x,z}; b4: {x,z}; b5: {y,z}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"),
+            (3, "x"), (3, "z"), (4, "x"), (4, "z"),
+            (5, "y"), (5, "z")]
+    df = spark.createDataFrame(rows, ["order_id", "item"])
+    out = {(r.item_a, r.rank): (r.item_b, r.cosine)
+           for r in item_cosine_topk(df, "order_id", "item",
+                                     k=2).collect()}
+    # n_x=4, n_y=3, n_z=3; c_xy=2, c_xz=2, c_yz=1 (below support)
+    import math
+    cxy = round(2 / math.sqrt(4 * 3), 4)
+    # x's best neighbors: y and z tie at the same cosine -> id tiebreak
+    assert out[("x", 1)] == ("y", cxy)
+    assert out[("x", 2)] == ("z", cxy)
+    # y sees only x (yz filtered by min_support)
+    assert out[("y", 1)] == ("x", cxy)
+    assert ("y", 2) not in out
+
+
+def test_item_cosine_symmetry_and_rank_bounds(spark):
+    from adenhq_hive_spark.operators.basket import item_cosine_topk
+
+    rows = [(o, f"i{(o * p) % 7}") for o in range(1, 40)
+            for p in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["order_id", "item"])
+    out = item_cosine_topk(df, "order_id", "item", k=3).collect()
+    per_item = {}
+    for r in out:
+        per_item.setdefault(r.item_a, []).append(r.rank)
+        assert 0 < r.cosine <= 1.0001
+    for ranks in per_item.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
