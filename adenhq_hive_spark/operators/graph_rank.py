@@ -34,7 +34,7 @@ Semantics notes (shared with the oracle formula):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -175,3 +175,60 @@ def personalized_pagerank_int(
             ).alias("r"),
         )
     return pr.select("node", F.col("r").alias("rank_scaled"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007),
+    made DETERMINISTIC: each node adopts the most frequent label among
+    its in-neighbors, ties broken by the lexicographically smallest
+    label, all nodes updating synchronously — so the result is a pure
+    function of the graph and carries a full oracle hash (classic LPA
+    randomizes update order; the synchronous min-tiebreak variant
+    trades some convergence speed for reproducibility).
+
+    Curation use: communities over a near-dup / similarity graph are
+    template families — a coarser, faster grouping than connected
+    components when the graph is dense.
+
+    Per iteration: one join (labels onto edges by source) + one
+    (node, label) count aggregation + one PARTITIONED row_number pick —
+    the same one-shuffle-per-round Pregel shape as the rank operators.
+    Initial label = the node's own id. Emits (node, community).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    ed = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).cache()
+    lab = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            ed.join(lab, ed["e_src"] == lab["node"])
+            .select(F.col("e_dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        lab = nodes.join(pick, "node", "left").select(
+            "node",
+            F.coalesce("new_label", F.col("node")).alias("label"),
+        )
+    return lab.select("node", F.col("label").alias("community"))

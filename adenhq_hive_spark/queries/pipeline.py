@@ -6167,3 +6167,65 @@ Q(QuerySpec(
         ORDER BY item_a, rank
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_communities",
+    doc="Deterministic label-propagation communities over the "
+        "symmetrized purchase graph (operators/graph_rank.py:"
+        "label_propagation — Raghavan 2007, synchronous min-label "
+        "tiebreak so a classically-randomized algorithm is a pure "
+        "function of the graph and hash-checkable; 2 rounds). "
+        "Communities over similarity graphs = template families, the "
+        "coarse grouping for dense near-dup graphs where connected "
+        "components over-merge. One join + one count + one partitioned "
+        "pick per round.",
+    builder=lambda spark, sf: (lambda gr, e0: gr.label_propagation(
+        e0.union(e0.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))),
+        iterations=2,
+    ).orderBy("node"))(
+        __import__("adenhq_hive_spark.operators.graph_rank",
+                   fromlist=["label_propagation"]),
+        load_table(spark, sf, "orders")
+        .join(load_table(spark, sf, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct(),
+    ),
+    oracle_sql_str="""
+        WITH e0 AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        c1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+               FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        p1 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        ROW_NUMBER() OVER (PARTITION BY node
+                                           ORDER BY c DESC, label) AS rn
+                 FROM c1) WHERE rn = 1),
+        l1 AS (SELECT n.node, COALESCE(p.label, n.node) AS label
+               FROM nodes n LEFT JOIN p1 p ON n.node = p.node),
+        c2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+               FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        p2 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        ROW_NUMBER() OVER (PARTITION BY node
+                                           ORDER BY c DESC, label) AS rn
+                 FROM c2) WHERE rn = 1),
+        l2 AS (SELECT n.node, COALESCE(p.label, n.node) AS label
+               FROM nodes n LEFT JOIN p2 p ON n.node = p.node)
+        SELECT node, label AS community FROM l2 ORDER BY node
+    """,
+))

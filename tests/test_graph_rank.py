@@ -97,3 +97,46 @@ def test_personalized_pagerank_rejects_disjoint_seeds(spark):
     seeds = spark.createDataFrame([("zzz",)], ["node"])
     with _pytest.raises(ValueError, match="no seed overlaps"):
         personalized_pagerank_int(df, seeds)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge resolve to two
+    communities labeled by each clique's lexicographic minimum — the
+    in-clique majority (3 same-label neighbors) outvotes the single
+    bridge label. (Triangles would NOT be stable here: with all
+    neighbor labels tied at count 1 the min-label tiebreak floods
+    across the bridge — inherent to synchronous LPA, not a bug.)"""
+    from adenhq_hive_spark.operators.graph_rank import label_propagation
+
+    def clique(names):
+        return [(a, b) for a in names for b in names if a != b]
+
+    a = ["a1", "a2", "a3", "a4"]
+    b = ["b1", "b2", "b3", "b4"]
+    edges = clique(a) + clique(b) + [("a1", "b1"), ("b1", "a1")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.community
+           for r in label_propagation(df, iterations=3).collect()}
+    assert all(out[n] == "a1" for n in a)
+    assert all(out[n] == "b1" for n in b)
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from adenhq_hive_spark.operators.graph_rank import label_propagation
+
+    edges = [(f"n{i}", f"n{(i * 5 + 2) % 17}") for i in range(34)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(df, iterations=2).collect()))
+    b = sorted(map(tuple, label_propagation(
+        df.repartition(9), iterations=2).collect()))
+    assert a == b
+
+
+def test_label_propagation_rejects_bad_iterations(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.graph_rank import label_propagation
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        label_propagation(df, iterations=0)
