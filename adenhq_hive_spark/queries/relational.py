@@ -1880,3 +1880,22 @@ Q(QuerySpec(
         ORDER BY vec_id
     """,
 ))
+
+Q(QuerySpec(
+    name="q93",
+    doc="Lateral column aliases: a SELECT-list alias referenced by later "
+        "expressions in the same SELECT (Spark 3.4+ and DuckDB both "
+        "support the dialect convenience; single-form portable). The "
+        "classic derived-metric chain without a subquery.",
+    engine_sql="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+               ROUND(revenue / n_orders, 4) AS avg_order_value,
+               ROUND(avg_order_value / 1000, 4) AS aov_k
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+))
