@@ -6229,3 +6229,56 @@ Q(QuerySpec(
         SELECT node, label AS community FROM l2 ORDER BY node
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_assoc_rules",
+    doc="Directional association rules over order baskets "
+        "(operators/basket.py:association_rules): confidence P(B|A) "
+        "and lift as ppm-scaled exact integers, both directions of "
+        "every min-support pair — the asymmetric half Apriori adds "
+        "over raw co-occurrence (milk->bread != bread->milk). Rides "
+        "the proven basket-keyed pair space.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.basket", fromlist=["association_rules"]
+    ).association_rules(
+        load_table(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    ).orderBy("antecedent", "consequent"),
+    oracle_sql_str="""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+        ),
+        nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM items),
+        item_n AS (SELECT item, COUNT(*) AS item_n FROM items
+                   GROUP BY item),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+          FROM items a JOIN items b ON a.b = b.b AND a.item < b.item
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        ),
+        lifted AS (
+          SELECT p.item_a, p.item_b, p.support,
+                 (p.support * nb.n_baskets * CAST(1000000 AS BIGINT))
+                   // (na.item_n * nbc.item_n) AS lift_ppm
+          FROM pairs p
+          JOIN item_n na ON na.item = p.item_a
+          JOIN item_n nbc ON nbc.item = p.item_b
+          CROSS JOIN nb
+        ),
+        sym AS (
+          SELECT item_a AS antecedent, item_b AS consequent,
+                 support, lift_ppm FROM lifted
+          UNION ALL
+          SELECT item_b AS antecedent, item_a AS consequent,
+                 support, lift_ppm FROM lifted
+        )
+        SELECT s.antecedent, s.consequent, s.support,
+               (s.support * CAST(1000000 AS BIGINT)) // na.item_n
+                 AS conf_ppm,
+               s.lift_ppm
+        FROM sym s JOIN item_n na ON na.item = s.antecedent
+        ORDER BY antecedent, consequent
+    """,
+))

@@ -92,3 +92,17 @@ def test_item_cosine_symmetry_and_rank_bounds(spark):
         assert 0 < r.cosine <= 1.0001
     for ranks in per_item.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_association_rules_directional_confidence(baskets):
+    from adenhq_hive_spark.operators.basket import association_rules
+
+    out = {(r.antecedent, r.consequent): (r.support, r.conf_ppm)
+           for r in association_rules(baskets, "order_id",
+                                      "item").collect()}
+    # x in 3 baskets, y in 3, z in 2; (x,y) support 2; (x,z) support 2
+    assert out[("x", "y")] == (2, (2 * 1_000_000) // 3)
+    assert out[("y", "x")] == (2, (2 * 1_000_000) // 3)
+    # asymmetry shows on (x,z): P(z|x)=2/3 vs P(x|z)=2/2
+    assert out[("x", "z")] == (2, (2 * 1_000_000) // 3)
+    assert out[("z", "x")] == (2, 1_000_000)
