@@ -7,7 +7,7 @@ value-hash → CORRECTNESS_r{N}.json).
 
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q80 + the pl_*
-LLM-pipeline/curation set, 224 total as of the round-5 fifth window) is
+LLM-pipeline/curation set, 228 total as of the round-5 fifth window) is
 registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
