@@ -82,6 +82,7 @@ HEADLINE = [
     "pl_hll_estimate",   # portable HyperLogLog distinct estimate
     "pl_int8_quant",     # per-vector int8 embedding quantization
     "pl_copurchase_lift",  # market-basket pairwise lift (2-itemset tier)
+    "pl_ppr",            # personalized PageRank (seeded restart walk)
 ]
 
 
