@@ -29,37 +29,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 5): the artifact caps at 50 entries, so
-# the 50 slots rotate each round to convert local-only passes into
-# driver-visible green rows.  Cumulative driver ledger after r4: 106 of
-# the 155 registered queries have appeared in some round's artifact
-# (CORRECTNESS_r01-r04), every oracle-bearing one green.  This round's
-# window holds ALL 49 never-driver-sampled queries (9 relational
-# q63/q64/q67/q68/q70/q73-q76 + 36 oracle-backed pl_* including every
-# round-4-continuation operator + 4 rows-only pl_bpe/pl_bpe_encode/
-# pl_media_phash/pl_semdedup, which record the weaker rows-only row by
-# design) plus q06 as the cross-round canary anchor.  After this window
-# lands, every registered query has a driver row in some round.
-# Rotated OUT (driver-green in r4, still covered by the local full
-# oracle run + pytest): the entire r4 window — q03-q05 q07 q08 q10-q12
-# q14-q16 q18-q21 q23 q27 q29-q32 q35 q37 q41 q46 q49 q51-q53 q56
-# q61 q62 q65 q66 q79 q80 + 12 pl_* rows.
+# ROTATING SAMPLE WINDOW (round 6, window 1 of 2 over the r5-built
+# pool): the artifact caps at 50 entries, so the 50 slots rotate each
+# round to convert local-only passes into driver-visible green rows.
+# Cumulative driver ledger after r5: 155 of the 228 registered queries
+# have appeared in some round's artifact (CORRECTNESS_r01-r05), every
+# oracle-bearing one green.  This window holds 49 of the 73
+# never-driver-sampled r5-window queries — the tiers a user hits first:
+# duplicated-span surgery, bloom decontamination, graph rank, basket
+# CF, HLL sketches, the q81-q93 window/SQL-surface suite, directional
+# as-of, Misra-Gries heavy hitters, feature-hash retrieval — plus
+# pl_media_decode (oracle added in r4 but only ever rows-only-sampled
+# in r1; this is its first hash-checked driver row) and q06 as the
+# cross-round canary anchor.  The remaining 21 oracle-backed + 3
+# rows-only (pl_ivfpq_topk/pl_pack_ffd/pl_pq_topk) queries are the r7
+# window, enumerated in COVERAGE.md.
+# Rotated OUT (driver-green in r5, still covered by the local full
+# oracle run + pytest): the entire r5 window — q63/q64/q67/q68/q70/
+# q73-q76 + 40 pl_* rows.
 _CORE = [
     "q06",
-    "q63", "q64", "q67", "q68", "q70", "q73", "q74", "q75", "q76",
-    "pl_best_rep_dedup", "pl_bm25", "pl_bpe", "pl_bpe_encode",
-    "pl_c4_filter", "pl_ccnet_buckets", "pl_centroids", "pl_contract",
-    "pl_cross_source_dups", "pl_curriculum", "pl_dsir", "pl_editdist",
-    "pl_event_anomaly", "pl_gopher_rules", "pl_hard_negatives",
-    "pl_hot_shingles", "pl_intradoc_dedup", "pl_length_stats",
-    "pl_media_annotate", "pl_media_phash", "pl_mixture_sample",
-    "pl_pack_efficiency", "pl_pack_sequences", "pl_passage_dedup",
-    "pl_profile", "pl_quality_classifier", "pl_quantile_check",
-    "pl_script_mix", "pl_semdedup", "pl_semdedup_check",
-    "pl_shuffle_shard", "pl_skew_report", "pl_snapshot_diff",
-    "pl_soft_dedup", "pl_source_scorecard", "pl_stratified_sample",
-    "pl_token_budget", "pl_trigram_search", "pl_unigram_logprob",
-    "pl_weighted_sample",
+    "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88", "q89",
+    "q90", "q91", "q92", "q93",
+    "pl_asof_forward", "pl_asof_nearest", "pl_assoc_rules",
+    "pl_bloom_decontaminate", "pl_calendar_fill", "pl_communities",
+    "pl_containment", "pl_copurchase_lift", "pl_dedup_spans",
+    "pl_drop_ledger", "pl_es_sample", "pl_ewma", "pl_feature_hash",
+    "pl_hash_sim", "pl_heavy_hitters", "pl_hll_by_source",
+    "pl_hll_estimate", "pl_hll_registers", "pl_hybrid_search",
+    "pl_int8_quant", "pl_itemsim", "pl_ks_drift", "pl_leak_census",
+    "pl_media_decode", "pl_novelty", "pl_pagerank", "pl_ppr",
+    "pl_psi_drift", "pl_scrub_pipeline", "pl_sem_decontaminate",
+    "pl_span_incr", "pl_span_rate", "pl_span_scrub", "pl_span_witness",
+    "pl_trend_slope", "pl_zorder",
 ]
 
 

@@ -1,15 +1,30 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+COMPACT JSON line (<1000 chars — the driver captures only a 2000-char
+stdout tail, which round 5's full per-query line overflowed):
+{"metric": ..., "value": N, "unit": "sec", "sf": ..., "runs": ...,
+ "n_queries": ..., "relational_floor_total": ..., "compute_tier_total":
+ ..., "sf1_engine_total": ..., "sf1_duckdb_total": ..., "sf1_ratio": ...,
+ "streaming_rows_per_sec": ..., "streaming_scale": {...},
+ "detail_file": "BENCH_DETAIL_r{N}.json"}
+
+The headline is TWO-TIER so a regression in either tier is visible in one
+artifact number instead of being masked by ~45 sub-second entries:
+`relational_floor_total` (q* — scheduling-floor-bound at sf0.1) and
+`compute_tier_total` (pl_* — real per-row compute, the tier that
+separates from the floor).  Per-query times / spread_pct / sf1 / duckdb
+detail goes to BENCH_DETAIL_r{N}.json next to this script.
 
 Plans are executed with the `noop` sink (full pipeline execution, no
-driver-side collect cost) after one warm-up run of q01 to exclude session
-/ JIT startup from per-query numbers.  Progress goes to stderr; stdout is
-exactly the JSON line the driver records as BENCH_r{N}.json.
+driver-side collect cost) after one untimed warm-up pass to exclude
+session / JIT startup from per-query numbers.  Progress goes to stderr;
+stdout is exactly the JSON line the driver records as BENCH_r{N}.json.
 
-Optional: --duckdb also times the DuckDB oracle per query (fills the
-BASELINE.md results table; not part of the driver protocol).
+Optional flags (not part of the driver protocol):
+  --duckdb           also time the DuckDB oracle per query (BASELINE.md)
+  --tier relational  only the q* headline entries (fast per-commit loop)
+  --tier compute     only the pl_* headline entries
+  --only a,b,c       explicit subset of headline names
 """
 
 from __future__ import annotations
@@ -102,6 +117,15 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
+    # Fast paths for the per-commit loop (full sweep stays the round gate).
+    if "--tier" in sys.argv:
+        tier = sys.argv[sys.argv.index("--tier") + 1]
+        names = [n for n in names
+                 if (n.startswith("q") if tier == "relational"
+                     else n.startswith("pl_"))]
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        names = [n for n in names if n in only]
 
     # Warm-up: session init, parquet footer reads, JVM JIT + codegen
     # caches. One untimed pass of every headline query — steady-state
@@ -270,26 +294,102 @@ def main() -> None:
         }
         log(f"streaming tumbling: {n_rows} rows in {wall:.2f}s "
             f"= {streaming['rows_per_sec']} rows/s")
+
+        # Scale claim measurement (r5 verdict #5): the single-file number
+        # above is a one-micro-batch floor (source parallelism = 1 file).
+        # Rewrite the same events as N part-files and drive the identical
+        # tumbling plan — rows/s vs file count is the evidence that
+        # throughput scales with source parallelism (files ~ executors).
+        from adenhq_hive_spark.catalog import load_table
+
+        scale: dict[str, int] = {"1": streaming["rows_per_sec"]}
+        for n_files in (8, 32):
+            data_dir = tempfile.mkdtemp(prefix=f"bench_stream_{n_files}f_")
+            ck2 = tempfile.mkdtemp(prefix="bench_stream_ck_")
+            try:
+                ev = load_table(spark, sf_dir, "events")
+                ev.repartition(n_files).write.mode("overwrite").parquet(
+                    f"{data_dir}/events"
+                )
+                src = (
+                    spark.readStream.schema(ev.schema)
+                    .parquet(f"{data_dir}/events")
+                )
+                t0 = time.perf_counter()
+                q = (
+                    tumbling_counts(src)
+                    .writeStream.outputMode("complete")
+                    .format("noop")
+                    .option("checkpointLocation", ck2)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                wall = time.perf_counter() - t0
+                scale[str(n_files)] = round(n_rows / wall)
+                log(f"streaming {n_files} files: {scale[str(n_files)]} rows/s")
+            finally:
+                shutil.rmtree(ck2, ignore_errors=True)
+                shutil.rmtree(data_dir, ignore_errors=True)
+        streaming["scale"] = scale
     except Exception as exc:  # never fail the batch bench on this
         log(f"streaming bench skipped: {exc}")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Full per-query detail goes to a local file; stdout carries only the
+    # compact scalars (driver tail-capture is 2000 chars).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[7:9]) for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f[7:9].isdigit()
+    ]
+    detail_name = f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json" if rounds \
+        else "BENCH_DETAIL.json"
+    detail = {
+        "queries": times,
+        "spread_pct": spread_pct,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": N_RUNS,
+    }
+    if sf1:
+        detail["sf1_relational"] = sf1
+    if streaming:
+        detail["streaming"] = streaming
+    if duck_times:
+        detail["duckdb"] = duck_times
+    with open(os.path.join(here, detail_name), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    log(f"per-query detail -> {detail_name}")
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": N_RUNS,
-        "spread_pct": spread_pct,
+        "n_queries": len(times),
+        "relational_floor_total": round(
+            sum(v for k, v in times.items() if k.startswith("q")), 4
+        ),
+        "compute_tier_total": round(
+            sum(v for k, v in times.items() if k.startswith("pl_")), 4
+        ),
+        "detail_file": detail_name,
     }
     if sf1:
-        out["sf1_relational"] = sf1
+        out["sf1_engine_total"] = sf1["engine_total"]
+        out["sf1_duckdb_total"] = sf1["duckdb_total"]
+        out["sf1_ratio"] = sf1["ratio_total"]
     if streaming:
-        out["streaming"] = streaming
-    if duck_times:
-        out["duckdb"] = duck_times
-    print(json.dumps(out), flush=True)
+        out["streaming_rows_per_sec"] = streaming["rows_per_sec"]
+        if "scale" in streaming:
+            out["streaming_scale"] = streaming["scale"]
+    line = json.dumps(out)
+    assert len(line) < 1000, f"driver line too long: {len(line)}"
+    print(line, flush=True)
     spark.stop()
 
 
