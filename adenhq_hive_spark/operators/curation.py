@@ -1616,9 +1616,15 @@ def es_weighted_sample_k(
     column for a global sample of modest k — a global top-k by key via
     TakeOrderedAndProject would be the big-k path). Emits the sampled
     rows with their ``es_key`` and in-group ``rank``.
+
+    A-ES requires strictly positive weights: a negative w flips the key
+    sign (those rows would rank FIRST) and w = 0 divides ln(u) by zero.
+    Rows with NULL or non-positive weight are filtered out up front —
+    the continuous extension of "zero mass, zero inclusion probability".
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    df = df.filter(F.col(weight_col).cast("double") > 0)
     u = (
         (
             F.conv(

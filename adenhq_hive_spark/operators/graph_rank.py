@@ -12,8 +12,21 @@ Scale posture (100 TB / billions of edges):
   edges on ``src``) plus ONE aggregation (contributions by ``dst``) —
   the textbook Pregel/GraphX shape expressed as DataFrames, so AQE gets to
   re-plan per iteration and skew-join hot hub nodes.
-- The edge relation is annotated with out-degrees ONCE and cached; the
+- The edge relation is annotated with out-degrees ONCE and materialized
+  via ``localCheckpoint(eager=True)`` — unlike ``cache()`` (whose entry
+  in the CacheManager is never released until an explicit unpersist, so
+  repeated invocations in one session accumulate blocks), checkpoint
+  blocks are reclaimed by the ContextCleaner once the DataFrame is
+  garbage-collected, and the checkpoint also truncates lineage. The
   per-iteration state is a skinny (node, rank) relation.
+- ``checkpoint_every=N`` (optional) localCheckpoints the rank state every
+  N iterations: the registered 3-iteration forms don't need it, but a
+  20+-iteration walk unrolls one join+agg per iteration into a single
+  plan and hits analyzer/codegen blowup without periodic truncation.
+  (localCheckpoint trades re-computability for speed: if an executor is
+  lost mid-job the truncated lineage cannot recompute its blocks — on a
+  long multi-tenant cluster job prefer ``spark.sparkContext.
+  setCheckpointDir`` + reliable ``checkpoint()`` at the same cadence.)
 - Ranks are scaled BIGINTs with truncating division (``DIV``): integer
   sums are exact and order-independent, so the result is bit-identical
   across partitionings, engines, and cluster sizes — which is what lets a
@@ -47,13 +60,15 @@ def pagerank_int(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = SCALE,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, integer-exact.
 
     Returns (node, rank_scaled) for every node appearing as src OR dst;
     ``rank_scaled`` is the rank times ``scale``, truncated. ``damping_pct``
     is the damping factor in percent (integer, so the teleport term stays
-    in exact arithmetic).
+    in exact arithmetic). ``checkpoint_every`` bounds plan depth for long
+    walks (see module docstring).
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in 0..100")
@@ -64,7 +79,7 @@ def pagerank_int(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     init = scale // n
@@ -75,11 +90,13 @@ def pagerank_int(
         edges.join(deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                 "outdeg")
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     pr = nodes.withColumn("r", F.lit(init).cast("long"))
-    for _ in range(iterations):
+    for i in range(iterations):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            pr = pr.localCheckpoint(eager=True)
         contrib = ed.join(pr, ed["e_src"] == pr["node"]).select(
             F.col("e_dst").alias("node"),
             F.expr("r DIV outdeg").alias("c"),
@@ -105,6 +122,7 @@ def personalized_pagerank_int(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = SCALE,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the teleport
     mass returns only to ``seeds``, so ranks measure proximity TO the
@@ -126,12 +144,12 @@ def personalized_pagerank_int(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     seed_nodes = (
         seeds.select(F.col(seed_col).alias("node")).distinct()
         .join(nodes, "node", "left_semi")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
@@ -144,7 +162,7 @@ def personalized_pagerank_int(
         edges.join(deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                 "outdeg")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     marked = nodes.join(
         seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left"
@@ -160,7 +178,9 @@ def personalized_pagerank_int(
     tele_expr = F.when(
         F.col("is_seed"), F.lit(teleport).cast("long")
     ).otherwise(F.lit(0).cast("long"))
-    for _ in range(iterations):
+    for i in range(iterations):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            pr = pr.localCheckpoint(eager=True)
         contrib = ed.join(pr, ed["e_src"] == pr["node"]).select(
             F.col("e_dst").alias("node"),
             F.expr("r DIV outdeg").alias("c"),
@@ -182,6 +202,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 2,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Community detection by label propagation (Raghavan et al. 2007),
     made DETERMINISTIC: each node adopts the most frequent label among
@@ -206,16 +227,18 @@ def label_propagation(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     ed = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).cache()
+    ).localCheckpoint(eager=True)
     lab = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            lab = lab.localCheckpoint(eager=True)
         counts = (
             ed.join(lab, ed["e_src"] == lab["node"])
             .select(F.col("e_dst").alias("node"), "label")

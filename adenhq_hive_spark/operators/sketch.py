@@ -195,6 +195,24 @@ def hll_registers(
         )
     )
 
+# Flajolet et al. 2007 bias-correction constants as exact integer ratios
+# (alpha_m = estimate multiplier).  Only the published small-m constants
+# are admitted: a free-form m would need alpha = 0.7213/(1+1.079/m),
+# whose reduced integer ratio (7213m / (10000m+10790)) overflows the
+# BIGINT numerator headroom (alpha_num * m^2 * 2^33 must stay < 2^63)
+# for large m — reject rather than silently emit a biased estimate.
+_HLL_ALPHA = {16: (673, 1000), 32: (697, 1000), 64: (709, 1000)}
+
+
+def _hll_alpha(m: int) -> tuple[int, int]:
+    try:
+        return _HLL_ALPHA[m]
+    except KeyError:
+        raise ValueError(
+            f"n_registers must be one of {sorted(_HLL_ALPHA)} "
+            "(published alpha constants; see _HLL_ALPHA)"
+        ) from None
+
 
 def hll_estimate(
     df: DataFrame, value_col: str, n_registers: int = 64
@@ -203,10 +221,13 @@ def hll_estimate(
 
     ``est = (alpha_num * m^2 * 2^33) // (alpha_den * S)`` where
     ``S = Σ_j 2^(33 - rho_j)`` (exact BIGINT — max 64 * 2^33 < 2^40).
-    alpha = 709/1000 (the m=64 constant, integer ratio so both engines
-    divide identically). No small/large-range correction — raw estimator,
+    alpha is the published Flajolet constant for m as an exact integer
+    ratio (``_HLL_ALPHA``; 709/1000 at the default m=64) so both engines
+    divide identically; unsupported m raises rather than silently using
+    a biased constant. No small/large-range correction — raw estimator,
     documented; accuracy is asserted against the exact count in-row.
     """
+    a_num, a_den = _hll_alpha(n_registers)
     regs = hll_registers(df, value_col, n_registers)
     pow2 = F.lit([1 << i for i in range(34)])
     s = regs.agg(
@@ -223,8 +244,8 @@ def hll_estimate(
         s.crossJoin(exact)
         .select(
             F.lit(m).alias("n_registers"),
-            F.expr(f"{709 * m * m} * CAST({1 << 33} AS BIGINT)"
-                   " DIV (1000 * s)").alias("estimate"),
+            F.expr(f"{a_num * m * m} * CAST({1 << 33} AS BIGINT)"
+                   f" DIV ({a_den} * s)").alias("estimate"),
             F.col("n_exact"),
         )
     )
@@ -241,8 +262,7 @@ def hll_estimate_grouped(
     — the per-source vocabulary-size governance rollup). One (group,
     register) aggregation + a dense grid join; n_exact rides along for
     the accuracy column. Emits (group, estimate, n_exact) sorted."""
-    if n_registers < 1:
-        raise ValueError("n_registers must be >= 1")
+    a_num, a_den = _hll_alpha(n_registers)
     # materialize the hash ONCE per row — deriving register and rho from
     # a shared h column instead of two inline F.md5 copies halves the
     # md5 work (projection-level CSE does not always merge them)
@@ -290,8 +310,8 @@ def hll_estimate_grouped(
         s.join(exact, group_col)
         .select(
             group_col,
-            F.expr(f"{709 * m * m} * CAST({1 << 33} AS BIGINT)"
-                   " DIV (1000 * s)").alias("estimate"),
+            F.expr(f"{a_num * m * m} * CAST({1 << 33} AS BIGINT)"
+                   f" DIV ({a_den} * s)").alias("estimate"),
             "n_exact",
         )
         .orderBy(group_col)

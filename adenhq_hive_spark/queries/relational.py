@@ -1683,7 +1683,11 @@ Q(QuerySpec(
         "order calendar ending at the newest order date — empty days "
         "appear with zero counts, the shape dashboards need and plain "
         "GROUP BY cannot produce. Single-form portable; depth bounded "
-        "(60) well under the engine recursion limit.",
+        "(60) well under the engine recursion limit. SURFACE-COVERAGE "
+        "form only: Spark executes the recursion as ~60 sequential "
+        "micro-plans (measured 27x DuckDB at sf1) — for production use "
+        "the one-job twin pl_calendar_fill (sequence()+explode, same "
+        "oracle, identical rows).",
     engine_sql=_Q86_SQL,
 ))
 

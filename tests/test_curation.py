@@ -1231,3 +1231,17 @@ def test_es_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1.0)], ["doc_id", "w"])
     with _pytest.raises(ValueError):
         es_weighted_sample_k(df, k=0, weight_col="w")
+
+
+def test_es_sample_ignores_nonpositive_weights(spark):
+    """A-ES requires w > 0: a negative weight flips the key sign (would
+    rank FIRST) and w = 0 divides by zero (r5 advice). Non-positive and
+    NULL weights must be excluded from the sample entirely."""
+    from adenhq_hive_spark.operators.curation import es_weighted_sample_k
+
+    rows = [("good1", 10.0), ("good2", 5.0), ("neg", -100.0),
+            ("zero", 0.0), ("null", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = es_weighted_sample_k(df, k=5, weight_col="w")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {"good1", "good2"}

@@ -140,3 +140,55 @@ def test_label_propagation_rejects_bad_iterations(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with _pytest.raises(ValueError):
         label_propagation(df, iterations=0)
+
+
+def test_checkpoint_every_matches_unchunked_plan(spark):
+    from adenhq_hive_spark.operators.graph_rank import pagerank_int
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 13}") for i in range(26)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plain = sorted(map(tuple, pagerank_int(df, iterations=6).collect()))
+    chunked = sorted(map(tuple, pagerank_int(
+        df, iterations=6, checkpoint_every=2).collect()))
+    assert plain == chunked
+
+
+def test_long_walk_bounded_with_checkpoint_every(spark):
+    """25 iterations unroll 25 join+agg rounds into one plan; periodic
+    localCheckpoint keeps analyzer/codegen time bounded (r5 verdict #6).
+    The generous wall bound is an analyzer-blowup tripwire, not a perf
+    benchmark."""
+    import time
+
+    from adenhq_hive_spark.operators.graph_rank import (
+        label_propagation,
+        personalized_pagerank_int,
+    )
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 41}") for i in range(82)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("n1",)], ["node"])
+    t0 = time.perf_counter()
+    out = personalized_pagerank_int(
+        df, seeds, iterations=25, checkpoint_every=5
+    ).collect()
+    assert len(out) == 82 and all(r.rank_scaled >= 0 for r in out)
+    lp = label_propagation(df, iterations=25, checkpoint_every=5).count()
+    assert lp == 82
+    assert time.perf_counter() - t0 < 120
+
+
+def test_repeat_invocations_leave_no_cache_entries(spark):
+    """cache() entries live in the CacheManager until an explicit
+    unpersist; the rank operators use localCheckpoint instead, so
+    repeated invocations in one session must not accumulate tracked
+    cache entries (r5 advice: graph_rank cache leak)."""
+    from adenhq_hive_spark.operators.graph_rank import pagerank_int
+
+    edges = [(f"n{i}", f"n{(i + 1) % 9}") for i in range(9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    before = jcm.isEmpty()
+    for _ in range(3):
+        pagerank_int(df, iterations=2).count()
+    assert jcm.isEmpty() == before

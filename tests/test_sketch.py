@@ -149,3 +149,23 @@ def test_hll_grouped_matches_global_per_group(spark):
         sub = df.filter(F.col("g") == g)
         row = hll_estimate(sub, "v").collect()[0]
         assert grouped[g] == (row.estimate, row.n_exact)
+
+
+def test_hll_rejects_unpublished_register_counts(spark):
+    """alpha must come from the published Flajolet constant table —
+    a free-form m would silently bias the estimate (r5 advice)."""
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_grouped,
+    )
+
+    df = spark.createDataFrame([(i, "s") for i in range(50)], ["v", "g"])
+    with _pytest.raises(ValueError, match="n_registers"):
+        hll_estimate(df, "v", n_registers=128)
+    with _pytest.raises(ValueError, match="n_registers"):
+        hll_estimate_grouped(df, "v", "g", n_registers=100)
+    # the published small-m constants all work
+    for m in (16, 32, 64):
+        assert hll_estimate(df, "v", n_registers=m).count() == 1
