@@ -5062,14 +5062,68 @@ Q(QuerySpec(
         "bins, never split — the SFT packing policy, complementing "
         "pack_sequences' concat-and-chunk (operators/curation.py:"
         "pack_ffd). Sequential FFD runs shard-local inside "
-        "applyInPandas; rows-only by design (python-replay parity + "
-        "budget invariants in tests, the BPE pattern).",
+        "applyInPandas; the oracle replays the IDENTICAL first-fit "
+        "state machine as a DuckDB recursive CTE carrying the bin-"
+        "capacity list as state (one recursion step per doc in (tokens "
+        "desc, id) order), so a sequential packing algorithm carries a "
+        "full hash row — the q86-recursion analog of the pl_bpe "
+        "python-replay pattern.",
     builder=lambda spark, sf: __import__(
         "adenhq_hive_spark.operators.curation", fromlist=["pack_ffd"]
     ).pack_ffd(
         load_table(spark, sf, "documents"), max_tokens=256
     ).orderBy("shard", "bin_id", "doc_id"),
-    has_oracle=False,
+    oracle_sql_str="""
+        WITH RECURSIVE
+        docs AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT) % 16 AS INT)
+                   AS shard
+          FROM documents
+        ),
+        ordered AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY n_tokens DESC, doc_id)
+                      AS seq
+          FROM docs
+        ),
+        ffd AS (
+          SELECT shard, CAST(0 AS BIGINT) AS seq,
+                 CAST([] AS BIGINT[]) AS bins,
+                 CAST(NULL AS BIGINT) AS doc_id,
+                 CAST(NULL AS BIGINT) AS n_tokens,
+                 CAST(NULL AS BIGINT) AS bin_id,
+                 CAST(NULL AS BOOLEAN) AS overflow
+          FROM (SELECT DISTINCT shard FROM ordered)
+          UNION ALL
+          SELECT shard, seq,
+                 CASE WHEN over THEN list_append(bins, CAST(0 AS BIGINT))
+                      WHEN fit IS NULL THEN list_append(bins, 256 - n)
+                      ELSE list_transform(range(1, len(bins) + 1),
+                             i -> CASE WHEN i = fit THEN bins[i] - n
+                                       ELSE bins[i] END)
+                 END AS bins,
+                 doc_id, n,
+                 CASE WHEN over OR fit IS NULL THEN len(bins)
+                      ELSE fit - 1 END AS bin_id,
+                 over AS overflow
+          FROM (
+            SELECT o.shard, o.seq, f.bins, o.doc_id, o.n_tokens AS n,
+                   o.n_tokens > 256 AS over,
+                   (list_filter(range(1, len(f.bins) + 1),
+                                i -> f.bins[i] >= o.n_tokens))[1] AS fit
+            FROM ffd f
+            JOIN ordered o ON o.shard = f.shard AND o.seq = f.seq + 1
+          ) step
+        )
+        SELECT shard, bin_id, doc_id, n_tokens, overflow
+        FROM ffd WHERE seq > 0
+        ORDER BY shard, bin_id, doc_id
+    """,
 ))
 
 
