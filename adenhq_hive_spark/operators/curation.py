@@ -1645,3 +1645,87 @@ def es_weighted_sample_k(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def budget_waterfill(
+    df: DataFrame,
+    budget_ppm: int = 400_000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fair token-budget allocation across sources by WATER-FILLING:
+    given per-source available token counts and a global budget B
+    (``budget_ppm`` of the corpus total), find the unique level ``cap``
+    with sum(min(tokens_s, cap)) = B — small sources keep everything,
+    large sources are clipped at the shared level. This is the standard
+    mixture-planning primitive for "don't let one crawl dominate the
+    mix" (the allocation side of temperature sampling; complements
+    mixture_rates_for_targets' proportional targets).
+
+    Exact integer closed form, no iteration: order sources by
+    (tokens, name); the boundary k is the first rank where filling all
+    remaining sources at their own size would exceed B
+    (prefix_{k-1} + (n-k+1)*tokens_k > B); then
+    cap = (B - prefix_{k-1}) DIV (n-k+1) with the remainder handed out
+    as +1 to the smallest-ranked capped sources — so the allocations
+    sum to EXACTLY B (or to the corpus total when B exceeds it), and
+    the whole result is deterministic and engine-portable (full oracle
+    hash; every step is integer arithmetic over a per-source rollup).
+
+    Scale: one groupBy over the corpus, then all logic on the
+    |sources|-row rollup (a single-partition window over a metadata-
+    sized relation — the documented bm25/top-k smallness pattern).
+    Emits (group, n_tokens, alloc_tokens, capped) sorted by group.
+    """
+    if not 0 < budget_ppm <= 1_000_000:
+        raise ValueError("budget_ppm must be in 1..1_000_000")
+    from .text import ws_token_count
+
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(ws_token_count(F.col(text_col)).cast("long"))
+        .alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "grp")
+    ordered = (
+        per.withColumn("rn", F.row_number().over(w))
+        .withColumn("prefix", F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count("*").alias("n_src"),
+    ).select(
+        "total", "n_src",
+        F.expr(f"total * {budget_ppm} DIV 1000000").alias("b"),
+    )
+    flagged = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "over",
+        (F.col("prefix") - F.col("n_tokens"))
+        + (F.col("n_src") - F.col("rn") + F.lit(1)) * F.col("n_tokens")
+        > F.col("b"),
+    )
+    boundary = flagged.filter("over").agg(
+        F.min("rn").alias("k"),
+        # prefix_{k-1} = prefix - n_tokens at the boundary row
+        F.min_by(F.col("prefix") - F.col("n_tokens"), "rn")
+        .alias("prefix_k1"),
+    )
+    out = flagged.crossJoin(F.broadcast(boundary)).select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.when(
+            F.col("k").isNull() | (F.col("rn") < F.col("k")),
+            F.col("n_tokens"),
+        ).otherwise(
+            F.expr("(b - prefix_k1) DIV (n_src - k + 1)")
+            + F.when(
+                F.col("rn") - F.col("k")
+                < F.expr("(b - prefix_k1) % (n_src - k + 1)"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long")
+        ).alias("alloc_tokens"),
+        (F.col("k").isNotNull() & (F.col("rn") >= F.col("k")))
+        .alias("capped"),
+    )
+    return out.orderBy(group_col)

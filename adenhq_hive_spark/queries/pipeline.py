@@ -6336,3 +6336,65 @@ Q(QuerySpec(
         ORDER BY antecedent, consequent
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_budget_fill",
+    doc="Water-filling token-budget allocation across sources, budget = "
+        "40% of corpus tokens (operators/curation.py:budget_waterfill): "
+        "the unique level cap with sum(min(tokens_s, cap)) = B, found in "
+        "an exact-integer closed form (ordered prefix sums, boundary "
+        "rank, DIV + remainder distribution) so allocations sum to "
+        "EXACTLY B and the whole mixture plan is engine-portable. The "
+        "allocation side of temperature sampling — 'no crawl dominates "
+        "the mix'. One corpus groupBy; everything else on the "
+        "|sources|-row rollup.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["budget_waterfill"],
+    ).budget_waterfill(
+        load_table(spark, sf, "documents"), budget_ppm=400_000
+    ),
+    oracle_sql_str="""
+        WITH per AS (
+          SELECT source AS grp,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        ordered AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY n_tokens, grp) AS rn,
+                 CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, grp
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+          FROM per
+        ),
+        tot AS (SELECT COUNT(*) AS n_src,
+                       CAST(SUM(n_tokens) * 400000 // 1000000 AS BIGINT)
+                         AS b
+                FROM per),
+        flagged AS (
+          SELECT o.*, t.n_src, t.b,
+                 (o.prefix - o.n_tokens)
+                   + (t.n_src - o.rn + 1) * o.n_tokens > t.b AS over
+          FROM ordered o CROSS JOIN tot t
+        ),
+        boundary AS (
+          SELECT MIN(rn) AS k,
+                 ARG_MIN(prefix - n_tokens, rn) AS prefix_k1
+          FROM flagged WHERE over
+        )
+        SELECT f.grp AS source, f.n_tokens,
+               CAST(CASE WHEN bd.k IS NULL OR f.rn < bd.k
+                         THEN f.n_tokens
+                    ELSE (f.b - bd.prefix_k1) // (f.n_src - bd.k + 1)
+                         + CASE WHEN f.rn - bd.k <
+                                  (f.b - bd.prefix_k1)
+                                    % (f.n_src - bd.k + 1)
+                                THEN 1 ELSE 0 END
+               END AS BIGINT) AS alloc_tokens,
+               (bd.k IS NOT NULL AND f.rn >= bd.k) AS capped
+        FROM flagged f CROSS JOIN boundary bd
+        ORDER BY source
+    """,
+))

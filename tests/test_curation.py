@@ -1245,3 +1245,50 @@ def test_es_sample_ignores_nonpositive_weights(spark):
     out = es_weighted_sample_k(df, k=5, weight_col="w")
     ids = {r.doc_id for r in out.collect()}
     assert ids == {"good1", "good2"}
+
+
+def test_budget_waterfill_skewed_exact_sum_and_cap(spark):
+    from adenhq_hive_spark.operators.curation import budget_waterfill
+
+    rows = []
+    sizes = {"tiny": 10, "small": 50, "big": 1000, "huge": 5000}
+    for src, n in sizes.items():
+        rows.append((src, " ".join(["w"] * n)))
+    df = spark.createDataFrame(rows, ["source", "text"])
+    total = sum(sizes.values())  # 6060
+    out = {r.source: r for r in
+           budget_waterfill(df, budget_ppm=500_000).collect()}
+    budget = total * 500_000 // 1_000_000  # 3030
+    assert sum(r.alloc_tokens for r in out.values()) == budget
+    # the water level lands at 1970: everyone below it keeps everything,
+    # only the 5000-token giant is clipped to exactly the level
+    assert out["tiny"].alloc_tokens == 10 and not out["tiny"].capped
+    assert out["small"].alloc_tokens == 50 and not out["small"].capped
+    assert out["big"].alloc_tokens == 1000 and not out["big"].capped
+    assert out["huge"].capped
+    assert out["huge"].alloc_tokens == budget - 10 - 50 - 1000  # 1970
+    # capped allocations never exceed availability
+    assert all(r.alloc_tokens <= r.n_tokens for r in out.values())
+
+
+def test_budget_waterfill_budget_covers_total(spark):
+    from adenhq_hive_spark.operators.curation import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q")], ["source", "text"])
+    out = {r.source: r for r in
+           budget_waterfill(df, budget_ppm=1_000_000).collect()}
+    assert out["a"].alloc_tokens == 3 and not out["a"].capped
+    assert out["b"].alloc_tokens == 2 and not out["b"].capped
+
+
+def test_budget_waterfill_validates_ppm(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.curation import budget_waterfill
+
+    df = spark.createDataFrame([("a", "x")], ["source", "text"])
+    with _pytest.raises(ValueError):
+        budget_waterfill(df, budget_ppm=0)
+    with _pytest.raises(ValueError):
+        budget_waterfill(df, budget_ppm=2_000_000)
