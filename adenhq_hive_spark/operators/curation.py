@@ -1729,3 +1729,67 @@ def budget_waterfill(
         .alias("capped"),
     )
     return out.orderBy(group_col)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source score harmonization by quantile mapping: replace each
+    row's score with the GLOBAL score at the row's within-source
+    percentile (nearest-rank). Heterogeneous per-source quality
+    classifiers become comparable before a single corpus-wide threshold
+    or curriculum is applied — the score-side complement of
+    mixture/temperature sampling (cf. CCNet's per-language perplexity
+    buckets, which this generalizes to any score).
+
+    Exact and engine-portable: within-source percentile as integer ppm
+    ((rn-1)*1e6 DIV (cnt-1); singletons pin to the median 500000), then
+    a nearest-rank lookup into the globally sorted scores at
+    1 + (ppm*(N-1)) DIV 1e6. Ties are totalized by the id column, so
+    both ranks are deterministic.
+
+    Scale: the within-source side is a partitioned window; the GLOBAL
+    rank uses the distributed exact_rank plan (range-partition + local
+    rank + broadcast prefix offsets — operators/ranking.py), never a
+    single-partition window; the final lookup is a keyed equi-join on
+    the rank index. Emits (id, group, score, norm_score) ordered by id.
+    """
+    from .ranking import exact_rank
+
+    s = df.select(
+        F.col(id_col), F.col(group_col),
+        F.col(score_col).cast("long").alias("score"),
+    )
+    gw = Window.partitionBy(group_col).orderBy("score", id_col)
+    ranked = (
+        s.withColumn("rn_g", F.row_number().over(gw))
+        .withColumn("cnt_g", F.count("*").over(
+            Window.partitionBy(group_col)))
+        .withColumn(
+            "r_ppm",
+            F.when(
+                F.col("cnt_g") > 1,
+                F.expr("(rn_g - 1) * CAST(1000000 AS BIGINT)"
+                       " DIV (cnt_g - 1)"),
+            ).otherwise(F.lit(500_000).cast("long")),
+        )
+    )
+    glob = exact_rank(
+        s.select(F.col("score").alias("norm_score"), F.col(id_col)),
+        ["norm_score", id_col],
+        rank_col="rn_glob",
+    ).select("rn_glob", "norm_score")
+    n_tot = s.agg(F.count("*").alias("n_tot"))
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "idx",
+            F.expr("1 + (r_ppm * (n_tot - 1)) DIV 1000000"),
+        )
+        .join(glob, F.col("idx") == F.col("rn_glob"))
+        .select(id_col, group_col, "score", "norm_score")
+        .orderBy(id_col)
+    )

@@ -6398,3 +6398,51 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_quantile_norm",
+    doc="Cross-source quantile normalization of n_chars (operators/"
+        "curation.py:quantile_normalize): each doc's score becomes the "
+        "GLOBAL score at its within-source percentile (integer-ppm rank "
+        "-> nearest-rank lookup), making heterogeneous per-source score "
+        "scales comparable before one corpus-wide threshold — the CCNet "
+        "per-bucket idea generalized. Global rank via the distributed "
+        "exact_rank plan, not a single-partition window; full oracle "
+        "hash (all integer arithmetic).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["quantile_normalize"],
+    ).quantile_normalize(
+        load_table(spark, sf, "documents"), score_col="n_chars"
+    ),
+    oracle_sql_str="""
+        WITH s AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+          FROM documents
+        ),
+        g AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY score, doc_id) AS rn_g,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt_g
+          FROM s
+        ),
+        r AS (
+          SELECT *, CAST(CASE WHEN cnt_g > 1
+                              THEN (rn_g - 1) * 1000000 // (cnt_g - 1)
+                              ELSE 500000 END AS BIGINT) AS r_ppm
+          FROM g
+        ),
+        gl AS (
+          SELECT score AS norm_score,
+                 ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn_glob
+          FROM s
+        ),
+        n AS (SELECT COUNT(*) AS n_tot FROM s)
+        SELECT r.doc_id, r.source, r.score, gl.norm_score
+        FROM r CROSS JOIN n
+        JOIN gl ON gl.rn_glob =
+                   1 + (r.r_ppm * (n.n_tot - 1)) // 1000000
+        ORDER BY r.doc_id
+    """,
+))

@@ -1292,3 +1292,36 @@ def test_budget_waterfill_validates_ppm(spark):
         budget_waterfill(df, budget_ppm=0)
     with _pytest.raises(ValueError):
         budget_waterfill(df, budget_ppm=2_000_000)
+
+
+def test_quantile_normalize_maps_group_percentiles_to_global(spark):
+    """Two sources with disjoint score scales: after normalization the
+    same within-source percentile gets the same global value, and each
+    source's min/max map to the global min/max."""
+    from adenhq_hive_spark.operators.curation import quantile_normalize
+
+    rows = [(f"a{i}", "A", i) for i in range(1, 6)]          # 1..5
+    rows += [(f"b{i}", "B", 100 + i) for i in range(1, 6)]   # 101..105
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = {r.doc_id: r.norm_score
+           for r in quantile_normalize(df, "score").collect()}
+    all_scores = sorted([r[2] for r in rows])  # global sorted
+    # min of each source -> global min; max -> global max
+    assert out["a1"] == all_scores[0] and out["b1"] == all_scores[0]
+    assert out["a5"] == all_scores[-1] and out["b5"] == all_scores[-1]
+    # equal percentiles map to equal global values across sources
+    assert out["a3"] == out["b3"]
+    # monotone within source
+    assert out["a1"] <= out["a2"] <= out["a3"] <= out["a4"] <= out["a5"]
+
+
+def test_quantile_normalize_singleton_group_pins_median(spark):
+    from adenhq_hive_spark.operators.curation import quantile_normalize
+
+    rows = [("s", "solo", 9999)] + [
+        (f"c{i}", "C", i) for i in range(1, 102)]  # global N=102
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = {r.doc_id: r.norm_score
+           for r in quantile_normalize(df, "score").collect()}
+    # singleton's ppm=500000 -> idx = 1 + (500000*101)//1e6 = 51 -> value 51
+    assert out["s"] == 51
