@@ -1793,3 +1793,50 @@ def quantile_normalize(
         .select(id_col, group_col, "score", "norm_score")
         .orderBy(id_col)
     )
+
+
+def interleave_order(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic proportional interleaving — the TRAINING ORDER a
+    data loader should consume a multi-source mixture in, so no stretch
+    of the stream is dominated by one source (stride scheduling: each
+    source advances at pace rank/size, and the global order merges by
+    that pace). Within-source order is an md5 shuffle (reproducible
+    across engines/partitionings, same coin as hash_split); the pace key
+    is exact-integer ppm (rank*1e6 DIV count), ties broken by
+    (group, id) so the whole order is a pure function of the corpus.
+
+    Scale: one partitioned window for within-source ranks; the GLOBAL
+    position uses the distributed exact_rank plan (range partition +
+    local rank + broadcast offsets — operators/ranking.py), never a
+    single-partition window. Emits (id, group, src_rank, global_pos)
+    ordered by global_pos — write it with repartitionByRange on
+    global_pos to get sequentially readable training shards.
+    """
+    from .ranking import exact_rank
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    ranked = (
+        df.select(F.col(id_col), F.col(group_col))
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .withColumn("cnt_s", F.count("*").over(
+            Window.partitionBy(group_col)))
+        .withColumn(
+            "pace",
+            F.expr("src_rank * CAST(1000000 AS BIGINT) DIV cnt_s"),
+        )
+    )
+    return (
+        exact_rank(
+            ranked.select(id_col, group_col, "src_rank", "pace"),
+            ["pace", group_col, id_col],
+            rank_col="global_pos",
+        )
+        .select(id_col, group_col, "src_rank", "global_pos")
+        .orderBy("global_pos")
+    )

@@ -6446,3 +6446,41 @@ Q(QuerySpec(
         ORDER BY r.doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_interleave",
+    doc="Deterministic proportional training-order interleave "
+        "(operators/curation.py:interleave_order — stride scheduling): "
+        "every source advances at pace src_rank*1e6 DIV count, the "
+        "global merge orders by (pace, source, id), so no stretch of "
+        "the training stream is dominated by one source and the order "
+        "is a pure function of the corpus (md5 within-source shuffle). "
+        "Global position via the distributed exact_rank plan. Full "
+        "oracle hash.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation",
+        fromlist=["interleave_order"],
+    ).interleave_order(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS BIGINT) AS src_rank,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt_s
+          FROM documents
+        ),
+        paced AS (
+          SELECT doc_id, source, src_rank,
+                 CAST(src_rank * 1000000 // cnt_s AS BIGINT) AS pace
+          FROM ranked
+        )
+        SELECT doc_id, source, src_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY pace, source, doc_id)
+                    AS BIGINT) AS global_pos
+        FROM paced
+        ORDER BY global_pos
+    """,
+))

@@ -1325,3 +1325,24 @@ def test_quantile_normalize_singleton_group_pins_median(spark):
            for r in quantile_normalize(df, "score").collect()}
     # singleton's ppm=500000 -> idx = 1 + (500000*101)//1e6 = 51 -> value 51
     assert out["s"] == 51
+
+
+def test_interleave_order_spreads_sources_evenly(spark):
+    """Proportional stride scheduling: in any prefix of the global
+    order, each source's share tracks its corpus share (within one
+    stride), and the order is deterministic under repartition."""
+    from adenhq_hive_spark.operators.curation import interleave_order
+
+    rows = [(f"a{i}", "A") for i in range(90)]
+    rows += [(f"b{i}", "B") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_order(df).collect()
+    assert [r.global_pos for r in out] == list(range(1, 121))
+    # prefix balance: after any 40 rows, A ~ 30, B ~ 10 (3:1 mixture)
+    first40 = [r.source for r in out[:40]]
+    assert 27 <= first40.count("A") <= 33
+    assert 7 <= first40.count("B") <= 13
+    # deterministic under repartition
+    again = interleave_order(df.repartition(7)).collect()
+    assert [(r.doc_id, r.global_pos) for r in again] == [
+        (r.doc_id, r.global_pos) for r in out]
