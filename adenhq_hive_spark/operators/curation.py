@@ -1840,3 +1840,62 @@ def interleave_order(
         .select(id_col, group_col, "src_rank", "global_pos")
         .orderBy("global_pos")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k_ppm: int = 1_500_000,
+) -> DataFrame:
+    """Robust per-source outlier detection by median absolute deviation:
+    flag rows with |x - median_s| > k * MAD_s (k = ``k_ppm``/1e6,
+    default 1.5). Median/MAD resist the very outliers a mean/stddev
+    filter would absorb — the robust complement to the z-test sentinel
+    (event_anomaly) for length/score screening before training.
+
+    Exactness trick: the interpolated median of INTEGERS is always a
+    multiple of 0.5, so ``percentile(2x, 0.5)`` and the MAD's
+    ``percentile(2*dev, 0.5)`` are integral-valued doubles — cast back
+    to BIGINT and the whole pipeline (deviations at 4x scale, the
+    k-comparison cleared to ppm) stays in exact integer arithmetic:
+    bit-identical across engines, full oracle hash.
+
+    Scale: two grouped aggregations over the corpus; the |sources|-row
+    median/MAD relations broadcast back. Emits flagged rows
+    (group, id, value, dev_x4, mad_x4) ordered by (group, id).
+    """
+    if k_ppm < 0:
+        raise ValueError("k_ppm must be >= 0")
+    v = F.col(value_col).cast("long")
+    med = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"CAST(percentile({value_col} * 2, 0.5) AS BIGINT)")
+        .alias("med2")
+    )
+    dev = (
+        df.select(F.col(id_col), F.col(group_col), v.alias("v"))
+        .join(
+            F.broadcast(med),
+            F.col(group_col) == F.col("grp"),
+        )
+        .withColumn("dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2")))
+    )
+    mad = dev.groupBy("grp").agg(
+        F.expr("CAST(percentile(dev2 * 2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(
+            F.lit(2) * F.col("dev2") * F.lit(1_000_000)
+            > F.lit(k_ppm) * F.col("mad4")
+        )
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("v").alias(value_col),
+            (F.lit(2) * F.col("dev2")).alias("dev_x4"),
+            "mad4",
+        )
+        .orderBy(group_col, id_col)
+    )

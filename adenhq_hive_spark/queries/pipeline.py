@@ -6484,3 +6484,41 @@ Q(QuerySpec(
         ORDER BY global_pos
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_mad_outliers",
+    doc="Robust per-source length outliers: |n_chars - median| > "
+        "1.5 * MAD (operators/curation.py:mad_outliers). Median/MAD "
+        "resist the outliers a mean/stddev screen absorbs; the 2x/4x "
+        "doubling trick keeps interpolated integer medians integral, so "
+        "a robust-statistics filter carries a full oracle hash "
+        "(percentile / quantile_cont dual form, q17/q90 pattern). Two "
+        "grouped aggs; medians broadcast back.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["mad_outliers"]
+    ).mad_outliers(load_table(spark, sf, "documents"), "n_chars"),
+    oracle_sql_str="""
+        WITH med AS (
+          SELECT source AS grp,
+                 CAST(quantile_cont(n_chars * 2, 0.5) AS BIGINT) AS med2
+          FROM documents GROUP BY source
+        ),
+        dev AS (
+          SELECT d.doc_id, d.source,
+                 CAST(d.n_chars AS BIGINT) AS v,
+                 abs(2 * CAST(d.n_chars AS BIGINT) - m.med2) AS dev2
+          FROM documents d JOIN med m ON d.source = m.grp
+        ),
+        mad AS (
+          SELECT source AS grp,
+                 CAST(quantile_cont(dev2 * 2, 0.5) AS BIGINT) AS mad4
+          FROM dev GROUP BY source
+        )
+        SELECT dev.source, dev.doc_id, dev.v AS n_chars,
+               CAST(2 * dev.dev2 AS BIGINT) AS dev_x4, mad.mad4
+        FROM dev JOIN mad ON dev.source = mad.grp
+        WHERE 2 * dev.dev2 * 1000000 > 1500000 * mad.mad4
+        ORDER BY dev.source, dev.doc_id
+    """,
+))

@@ -1346,3 +1346,34 @@ def test_interleave_order_spreads_sources_evenly(spark):
     again = interleave_order(df.repartition(7)).collect()
     assert [(r.doc_id, r.global_pos) for r in again] == [
         (r.doc_id, r.global_pos) for r in out]
+
+
+def test_mad_outliers_flags_only_the_planted_extremes(spark):
+    from adenhq_hive_spark.operators.curation import mad_outliers
+
+    # degenerate-tight cluster (MAD = 0) plus two planted extremes:
+    # only rows strictly off the median can flag
+    rows = [(f"d{i}", "S", 100) for i in range(20)]
+    rows += [("big", "S", 1000), ("tiny", "S", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = mad_outliers(df, "n_chars")
+    ids = {r.doc_id for r in out.collect()}
+    assert "big" in ids and "tiny" in ids
+    assert not any(i.startswith("d") for i in ids)
+
+
+def test_mad_outliers_integral_scaled_stats(spark):
+    """med2/mad4 doubling keeps every statistic integral — dev_x4 and
+    mad4 are exact BIGINTs, so |x-med| > k*MAD clears to integers."""
+    from adenhq_hive_spark.operators.curation import mad_outliers
+
+    rows = [("a", "S", 1), ("b", "S", 2), ("c", "S", 10), ("d", "S", 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    # median = 6.0 (med2=12), deviations |x-6| = 5,4,4,5 (dev2=10,8,8,10)
+    # MAD = 4.5 (mad4=18); 1.5*MAD = 6.75 > every dev -> no outliers
+    assert mad_outliers(df, "n_chars").count() == 0
+    # k=1.0: dev 5 > 4.5 -> the two extreme rows flag
+    out = mad_outliers(df, "n_chars", k_ppm=1_000_000).collect()
+    assert sorted(r.doc_id for r in out) == ["a", "d"]
+    assert all(r.mad4 == 18 for r in out)
+    assert sorted(r.dev_x4 for r in out) == [20, 20]
