@@ -98,6 +98,10 @@ HEADLINE = [
     "pl_int8_quant",     # per-vector int8 embedding quantization
     "pl_copurchase_lift",  # market-basket pairwise lift (2-itemset tier)
     "pl_ppr",            # personalized PageRank (seeded restart walk)
+    "pl_budget_fill",    # water-filling token-budget allocation (r6)
+    "pl_quantile_norm",  # cross-source score quantile mapping (r6)
+    "pl_interleave",     # proportional training-order scheduling (r6)
+    "pl_mad_outliers",   # robust median/MAD length screen (r6)
 ]
 
 
