@@ -125,32 +125,57 @@ def sse_stream_provider(
         events: list[dict] = []
         snapshot: list[str] = []
         stop_reason, usage_in, usage_out = "end_turn", 0, 0
+        def consume(data: str) -> bool:
+            """Process one complete SSE event payload; True = [DONE]."""
+            nonlocal stop_reason, usage_in, usage_out
+            if data == "[DONE]":
+                return True
+            chunk = json.loads(data)
+            if "usage" in chunk and chunk["usage"]:
+                usage_in = chunk["usage"].get("prompt_tokens", 0)
+                usage_out = chunk["usage"].get("completion_tokens", 0)
+            for choice in chunk.get("choices", []):
+                delta = choice.get("delta", {})
+                piece = delta.get("content")
+                if piece:
+                    snapshot.append(piece)
+                    events.append(_event(
+                        "text_delta", content=piece,
+                        snapshot="".join(snapshot),
+                    ))
+                if choice.get("finish_reason"):
+                    stop_reason = choice["finish_reason"]
+            return False
+
         try:
             with urllib.request.urlopen(req, timeout=timeout) as r:
+                # SSE framing, not line framing: an event is every
+                # field line up to a blank-line delimiter, and multiple
+                # consecutive ``data:`` lines form ONE payload joined
+                # with \n (the spec shape OpenAI-compatible servers are
+                # allowed to emit even though they send single-line
+                # data today). r iterates buffered lines, so a payload
+                # split across socket reads is reassembled before here.
+                data_lines: list[str] = []
+                done = False
                 for raw in r:
-                    line = raw.decode("utf-8", errors="replace").strip()
-                    if not line or not line.startswith("data:"):
+                    line = raw.decode("utf-8", errors="replace")
+                    line = line.rstrip("\r\n")
+                    if line == "":  # event delimiter -> dispatch
+                        if data_lines:
+                            done = consume("\n".join(data_lines))
+                            data_lines = []
+                        if done:
+                            break
                         continue
-                    data = line[5:].strip()
-                    if data == "[DONE]":
-                        break
-                    chunk = json.loads(data)
-                    if "usage" in chunk and chunk["usage"]:
-                        usage_in = chunk["usage"].get("prompt_tokens", 0)
-                        usage_out = chunk["usage"].get(
-                            "completion_tokens", 0
-                        )
-                    for choice in chunk.get("choices", []):
-                        delta = choice.get("delta", {})
-                        piece = delta.get("content")
-                        if piece:
-                            snapshot.append(piece)
-                            events.append(_event(
-                                "text_delta", content=piece,
-                                snapshot="".join(snapshot),
-                            ))
-                        if choice.get("finish_reason"):
-                            stop_reason = choice["finish_reason"]
+                    if line.startswith(":"):  # comment / keep-alive
+                        continue
+                    if line.startswith("data:"):
+                        data_lines.append(line[5:].removeprefix(" "))
+                    # other fields (event:, id:, retry:) carry nothing
+                    # for the chat-completion wire form
+                if data_lines and not done:  # stream closed mid-event
+                    consume("\n".join(data_lines))
         except (urllib.error.URLError, OSError, ValueError) as e:
             events.append(_event(
                 "error", error=f"stream failed: {e}", recoverable=False,

@@ -1697,13 +1697,29 @@ def budget_waterfill(
         F.count("*").alias("n_src"),
     ).select(
         "total", "n_src",
-        F.expr(f"total * {budget_ppm} DIV 1000000").alias("b"),
+        # b = total * ppm DIV 1e6, computed in split form so the
+        # intermediate never exceeds total + 1e12: at 100 TB the corpus
+        # total can pass 9.2e12 whitespace tokens and the naive product
+        # total*ppm would wrap BIGINT (ANSI off) while DuckDB promotes
+        # to HUGEINT — exactly the portability drift this module bans.
+        F.expr(
+            f"total DIV 1000000 * {budget_ppm}"
+            f" + (total % 1000000) * {budget_ppm} DIV 1000000"
+        ).alias("b"),
     )
+    # over_k ⟺ prefix_{k-1} + (n-k+1)*tokens_k > B, tested WITHOUT the
+    # product (m*tokens can also wrap at scale): for m ≥ 1, C ≥ 0,
+    # m*t > C ⟺ t > C DIV m (integer t); C < 0 falls to the prefix test.
     flagged = ordered.crossJoin(F.broadcast(tot)).withColumn(
         "over",
-        (F.col("prefix") - F.col("n_tokens"))
-        + (F.col("n_src") - F.col("rn") + F.lit(1)) * F.col("n_tokens")
-        > F.col("b"),
+        F.when(
+            F.col("prefix") - F.col("n_tokens") > F.col("b"), F.lit(True)
+        ).otherwise(
+            F.col("n_tokens")
+            > F.expr(
+                "(b - (prefix - n_tokens)) DIV (n_src - rn + 1)"
+            )
+        ),
     )
     boundary = flagged.filter("over").agg(
         F.min("rn").alias("k"),

@@ -5978,6 +5978,11 @@ Q(QuerySpec(
                     / 281474976710656.0)
                  / CAST(n_chars AS DOUBLE) AS es_key
           FROM documents
+          -- A-ES is defined for w > 0 only; the operator drops
+          -- NULL/non-positive weights (curation.py es_weighted_sample_k),
+          -- so the oracle must encode the same contract or a w<=0 row
+          -- would rank first here while Spark excludes it.
+          WHERE n_chars IS NOT NULL AND n_chars > 0
         ),
         ranked AS (
           SELECT source, doc_id, es_key,
@@ -6520,5 +6525,68 @@ Q(QuerySpec(
         FROM dev JOIN mad ON dev.source = mad.grp
         WHERE 2 * dev.dev2 * 1000000 > 1500000 * mad.mad4
         ORDER BY dev.source, dev.doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_token_events",
+    doc="LLM streaming-token event table over documents "
+        "(functions/llm_stream.py:llm_stream_events; reference "
+        "stream_events.py:14-96 discriminated union as one flat tagged-"
+        "union row schema). The provider here is synthesize_stream over "
+        "a DETERMINISTIC heuristic completion (first 60 chars of the "
+        "prompt — a pure function of the text), so unlike a live LLM "
+        "the full delta/end/finish event stream is SQL-expressible and "
+        "this surface carries a FULL ORACLE HASH: 3 events per doc, "
+        "content/snapshot/full_text/stop_reason/usage all pinned. "
+        "Registered projection COALESCEs the tagged-union NULL slots "
+        "so every hashed column is non-null in both engines.",
+    builder=lambda spark, sf: (lambda ls: ls.llm_stream_events(
+        load_table(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("req_id"),
+            F.col("text").alias("prompt"),
+        ),
+        ls.synthesize_stream(lambda prompts: [p[:60] for p in prompts]),
+    ))(__import__(
+        "adenhq_hive_spark.functions.llm_stream",
+        fromlist=["llm_stream_events", "synthesize_stream"],
+    )).select(
+        "req_id", "event_idx", "event_type",
+        F.coalesce("content", F.lit("")).alias("content"),
+        F.coalesce("snapshot", F.lit("")).alias("snapshot"),
+        F.coalesce("full_text", F.lit("")).alias("full_text"),
+        F.coalesce("stop_reason", F.lit("")).alias("stop_reason"),
+        F.coalesce("input_tokens", F.lit(-1)).alias("input_tokens"),
+        F.coalesce("output_tokens", F.lit(-1)).alias("output_tokens"),
+        F.coalesce("model", F.lit("")).alias("model"),
+    ).orderBy("req_id", "event_idx"),
+    oracle_sql_str="""
+        WITH p AS (
+          SELECT CAST(doc_id AS VARCHAR) AS req_id,
+                 substr(text, 1, 60) AS c
+          FROM documents
+        ),
+        ev AS (
+          SELECT req_id, 0 AS event_idx, 'text_delta' AS event_type,
+                 c AS content, c AS snapshot, '' AS full_text,
+                 '' AS stop_reason,
+                 CAST(-1 AS BIGINT) AS input_tokens,
+                 CAST(-1 AS BIGINT) AS output_tokens, '' AS model
+          FROM p
+          UNION ALL
+          SELECT req_id, 1, 'text_end', '', '', c, '',
+                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), ''
+          FROM p
+          UNION ALL
+          SELECT req_id, 2, 'finish', '', '', '', 'end_turn',
+                 CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+          FROM p
+        )
+        SELECT req_id, CAST(event_idx AS INT) AS event_idx, event_type,
+               content, snapshot, full_text, stop_reason,
+               input_tokens, output_tokens, model
+        FROM ev
+        ORDER BY req_id, event_idx
     """,
 ))
