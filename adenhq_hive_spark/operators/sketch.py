@@ -18,8 +18,19 @@ per partition:
     (Agarwal et al. 2012): add counters; if more than ``m`` remain,
     subtract the (m+1)-th largest counter value from all and drop the
     non-positives — never a per-token Python loop.
-2.  The candidate union (at most m rows per partition, independent of
-    data size) is exactly re-counted in one more pass: tokens are
+2.  Per-partition sketches are merged DISTRIBUTED, never on the driver:
+    each partition emits its (h, counter) rows (at most m per
+    partition), a groupBy(h).sum combines them — the "add counters"
+    half of the mergeable rule — and the summed counter satisfies
+    C_hat(x) >= C(x) - N/m (each partition undercounts by at most
+    N_p/m).  Filtering to C_hat >= theta*N - N/m therefore keeps every
+    global heavy hitter while bounding the candidate set by
+    N / (theta*N - N/m) = m*10^4/(bp*m - 10^4) items — a CONSTANT
+    (about 1.3k at the defaults), independent of both data size and
+    partition count.  Only that constant-size candidate list reaches
+    the driver (for the broadcast), so driver traffic is O(capacity),
+    not O(capacity x n_partitions).
+3.  Candidates are exactly re-counted in one more pass: tokens are
     broadcast-joined against the candidate set BEFORE the shuffle, so
     the exact GROUP BY touches candidate tokens only.
 
@@ -149,25 +160,55 @@ def heavy_hitters(
         yield pd.DataFrame(
             {
                 "h": pd.array(list(sk.index) + [None], dtype="Int64"),
+                "cnt": pd.array(
+                    [int(v) for v in sk.values] + [None], dtype="Int64"
+                ),
                 "part_total": pd.array(
                     [None] * len(sk) + [n_part], dtype="Int64"
                 ),
             }
         )
 
+    # The sketch pass (the expensive scan) is persisted so the total agg
+    # and the candidate merge read it once; it is at most
+    # capacity x n_partitions TINY rows, spread across the cluster.
     sketch = toks_h.mapInPandas(
-        partial_sketch, "h long, part_total long"
-    )
-    # One job materializes both outputs of the sketch pass: the bounded
-    # candidate union and the exact corpus token total.
-    srows = sketch.collect()
-    total = sum(r.part_total for r in srows if r.part_total is not None)
-    cand = sorted({r.h for r in srows if r.h is not None})
-    if not cand or total == 0:
+        partial_sketch, "h long, cnt long, part_total long"
+    ).persist()
+    try:
+        total = sketch.agg(F.sum("part_total").alias("t")).collect()[0].t or 0
+        if total == 0:
+            return spark.createDataFrame(
+                [], "token string, n bigint, share_bp bigint"
+            )
+        # Distributed merge (mergeable-summaries add) + the survivor
+        # filter: summed counter >= theta*N - N/m keeps every true heavy
+        # hitter (see module docstring) and bounds the survivors by
+        # m*10^4/(bp*m - 10^4).  The threshold is floored in exact Python
+        # bigints (floor only ADMITS extra candidates — safe direction).
+        thr = max(
+            0,
+            (total * (capacity * min_share_bp - 10_000))
+            // (10_000 * capacity),
+        )
+        cand = [
+            r.h
+            for r in sketch.filter(F.col("h").isNotNull())
+            .groupBy("h")
+            .agg(F.sum("cnt").alias("c"))
+            .filter(F.col("c") >= thr)
+            .select("h")
+            .collect()
+        ]
+    finally:
+        sketch.unpersist()
+    if not cand:
         return spark.createDataFrame(
             [], "token string, n bigint, share_bp bigint"
         )
-    cand_df = F.broadcast(spark.createDataFrame([(h,) for h in cand], "h long"))
+    cand_df = F.broadcast(
+        spark.createDataFrame([(h,) for h in sorted(cand)], "h long")
+    )
     counted = (
         toks.withColumn("h", F.xxhash64("token"))
         .join(cand_df, "h")
