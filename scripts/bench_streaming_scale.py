@@ -89,6 +89,11 @@ def main() -> None:
         .select(base.columns)
     )
 
+    # Warm-up: the FIRST streaming query on a session pays one-time
+    # machinery init (~15-18 s observed) that would otherwise be charged
+    # entirely to the first curve point.
+    measure(spark, base.limit(1000), 1)
+
     out: dict[str, dict[str, int]] = {}
     for label, ev, n_rows in (
         (f"{n_base}", base, n_base),
