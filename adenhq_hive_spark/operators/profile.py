@@ -297,3 +297,72 @@ def psi_drift(
         )
         .orderBy(group_col)
     )
+
+
+def label_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical label
+    columns — the labeled-data QC primitive (annotator pairs,
+    model-vs-human labels, declared-vs-predicted metadata; Cohen 1960).
+
+    kappa = (po - pe) / (1 - pe) with
+      po = observed agreement  = sum_c n_cc / n
+      pe = chance agreement    = sum_c marg_a(c) * marg_b(c) / n^2
+
+    Determinism contract: the confusion matrix and both marginals are
+    exact BIGINT counts; po and pe are then formed by SINGLE IEEE double
+    divisions over exact integers (pe as (s_ab / n) / n so no integer
+    product ever exceeds BIGINT even at n ~ 10^9 rows) — unlike a
+    floating accumulation there is no order dependence, so kappa hashes
+    across engines with ROUND(.., 6).  Degenerate pe = 1 (both raters
+    constant on the same class) forces po = 1 and kappa is pinned 1.0.
+
+    Scale: one groupBy over the corpus (partial-agg shuffle on the
+    class-pair key), then every remaining join/agg runs on the
+    |classes|- or |groups|-sized rollups.  Emits
+    (group?, n, agree, po_r6, pe_r6, kappa_r6) ordered by group.
+    """
+    g = [group_col] if group_col else []
+    cnt = (
+        df.groupBy(*g, F.col(col_a).alias("la"), F.col(col_b).alias("lb"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy(*g).agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0)
+        ).alias("agree"),
+    )
+    na = cnt.groupBy(*g, F.col("la").alias("cls")).agg(
+        F.sum("c").alias("na")
+    )
+    nb = cnt.groupBy(*g, F.col("lb").alias("cls")).agg(
+        F.sum("c").alias("nb")
+    )
+    s_ab = (
+        na.join(nb, [*g, "cls"])
+        .groupBy(*g)
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("s_ab"))
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (F.col("s_ab").cast("double") / F.col("n")) / F.col("n")
+    out = (
+        tot.join(s_ab, g) if g else tot.crossJoin(s_ab)
+    ).select(
+        *g,
+        "n",
+        "agree",
+        F.round(po, 6).alias("po_r6"),
+        F.round(pe, 6).alias("pe_r6"),
+        F.round(
+            F.when(pe == 1.0, F.lit(1.0)).otherwise(
+                (po - pe) / (F.lit(1.0) - pe)
+            ),
+            6,
+        ).alias("kappa_r6"),
+    )
+    return out.orderBy(*g) if g else out

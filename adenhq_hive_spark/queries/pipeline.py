@@ -6590,3 +6590,73 @@ Q(QuerySpec(
         ORDER BY req_id, event_idx
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_kappa",
+    doc="Cohen's kappa per source between the declared lang column and "
+        "the engine's own language-ID prediction (operators/profile.py:"
+        "label_agreement over text.py:lang_id) — the labeled-data QC "
+        "primitive: is the metadata trustworthy, and does agreement "
+        "vary by source?  Exact BIGINT confusion/marginal counts, "
+        "single-division IEEE doubles, ROUND(..,6) hash (chance "
+        "agreement pe as (s_ab/n)/n so no product overflows at corpus "
+        "row counts).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile", fromlist=["label_agreement"]
+    ).label_agreement(
+        lang_id(load_table(spark, sf, "documents")),
+        "lang", "lang_pred", group_col="source",
+    ),
+    oracle_sql_str=r"""
+        WITH h AS (
+          SELECT source, lang,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['the','and','of','to','is'])) AS h_en,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['der','die','und','ist','nicht'])) AS h_de,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['el','la','que','de','es'])) AS h_es,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['le','la','et','est','les'])) AS h_fr,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['的','是','了','在','不'])) AS h_zh
+          FROM documents
+        ),
+        p AS (
+          SELECT source, lang,
+                 CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'de'
+                      WHEN h_es = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'es'
+                      WHEN h_fr = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'fr'
+                      ELSE 'zh' END AS lang_pred
+          FROM h
+        ),
+        cnt AS (SELECT source, lang AS la, lang_pred AS lb, COUNT(*) AS c
+                FROM p GROUP BY 1, 2, 3),
+        tot AS (SELECT source, SUM(c) AS n,
+                       SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+                FROM cnt GROUP BY source),
+        na AS (SELECT source, la AS cls, SUM(c) AS na
+               FROM cnt GROUP BY 1, 2),
+        nb AS (SELECT source, lb AS cls, SUM(c) AS nb
+               FROM cnt GROUP BY 1, 2),
+        s AS (SELECT na.source, SUM(na.na * nb.nb) AS s_ab
+              FROM na JOIN nb ON na.source = nb.source AND na.cls = nb.cls
+              GROUP BY na.source)
+        SELECT t.source,
+               CAST(t.n AS BIGINT) AS n,
+               CAST(t.agree AS BIGINT) AS agree,
+               ROUND(CAST(t.agree AS DOUBLE) / t.n, 6) AS po_r6,
+               ROUND((CAST(s.s_ab AS DOUBLE) / t.n) / t.n, 6) AS pe_r6,
+               ROUND(CASE
+                 WHEN (CAST(s.s_ab AS DOUBLE) / t.n) / t.n = 1.0 THEN 1.0
+                 ELSE (CAST(t.agree AS DOUBLE) / t.n
+                       - (CAST(s.s_ab AS DOUBLE) / t.n) / t.n)
+                      / (1.0 - (CAST(s.s_ab AS DOUBLE) / t.n) / t.n)
+                 END, 6) AS kappa_r6
+        FROM tot t JOIN s ON t.source = s.source
+        ORDER BY t.source
+    """,
+))

@@ -103,6 +103,8 @@ HEADLINE = [
     "pl_quantile_norm",  # cross-source score quantile mapping (r6)
     "pl_interleave",     # proportional training-order scheduling (r6)
     "pl_mad_outliers",   # robust median/MAD length screen (r6)
+    "pl_token_events",   # LLM streaming-token event table (r7)
+    "pl_kappa",          # Cohen's kappa label agreement (r7)
 ]
 
 

@@ -1,0 +1,77 @@
+"""Cohen's kappa label agreement (operators/profile.py:label_agreement):
+hand-computed confusion-matrix cases + the degenerate-marginal pin."""
+
+from __future__ import annotations
+
+import pytest
+
+from adenhq_hive_spark.operators.profile import label_agreement
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(
+        [("g", a, b) for a, b in pairs], "grp string, a string, b string"
+    )
+
+
+def test_kappa_textbook_case(spark):
+    # Classic 2x2: n=100, raters agree on 45 yes + 35 no; marginals
+    # a: 60 yes/40 no, b: 50 yes/50 no.
+    # po = 0.80; pe = .6*.5 + .4*.5 = 0.50; kappa = 0.6
+    pairs = (
+        [("y", "y")] * 45
+        + [("y", "n")] * 15
+        + [("n", "y")] * 5
+        + [("n", "n")] * 35
+    )
+    out = label_agreement(_rows(spark, pairs), "a", "b", "grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.agree) == (100, 80)
+    assert r.po_r6 == pytest.approx(0.80)
+    assert r.pe_r6 == pytest.approx(0.50)
+    assert r.kappa_r6 == pytest.approx(0.60)
+
+
+def test_kappa_chance_only_agreement_is_zero(spark):
+    # Independent raters at the same 50/50 marginal: po == pe -> kappa 0
+    pairs = [("y", "y"), ("y", "n"), ("n", "y"), ("n", "n")] * 10
+    r = label_agreement(_rows(spark, pairs), "a", "b", "grp").collect()[0]
+    assert r.kappa_r6 == pytest.approx(0.0)
+    assert r.po_r6 == r.pe_r6 == pytest.approx(0.5)
+
+
+def test_kappa_degenerate_constant_raters_pins_one(spark):
+    # Both raters constant on the same class: pe = 1 -> kappa pinned 1.0
+    r = label_agreement(
+        _rows(spark, [("x", "x")] * 7), "a", "b", "grp"
+    ).collect()[0]
+    assert (r.po_r6, r.pe_r6, r.kappa_r6) == (1.0, 1.0, 1.0)
+
+
+def test_kappa_groups_and_global(spark):
+    df = spark.createDataFrame(
+        [("g1", "y", "y"), ("g1", "n", "n"), ("g2", "y", "n"),
+         ("g2", "n", "y")],
+        "grp string, a string, b string",
+    )
+    by_grp = {r.grp: r for r in label_agreement(df, "a", "b", "grp").collect()}
+    assert by_grp["g1"].agree == 2 and by_grp["g2"].agree == 0
+    # g1: po=1, pe=0.5 -> kappa 1; g2: po=0, pe=0.5 -> kappa -1
+    assert by_grp["g1"].kappa_r6 == pytest.approx(1.0)
+    assert by_grp["g2"].kappa_r6 == pytest.approx(-1.0)
+    # global (no group): po=0.5, pe=0.5 -> kappa 0
+    g = label_agreement(df, "a", "b").collect()[0]
+    assert g.n == 4 and g.kappa_r6 == pytest.approx(0.0)
+
+
+def test_kappa_class_present_in_one_rater_only(spark):
+    # class 'z' appears only in rater b: contributes 0 to pe, po counts
+    # only exact matches — exercises the inner marginal join
+    pairs = [("y", "y"), ("y", "z"), ("n", "n"), ("n", "z")]
+    r = label_agreement(_rows(spark, pairs), "a", "b", "grp").collect()[0]
+    # n=4 agree=2 po=.5; marginals a: y2 n2; b: y1 n1 z2
+    # pe = (2*1 + 2*1)/16 = 0.25; kappa = (.5-.25)/.75 = 1/3
+    assert r.po_r6 == pytest.approx(0.5)
+    assert r.pe_r6 == pytest.approx(0.25)
+    assert r.kappa_r6 == pytest.approx(round(1 / 3, 6))

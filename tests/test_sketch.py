@@ -169,3 +169,29 @@ def test_hll_rejects_unpublished_register_counts(spark):
     # the published small-m constants all work
     for m in (16, 32, 64):
         assert hll_estimate(df, "v", n_registers=m).count() == 1
+
+
+def test_mg_merge_np_matches_pandas():
+    import numpy as np
+
+    from adenhq_hive_spark.operators.sketch import mg_merge_np
+
+    rng = np.random.default_rng(7)
+    cap = 64
+    # heavy head + unique tail, merged in 5 batches through both paths
+    sk_pd = pd.Series(dtype="int64")
+    sk_v = np.empty(0, dtype=np.int64)
+    sk_c = np.empty(0, dtype=np.int64)
+    for _ in range(5):
+        batch = np.concatenate([
+            rng.integers(0, 20, 3000),          # heavy head keys
+            rng.integers(10**9, 2**60, 5000),   # near-unique tail
+        ])
+        b_v, b_c = np.unique(batch, return_counts=True)
+        sk_pd = mg_merge(sk_pd, pd.Series(batch).value_counts(), cap)
+        sk_v, sk_c = mg_merge_np(sk_v, sk_c, b_v, b_c, cap)
+    got = dict(zip(sk_v.tolist(), sk_c.tolist()))
+    want = {int(k): int(v) for k, v in sk_pd.items()}
+    assert got == want
+    assert len(got) <= cap
+    assert list(sk_v) == sorted(sk_v)
