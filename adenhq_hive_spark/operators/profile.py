@@ -366,3 +366,80 @@ def label_agreement(
         ).alias("kappa_r6"),
     )
     return out.orderBy(*g) if g else out
+
+
+def classification_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a (truth, pred) pair —
+    the model-evaluation-over-tables primitive that pairs with
+    :func:`label_agreement` (kappa answers "better than chance?", this
+    answers "where does it fail?").
+
+    Exactness contract: tp / n_pred / n_truth are exact BIGINTs;
+    precision = tp/n_pred and recall = tp/n_truth are single IEEE
+    divisions; F1 = 2*tp / (n_pred + n_truth) is computed from the
+    INTEGER identity (not from p*r/(p+r), which would compound three
+    rounded doubles) — one division, deterministic, hashes at
+    ROUND(.., 6).  Classes appearing only in truth or only in pred
+    still get a row (full outer over the marginals) with zero-division
+    pinned to 0.0, sklearn's zero_division=0 convention.
+
+    Scale: one groupBy over the corpus on the (truth, pred) pair key,
+    then marginal aggs + one join on the |classes|-row rollups.
+    """
+    cnt = (
+        df.groupBy(
+            F.col(truth_col).alias("t"), F.col(pred_col).alias("p")
+        ).agg(F.count("*").alias("c"))
+    )
+    truth = cnt.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("c").alias("n_truth")
+    )
+    pred = cnt.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("c").alias("n_pred")
+    )
+    tp = (
+        cnt.filter(F.col("t") == F.col("p"))
+        .select(F.col("t").alias("cls"), F.col("c").alias("tp"))
+    )
+    m = (
+        truth.join(pred, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    tp_d = F.col("tp").cast("double")
+    return m.select(
+        "cls",
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(
+            F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                tp_d / F.col("n_pred")
+            ),
+            6,
+        ).alias("precision_r6"),
+        F.round(
+            F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(
+                tp_d / F.col("n_truth")
+            ),
+            6,
+        ).alias("recall_r6"),
+        F.round(
+            F.when(
+                F.col("n_pred") + F.col("n_truth") == 0, F.lit(0.0)
+            ).otherwise(
+                (F.lit(2.0) * tp_d)
+                / (F.col("n_pred") + F.col("n_truth"))
+            ),
+            6,
+        ).alias("f1_r6"),
+    ).orderBy("cls")

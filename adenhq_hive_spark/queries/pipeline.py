@@ -6660,3 +6660,74 @@ Q(QuerySpec(
         ORDER BY t.source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_prf",
+    doc="Per-class precision/recall/F1 of the language-ID heuristic vs "
+        "the declared lang column (operators/profile.py:"
+        "classification_report) — completes the labeled-data QC pair "
+        "with pl_kappa: kappa says better-than-chance, this says where "
+        "it fails. F1 from the integer identity 2*tp/(n_pred+n_truth), "
+        "one IEEE division, zero-division pinned 0.0 (sklearn "
+        "zero_division=0).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile",
+        fromlist=["classification_report"],
+    ).classification_report(
+        lang_id(load_table(spark, sf, "documents")), "lang", "lang_pred"
+    ),
+    oracle_sql_str=r"""
+        WITH h AS (
+          SELECT lang,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['the','and','of','to','is'])) AS h_en,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['der','die','und','ist','nicht'])) AS h_de,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['el','la','que','de','es'])) AS h_es,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['le','la','et','est','les'])) AS h_fr,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['的','是','了','在','不'])) AS h_zh
+          FROM documents
+        ),
+        p AS (
+          SELECT lang AS t,
+                 CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'de'
+                      WHEN h_es = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'es'
+                      WHEN h_fr = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'fr'
+                      ELSE 'zh' END AS pr
+          FROM h
+        ),
+        cnt AS (SELECT t, pr, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        truth AS (SELECT t AS cls, CAST(SUM(c) AS BIGINT) AS n_truth
+                  FROM cnt GROUP BY t),
+        pred AS (SELECT pr AS cls, CAST(SUM(c) AS BIGINT) AS n_pred
+                 FROM cnt GROUP BY pr),
+        tp AS (SELECT t AS cls, CAST(c AS BIGINT) AS tp
+               FROM cnt WHERE t = pr),
+        m AS (
+          SELECT COALESCE(truth.cls, pred.cls) AS cls,
+                 COALESCE(n_truth, 0) AS n_truth,
+                 COALESCE(n_pred, 0) AS n_pred
+          FROM truth FULL OUTER JOIN pred ON truth.cls = pred.cls
+        )
+        SELECT m.cls, m.n_truth, m.n_pred,
+               COALESCE(tp.tp, 0) AS tp,
+               ROUND(CASE WHEN m.n_pred = 0 THEN 0.0
+                     ELSE CAST(COALESCE(tp.tp, 0) AS DOUBLE) / m.n_pred
+                     END, 6) AS precision_r6,
+               ROUND(CASE WHEN m.n_truth = 0 THEN 0.0
+                     ELSE CAST(COALESCE(tp.tp, 0) AS DOUBLE) / m.n_truth
+                     END, 6) AS recall_r6,
+               ROUND(CASE WHEN m.n_pred + m.n_truth = 0 THEN 0.0
+                     ELSE (2.0 * CAST(COALESCE(tp.tp, 0) AS DOUBLE))
+                          / (m.n_pred + m.n_truth)
+                     END, 6) AS f1_r6
+        FROM m LEFT JOIN tp ON m.cls = tp.cls
+        ORDER BY m.cls
+    """,
+))

@@ -75,3 +75,42 @@ def test_kappa_class_present_in_one_rater_only(spark):
     assert r.po_r6 == pytest.approx(0.5)
     assert r.pe_r6 == pytest.approx(0.25)
     assert r.kappa_r6 == pytest.approx(round(1 / 3, 6))
+
+
+def test_classification_report_hand_computed(spark):
+    from adenhq_hive_spark.operators.profile import classification_report
+
+    df = spark.createDataFrame(
+        # truth: a,a,a,b,b,c ; pred: a,b,a,b,b,a  — and 'd' never occurs
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "b"),
+         ("c", "a")],
+        "t string, p string",
+    )
+    rows = {r.cls: r for r in classification_report(df, "t", "p").collect()}
+    # class a: tp=2, n_truth=3, n_pred=3 -> p=2/3 r=2/3 f1=4/6
+    assert rows["a"].tp == 2
+    assert rows["a"].precision_r6 == pytest.approx(round(2 / 3, 6))
+    assert rows["a"].recall_r6 == pytest.approx(round(2 / 3, 6))
+    assert rows["a"].f1_r6 == pytest.approx(round(4 / 6, 6))
+    # class b: tp=2, n_truth=2, n_pred=3 -> p=2/3 r=1 f1=4/5
+    assert rows["b"].precision_r6 == pytest.approx(round(2 / 3, 6))
+    assert rows["b"].recall_r6 == pytest.approx(1.0)
+    assert rows["b"].f1_r6 == pytest.approx(0.8)
+    # class c: truth-only -> n_pred=0, precision pinned 0.0, recall 0
+    assert rows["c"].n_pred == 0 and rows["c"].tp == 0
+    assert rows["c"].precision_r6 == 0.0
+    assert rows["c"].recall_r6 == 0.0 and rows["c"].f1_r6 == 0.0
+    assert set(rows) == {"a", "b", "c"}
+
+
+def test_classification_report_pred_only_class(spark):
+    from adenhq_hive_spark.operators.profile import classification_report
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("x", "x")], "t string, p string"
+    )
+    rows = {r.cls: r for r in classification_report(df, "t", "p").collect()}
+    # 'y' appears only in pred: n_truth=0, recall pinned 0.0
+    assert rows["y"].n_truth == 0 and rows["y"].recall_r6 == 0.0
+    assert rows["y"].precision_r6 == 0.0  # tp=0 / n_pred=1
+    assert rows["x"].f1_r6 == pytest.approx(round(2 / 3, 6))

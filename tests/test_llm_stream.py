@@ -133,3 +133,47 @@ def test_llm_stream_events_rejects_non_callable(spark):
     df = spark.createDataFrame([("a", "b")], ["req_id", "prompt"])
     with pytest.raises(TypeError):
         llm_stream_events(df, "not a function")
+
+
+class MultiLineHandler(http.server.BaseHTTPRequestHandler):
+    """SSE server exercising SPEC framing the single-line servers don't:
+    multi-line data fields (consecutive data: lines = ONE event, joined
+    with \\n), CRLF line endings, comment keep-alives, and an event:
+    field — all before the JSON payloads."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        self.rfile.read(int(self.headers["Content-Length"]))
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.end_headers()
+        w = self.wfile
+        w.write(b": keep-alive comment, must be ignored\r\n\r\n")
+        # one JSON payload split across TWO data: lines at a token
+        # boundary (the spec joins them with \n, which is legal JSON
+        # whitespace between tokens)
+        w.write(b"event: message\r\n")
+        w.write(b'data: {"choices": [{"delta":\r\n')
+        w.write(b'data:  {"content": "multi"}}]}\r\n\r\n')
+        fin = {"choices": [{"delta": {"content": " line"},
+                            "finish_reason": "stop"}]}
+        w.write(f"data: {json.dumps(fin)}\r\n\r\n".encode())
+        w.write(b"data: [DONE]\r\n\r\n")
+
+
+def test_sse_multiline_data_and_crlf_framing():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), MultiLineHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions"
+        evs = sse_stream_provider(url, model="toy")("x")
+        types = [e["event_type"] for e in evs]
+        assert "error" not in types, evs
+        assert types == ["text_delta", "text_delta", "text_end", "finish"]
+        assert evs[-2]["full_text"] == "multi line"
+        assert evs[-1]["stop_reason"] == "stop"
+    finally:
+        srv.shutdown()
