@@ -321,38 +321,57 @@ def label_agreement(
     across engines with ROUND(.., 6).  Degenerate pe = 1 (both raters
     constant on the same class) forces po = 1 and kappa is pinned 1.0.
 
-    Scale: one groupBy over the corpus (partial-agg shuffle on the
-    class-pair key), then every remaining join/agg runs on the
-    |classes|- or |groups|-sized rollups.  Emits
+    Scale: ONE corpus scan and three shuffles, no joins — the
+    confusion groupBy on the class-pair key, then each cell EXPLODES
+    into its truth-side and pred-side per-class contributions
+    (cls = a: +c to marg_a, +c to agree when a = b; cls = b: +c to
+    marg_b), so one (group, cls) aggregation yields both marginals AND
+    the diagonal, and one final group aggregation folds
+    n / agree / sum(marg_a * marg_b) without ever joining the marginal
+    rollups (a branch-and-join shape re-scans the corpus per branch —
+    the plan this replaces read the parquet twice).  Emits
     (group?, n, agree, po_r6, pe_r6, kappa_r6) ordered by group.
     """
     g = [group_col] if group_col else []
+    z = F.lit(0).cast("long")
     cnt = (
         df.groupBy(*g, F.col(col_a).alias("la"), F.col(col_b).alias("lb"))
         .agg(F.count("*").alias("c"))
     )
-    tot = cnt.groupBy(*g).agg(
-        F.sum("c").alias("n"),
-        F.sum(
-            F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0)
-        ).alias("agree"),
+    sides = cnt.select(
+        *g,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("la").alias("cls"),
+                    F.col("c").alias("ca"),
+                    z.alias("cb"),
+                    F.when(F.col("la") == F.col("lb"), F.col("c"))
+                    .otherwise(z)
+                    .alias("diag"),
+                ),
+                F.struct(
+                    F.col("lb").alias("cls"),
+                    z.alias("ca"),
+                    F.col("c").alias("cb"),
+                    z.alias("diag"),
+                ),
+            )
+        ).alias("e"),
+    ).select(*g, "e.*")
+    marg = sides.groupBy(*g, "cls").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum("diag").alias("agree_c"),
     )
-    na = cnt.groupBy(*g, F.col("la").alias("cls")).agg(
-        F.sum("c").alias("na")
-    )
-    nb = cnt.groupBy(*g, F.col("lb").alias("cls")).agg(
-        F.sum("c").alias("nb")
-    )
-    s_ab = (
-        na.join(nb, [*g, "cls"])
-        .groupBy(*g)
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("s_ab"))
+    tot = marg.groupBy(*g).agg(
+        F.sum("na").alias("n"),
+        F.sum("agree_c").alias("agree"),
+        F.sum(F.col("na") * F.col("nb")).alias("s_ab"),
     )
     po = F.col("agree").cast("double") / F.col("n")
     pe = (F.col("s_ab").cast("double") / F.col("n")) / F.col("n")
-    out = (
-        tot.join(s_ab, g) if g else tot.crossJoin(s_ab)
-    ).select(
+    out = tot.select(
         *g,
         "n",
         "agree",
@@ -387,32 +406,47 @@ def classification_report(
     still get a row (full outer over the marginals) with zero-division
     pinned to 0.0, sklearn's zero_division=0 convention.
 
-    Scale: one groupBy over the corpus on the (truth, pred) pair key,
-    then marginal aggs + one join on the |classes|-row rollups.
+    Scale: ONE corpus scan, two shuffles, no joins — the confusion
+    groupBy on the (truth, pred) pair key, then each cell explodes into
+    its truth-side and pred-side per-class contributions and one class
+    aggregation yields n_truth / n_pred / tp together (the
+    full-outer-join-of-marginals shape this replaces re-scanned the
+    corpus per branch; truth-only and pred-only classes surface
+    naturally because each side emits its own cls row).
     """
+    z = F.lit(0).cast("long")
     cnt = (
         df.groupBy(
             F.col(truth_col).alias("t"), F.col(pred_col).alias("p")
         ).agg(F.count("*").alias("c"))
     )
-    truth = cnt.groupBy(F.col("t").alias("cls")).agg(
-        F.sum("c").alias("n_truth")
-    )
-    pred = cnt.groupBy(F.col("p").alias("cls")).agg(
-        F.sum("c").alias("n_pred")
-    )
-    tp = (
-        cnt.filter(F.col("t") == F.col("p"))
-        .select(F.col("t").alias("cls"), F.col("c").alias("tp"))
-    )
     m = (
-        truth.join(pred, "cls", "full_outer")
-        .join(tp, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
-            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-            F.coalesce("tp", F.lit(0)).alias("tp"),
+        cnt.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("t").alias("cls"),
+                        F.col("c").alias("ct"),
+                        z.alias("cp"),
+                        F.when(F.col("t") == F.col("p"), F.col("c"))
+                        .otherwise(z)
+                        .alias("diag"),
+                    ),
+                    F.struct(
+                        F.col("p").alias("cls"),
+                        z.alias("ct"),
+                        F.col("c").alias("cp"),
+                        z.alias("diag"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("cls")
+        .agg(
+            F.sum("ct").alias("n_truth"),
+            F.sum("cp").alias("n_pred"),
+            F.sum("diag").alias("tp"),
         )
     )
     tp_d = F.col("tp").cast("double")
