@@ -195,3 +195,49 @@ def test_mg_merge_np_matches_pandas():
     assert got == want
     assert len(got) <= cap
     assert list(sk_v) == sorted(sk_v)
+
+
+def test_mg_merge_np_property_guarantees():
+    """Property-based: for ANY stream, chunking, and capacity, the numpy
+    merge path keeps the MG invariants — size <= capacity, superset of
+    every item with count > N/cap, and counter error <= N/cap."""
+    import numpy as np
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adenhq_hive_spark.operators.sketch import mg_merge_np
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        stream=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=0,
+            max_size=2000,
+        ),
+        cap=st.integers(min_value=1, max_value=64),
+        n_chunks=st.integers(min_value=1, max_value=5),
+    )
+    def check(stream, cap, n_chunks):
+        sk_v = np.empty(0, dtype=np.int64)
+        sk_c = np.empty(0, dtype=np.int64)
+        step = max(1, len(stream) // n_chunks + 1)
+        for i in range(0, max(len(stream), 1), step):
+            part = np.asarray(stream[i : i + step], dtype=np.int64)
+            if len(part) == 0:
+                continue
+            b_v, b_c = np.unique(part, return_counts=True)
+            sk_v, sk_c = mg_merge_np(sk_v, sk_c, b_v, b_c, cap)
+        sk = dict(zip(sk_v.tolist(), sk_c.tolist()))
+        n = len(stream)
+        true = Counter(stream)
+        assert len(sk) <= cap
+        for item, cnt in true.items():
+            if cnt > n / cap:
+                assert item in sk, (item, cnt, n, cap)
+        for item, c in sk.items():
+            assert c <= true[item]
+            assert c >= true[item] - n / cap
+
+    check()
