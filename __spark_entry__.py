@@ -63,10 +63,10 @@ _CORE = [
     "pl_temperature_mix", "pl_val_coverage", "pl_winnow_pairs",
     "pl_zipf_coverage",
     # -- new this round --
-    "pl_token_events",
+    "pl_token_events", "pl_kappa", "pl_prf",
     # -- stratified regression canaries (driver-green r1-r5) --
     "q01", "q09", "q13", "q17", "q24", "q25", "q33", "q36", "q42",
-    "q44", "q46", "q51", "q55", "q57", "q58",
+    "q46", "q55", "q57", "q58",
     "pl_dedup_exact", "pl_minhash_portable", "pl_quality", "pl_lang_id",
 ]
 
