@@ -8,7 +8,7 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-233 as of the round-7 window, 222 oracle-backed + 11 rows-only by
+238 as of the round-7 window, 227 oracle-backed + 11 rows-only by
 design) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
@@ -40,14 +40,15 @@ from adenhq_hive_spark.queries import all_queries
 # r5-built oracle-backed entries + pl_pack_ffd [hash-backed since r6]
 # + the four r6 operators pl_budget_fill/pl_quantile_norm/
 # pl_interleave/pl_mad_outliers + the 2 recall-gated rows-only ANN
-# entries pl_pq_topk/pl_ivfpq_topk), the new-this-round rows-only
-# pl_token_events (LLM streaming-token surface), the q06 cross-round
-# canary, and 19 stratified regression canaries — one driver-green
-# r1-r5 row per operator family (limit/offset q01, distinct-agg q09,
-# CUBE q13, exact median q17, snowflake join q24/q25, as-of q33,
-# window top-k q36, multi-key sort q42, UNION q44, dedup set-op q46,
-# CAST suite q51, JSON q55, tumbling q57, session q58, exact dedup,
-# portable MinHash, quality scoring, language-ID).  After this window
+# entries pl_pq_topk/pl_ivfpq_topk), the six new-this-round queries
+# (pl_token_events LLM streaming-token surface, pl_kappa/pl_prf label
+# agreement, pl_cms_registers/pl_cms_estimate Count-Min Sketch,
+# pl_kmv_distinct KMV cardinality), the q06 cross-round canary, and 14
+# stratified regression canaries — one driver-green r1-r5 row per
+# operator family (limit/offset q01, distinct-agg q09, exact median
+# q17, snowflake join q24, as-of q33, window top-k q36, dedup set-op
+# q46, JSON q55, tumbling q57, session q58, exact dedup, portable
+# MinHash, quality scoring, language-ID).  After this window
 # every registered query has a driver-witnessed row in some artifact.
 _CORE = [
     "q06",
@@ -64,8 +65,9 @@ _CORE = [
     "pl_zipf_coverage",
     # -- new this round --
     "pl_token_events", "pl_kappa", "pl_prf",
+    "pl_cms_registers", "pl_cms_estimate", "pl_kmv_distinct",
     # -- stratified regression canaries (driver-green r1-r5) --
-    "q01", "q09", "q13", "q17", "q24", "q25", "q33", "q36", "q42",
+    "q01", "q09", "q17", "q24", "q33", "q36",
     "q46", "q55", "q57", "q58",
     "pl_dedup_exact", "pl_minhash_portable", "pl_quality", "pl_lang_id",
 ]

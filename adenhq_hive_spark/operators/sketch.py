@@ -448,3 +448,270 @@ def hll_estimate_grouped(
         )
         .orderBy(group_col)
     )
+
+
+# ---- Count-Min Sketch, engine-portable --------------------------------------
+#
+# Cormode & Muthukrishnan 2005. The fixed-size mergeable frequency summary:
+# d hash rows x w buckets of counters; point estimate = min over rows of the
+# token's bucket counter, with one-sided error (never an undercount,
+# overcount <= N/w per row with probability 1 - 1/2^d when d rows are
+# independent).  Same portability discipline as hll_registers: md5 is the
+# hash on both engines (row j salts the input with '#j'), counters are a
+# plain GROUP BY COUNT, so the sketch STATE carries a full DuckDB oracle
+# hash.  The 100 TB story: GROUP BY (row, bucket) shuffles at most d*w keys
+# with map-side partial aggregation regardless of token cardinality —
+# constant state where GROUP BY token shuffles one record per distinct key.
+
+
+def _spread(narrow: DataFrame) -> DataFrame:
+    """Round-robin a narrow projection across all cores when the source
+    scan yields fewer tasks than the cluster has slots.
+
+    The CMS map side does depth x N md5+conv evaluations — CPU-bound,
+    embarrassingly parallel.  A small parquet input (one ~20 MB file =
+    one input split under the 128 MB maxPartitionBytes default) would
+    run that entire hash pass in ONE task; measured on sf0.1 lineitem
+    this made the sketch 2x SLOWER than the 10x-larger sf1 input, which
+    splits naturally.  The repartition ships only the narrow value
+    column (~10 MB at sf0.1) and is skipped whenever the scan already
+    saturates the cluster — i.e. always, at real scale.
+    """
+    par = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        return narrow.repartition(par)
+    return narrow
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Dense Count-Min counter table (row, bucket, cnt) over ``value_col``.
+
+    hash_j(v) = int(md5(v || '#' || j)[0:8], 16) mod width — first 8 hex
+    chars of the salted md5, identical arithmetic in DuckDB
+    (``('0x' || substr(md5(..), 1, 8))::BIGINT``).  One scan: the row
+    index is exploded from a d-element literal array (d*N intermediate
+    rows, collapsed map-side by partial aggregation to at most d*w rows
+    per task before the shuffle).  Empty buckets surface with cnt = 0 via
+    the dense range grid, so the output is always exactly d*w rows —
+    elementwise-addable (the CMS merge) by construction.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    spark = df.sparkSession
+    seeds = F.array(*[F.lit(j) for j in range(depth)])
+    got = (
+        _spread(df.select(F.col(value_col).cast("string").alias("v")))
+        .select(F.explode(seeds).alias("row"), "v")
+        .select(
+            "row",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("v"),
+                                F.lit("#"),
+                                F.col("row").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        spark.range(depth)
+        .select(F.col("id").cast("int").alias("row"))
+        .crossJoin(
+            spark.range(width).select(F.col("id").alias("bucket"))
+        )
+    )
+    return (
+        grid.join(got, ["row", "bucket"], "left")
+        .select(
+            "row",
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """CMS point-query estimates for the ``top_n`` most frequent values,
+    next to their exact counts — the accuracy ledger for the sketch.
+
+    Candidates are the exact top-n (count desc, value asc — deterministic
+    tie-break); estimate = MIN over the d rows of the candidate's bucket
+    counter.  The CMS guarantee est >= exact is pinned in
+    tests/test_sketch.py.  Candidate buckets always exist in the sparse
+    counter table (the candidate itself contributed), so the inner join
+    is total; the candidate side is top_n*d rows and broadcast.
+    """
+    counters = (
+        _spread(df.select(F.col(value_col).cast("string").alias("v")))
+        .select(
+            F.explode(
+                F.array(*[F.lit(j) for j in range(depth)])
+            ).alias("row"),
+            "v",
+        )
+        .select(
+            "row",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("v"),
+                                F.lit("#"),
+                                F.col("row").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "v")
+        .limit(top_n)
+    )
+    cand_h = cand.select(
+        "v",
+        "n_exact",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("row"),
+    ).select(
+        "v",
+        "n_exact",
+        "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("v"),
+                            F.lit("#"),
+                            F.col("row").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(cand_h)
+        .join(counters, ["row", "bucket"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("est_cms"))
+        .select(
+            F.col("v").alias("value"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "est_cms",
+        )
+        .orderBy(F.desc("n_exact"), "value")
+    )
+
+
+# ---- KMV (K minimum values) distinct sketch ---------------------------------
+#
+# Bar-Yossef et al. 2002 / Beyer et al. 2007.  Keep the k smallest DISTINCT
+# hash values; if fewer than k distinct values exist the sketch IS the
+# exact answer, otherwise estimate = (k-1) * 2^32 // h_(k) — the unbiased
+# KMV estimator in exact integer arithmetic over the 32-bit md5-slice hash
+# space (truncating division on both engines).  Mergeable: union the
+# sketches, re-take the k smallest.
+
+
+def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """One-row KMV distinct-count estimate with the exact count alongside.
+
+    Scale shape: a partition-local numpy prefilter (np.unique -> k
+    smallest) bounds the shuffle to at most k rows per partition before
+    the global distinct + TakeOrderedAndProject — the global k smallest
+    distinct hashes are necessarily inside every partition's k smallest
+    distinct, so the prefilter is lossless (parity with the plain
+    distinct-sort-limit plan is pinned in tests/test_sketch.py).  Driver
+    traffic is O(k).  Output: (k, n_kept, kth_hash, estimate, n_exact).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    spark = df.sparkSession
+    hashed = df.select(
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+
+    def local_kmin(it):
+        best = np.empty(0, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vals = np.unique(
+                np.concatenate(
+                    [best, pdf["hv"].to_numpy(dtype=np.int64)]
+                )
+            )
+            best = vals[:k]
+        yield pd.DataFrame({"hv": best})
+
+    topk = (
+        hashed.mapInPandas(local_kmin, "hv long")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    agg = topk.agg(
+        F.count("*").alias("n_kept"), F.max("hv").alias("kth_hash")
+    )
+    exact = df.select(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(
+        F.expr(f"{(k - 1) * (1 << 32)} DIV kth_hash").cast("long")
+    )
+    return agg.crossJoin(exact).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        est.alias("estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )

@@ -6731,3 +6731,125 @@ Q(QuerySpec(
         ORDER BY m.cls
     """,
 ))
+
+
+# ---- Count-Min / KMV sketch tier (round 7 continuation) ---------------------
+
+Q(QuerySpec(
+    name="pl_cms_registers",
+    doc="Engine-portable Count-Min Sketch counter table over lineitem "
+        "part demand (operators/sketch.py:cms_counters — Cormode & "
+        "Muthukrishnan 2005): 4 rows x 256 buckets, hash_j = salted-md5 "
+        "slice mod width, dense grid with empty buckets at cnt 0. Same "
+        "pattern as pl_hll_registers: the mergeable sketch STATE carries "
+        "a full oracle hash. The GROUP BY (row, bucket) shuffles at most "
+        "d*w keys with map-side partial aggregation regardless of token "
+        "cardinality — constant shuffle state at 100 TB where GROUP BY "
+        "token ships one record per distinct key.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch", fromlist=["cms_counters"]
+    ).cms_counters(load_table(spark, sf, "lineitem"), "l_partkey",
+                   depth=4, width=256)
+    .orderBy("row", "bucket"),
+    oracle_sql_str="""
+        WITH v AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+        hj AS (
+          SELECT j.range AS row,
+                 CAST(('0x' || substr(
+                     md5(v || '#' || CAST(j.range AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 256 AS bucket
+          FROM v CROSS JOIN range(0, 4) j
+        ),
+        got AS (SELECT row, bucket, COUNT(*) AS cnt FROM hj
+                GROUP BY row, bucket),
+        grid AS (SELECT CAST(r.range AS INT) AS row, b.range AS bucket
+                 FROM range(0, 4) r CROSS JOIN range(0, 256) b)
+        SELECT grid.row, grid.bucket,
+               CAST(COALESCE(got.cnt, 0) AS BIGINT) AS cnt
+        FROM grid LEFT JOIN got
+          ON grid.row = got.row AND grid.bucket = got.bucket
+        ORDER BY grid.row, grid.bucket
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_cms_estimate",
+    doc="CMS point-query accuracy ledger (operators/sketch.py:"
+        "cms_point_estimates): exact top-20 parts by demand next to "
+        "their sketch estimate (min over the 4 rows of the bucket "
+        "counter). The one-sided guarantee est >= exact is pinned in "
+        "tests; with 2k parts in 256 buckets the overcount is visible "
+        "and measured, which is the point of the ledger. Candidate side "
+        "is 80 rows, broadcast; counters side is the d*w-key aggregate.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch",
+        fromlist=["cms_point_estimates"],
+    ).cms_point_estimates(load_table(spark, sf, "lineitem"), "l_partkey",
+                          depth=4, width=256, top_n=20),
+    oracle_sql_str="""
+        WITH v AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+        counters AS (
+          SELECT j.range AS row,
+                 CAST(('0x' || substr(
+                     md5(v || '#' || CAST(j.range AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 256 AS bucket,
+                 COUNT(*) AS cnt
+          FROM v CROSS JOIN range(0, 4) j
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT v, COUNT(*) AS n_exact FROM v GROUP BY v
+          ORDER BY n_exact DESC, v LIMIT 20
+        ),
+        cand_h AS (
+          SELECT v, n_exact, j.range AS row,
+                 CAST(('0x' || substr(
+                     md5(v || '#' || CAST(j.range AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 256 AS bucket
+          FROM cand CROSS JOIN range(0, 4) j
+        )
+        SELECT cand_h.v AS value,
+               CAST(cand_h.n_exact AS BIGINT) AS n_exact,
+               CAST(MIN(counters.cnt) AS BIGINT) AS est_cms
+        FROM cand_h JOIN counters
+          ON cand_h.row = counters.row AND cand_h.bucket = counters.bucket
+        GROUP BY cand_h.v, cand_h.n_exact
+        ORDER BY n_exact DESC, value
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_kmv_distinct",
+    doc="KMV (K minimum values) distinct-count sketch over o_custkey "
+        "(operators/sketch.py:kmv_distinct — Bar-Yossef 2002 / Beyer "
+        "2007): k=256 smallest distinct 32-bit md5-slice hashes, "
+        "estimate = (k-1)*2^32 DIV h_(k) in exact integer arithmetic "
+        "(exact-path n_kept when distinct < k). Partition-local numpy "
+        "k-min prefilter bounds the shuffle to k rows per partition; "
+        "driver traffic O(k). n_exact rides along; the test gates the "
+        "estimator inside the 1/sqrt(k) error envelope.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch", fromlist=["kmv_distinct"]
+    ).kmv_distinct(load_table(spark, sf, "orders"), "o_custkey", k=256),
+    oracle_sql_str="""
+        WITH h AS (
+          SELECT DISTINCT CAST(('0x' || substr(
+                   md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                 AS hv
+          FROM orders
+        ),
+        topk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        agg AS (SELECT COUNT(*) AS n_kept, MAX(hv) AS kth FROM topk),
+        ex AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+        SELECT CAST(256 AS BIGINT) AS k,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(kth AS BIGINT) AS kth_hash,
+               CAST(CASE WHEN n_kept < 256 THEN n_kept
+                    ELSE (255 * CAST(4294967296 AS BIGINT)) // kth
+                    END AS BIGINT) AS estimate,
+               CAST(n_exact AS BIGINT) AS n_exact
+        FROM agg CROSS JOIN ex
+    """,
+))

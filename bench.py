@@ -105,6 +105,8 @@ HEADLINE = [
     "pl_mad_outliers",   # robust median/MAD length screen (r6)
     "pl_token_events",   # LLM streaming-token event table (r7)
     "pl_kappa",          # Cohen's kappa label agreement (r7)
+    "pl_cms_registers",  # Count-Min sketch counter table (r7)
+    "pl_kmv_distinct",   # KMV distinct-count sketch (r7)
 ]
 
 

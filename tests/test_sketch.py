@@ -241,3 +241,124 @@ def test_mg_merge_np_property_guarantees():
             assert c >= true[item] - n / cap
 
     check()
+
+
+# ---- Count-Min Sketch -------------------------------------------------------
+
+
+def _cms_df(spark):
+    # 40 'hot', 10 'mid', 50 singletons -> 100 values
+    vals = ["hot"] * 40 + ["mid"] * 10 + [f"u{i}" for i in range(50)]
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_cms_counters_dense_and_row_sums(spark):
+    from adenhq_hive_spark.operators.sketch import cms_counters
+
+    out = cms_counters(_cms_df(spark), "v", depth=3, width=32).collect()
+    # dense grid: exactly depth*width rows, every (row, bucket) once
+    assert len(out) == 3 * 32
+    assert len({(r.row, r.bucket) for r in out}) == 3 * 32
+    # each hash row counts every input exactly once
+    sums = {}
+    for r in out:
+        sums[r.row] = sums.get(r.row, 0) + r.cnt
+    assert sums == {0: 100, 1: 100, 2: 100}
+
+
+def test_cms_merge_is_elementwise_sum(spark):
+    from adenhq_hive_spark.operators.sketch import cms_counters
+
+    vals = [f"t{i % 7}" for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v string"
+    )
+    a = df.filter("i < 30")
+    b = df.filter("i >= 30")
+    key = lambda rows: {(r.row, r.bucket): r.cnt for r in rows}
+    whole = key(cms_counters(df, "v", depth=2, width=16).collect())
+    pa = key(cms_counters(a, "v", depth=2, width=16).collect())
+    pb = key(cms_counters(b, "v", depth=2, width=16).collect())
+    assert whole == {k: pa[k] + pb[k] for k in pa}
+
+
+def test_cms_point_estimates_one_sided(spark):
+    from adenhq_hive_spark.operators.sketch import cms_point_estimates
+
+    rows = cms_point_estimates(
+        _cms_df(spark), "v", depth=4, width=16, top_n=5
+    ).collect()
+    assert rows[0].value == "hot" and rows[0].n_exact == 40
+    # CMS can only overcount, never undercount
+    for r in rows:
+        assert r.est_cms >= r.n_exact, (r.value, r.est_cms, r.n_exact)
+
+
+def test_cms_rejects_bad_params(spark):
+    from adenhq_hive_spark.operators.sketch import cms_counters
+
+    with pytest.raises(ValueError):
+        cms_counters(_cms_df(spark), "v", depth=0, width=16)
+    with pytest.raises(ValueError):
+        cms_counters(_cms_df(spark), "v", depth=4, width=0)
+
+
+# ---- KMV distinct sketch ----------------------------------------------------
+
+
+def test_kmv_exact_path_when_distinct_below_k(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(500)], "v long"
+    )
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.n_kept == 37
+    assert row.estimate == 37 == row.n_exact
+
+
+def test_kmv_estimate_within_error_envelope(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_distinct
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.n_kept == 256
+    assert row.n_exact == n
+    # stderr ~ 1/sqrt(k) ~ 6.3%; gate at 4 sigma
+    assert abs(row.estimate - n) < 0.25 * n, row.estimate
+
+
+def test_kmv_prefilter_parity_and_partition_stability(spark):
+    """The numpy partition-local k-min prefilter must be lossless: the
+    result equals the plain distinct-sort-limit plan and is invariant
+    under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(i * 7 % 1999,) for i in range(4000)],
+                               "v long")
+    base = kmv_distinct(df, "v", k=64).collect()[0]
+    shuffled = kmv_distinct(df.repartition(16), "v", k=64).collect()[0]
+    assert base == shuffled
+    plain_kth = (
+        df.select(
+            F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8),
+                   16, 10).cast("long").alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+        .agg(F.max("hv"))
+        .collect()[0][0]
+    )
+    assert base.kth_hash == plain_kth
+
+
+def test_kmv_rejects_bad_k(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "v", k=1)
