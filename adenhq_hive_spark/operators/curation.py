@@ -1915,3 +1915,80 @@ def mad_outliers(
         )
         .orderBy(group_col, id_col)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization report: rows whose ``value_col`` falls
+    outside the group's exact nearest-rank [lo_pct, hi_pct] percentile
+    band, with the clip target — the heavy-tail taming step that runs
+    before length/score-weighted sampling (clip, don't drop: MAD
+    filtering REMOVES outliers, winsorizing retains the row at the
+    boundary value, preserving the sample count mixture planning relies
+    on).
+
+    Nearest-rank percentile (value at row ceil(p*n/100) of the
+    (value, id)-sorted group) rather than interpolation: the bound is
+    always an OBSERVED integer value, so the whole contract stays in
+    exact integer arithmetic — full oracle hash, no doubles anywhere.
+
+    Scale: ranks via the distributed exact_rank plan (range-partition +
+    local rank + broadcast prefix offsets — never a data-sized
+    single-partition window); the |groups|-row bound relation
+    broadcasts back. Emits (group, id, value, lo, hi, clipped) for
+    clipped rows only, ordered by (group, id).
+    """
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError("need 0 <= lo_pct <= hi_pct <= 100")
+    from .ranking import exact_rank
+
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col), v.alias("v")
+    )
+    ranked = exact_rank(
+        base, order_cols=("v", id_col), part_cols=("grp",), rank_col="rn"
+    )
+    n = base.groupBy("grp").agg(F.count("*").alias("n"))
+    bounds = (
+        ranked.join(F.broadcast(n), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({lo_pct} * n + 99) div 100"),
+                    F.col("v"),
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({hi_pct} * n + 99) div 100"),
+                    F.col("v"),
+                )
+            ).alias("hi"),
+        )
+    )
+    return (
+        base.join(F.broadcast(bounds), "grp")
+        .filter((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col(id_col),
+            F.col("v").alias(value_col),
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+            F.when(F.col("v") < F.col("lo"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .cast("long")
+            .alias("clipped"),
+        )
+        .orderBy(group_col, id_col)
+    )

@@ -1513,3 +1513,173 @@ def int8_quantize(
             F.round(F.col("mx"), 4).alias("scale"),
         )
     )
+
+
+def knn_label_purity(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_vectors: int = 20_000,
+) -> DataFrame:
+    """Per-label kNN agreement over SQ8-quantized codes — the standard
+    embedding-space health probe for labeled training data (does the
+    geometry respect the labels?).
+
+    For every vector: its ``k`` nearest neighbors by int8-code dot
+    product (self excluded), the neighbors' majority label (ties ->
+    smaller label), and whether that matches the vector's own label;
+    rolled up per label as (label, n, n_correct, purity_ppm).
+
+    Integer-exact by construction, which is WHY it quantizes: ranking
+    by a float cosine admits cross-engine tie ambiguity, while the
+    int8 code dot (<= 64 * 127^2, exact in one float64 matmul) ranks
+    with (dot desc, cand_id asc) identically everywhere — the same
+    floor-not-round discipline as int8_quantize, applied to make a kNN
+    graph hash-reproducible.  purity_ppm = n_correct * 1e6 DIV n.
+
+    Scale contract: the query side (all vectors) is broadcast as one
+    (n, dim) int64 code matrix, capped at ``max_vectors`` (raises
+    beyond) — this is the brute-force tier, same bound discipline as
+    cosine_topk.  The candidate scan stays distributed; each Arrow
+    batch scores all queries with one BLAS matmul and keeps batch-local
+    top-k, so the shuffle is k rows per (query, batch), never n^2.
+    Corpora past the cap belong to the IVF/LSH tiers (bucket the kNN
+    graph per cell, then run the identical vote).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = vectors.sparkSession
+
+    def codes_of(mat: np.ndarray) -> np.ndarray:
+        # codes kept in float64 so the dot matmul below hits BLAS dgemm
+        # (an int64 matmul is a naive numpy loop, measured ~50x slower
+        # at 20k x 20k); every value is an exact small integer and
+        # |dot| <= 64 * 127^2 ~ 1.03e6 << 2^53, so float64 is exact
+        mx = np.abs(mat).max(axis=1, keepdims=True)
+        safe = np.where(mx == 0, 1.0, mx)
+        out = np.floor(mat * 127.0 / safe)
+        return np.where(mx == 0, 0.0, out)
+
+    rows = (
+        vectors.select(id_col, vec_col, label_col)
+        .limit(max_vectors + 1)
+        .collect()
+    )
+    if len(rows) > max_vectors:
+        raise ValueError(
+            f"knn_label_purity exceeds max_vectors={max_vectors}; "
+            "use the IVF/LSH tiers for larger corpora"
+        )
+    if not rows:
+        return spark.createDataFrame(
+            [], "label int, n bigint, n_correct bigint, purity_ppm bigint"
+        )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_codes = codes_of(np.array([r[1] for r in rows], dtype=np.float64))
+    bq = spark.sparkContext.broadcast((q_ids, q_codes))
+
+    cand = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).cast("int").alias("cand_label"),
+    )
+
+    def partial_knn(it):
+        # Fully vectorized batch-local top-k: a strictly-total int64 key
+        # key = dot * nb - pos(cand_id) ranks by (dot desc, cand_id asc)
+        # with ZERO per-query Python work — pos is the candidate's rank
+        # in the batch's id order, so 0 <= pos < nb breaks every dot tie
+        # deterministically.  |dot| <= 64*127^2 ~ 1.03e6 and nb <= ~1e4
+        # per Arrow batch keep the key far inside int64.  argpartition
+        # is O(nb) per query row vs the O(nb log nb) lexsort the naive
+        # loop paid; queries are processed in row chunks to bound the
+        # (chunk x nb) dot matrix (~80 MB at the defaults).
+        ids_q, cq = bq.value
+        nq = len(ids_q)
+        # self-mask sentinel: far below any legit key (|key| <=
+        # 1.03e6 * nb) yet safe under the kernel's negation —
+        # np.iinfo(int64).min would WRAP back to itself in -key and
+        # rank self FIRST instead of last
+        neg_inf = -(1 << 62)
+        for pdf in it:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            labs = pdf["cand_label"].to_numpy(dtype=np.int64)
+            cc = codes_of(np.array(list(pdf["cv"]), dtype=np.float64))
+            pos = np.empty(nb, dtype=np.int64)
+            pos[np.argsort(ids, kind="stable")] = np.arange(nb)
+            frames = []
+            for s in range(0, nq, 1024):
+                q_ids = ids_q[s : s + 1024]
+                dots = np.rint(cq[s : s + 1024] @ cc.T).astype(np.int64)
+                key = dots * nb - pos[None, :]
+                key[ids[None, :] == q_ids[:, None]] = neg_inf  # self
+                kk = min(k, nb)
+                top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+                tkey = np.take_along_axis(key, top, axis=1)
+                order = np.argsort(-tkey, axis=1)
+                top = np.take_along_axis(top, order, axis=1)
+                tkey = np.take_along_axis(tkey, order, axis=1)
+                keep = tkey != neg_inf  # drop masked self slots
+                rows = np.repeat(q_ids, kk).reshape(-1, kk)[keep]
+                cols = top[keep]
+                tdot = np.take_along_axis(dots, top, axis=1)[keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": rows,
+                            "cand_id": ids[cols],
+                            "cand_label": labs[cols],
+                            "dot": tdot,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        partial_knn,
+        "query_id long, cand_id long, cand_label int, dot long",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "cand_label").agg(
+        F.count("*").alias("votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("cand_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"))
+    )
+    own = vectors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    return (
+        own.join(pred, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("pred_label") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr("n_correct * 1000000 DIV n").cast("bigint")
+            .alias("purity_ppm"),
+        )
+        .orderBy("label")
+    )

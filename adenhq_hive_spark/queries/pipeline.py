@@ -6853,3 +6853,115 @@ Q(QuerySpec(
         FROM agg CROSS JOIN ex
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_knn_purity",
+    doc="Embedding-space label-health probe (operators/similarity.py:"
+        "knn_label_purity): per-label kNN agreement — each vector's k=5 "
+        "nearest neighbors by int8-code dot product vote on its label, "
+        "rolled up as (label, n, n_correct, purity_ppm). Quantizing via "
+        "the pl_int8_quant floor discipline makes the kNN graph "
+        "integer-exact (ranking by float cosine admits cross-engine tie "
+        "ambiguity; the int dot with (dot desc, cand_id) tie-break does "
+        "not), so a geometry-vs-labels QC metric carries a full oracle "
+        "hash. Broadcast code matrix + distributed batch-local top-k "
+        "(shuffle k rows per query-batch, never n^2); corpora past the "
+        "cap belong to the IVF tier.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity",
+        fromlist=["knn_label_purity"],
+    ).knn_label_purity(load_table(spark, sf, "embeddings"), k=5),
+    oracle_sql_str="""
+        WITH m AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings
+        ),
+        codes AS (
+          SELECT vec_id, label,
+                 CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v, x -> floor(x * 127 / mx))
+                 END AS c
+          FROM m
+        ),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 c.label AS cand_label,
+                 CAST(list_inner_product(q.c, c.c) AS BIGINT) AS dot
+          FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, cand_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, cand_id) AS rnk
+          FROM pairs
+        ),
+        votes AS (
+          SELECT query_id, cand_label, COUNT(*) AS votes
+          FROM ranked WHERE rnk <= 5
+          GROUP BY query_id, cand_label
+        ),
+        pred AS (
+          SELECT query_id, cand_label AS pred_label
+          FROM (SELECT query_id, cand_label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, cand_label)
+                         AS vr
+                FROM votes) t
+          WHERE vr = 1
+        )
+        SELECT m.label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pred.pred_label = m.label
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN pred.pred_label = m.label
+                        THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT) AS purity_ppm
+        FROM m JOIN pred ON m.vec_id = pred.query_id
+        GROUP BY m.label
+        ORDER BY m.label
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_winsorize",
+    doc="Per-source winsorization report (operators/curation.py:"
+        "winsorize): rows outside the exact nearest-rank [p05, p95] "
+        "n_chars band with their clip target — the clip-don't-drop "
+        "complement to pl_mad_outliers (winsorizing preserves the "
+        "sample counts mixture planning relies on). Nearest-rank bounds "
+        "are observed integers, so the contract is integer-exact; ranks "
+        "via the distributed exact_rank plan, |sources|-row bounds "
+        "broadcast back.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["winsorize"]
+    ).winsorize(load_table(spark, sf, "documents"), "n_chars"),
+    oracle_sql_str="""
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        ),
+        b AS (
+          SELECT source,
+                 MAX(CASE WHEN rn = (5 * n + 99) // 100
+                     THEN n_chars END) AS lo,
+                 MAX(CASE WHEN rn = (95 * n + 99) // 100
+                     THEN n_chars END) AS hi
+          FROM r GROUP BY source
+        )
+        SELECT d.source, d.doc_id, d.n_chars,
+               CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+               CAST(CASE WHEN d.n_chars < b.lo THEN b.lo
+                    ELSE b.hi END AS BIGINT) AS clipped
+        FROM documents d JOIN b USING (source)
+        WHERE d.n_chars < b.lo OR d.n_chars > b.hi
+        ORDER BY d.source, d.doc_id
+    """,
+))

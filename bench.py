@@ -107,6 +107,8 @@ HEADLINE = [
     "pl_kappa",          # Cohen's kappa label agreement (r7)
     "pl_cms_registers",  # Count-Min sketch counter table (r7)
     "pl_kmv_distinct",   # KMV distinct-count sketch (r7)
+    "pl_knn_purity",     # kNN label-purity embedding QC (r7)
+    "pl_winsorize",      # per-source nearest-rank winsorization (r7)
 ]
 
 

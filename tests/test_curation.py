@@ -1377,3 +1377,50 @@ def test_mad_outliers_integral_scaled_stats(spark):
     assert sorted(r.doc_id for r in out) == ["a", "d"]
     assert all(r.mad4 == 18 for r in out)
     assert sorted(r.dev_x4 for r in out) == [20, 20]
+
+
+# ---- winsorize --------------------------------------------------------------
+
+
+def test_winsorize_nearest_rank_bounds_and_clip(spark):
+    from adenhq_hive_spark.operators.curation import winsorize
+
+    # one group, values 1..20: p05 rank = ceil(1) = 1 -> lo=1,
+    # p95 rank = ceil(19) = 19 -> hi=19; only value 20 clips
+    df = spark.createDataFrame(
+        [("a", i, i) for i in range(1, 21)],
+        "source string, doc_id long, n_chars long",
+    )
+    out = winsorize(df, "n_chars").collect()
+    assert [(r.source, r.doc_id, r.n_chars, r.lo, r.hi, r.clipped)
+            for r in out] == [("a", 20, 20, 1, 19, 19)]
+
+
+def test_winsorize_clips_both_tails_per_group(spark):
+    from adenhq_hive_spark.operators.curation import winsorize
+
+    rows = [("a", i, v) for i, v in enumerate([1000] + [10] * 48 + [0])]
+    rows += [("b", 100 + i, 5) for i in range(10)]  # constant group
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_chars long"
+    )
+    out = winsorize(df, "n_chars", lo_pct=10, hi_pct=90).collect()
+    got = {(r.source, r.doc_id): (r.clipped, r.lo, r.hi) for r in out}
+    # group a: n=50, lo rank ceil(5)=5 -> 10, hi rank ceil(45)=45 -> 10
+    assert got[("a", 0)] == (10, 10, 10)    # 1000 clips down to hi
+    assert got[("a", 49)] == (10, 10, 10)   # 0 clips up to lo
+    assert len(got) == 2                     # constant group never clips
+
+
+def test_winsorize_validates_percentiles(spark):
+    import pytest as _pt
+
+    from adenhq_hive_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1, 1)], "source string, doc_id long, n_chars long"
+    )
+    with _pt.raises(ValueError):
+        winsorize(df, "n_chars", lo_pct=60, hi_pct=40)
+    with _pt.raises(ValueError):
+        winsorize(df, "n_chars", lo_pct=-1)

@@ -690,3 +690,96 @@ def test_int8_quantize_reconstruction_error_bounded(spark):
            > F.col("mx") / 127.0 + 1e-9)
     ).count()
     assert bad == 0
+
+
+# ---- kNN label purity -------------------------------------------------------
+
+
+def _clustered(spark, per=8, dim=8):
+    # two tight, well-separated clusters: label 0 near +e0, label 1 near +e1
+    rows = []
+    for i in range(per):
+        v0 = [10.0] + [0.1 * ((i + j) % 3) for j in range(dim - 1)]
+        v1 = [0.1 * ((i + j) % 3) for j in range(dim - 1)] + [10.0]
+        rows.append((i, v0, 0))
+        rows.append((per + i, v1, 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_purity_separated_clusters_are_pure(spark):
+    from adenhq_hive_spark.operators.similarity import knn_label_purity
+
+    out = knn_label_purity(_clustered(spark), k=3).collect()
+    assert [(r.label, r.n, r.n_correct, r.purity_ppm) for r in out] == [
+        (0, 8, 8, 1000000),
+        (1, 8, 8, 1000000),
+    ]
+
+
+def test_knn_purity_partition_stable_and_self_excluded(spark):
+    from adenhq_hive_spark.operators.similarity import knn_label_purity
+
+    df = _clustered(spark)
+    base = knn_label_purity(df, k=3).collect()
+    assert base == knn_label_purity(df.repartition(7), k=3).collect()
+    # k=1 with one lone mislabeled vector inside the other cluster:
+    # its nearest neighbor is a cluster member, so it votes WRONG for
+    # itself (self must be excluded) and pollutes nothing else
+    lone = df.union(
+        spark.createDataFrame(
+            [(99, [10.0] + [0.0] * 7, 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    rows = {r.label: r for r in knn_label_purity(lone, k=1).collect()}
+    assert rows[1].n == 9 and rows[1].n_correct <= 8
+
+
+def test_knn_purity_caps_and_validates(spark):
+    import pytest as _pt
+
+    from adenhq_hive_spark.operators.similarity import knn_label_purity
+
+    df = _clustered(spark)
+    with _pt.raises(ValueError):
+        knn_label_purity(df, k=0)
+    with _pt.raises(ValueError):
+        knn_label_purity(df, k=3, max_vectors=4)
+
+
+def test_knn_purity_matches_bruteforce_reference(spark):
+    """Property pin vs a plain numpy reference (would catch e.g. the
+    self-mask sentinel overflowing under key negation and ranking self
+    FIRST, which silently shrank every neighbor list to k-1)."""
+    import numpy as _np
+
+    from adenhq_hive_spark.operators.similarity import knn_label_purity
+
+    rng = _np.random.RandomState(7)
+    n, dim, k = 40, 6, 3
+    mat = rng.randn(n, dim).astype(_np.float32)
+    labels = rng.randint(0, 3, n)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist(), int(labels[i])) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r.label): (r.n, r.n_correct)
+           for r in knn_label_purity(df, k=k).collect()}
+
+    m64 = mat.astype(_np.float64)
+    mx = _np.abs(m64).max(axis=1, keepdims=True)
+    codes = _np.floor(m64 * 127.0 / mx).astype(_np.int64)
+    dots = codes @ codes.T
+    want = {}
+    for i in range(n):
+        cand = [(int(-dots[i, j]), j) for j in range(n) if j != i]
+        top = sorted(cand)[:k]
+        votes = {}
+        for _, j in top:
+            votes[labels[j]] = votes.get(labels[j], 0) + 1
+        pred = min(votes, key=lambda lab: (-votes[lab], lab))
+        nn, nc = want.get(labels[i], (0, 0))
+        want[labels[i]] = (nn + 1, nc + (1 if pred == labels[i] else 0))
+    assert got == {int(k_): v for k_, v in want.items()}
