@@ -1992,3 +1992,65 @@ def winsorize(
         )
         .orderBy(group_col, id_col)
     )
+
+
+def seq_motif(
+    df: DataFrame,
+    motif: str,
+    key_col: str = "user_id",
+    symbol_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Count strict (consecutive) occurrences of a symbol motif in each
+    key's ordered event sequence — MATCH_RECOGNIZE-lite for behavioral
+    training data (the funnel q79 answers "did the user EVER convert";
+    this answers "how many times did the exact view->click->purchase
+    run occur, and where did it start").
+
+    Each event contributes one symbol (the first character of
+    ``symbol_col``); the per-key sequence is built in (ts, tiebreak)
+    order with the same sort-inside-the-aggregate shape as
+    event_sequences (one key shuffle, no window).  Matching is
+    LITERAL, counted non-overlapping via length arithmetic
+    ((len(s) - len(replace(s, motif))) / len(motif)) and positioned
+    with instr — no regex anywhere, so Java-regex (leftmost-first)
+    vs RE2 (leftmost-longest) semantic drift cannot reach the
+    contract.  Emits (key, n_events, motif_n, first_pos) for keys with
+    at least one match, ordered by key.
+    """
+    if not motif:
+        raise ValueError("motif must be non-empty")
+    sym = F.substring(F.col(symbol_col), 1, 1)
+    seq = (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col), F.col(tiebreak_col), sym.alias("sym")
+            ).alias("ev"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda e: e.sym
+                ),
+            ).alias("seq"),
+        )
+    )
+    m = len(motif)
+    return (
+        seq.withColumn(
+            "motif_n",
+            (
+                (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(motif))))
+                / m
+            ).cast("long"),
+        )
+        .withColumn("first_pos", F.instr(F.col("seq"), motif).cast("long"))
+        .filter(F.col("motif_n") > 0)
+        .select(key_col, "n_events", "motif_n", "first_pos")
+        .orderBy(key_col)
+    )

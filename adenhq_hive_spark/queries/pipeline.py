@@ -6965,3 +6965,74 @@ Q(QuerySpec(
         ORDER BY d.source, d.doc_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_scd2",
+    doc="SCD type-2 dimension build from the events change log "
+        "(operators/scd.py:scd2_intervals): one row per maximal run of "
+        "equal event_type per user in (ts, event_id) order, with "
+        "valid_from / valid_to (NULL = open) / is_current — the batch "
+        "complement to the CDC upsert/time-travel sink, encoding replay "
+        "history as range predicates a point-in-time join can push. Two "
+        "windows over ONE (user) x (ts, id) ordering = one shuffle, "
+        "reused.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.scd", fromlist=["scd2_intervals"]
+    ).scd2_intervals(
+        load_table(spark, sf, "events"),
+        "user_id", "event_type", "ts", "event_id",
+    ),
+    oracle_sql_str="""
+        WITH changed AS (
+          SELECT user_id, event_type, ts,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        runs AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts) AS valid_to
+          FROM changed
+          WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id, event_type, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM runs
+        ORDER BY user_id, valid_from
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_seq_motif",
+    doc="Strict-funnel motif counting per user (operators/curation.py:"
+        "seq_motif — MATCH_RECOGNIZE-lite): non-overlapping occurrences "
+        "of the consecutive view->click->purchase run ('vcp' over "
+        "first-letter symbols, (ts, event_id) order) with the 1-based "
+        "position of the first match. Literal matching via length "
+        "arithmetic + instr — regex-free, so Java-vs-RE2 semantics "
+        "cannot drift. Sort-inside-aggregate like pl_event_sequences: "
+        "one user-key shuffle, no window.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["seq_motif"]
+    ).seq_motif(load_table(spark, sf, "events"), "vcp"),
+    oracle_sql_str="""
+        WITH seqs AS (
+          SELECT user_id, COUNT(*) AS n_events,
+                 array_to_string(
+                   list(substr(event_type, 1, 1) ORDER BY ts, event_id),
+                   '') AS seq
+          FROM events
+          GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3
+                    AS BIGINT) AS motif_n,
+               CAST(strpos(seq, 'vcp') AS BIGINT) AS first_pos
+        FROM seqs
+        WHERE length(seq) - length(replace(seq, 'vcp', '')) > 0
+        ORDER BY user_id
+    """,
+))

@@ -109,6 +109,8 @@ HEADLINE = [
     "pl_kmv_distinct",   # KMV distinct-count sketch (r7)
     "pl_knn_purity",     # kNN label-purity embedding QC (r7)
     "pl_winsorize",      # per-source nearest-rank winsorization (r7)
+    "pl_scd2",           # SCD2 dimension build from the change log (r7)
+    "pl_seq_motif",      # strict-funnel motif counting (r7)
 ]
 
 
