@@ -717,3 +717,49 @@ def test_bloom_probe_is_shuffle_free(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---- round-7 continuation operators ----------------------------------------
+
+
+def test_cms_partial_aggregation_and_constant_shuffle(spark):
+    """The CMS counter aggregate must combine map-side: the shuffle then
+    carries at most depth*width keys per task, the constant-state
+    property the sketch exists for."""
+    plan = _plan(QUERIES["pl_cms_registers"].run(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    # the dense grid joins two spark.range legs, never a collected
+    # LocalTableScan
+    assert "LocalTableScan" not in plan
+
+
+def test_kmv_topk_is_take_ordered(spark):
+    """KMV's global k-smallest over the prefiltered hashes must compile
+    to TakeOrderedAndProject (O(k) driver traffic), not a global sort."""
+    plan = _plan(QUERIES["pl_kmv_distinct"].run(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_purity_no_cartesian(spark):
+    """The kNN graph comes from the broadcast-matrix kernel: the plan
+    must contain no join at all on the pair space — only the vote/rollup
+    joins on the k-row-per-query output."""
+    plan = _plan(QUERIES["pl_knn_purity"].run(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """The |sources|-row bound relation must come back as a broadcast,
+    never a shuffled join against the corpus."""
+    plan = _plan(QUERIES["pl_winsorize"].run(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seq_motif_single_shuffle_no_window(spark):
+    """Sort-inside-aggregate: one user-key exchange, no window operator
+    (the motif math is projection-level)."""
+    plan = _plan(QUERIES["pl_seq_motif"].run(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
