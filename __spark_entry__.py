@@ -8,7 +8,7 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-242 as of the round-7 window, 231 oracle-backed + 11 rows-only by
+243 as of the round-7 window, 232 oracle-backed + 11 rows-only by
 design) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
@@ -67,9 +67,10 @@ _CORE = [
     "pl_token_events", "pl_kappa", "pl_prf",
     "pl_cms_registers", "pl_cms_estimate", "pl_kmv_distinct",
     "pl_knn_purity", "pl_winsorize", "pl_scd2", "pl_seq_motif",
+    "pl_label_errors",
     # -- stratified regression canaries (driver-green r1-r5) --
     "q01", "q17", "q24", "q33",
-    "q57", "q58",
+    "q57",
     "pl_dedup_exact", "pl_minhash_portable", "pl_quality", "pl_lang_id",
 ]
 

@@ -1515,39 +1515,21 @@ def int8_quantize(
     )
 
 
-def knn_label_purity(
+def _knn_vote(
     vectors: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
-    max_vectors: int = 20_000,
-) -> DataFrame:
-    """Per-label kNN agreement over SQ8-quantized codes — the standard
-    embedding-space health probe for labeled training data (does the
-    geometry respect the labels?).
-
-    For every vector: its ``k`` nearest neighbors by int8-code dot
-    product (self excluded), the neighbors' majority label (ties ->
-    smaller label), and whether that matches the vector's own label;
-    rolled up per label as (label, n, n_correct, purity_ppm).
-
-    Integer-exact by construction, which is WHY it quantizes: ranking
-    by a float cosine admits cross-engine tie ambiguity, while the
-    int8 code dot (<= 64 * 127^2, exact in one float64 matmul) ranks
-    with (dot desc, cand_id asc) identically everywhere — the same
-    floor-not-round discipline as int8_quantize, applied to make a kNN
-    graph hash-reproducible.  purity_ppm = n_correct * 1e6 DIV n.
-
-    Scale contract: the query side (all vectors) is broadcast as one
-    (n, dim) int64 code matrix, capped at ``max_vectors`` (raises
-    beyond) — this is the brute-force tier, same bound discipline as
-    cosine_topk.  The candidate scan stays distributed; each Arrow
-    batch scores all queries with one BLAS matmul and keeps batch-local
-    top-k, so the shuffle is k rows per (query, batch), never n^2.
-    Corpora past the cap belong to the IVF/LSH tiers (bucket the kNN
-    graph per cell, then run the identical vote).
-    """
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    max_vectors: int,
+    caller: str,
+):
+    """Shared kNN majority-vote builder for knn_label_purity /
+    label_error_candidates: returns (pred, votes-kept) — per query_id
+    the winning neighbor label with its vote count — or None when the
+    input is empty.  See knn_label_purity for the quantization /
+    determinism / scale contract; this helper IS that contract, the
+    public functions are rollups over it."""
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = vectors.sparkSession
@@ -1569,13 +1551,11 @@ def knn_label_purity(
     )
     if len(rows) > max_vectors:
         raise ValueError(
-            f"knn_label_purity exceeds max_vectors={max_vectors}; "
+            f"{caller} exceeds max_vectors={max_vectors}; "
             "use the IVF/LSH tiers for larger corpora"
         )
     if not rows:
-        return spark.createDataFrame(
-            [], "label int, n bigint, n_correct bigint, purity_ppm bigint"
-        )
+        return None
     q_ids = np.array([r[0] for r in rows], dtype=np.int64)
     q_codes = codes_of(np.array([r[1] for r in rows], dtype=np.float64))
     bq = spark.sparkContext.broadcast((q_ids, q_codes))
@@ -1656,11 +1636,58 @@ def knn_label_purity(
     w_vote = Window.partitionBy("query_id").orderBy(
         F.col("votes").desc(), F.col("cand_label")
     )
-    pred = (
+    return (
         votes.withColumn("vr", F.row_number().over(w_vote))
         .filter(F.col("vr") == 1)
-        .select("query_id", F.col("cand_label").alias("pred_label"))
+        .select(
+            "query_id",
+            F.col("cand_label").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
     )
+
+
+def knn_label_purity(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_vectors: int = 20_000,
+) -> DataFrame:
+    """Per-label kNN agreement over SQ8-quantized codes — the standard
+    embedding-space health probe for labeled training data (does the
+    geometry respect the labels?).
+
+    For every vector: its ``k`` nearest neighbors by int8-code dot
+    product (self excluded), the neighbors' majority label (ties ->
+    smaller label), and whether that matches the vector's own label;
+    rolled up per label as (label, n, n_correct, purity_ppm).
+
+    Integer-exact by construction, which is WHY it quantizes: ranking
+    by a float cosine admits cross-engine tie ambiguity, while the
+    int8 code dot (<= 64 * 127^2, exact in one float64 matmul) ranks
+    with (dot desc, cand_id asc) identically everywhere — the same
+    floor-not-round discipline as int8_quantize, applied to make a kNN
+    graph hash-reproducible.  purity_ppm = n_correct * 1e6 DIV n.
+
+    Scale contract: the query side (all vectors) is broadcast as one
+    (n, dim) int64 code matrix, capped at ``max_vectors`` (raises
+    beyond) — this is the brute-force tier, same bound discipline as
+    cosine_topk.  The candidate scan stays distributed; each Arrow
+    batch scores all queries with one BLAS matmul and keeps batch-local
+    top-k, so the shuffle is k rows per (query, batch), never n^2.
+    Corpora past the cap belong to the IVF/LSH tiers (bucket the kNN
+    graph per cell, then run the identical vote).
+    """
+    pred = _knn_vote(
+        vectors, k, id_col, vec_col, label_col, max_vectors,
+        "knn_label_purity",
+    )
+    if pred is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "label int, n bigint, n_correct bigint, purity_ppm bigint"
+        )
     own = vectors.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).cast("int").alias("label"),
@@ -1682,4 +1709,57 @@ def knn_label_purity(
             .alias("purity_ppm"),
         )
         .orderBy("label")
+    )
+
+
+def label_error_candidates(
+    vectors: DataFrame,
+    k: int = 5,
+    min_votes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_vectors: int = 20_000,
+) -> DataFrame:
+    """Row-level label-error mining — confident-learning-lite (Northcutt
+    et al. 2021 shape): vectors whose k nearest neighbors vote some
+    OTHER label with at least ``min_votes`` agreement are flagged as
+    relabel/review candidates (the actionable complement to
+    knn_label_purity's per-label rollup: purity says WHERE the geometry
+    disagrees with the labels, this says WHICH rows to fix first).
+
+    Same quantized-kNN contract as knn_label_purity (shared _knn_vote
+    builder — integer-exact graph, broadcast code matrix capped at
+    ``max_vectors``, batch-local top-k).  Emits (id, label, pred_label,
+    votes) for disagreeing rows at or above the vote threshold, ordered
+    by (votes desc, id) — strongest evidence first.
+    """
+    if not (1 <= min_votes <= k):
+        raise ValueError("need 1 <= min_votes <= k")
+    pred = _knn_vote(
+        vectors, k, id_col, vec_col, label_col, max_vectors,
+        "label_error_candidates",
+    )
+    if pred is None:
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, {label_col} int, pred_label int, votes bigint",
+        )
+    own = vectors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    return (
+        own.join(pred, "query_id")
+        .filter(
+            (F.col("pred_label") != F.col("label"))
+            & (F.col("votes") >= min_votes)
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("label").alias(label_col),
+            "pred_label",
+            "votes",
+        )
+        .orderBy(F.desc("votes"), id_col)
     )

@@ -7036,3 +7036,69 @@ Q(QuerySpec(
         ORDER BY user_id
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_label_errors",
+    doc="Row-level label-error mining, confident-learning-lite "
+        "(operators/similarity.py:label_error_candidates — Northcutt "
+        "2021 shape): vectors whose k=5 quantized-kNN neighbors vote a "
+        "DIFFERENT label with >= 3 agreement, strongest evidence first "
+        "— the actionable complement to pl_knn_purity's rollup (purity "
+        "says WHERE the geometry disagrees, this says WHICH rows to "
+        "relabel). Shares the integer-exact _knn_vote kernel, so the "
+        "candidate list carries a full oracle hash.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.similarity",
+        fromlist=["label_error_candidates"],
+    ).label_error_candidates(
+        load_table(spark, sf, "embeddings"), k=5, min_votes=3
+    ),
+    oracle_sql_str="""
+        WITH m AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings
+        ),
+        codes AS (
+          SELECT vec_id, label,
+                 CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v, x -> floor(x * 127 / mx))
+                 END AS c
+          FROM m
+        ),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 c.label AS cand_label,
+                 CAST(list_inner_product(q.c, c.c) AS BIGINT) AS dot
+          FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, cand_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, cand_id) AS rnk
+          FROM pairs
+        ),
+        votes AS (
+          SELECT query_id, cand_label, COUNT(*) AS votes
+          FROM ranked WHERE rnk <= 5
+          GROUP BY query_id, cand_label
+        ),
+        pred AS (
+          SELECT query_id, cand_label AS pred_label, votes
+          FROM (SELECT query_id, cand_label, votes,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, cand_label)
+                         AS vr
+                FROM votes) t
+          WHERE vr = 1
+        )
+        SELECT m.vec_id, m.label, pred.pred_label,
+               CAST(pred.votes AS BIGINT) AS votes
+        FROM m JOIN pred ON m.vec_id = pred.query_id
+        WHERE pred.pred_label <> m.label AND pred.votes >= 3
+        ORDER BY votes DESC, m.vec_id
+    """,
+))

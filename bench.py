@@ -111,6 +111,7 @@ HEADLINE = [
     "pl_winsorize",      # per-source nearest-rank winsorization (r7)
     "pl_scd2",           # SCD2 dimension build from the change log (r7)
     "pl_seq_motif",      # strict-funnel motif counting (r7)
+    "pl_label_errors",   # confident-learning label-error mining (r7)
 ]
 
 

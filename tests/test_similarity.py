@@ -783,3 +783,38 @@ def test_knn_purity_matches_bruteforce_reference(spark):
         nn, nc = want.get(labels[i], (0, 0))
         want[labels[i]] = (nn + 1, nc + (1 if pred == labels[i] else 0))
     assert got == {int(k_): v for k_, v in want.items()}
+
+
+def test_label_errors_flags_planted_mislabel(spark):
+    from adenhq_hive_spark.operators.similarity import (
+        label_error_candidates,
+    )
+
+    df = _clustered(spark).union(
+        spark.createDataFrame(
+            # sits inside cluster 0's geometry but carries label 1
+            [(99, [10.0] + [0.05] * 7, 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    out = label_error_candidates(df, k=3, min_votes=3).collect()
+    assert [(r.vec_id, r.label, r.pred_label, r.votes) for r in out] == [
+        (99, 1, 0, 3)
+    ]
+    # clean data: nothing to flag
+    assert label_error_candidates(_clustered(spark), k=3,
+                                  min_votes=3).count() == 0
+
+
+def test_label_errors_validates_threshold(spark):
+    import pytest as _pt
+
+    from adenhq_hive_spark.operators.similarity import (
+        label_error_candidates,
+    )
+
+    df = _clustered(spark)
+    with _pt.raises(ValueError):
+        label_error_candidates(df, k=3, min_votes=4)
+    with _pt.raises(ValueError):
+        label_error_candidates(df, k=3, min_votes=0)
