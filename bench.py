@@ -120,6 +120,11 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    global LOAD_AT_START
+    try:
+        LOAD_AT_START = round(os.getloadavg()[0], 2)
+    except OSError:
+        LOAD_AT_START = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -401,6 +406,13 @@ def main() -> None:
         out["streaming_rows_per_sec"] = streaming["rows_per_sec"]
         if "scale" in streaming:
             out["streaming_scale"] = streaming["scale"]
+    # 1-min load average at bench START: host-level contention invisible
+    # inside the guest measured +/-25% on identical code (BASELINE.md
+    # drift notes) — recording it makes a hot sample self-identifying.
+    try:
+        out["load_1m_at_start"] = LOAD_AT_START
+    except NameError:
+        pass
     # Protocol guard (driver tail-capture is 2000 chars): if the compact
     # line ever grows past the budget, shed optional fields rather than
     # aborting after all measurement work is done — an assert here would
