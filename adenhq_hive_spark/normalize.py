@@ -11,6 +11,14 @@ plain string (no exponent); timestamps → ``YYYY-MM-DD HH:MM:SS.ffffff``
 ISO; NULL → ``\\N``; cells joined with TAB, rows with NL; sha256.
 Columns are sorted by name and rows sorted lexicographically, making the
 hash order-insensitive (mirrors the driver's compare).
+
+``strict=True`` keeps ``-0.0`` distinct from ``+0.0`` (the driver's
+hash does — CORRECTNESS_r07 failed pl_jl_project on exactly one signed
+zero the lenient mode here collapsed).  The declared queries must not
+DEPEND on the lenient collapse: check_oracle runs strict, so any oracle
+whose engine/oracle pair can disagree on a zero's sign fails locally
+before the driver sees it (SURVEY §5.4: the harness may normalize, the
+queries must not rely on it).
 """
 
 from __future__ import annotations
@@ -22,7 +30,7 @@ from decimal import Decimal
 from typing import Any, Sequence
 
 
-def norm_cell(v: Any) -> str:
+def norm_cell(v: Any, strict: bool = False) -> str:
     if v is None:
         return r"\N"
     if isinstance(v, bool):
@@ -31,8 +39,8 @@ def norm_cell(v: Any) -> str:
         if math.isnan(v):
             return "NaN"
         r = round(v, 4)
-        if r == 0.0:
-            r = 0.0  # collapse -0.0
+        if not strict and r == 0.0:
+            r = 0.0  # collapse -0.0 (lenient mode only)
         return repr(r)
     if isinstance(v, Decimal):
         return str(v.normalize()) if v == v.to_integral_value() else str(v)
@@ -41,20 +49,30 @@ def norm_cell(v: Any) -> str:
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        return "[" + ",".join(norm_cell(x, strict) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def normalize(columns: Sequence[str], rows: Sequence[Sequence[Any]]) -> str:
+def normalize(
+    columns: Sequence[str],
+    rows: Sequence[Sequence[Any]],
+    strict: bool = False,
+) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out_rows = sorted(
-        "\t".join(norm_cell(row[i]) for i in order) for row in rows
+        "\t".join(norm_cell(row[i], strict) for i in order) for row in rows
     )
     header = "\t".join(columns[i] for i in order)
     return header + "\n" + "\n".join(out_rows)
 
 
-def result_hash(columns: Sequence[str], rows: Sequence[Sequence[Any]]) -> str:
-    return hashlib.sha256(normalize(columns, rows).encode("utf-8")).hexdigest()
+def result_hash(
+    columns: Sequence[str],
+    rows: Sequence[Sequence[Any]],
+    strict: bool = False,
+) -> str:
+    return hashlib.sha256(
+        normalize(columns, rows, strict).encode("utf-8")
+    ).hexdigest()

@@ -1456,16 +1456,23 @@ def jl_project(
     cols = []
     for j in range(out_dims):
         sarr = F.array(*[F.lit(s) for s in signs[j]])
-        val = F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), sarr, lambda x, s: x.cast("double") * s
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
+        # `+ 0.0` collapses IEEE -0.0 to +0.0 (−0.0 + 0.0 = +0.0): the
+        # round can emit a signed zero whose SIGN differs across engines
+        # (Spark F.round vs DuckDB ROUND) even when every other bit of
+        # the fold is identical — the oracle applies the same `+ 0.0`.
+        val = (
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), sarr, lambda x, s: x.cast("double") * s
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                * inv,
+                4,
             )
-            * inv,
-            4,
+            + F.lit(0.0)
         )
         cols.append(F.struct(F.lit(j).alias("dim"), val.alias("value")))
     return df.select(

@@ -1,7 +1,12 @@
 """Run every declared query on Spark and DuckDB at a given SF; report
 mismatches.  Local stand-in for the driver's CORRECTNESS gate.
 
-Usage: python scripts/check_oracle.py [sf_dir] [--only q01,q02,...]
+Compares in STRICT normalization mode (-0.0 kept distinct from +0.0),
+which is at least as strict as the driver's hash — the r7 pl_jl_project
+red row was a signed zero the lenient local mode collapsed.  Pass
+--lenient to reproduce the old behavior.
+
+Usage: python scripts/check_oracle.py [sf_dir] [--only q01,...] [--lenient]
 """
 
 from __future__ import annotations
@@ -24,6 +29,9 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    strict = "--lenient" not in argv
+    if not strict:
+        argv.remove("--lenient")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -52,8 +60,8 @@ def main() -> int:
         rel = con.execute(spec.oracle)
         dcols = [d[0] for d in rel.description]
         drows = rel.fetchall()
-        s_norm = normalize(cols, rows)
-        d_norm = normalize(dcols, drows)
+        s_norm = normalize(cols, rows, strict=strict)
+        d_norm = normalize(dcols, drows, strict=strict)
         ok = s_norm == d_norm
         if not ok:
             failures.append(name)

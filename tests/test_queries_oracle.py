@@ -31,8 +31,10 @@ def test_oracle_match(spark, ducks, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
     )
-    s_norm = normalize(spark_cols, spark_rows)
-    d_norm = normalize(duck_cols, duck_rows)
+    # strict: -0.0 stays distinct — the driver's hash does not collapse
+    # signed zeros (r7 pl_jl_project), so the local gate must not either
+    s_norm = normalize(spark_cols, spark_rows, strict=True)
+    d_norm = normalize(duck_cols, duck_rows, strict=True)
     if s_norm != d_norm:
         s_lines, d_lines = s_norm.splitlines(), d_norm.splitlines()
         diffs = [
