@@ -1960,17 +1960,20 @@ def winsorize(
         ranked.join(F.broadcast(n), "grp")
         .groupBy("grp")
         .agg(
+            # nearest-rank clamped to >= 1: p0 maps to the observed
+            # minimum instead of rank 0 (which matches no row and made
+            # lo NULL, silently unflagging the lower tail)
             F.max(
                 F.when(
                     F.col("rn")
-                    == F.expr(f"({lo_pct} * n + 99) div 100"),
+                    == F.expr(f"greatest(({lo_pct} * n + 99) div 100, 1)"),
                     F.col("v"),
                 )
             ).alias("lo"),
             F.max(
                 F.when(
                     F.col("rn")
-                    == F.expr(f"({hi_pct} * n + 99) div 100"),
+                    == F.expr(f"greatest(({hi_pct} * n + 99) div 100, 1)"),
                     F.col("v"),
                 )
             ).alias("hi"),

@@ -60,6 +60,36 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ordered_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Expand sorted posting arrays into ordered (id_a, id_b) pair rows
+    via TWO pipelined Generates (posexplode -> slice -> explode) instead
+    of one flatten(transform(...)) expression.
+
+    Same pairs in the same order, but the flatten form materializes ALL
+    d(d-1)/2 pair structs of one posting row as a single contiguous
+    array before its explode — at sf10 a boilerplate shingle shared by
+    ~16k of 500k docs produced ~1 GB humongous allocations that
+    GCLocker-thrashed the JVM (BASELINE.md round-7 sf10 table, the
+    pl_dedup_incremental wall).  The two-stage form's peak per generated
+    row is O(d) (the posting array itself); the d² pair rows stream
+    through the stage without ever co-existing in memory.
+    """
+    return (
+        postings.filter(F.size(ids_col) > 1)
+        .select(F.col(ids_col), F.posexplode(ids_col).alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col(ids_col),
+                    F.col("_i") + F.lit(2),
+                    F.size(ids_col) - F.col("_i") - F.lit(1),
+                )
+            ).alias("id_b"),
+        )
+    )
+
+
 def exact_duplicate_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -150,16 +180,7 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         postings = postings.filter(F.size("ids") <= max_shingle_df)
-    pair_struct = (
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "b -> struct(a AS id_a, b AS id_b))))"
-    )
-    pairs = (
-        postings.filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(pair_struct)).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
+    pairs = _ordered_pairs(postings)
     if max_shingle_df is not None:
         # candidates only; verify with the FULL shingle sets so the cap
         # never changes a reported jaccard value
@@ -274,17 +295,7 @@ def minhash_lsh_pairs(
     postings = band_entries.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
-    pair_struct = (
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "b -> struct(a AS id_a, b AS id_b))))"
-    )
-    cand = (
-        postings.filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(pair_struct)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _ordered_pairs(postings).dropDuplicates(["id_a", "id_b"])
     sh = sig.select("id", "sh")
     with_sets = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -603,17 +614,7 @@ def minhash_lsh_pairs_portable(
     postings = bands.groupBy("band", "key").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
-    pair_struct = (
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "b -> struct(a AS id_a, b AS id_b))))"
-    )
-    cand = (
-        postings.filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(pair_struct)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _ordered_pairs(postings).dropDuplicates(["id_a", "id_b"])
     with_sets = cand.join(
         sh.withColumnsRenamed({"id": "id_a", "shs": "sh_a"}), "id_a"
     ).join(sh.withColumnsRenamed({"id": "id_b", "shs": "sh_b"}), "id_b")
@@ -1096,23 +1097,13 @@ def containment_pairs(
     )
     if max_shingle_df is not None:
         postings = postings.filter(F.size("ids") <= max_shingle_df)
-    pair_struct = (
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "b -> struct(a AS id_a, b AS id_b))))"
-    )
     from .text import frac4
 
     if max_shingle_df is not None:
         # candidates only; verify with the FULL shingle sets so the cap
         # never changes a reported containment value (the
         # ngram_jaccard_pairs capped-branch contract)
-        cand = (
-            postings.filter(F.size("ids") > 1)
-            .select(F.explode(F.expr(pair_struct)).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        cand = _ordered_pairs(postings).dropDuplicates(["id_a", "id_b"])
         cand = cand.union(
             cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
@@ -1137,9 +1128,7 @@ def containment_pairs(
             )
         )
     inter = (
-        postings.filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(pair_struct)).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _ordered_pairs(postings)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -483,6 +483,49 @@ def _spread(narrow: DataFrame) -> DataFrame:
     return narrow
 
 
+def _cms_bucket(width: int) -> F.Column:
+    """hash_j(v) = int(md5(v || '#' || j)[0:8], 16) mod width over the
+    string columns ``v`` (value) and ``row`` (hash-row index) — THE one
+    definition of the CMS bucket contract.  cms_counters, the map side
+    of cms_point_estimates, and its candidate probe all call this, so
+    the hash can never silently diverge between the sketch builder and
+    the prober (the matching DuckDB arithmetic lives in the pl_cms_*
+    oracles: ``('0x' || substr(md5(..), 1, 8))::BIGINT % width``).
+    """
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("v"), F.lit("#"), F.col("row").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).alias("bucket")
+
+
+def _cms_sparse_counters(
+    df: DataFrame, value_col: str, depth: int, width: int
+) -> DataFrame:
+    """Sparse (row, bucket, cnt) CMS counters — the shared map side of
+    cms_counters (which densifies over the grid) and
+    cms_point_estimates (which probes it directly)."""
+    seeds = F.array(*[F.lit(j) for j in range(depth)])
+    return (
+        _spread(df.select(F.col(value_col).cast("string").alias("v")))
+        .select(F.explode(seeds).alias("row"), "v")
+        .select("row", _cms_bucket(width))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def cms_counters(
     df: DataFrame, value_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
@@ -500,34 +543,7 @@ def cms_counters(
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     spark = df.sparkSession
-    seeds = F.array(*[F.lit(j) for j in range(depth)])
-    got = (
-        _spread(df.select(F.col(value_col).cast("string").alias("v")))
-        .select(F.explode(seeds).alias("row"), "v")
-        .select(
-            "row",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("v"),
-                                F.lit("#"),
-                                F.col("row").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            ).alias("bucket"),
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    got = _cms_sparse_counters(df, value_col, depth, width)
     grid = (
         spark.range(depth)
         .select(F.col("id").cast("int").alias("row"))
@@ -562,38 +578,7 @@ def cms_point_estimates(
     counter table (the candidate itself contributed), so the inner join
     is total; the candidate side is top_n*d rows and broadcast.
     """
-    counters = (
-        _spread(df.select(F.col(value_col).cast("string").alias("v")))
-        .select(
-            F.explode(
-                F.array(*[F.lit(j) for j in range(depth)])
-            ).alias("row"),
-            "v",
-        )
-        .select(
-            "row",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("v"),
-                                F.lit("#"),
-                                F.col("row").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            ).alias("bucket"),
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    counters = _cms_sparse_counters(df, value_col, depth, width)
     cand = (
         df.select(F.col(value_col).cast("string").alias("v"))
         .groupBy("v")
@@ -607,29 +592,7 @@ def cms_point_estimates(
         F.explode(
             F.array(*[F.lit(j) for j in range(depth)])
         ).alias("row"),
-    ).select(
-        "v",
-        "n_exact",
-        "row",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("v"),
-                            F.lit("#"),
-                            F.col("row").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("bucket"),
-    )
+    ).select("v", "n_exact", "row", _cms_bucket(width))
     return (
         F.broadcast(cand_h)
         .join(counters, ["row", "bucket"])

@@ -7034,15 +7034,18 @@ Q(QuerySpec(
     ),
     oracle_sql_str="""
         WITH changed AS (
-          SELECT user_id, event_type, ts,
+          SELECT user_id, event_type, ts, event_id,
                  LAG(event_type) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev
           FROM events
         ),
         runs AS (
+          -- LEAD ordered by (ts, event_id), same tiebreak as the LAG
+          -- above and the Spark window — a duplicate (user_id, ts)
+          -- would otherwise make valid_to nondeterministic
           SELECT user_id, event_type, ts AS valid_from,
                  LEAD(ts) OVER (PARTITION BY user_id
-                                ORDER BY ts) AS valid_to
+                                ORDER BY ts, event_id) AS valid_to
           FROM changed
           WHERE prev IS NULL OR event_type <> prev
         )

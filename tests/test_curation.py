@@ -1412,6 +1412,21 @@ def test_winsorize_clips_both_tails_per_group(spark):
     assert len(got) == 2                     # constant group never clips
 
 
+def test_winsorize_p0_maps_to_observed_minimum(spark):
+    from adenhq_hive_spark.operators.curation import winsorize
+
+    # lo_pct=0: nearest-rank clamps to rank 1, so lo = group minimum and
+    # nothing clips low; hi bound still flags the upper tail with lo set
+    # (the pre-fix behavior emitted lo=NULL and unflagged the lower tail)
+    df = spark.createDataFrame(
+        [("a", i, i) for i in range(1, 21)],
+        "source string, doc_id long, n_chars long",
+    )
+    out = winsorize(df, "n_chars", lo_pct=0, hi_pct=95).collect()
+    assert [(r.source, r.doc_id, r.n_chars, r.lo, r.hi, r.clipped)
+            for r in out] == [("a", 20, 20, 1, 19, 19)]
+
+
 def test_winsorize_validates_percentiles(spark):
     import pytest as _pt
 
