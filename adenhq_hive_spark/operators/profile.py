@@ -387,6 +387,78 @@ def label_agreement(
     return out.orderBy(*g) if g else out
 
 
+def kripp_alpha(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, two raters, no missing
+    data) between two categorical label columns — the agreement
+    coefficient that generalizes :func:`label_agreement`'s kappa by
+    correcting chance with the POOLED value distribution instead of
+    per-rater marginals (Krippendorff 2004), which is the right null
+    when the two columns are interchangeable annotators rather than
+    truth-vs-prediction.
+
+    With two raters and units u holding values (a_u, b_u):
+      observed disagreement  Do = D / n          with D = 2·#{a_u ≠ b_u}
+      expected disagreement  De = (n² − S) / (n(n−1))
+      alpha = 1 − Do/De = 1 − D·(n−1) / (n² − S)
+    where n = 2·#units (total pooled values), n_c the pooled count of
+    class c, S = Σ_c n_c².  Every quantity up to the final division is
+    an exact BIGINT (documented bound: S and n² stay under int64 for
+    n ≤ ~3·10⁹ pooled values — same envelope as kappa's s_ab), the
+    final alpha is one double division, so the result hashes across
+    engines with ROUND(.., 6).  Degenerate De = 0 (every value
+    identical) pins alpha = 1.0.
+
+    Scale: one corpus scan into a (group, class-pair) groupBy — the
+    state is |groups|·|classes|² rows; everything after is
+    metadata-sized.  Emits (group?, n_units, disagree, alpha_r6)
+    ordered by group.
+    """
+    g = [group_col] if group_col else []
+    cnt = (
+        df.groupBy(*g, F.col(col_a).alias("la"), F.col(col_b).alias("lb"))
+        .agg(F.count("*").alias("c"))
+    )
+    pooled = cnt.select(
+        *g,
+        "c",
+        F.when(F.col("la") != F.col("lb"), F.col("c"))
+        .otherwise(F.lit(0))
+        .alias("dis"),
+        F.explode(F.array(F.col("la"), F.col("lb"))).alias("cls"),
+    )
+    # one exploded row per rater side: a (la, lb) unit lands c on cls=la
+    # and c on cls=lb, so sum(c) by cls IS the pooled per-class count
+    # (an agreeing unit's two rows share the class and correctly sum to
+    # 2c); dis rides both rows, so sum(dis) = 2·#disagreeing-units = D
+    n_c = pooled.groupBy(*g, "cls").agg(
+        F.sum("c").alias("n_c"),
+        F.sum("dis").alias("dis2"),
+    )
+    tot = n_c.groupBy(*g).agg(
+        F.sum("n_c").alias("n"),
+        F.sum(F.col("n_c") * F.col("n_c")).alias("s"),
+        F.sum("dis2").alias("d2"),
+    )
+    d = F.col("d2")
+    n = F.col("n")
+    de_num = n * n - F.col("s")
+    alpha = F.when(de_num == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - (d.cast("double") * (n - 1)) / de_num
+    )
+    out = tot.select(
+        *g,
+        (n / 2).cast("long").alias("n_units"),
+        (d / 2).cast("long").alias("disagree"),
+        F.round(alpha, 6).alias("alpha_r6"),
+    )
+    return out.orderBy(*g) if g else out
+
+
 def classification_report(
     df: DataFrame,
     truth_col: str,

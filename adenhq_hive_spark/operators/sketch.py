@@ -678,3 +678,132 @@ def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
         est.alias("estimate"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
+
+
+# ---- HDR log-histogram quantile sketch --------------------------------------
+#
+# The quantile member of the mergeable-summary tier (HLL = distinct, CMS =
+# frequency, KMV = distinct-alt, Misra-Gries = heavy hitters, THIS =
+# percentiles).  HdrHistogram-style integer bucketing (Tene; also the
+# DDSketch idea with a power-of-two gamma): non-negative longs map to
+# bucket v itself below 16, else (bitlen(v)-4)*8 + (v >> (bitlen(v)-4)) —
+# 8 sub-buckets per octave, so every bucket spans <= 12.5% of its lower
+# bound and a quantile read off the histogram has <= 12.5% relative error
+# by construction.  EVERYTHING is integer arithmetic on both engines
+# (bitlen = length(bin(v)) — bit-identical in Spark and DuckDB, probed),
+# so the sketch state AND the estimates carry a full oracle hash.
+#
+# 100 TB story: the sketch is ONE groupBy on (group, bucket) with map-side
+# partial aggregation — at most ~500 buckets per group regardless of row
+# count, so the shuffle is constant-size where an exact percentile
+# range-partitions the data.  Merging shards = summing bucket counts
+# (elementwise-addable, same contract as cms_counters).
+
+
+def hist_bucket_sql(v: str = "v") -> str:
+    """HDR bucket index of a non-negative long column, as a SQL fragment
+    valid on BOTH engines (bin() and the >> operator probed
+    bit-identical on Spark 4 and DuckDB) — the one definition the
+    operator and the DuckDB oracles share, same discipline as
+    _cms_bucket."""
+    return (
+        f"CASE WHEN {v} <= 15 THEN {v} "
+        f"ELSE (length(bin({v})) - 4) * 8 "
+        f"+ ({v} >> (length(bin({v})) - 4)) END"
+    )
+
+
+def hist_bucket_lb_sql(b: str = "bucket") -> str:
+    """Lower bound of an HDR bucket (inverse of hist_bucket_sql), as an
+    engine-shared SQL fragment."""
+    return (
+        f"CASE WHEN {b} <= 15 THEN {b} "
+        f"ELSE (8 + ({b} % 8)) << (CAST(({b} >> 3) AS INT) - 1) END"
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group nearest-rank percentile estimates from the HDR
+    log-histogram sketch, next to the exact nearest-rank values — the
+    accuracy ledger for the quantile sketch (the cms_point_estimates
+    pattern).
+
+    estimate(p) = lower bound of the first bucket whose cumulative
+    count reaches rank ceil(p*n/100) (clamped >= 1) — always <= the
+    exact value and within 12.5% of it by the bucket-width bound
+    (pinned in tests).  ``value_col`` must be non-negative (negatives
+    raise at plan build).
+
+    Emits (group, pct, n, est, exact) ordered by (group, pct).
+
+    Plan: histogram = one (group, bucket) shuffle with partial agg and
+    <= ~500 buckets/group; the cumulative window runs over that
+    metadata-sized relation.  The exact column reuses the distributed
+    exact_rank plan; drop it (and its rank pass) at true scale — the
+    sketch alone is the constant-state path.
+    """
+    from .ranking import exact_rank
+
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("_id"),
+        v.alias("v"),
+    ).filter(F.col("v").isNotNull())
+    hist = (
+        base.select(
+            "grp",
+            F.expr(
+                "CASE WHEN v < 0 THEN raise_error('hist_quantiles: "
+                "negative value') ELSE " + hist_bucket_sql("v") + " END"
+            ).alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = base.groupBy("grp").agg(F.count("*").alias("n"))
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)) for p in percentiles])
+    ).alias("pct")
+    targets = n.select("grp", "n", pcts).withColumn(
+        "target", F.expr("greatest((pct * n + 99) div 100, 1)")
+    )
+    est = (
+        targets.join(cum, "grp")
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("grp", "pct", "n", "target")
+        .agg(F.min(F.expr(hist_bucket_lb_sql("bucket"))).alias("est"))
+    )
+    ranked = exact_rank(
+        base, order_cols=("v", "_id"), part_cols=("grp",), rank_col="rn"
+    )
+    exact = (
+        targets.join(ranked, ["grp"])
+        .filter(F.col("rn") == F.col("target"))
+        .groupBy("grp", "pct")
+        .agg(F.max("v").alias("exact"))
+    )
+    return (
+        est.join(exact, ["grp", "pct"])
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n").cast("long").alias("n"),
+            F.col("est").cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+        )
+        .orderBy(group_col, "pct")
+    )

@@ -7154,3 +7154,155 @@ Q(QuerySpec(
         ORDER BY votes DESC, m.vec_id
     """,
 ))
+
+
+# ---- round 8: quantile sketch, agreement, leakage-safe split, PMI -----------
+
+def _hist_oracle() -> str:
+    from ..operators.sketch import hist_bucket_lb_sql, hist_bucket_sql
+
+    return f"""
+        WITH base AS (
+          SELECT source AS grp, doc_id AS _id,
+                 CAST(length(text) AS BIGINT) AS v
+          FROM documents
+        ),
+        hist AS (
+          SELECT grp, {hist_bucket_sql("v")} AS bucket, COUNT(*) AS cnt
+          FROM base GROUP BY grp, bucket
+        ),
+        cum AS (
+          SELECT grp, bucket,
+                 SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+          FROM hist
+        ),
+        nn AS (SELECT grp, COUNT(*) AS n FROM base GROUP BY grp),
+        targets AS (
+          SELECT grp, n, pct,
+                 greatest((pct * n + 99) // 100, 1) AS target
+          FROM nn, (SELECT unnest([50, 90, 99]) AS pct)
+        ),
+        est AS (
+          SELECT t.grp, t.pct, t.n,
+                 MIN({hist_bucket_lb_sql("c.bucket")}) AS est
+          FROM targets t JOIN cum c ON c.grp = t.grp AND c.cum >= t.target
+          GROUP BY t.grp, t.pct, t.n
+        ),
+        ranked AS (
+          SELECT grp, v,
+                 ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY v, _id) AS rn
+          FROM base
+        ),
+        ex AS (
+          SELECT t.grp, t.pct, MAX(r.v) AS exact
+          FROM targets t JOIN ranked r ON r.grp = t.grp
+                                      AND r.rn = t.target
+          GROUP BY t.grp, t.pct
+        )
+        SELECT e.grp AS source, CAST(e.pct AS INT) AS pct,
+               CAST(e.n AS BIGINT) AS n, CAST(e.est AS BIGINT) AS est,
+               CAST(x.exact AS BIGINT) AS exact
+        FROM est e JOIN ex x ON x.grp = e.grp AND x.pct = e.pct
+        ORDER BY source, pct
+    """
+
+
+def _hist_quantiles_q(spark, sf):
+    from ..operators.sketch import hist_quantiles
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    return hist_quantiles(docs, "n_chars")
+
+
+Q(QuerySpec(
+    name="pl_hist_quantiles",
+    doc="Per-source p50/p90/p99 document-length estimates from the HDR "
+        "integer log-histogram quantile sketch, next to exact "
+        "nearest-rank values (operators/sketch.py:hist_quantiles — the "
+        "quantile member of the mergeable-summary tier: HdrHistogram/"
+        "DDSketch bucketing, 8 sub-buckets per octave = <= 12.5% "
+        "relative error by construction). All-integer bucket math "
+        "(length(bin(v)) and >> — probed bit-identical on both "
+        "engines), so sketch AND estimates carry a full oracle hash. "
+        "Scale: one (group, bucket) shuffle with partial agg, <= ~500 "
+        "buckets/group regardless of rows; shard merge = summing "
+        "counts.",
+    builder=_hist_quantiles_q,
+    oracle_sql_str=_hist_oracle(),
+))
+
+
+Q(QuerySpec(
+    name="pl_kripp_alpha",
+    doc="Krippendorff's alpha (nominal, two raters) per source between "
+        "the declared lang column and the engine's language-ID "
+        "prediction (operators/profile.py:kripp_alpha) — completes the "
+        "agreement pair with pl_kappa: kappa corrects chance with "
+        "per-rater marginals (truth-vs-prediction), alpha with the "
+        "POOLED distribution (interchangeable annotators). "
+        "alpha = 1 - D(n-1)/(n^2 - S) over exact BIGINTs (D = 2x "
+        "disagreeing units, n = pooled values, S = sum of squared "
+        "pooled class counts); one double division at the end, "
+        "ROUND(..,6) hash. One corpus scan, no joins.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile", fromlist=["kripp_alpha"]
+    ).kripp_alpha(
+        lang_id(load_table(spark, sf, "documents")),
+        "lang", "lang_pred", group_col="source",
+    ),
+    oracle_sql_str=r"""
+        WITH h AS (
+          SELECT source, lang,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['the','and','of','to','is'])) AS h_en,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['der','die','und','ist','nicht'])) AS h_de,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['el','la','que','de','es'])) AS h_es,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['le','la','et','est','les'])) AS h_fr,
+                 len(list_intersect(string_split_regex(text, '\s+'),
+                     ['的','是','了','在','不'])) AS h_zh
+          FROM documents
+        ),
+        p AS (
+          SELECT source, lang,
+                 CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'de'
+                      WHEN h_es = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'es'
+                      WHEN h_fr = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'fr'
+                      ELSE 'zh' END AS lang_pred
+          FROM h
+        ),
+        cnt AS (SELECT source, lang AS la, lang_pred AS lb, COUNT(*) AS c
+                FROM p GROUP BY 1, 2, 3),
+        pooled AS (
+          SELECT source, cls, SUM(c) AS n_c, SUM(dis) AS dis2
+          FROM (
+            SELECT source, c,
+                   CASE WHEN la <> lb THEN c ELSE 0 END AS dis,
+                   unnest([la, lb]) AS cls
+            FROM cnt
+          )
+          GROUP BY source, cls
+        ),
+        tot AS (
+          SELECT source, SUM(n_c) AS n, SUM(n_c * n_c) AS s,
+                 SUM(dis2) AS d2
+          FROM pooled GROUP BY source
+        )
+        SELECT source,
+               CAST(n // 2 AS BIGINT) AS n_units,
+               CAST(d2 // 2 AS BIGINT) AS disagree,
+               ROUND(CASE WHEN n * n - s = 0 THEN 1.0
+                     ELSE 1.0 - (CAST(d2 AS DOUBLE) * (n - 1))
+                                / (n * n - s)
+                     END, 6) AS alpha_r6
+        FROM tot
+        ORDER BY source
+    """,
+))

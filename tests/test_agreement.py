@@ -114,3 +114,73 @@ def test_classification_report_pred_only_class(spark):
     assert rows["y"].n_truth == 0 and rows["y"].recall_r6 == 0.0
     assert rows["y"].precision_r6 == 0.0  # tp=0 / n_pred=1
     assert rows["x"].f1_r6 == pytest.approx(round(2 / 3, 6))
+
+
+# ---- Krippendorff's alpha ----------------------------------------------------
+
+
+def test_kripp_alpha_hand_case(spark):
+    from adenhq_hive_spark.operators.profile import kripp_alpha
+
+    # 4 units (a,a),(a,b),(b,b),(b,b): n=8, n_a=3, n_b=5, S=34, D=2
+    # alpha = 1 - 2*7/(64-34) = 1 - 14/30 = 0.533333
+    df = spark.createDataFrame(
+        [("s", "a", "a"), ("s", "a", "b"), ("s", "b", "b"), ("s", "b", "b")],
+        "source string, la string, lb string",
+    )
+    out = kripp_alpha(df, "la", "lb", group_col="source").collect()
+    assert [tuple(r) for r in out] == [("s", 4, 1, 0.533333)]
+
+
+def test_kripp_alpha_degenerate_and_bounds(spark):
+    from adenhq_hive_spark.operators.profile import kripp_alpha
+
+    # every value identical -> De = 0 -> pinned 1.0
+    same = spark.createDataFrame(
+        [("s", "a", "a")] * 3, "source string, la string, lb string"
+    )
+    assert kripp_alpha(same, "la", "lb", "source").collect()[0].alpha_r6 == 1.0
+    # perfect agreement on a mixed distribution -> alpha = 1
+    perfect = spark.createDataFrame(
+        [("s", "a", "a"), ("s", "b", "b"), ("s", "c", "c")],
+        "source string, la string, lb string",
+    )
+    assert (
+        kripp_alpha(perfect, "la", "lb", "source").collect()[0].alpha_r6
+        == 1.0
+    )
+    # systematic disagreement scores NEGATIVE (worse than chance)
+    worst = spark.createDataFrame(
+        [("s", "a", "b"), ("s", "b", "a")] * 3,
+        "source string, la string, lb string",
+    )
+    assert kripp_alpha(worst, "la", "lb", "source").collect()[0].alpha_r6 < 0
+
+
+def test_kripp_alpha_matches_reference_formula(spark):
+    """Pin against a direct Python evaluation of the nominal two-rater
+    formula on a pseudo-random label table."""
+    from collections import Counter
+
+    from adenhq_hive_spark.operators.profile import kripp_alpha
+
+    import hashlib
+
+    def lab(i, salt):
+        return "abc"[int(hashlib.md5(f"{salt}_{i}".encode()).hexdigest(), 16) % 3]
+
+    rows = [("s", lab(i, "x"), lab(i, "y")) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, la string, lb string")
+    got = kripp_alpha(df, "la", "lb", "source").collect()[0]
+
+    pooled = Counter()
+    disagree = 0
+    for _, a, b in rows:
+        pooled[a] += 1
+        pooled[b] += 1
+        disagree += a != b
+    n = 2 * len(rows)
+    s = sum(v * v for v in pooled.values())
+    expect = 1.0 - (2 * disagree * (n - 1)) / (n * n - s)
+    assert got.alpha_r6 == round(expect, 6)
+    assert got.n_units == 200 and got.disagree == disagree

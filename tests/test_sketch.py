@@ -3,6 +3,7 @@ exactness (operators/sketch.py)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from adenhq_hive_spark.operators.sketch import (
     heavy_hitters,
@@ -362,3 +363,96 @@ def test_kmv_rejects_bad_k(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError):
         kmv_distinct(df, "v", k=1)
+
+
+# ---- HDR log-histogram quantile sketch --------------------------------------
+
+
+def test_hist_bucket_monotone_and_bounded(spark):
+    """Bucket map is monotone non-decreasing in v and the lower-bound
+    inverse brackets v within the 12.5% octave width."""
+    from adenhq_hive_spark.operators.sketch import (
+        hist_bucket_lb_sql,
+        hist_bucket_sql,
+    )
+
+    vals = list(range(0, 70)) + [127, 128, 1000, 10**6, 10**12, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select(
+            "v",
+            F.expr(hist_bucket_sql("v")).alias("b"),
+        )
+        .withColumn("lb", F.expr(hist_bucket_lb_sql("b")))
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = -1
+    for r in rows:
+        assert r.b >= prev_b, f"bucket not monotone at v={r.v}"
+        prev_b = r.b
+        assert r.lb <= r.v, f"lb {r.lb} > v {r.v}"
+        if r.v > 15:
+            # bucket spans [lb, lb + lb/8): relative width <= 12.5%
+            assert r.v < r.lb + (r.lb >> 3) + 1, f"v {r.v} outside bucket of lb {r.lb}"
+
+
+def test_hist_quantiles_est_vs_exact_bound(spark):
+    from adenhq_hive_spark.operators.sketch import hist_quantiles
+
+    rows = [("a", i, v) for i, v in enumerate(range(1, 201))]
+    rows += [("b", 1000 + i, 7) for i in range(50)]  # constant group
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_chars long"
+    )
+    out = hist_quantiles(df, "n_chars").collect()
+    got = {(r.source, r.pct): r for r in out}
+    assert len(got) == 6
+    for r in out:
+        assert r.est <= r.exact
+        assert r.exact <= r.est + max(r.est >> 3, 1), (
+            f"{r.source} p{r.pct}: est {r.est} too far below exact {r.exact}"
+        )
+    # constant group: every percentile is exactly 7, bucket 7 is exact
+    for p in (50, 90, 99):
+        assert got[("b", p)].est == 7 and got[("b", p)].exact == 7
+    # group a: exact nearest-rank values are the values themselves
+    assert got[("a", 50)].exact == 100
+    assert got[("a", 99)].exact == 198
+
+
+def test_hist_sketch_merge_is_count_sum(spark):
+    """Histogram states from two shards sum to the whole-corpus state —
+    the mergeable-summary contract (same as CMS elementwise add)."""
+    from adenhq_hive_spark.operators.sketch import hist_bucket_sql
+
+    rows = [(i, (i * 37) % 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    bucket = F.expr(hist_bucket_sql("v"))
+
+    def hist(d):
+        return {
+            r.b: r.c
+            for r in d.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    whole = hist(df)
+    h1 = hist(df.filter(F.col("id") < 200))
+    h2 = hist(df.filter(F.col("id") >= 200))
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_hist_quantiles_rejects_negative(spark):
+    from adenhq_hive_spark.operators.sketch import hist_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1, -5)], "source string, doc_id long, n_chars long"
+    )
+    with pytest.raises(Exception, match="negative"):
+        hist_quantiles(df, "n_chars").collect()
