@@ -156,6 +156,74 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit("test")))
 
 
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundaries: dict[str, str] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: whole duplicate clusters
+    route to ONE split.
+
+    :func:`hash_split` routes each ROW independently, so a document and
+    its (near-)duplicate can land in train and test — the eval set then
+    scores memorization, the classic contamination failure.  Here the
+    routing key is the cluster REPRESENTATIVE id (minimum id over the
+    duplicate cluster; unclustered docs are their own cluster), md5-hex
+    routed with exactly :func:`hash_split`'s boundary contract, so
+    every member of a cluster shares a split and the split fractions
+    still hold at the cluster level.
+
+    ``pairs`` (optional): an (id_a, id_b) near-duplicate pair relation
+    (ngram_jaccard_pairs / minhash_lsh_pairs output) — resolved to
+    clusters with the Large-Star/Small-Star connected-components plan.
+    Default (None): exact content clusters (md5(text) equality), one
+    groupBy + one hash-key join, no pair expansion — the oracle-checked
+    mode.
+
+    Emits (id, rep_id, split) ordered by id.  Scale: the exact mode
+    shuffles on the 32-hex content key (partial-agg'd); the pairs mode
+    inherits connected_components' O(log n)-round bound.
+    """
+    if pairs is not None:
+        from .dedup import connected_components
+
+        comp = connected_components(
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+        ).select(F.col("node").alias(id_col), F.col("cluster_id").alias("_rep"))
+        rep = df.select(id_col).join(comp, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("_rep", F.col(id_col)).alias("rep_id"),
+        )
+    else:
+        reps = (
+            df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+            .agg(F.min(id_col).alias("rep_id"))
+        )
+        rep = (
+            df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+            .join(reps, "_h")
+            .select(id_col, "rep_id")
+        )
+    if boundaries is None:
+        boundaries = {"train": "cccd", "val": "e666"}
+    prefix = _md5_prefix(F.col("rep_id"), 4)
+    expr: Column | None = None
+    for name, bound in boundaries.items():
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    assert expr is not None
+    return rep.select(
+        id_col, "rep_id", expr.otherwise(F.lit("test")).alias(split_col)
+    ).orderBy(id_col)
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -1041,3 +1041,86 @@ def feature_hash(
         .agg((F.sum("w4") / 10000.0).alias("weight"))
         .select(F.col("doc").alias(id_col), "dim", "weight")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-``top_n`` adjacent-bigram collocations by pointwise mutual
+    information — the corpus-analysis primitive behind phrase mining,
+    boilerplate discovery, and tokenizer-merge candidates (Church &
+    Hanks 1990; the word2vec phrase pass uses the same score).
+
+    pmi  = ln( (c12/B) / ((c1/N)(c2/N)) ) over exact BIGINT counts
+    npmi = pmi / -ln(c12/B)   (normalized to [-1, 1]; 1 = always
+    together), both formed as ONE double expression of fixed shape over
+    exact integers + ROUND(4) — the ln portability device of
+    bigram_logprob.  ``min_count`` floors c12 first, which both kills
+    the hapax-pair PMI explosion (a pair seen once scores ~ln N) and
+    shrinks the scored relation to the heavy tail.
+
+    Scale: two vocabulary-keyed shuffles (unigram + bigram counts with
+    partial agg), then the min_count-filtered bigram table joins the
+    unigram counts — candidate-sized, not corpus-sized — and a
+    TakeOrderedAndProject keeps the total-ordered top_n
+    (pmi desc, a, b).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    with_toks = df.select(toks.alias("_t"))
+    uni = (
+        with_toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    n_tot = uni.agg(F.sum("c_uni").alias("n"))
+    pairs = with_toks.filter(F.size("_t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    big = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    b_tot = pairs.agg(F.count("*").alias("b_all"))
+    scored = (
+        big.join(
+            uni.select(F.col("tok").alias("a"), F.col("c_uni").alias("c1")),
+            "a",
+        )
+        .join(
+            uni.select(F.col("tok").alias("b"), F.col("c_uni").alias("c2")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    p12 = F.col("c12").cast("double") / F.col("b_all")
+    pmi = F.log(
+        p12
+        / (
+            (F.col("c1").cast("double") / F.col("n"))
+            * (F.col("c2").cast("double") / F.col("n"))
+        )
+    )
+    return (
+        scored.select(
+            "a",
+            "b",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(pmi, 4).alias("pmi_r4"),
+            F.round(pmi / -F.log(p12), 4).alias("npmi_r4"),
+        )
+        .orderBy(F.desc("pmi_r4"), "a", "b")
+        .limit(top_n)
+    )

@@ -7306,3 +7306,94 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_cluster_split",
+    doc="Leakage-safe train/val/test assignment: whole duplicate "
+        "clusters routed to one split (operators/curation.py:"
+        "cluster_split). hash_split routes rows independently, so a "
+        "doc and its duplicate can straddle train/test and the eval "
+        "measures memorization; here the md5-hex routing key is the "
+        "cluster representative (min id per md5(text) content cluster "
+        "in the oracle-checked exact mode; near-dup components via "
+        "connected_components in the scale mode), so split fractions "
+        "hold at the CLUSTER level and no content crosses splits.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.curation", fromlist=["cluster_split"]
+    ).cluster_split(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH rep AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+          FROM documents
+        )
+        SELECT doc_id, rep_id,
+               CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 4)
+                         < 'cccd' THEN 'train'
+                    WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 4)
+                         < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM rep
+        ORDER BY doc_id
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_pmi_colloc",
+    doc="Top-50 adjacent-bigram collocations by PMI with NPMI and a "
+        "min-count floor (operators/text.py:pmi_collocations — Church "
+        "& Hanks 1990; the word2vec phrase-mining pass): phrase/"
+        "boilerplate discovery and tokenizer-merge candidates. Exact "
+        "BIGINT counts; pmi/npmi as single fixed-shape double "
+        "expressions + ROUND(4) (the ln portability device); "
+        "min_count kills the hapax-pair explosion and bounds the "
+        "scored relation; TakeOrderedAndProject top-50 total-ordered "
+        "on (pmi desc, a, b).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.text", fromlist=["pmi_collocations"]
+    ).pmi_collocations(load_table(spark, sf, "documents")),
+    oracle_sql_str="""
+        WITH t AS (
+          SELECT list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        uni AS (
+          SELECT tok, COUNT(*) AS c_uni
+          FROM (SELECT unnest(tk) AS tok FROM t)
+          GROUP BY tok
+        ),
+        nn AS (SELECT SUM(c_uni) AS n FROM uni),
+        pairs AS (
+          SELECT u.pr.a AS a, u.pr.b AS b FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> struct_pack(a := tk[i], b := tk[i+1]))) AS pr
+            FROM t WHERE len(tk) >= 2) u
+        ),
+        big AS (
+          SELECT a, b, COUNT(*) AS c12 FROM pairs GROUP BY a, b
+          HAVING COUNT(*) >= 5
+        ),
+        bt AS (SELECT COUNT(*) AS bb FROM pairs),
+        scored AS (
+          SELECT g.a, g.b, g.c12,
+                 (CAST(g.c12 AS DOUBLE) / bt.bb) AS p12,
+                 ln((CAST(g.c12 AS DOUBLE) / bt.bb)
+                    / ((CAST(ua.c_uni AS DOUBLE) / nn.n)
+                       * (CAST(ub.c_uni AS DOUBLE) / nn.n))) AS pmi
+          FROM big g
+          JOIN uni ua ON ua.tok = g.a
+          JOIN uni ub ON ub.tok = g.b
+          CROSS JOIN nn CROSS JOIN bt
+        )
+        SELECT a, b, CAST(c12 AS BIGINT) AS c12,
+               ROUND(pmi, 4) AS pmi_r4,
+               ROUND(pmi / -ln(p12), 4) AS npmi_r4
+        FROM scored
+        ORDER BY ROUND(pmi, 4) DESC, a, b
+        LIMIT 50
+    """,
+))

@@ -1439,3 +1439,54 @@ def test_winsorize_validates_percentiles(spark):
         winsorize(df, "n_chars", lo_pct=60, hi_pct=40)
     with _pt.raises(ValueError):
         winsorize(df, "n_chars", lo_pct=-1)
+
+
+# ---- cluster_split -----------------------------------------------------------
+
+
+def test_cluster_split_no_content_crosses_splits(spark):
+    """The leakage invariant: exact-duplicate texts always share a
+    split, and the split label equals hash_split's label for the
+    cluster representative."""
+    from adenhq_hive_spark.operators.curation import cluster_split
+
+    rows = [(i, f"text {i % 20}") for i in range(100)]  # 20 clusters of 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cluster_split(df).collect()
+    assert len(out) == 100
+    by_text = {}
+    for r in out:
+        key = r.doc_id % 20
+        by_text.setdefault(key, set()).add((r.split, r.rep_id))
+    for key, combos in by_text.items():
+        assert len(combos) == 1, f"cluster {key} split across {combos}"
+        assert next(iter(combos))[1] == key  # rep = min id of the cluster
+
+
+def test_cluster_split_pairs_mode_uses_components(spark):
+    """Near-dup pairs chain transitively: a-b, b-c puts all three in one
+    split even though a and c share no pair."""
+    from adenhq_hive_spark.operators.curation import cluster_split
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (9, "w")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: (r.rep_id, r.split) for r in
+           cluster_split(df, pairs=pairs).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[1][0] == 1
+    assert out[9][0] == 9  # singleton keeps its own id
+
+
+def test_cluster_split_fraction_sanity(spark):
+    """With unique texts (all singleton clusters) the assignment equals
+    hash_split's row-level routing."""
+    from adenhq_hive_spark.operators.curation import cluster_split, hash_split
+
+    df = spark.createDataFrame(
+        [(i, f"unique {i}") for i in range(300)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.split for r in cluster_split(df).collect()}
+    want = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert got == want

@@ -723,3 +723,46 @@ def test_feature_hash_routes_deterministically_and_sums_exactly(spark):
     assert got == expect
     # vector tier compatibility: sparse rows pivot to fixed-width arrays
     assert all(0 <= r.dim < 8 for r in rows)
+
+
+# ---- PMI collocations --------------------------------------------------------
+
+
+def test_pmi_collocations_hand_case(spark):
+    """'new york' appears 6x as an exclusive pair in a 30-token corpus:
+    pmi = ln((6/24) / ((6/30)*(6/30))) = ln(6.25)."""
+    import math
+
+    from adenhq_hive_spark.operators.text import pmi_collocations
+
+    docs = [(i, "new york " + " ".join(f"w{i}x{j}" for j in range(3)))
+            for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    assert len(out) == 1  # only (new, york) reaches min_count
+    r = out[0]
+    assert (r.a, r.b, r.c12) == ("new", "york", 6)
+    assert r.pmi_r4 == round(math.log(6.25), 4)
+    # npmi = pmi / -ln(6/24)
+    assert r.npmi_r4 == round(math.log(6.25) / -math.log(6 / 24), 4)
+
+
+def test_pmi_collocations_min_count_floor_and_order(spark):
+    from adenhq_hive_spark.operators.text import pmi_collocations
+
+    # 'a b' 5x (tight pair), 'c d' 5x but c,d also appear alone often
+    text_ab = " ".join(["a b"] * 5)
+    text_cd = " ".join(["c d"] * 5) + " " + " ".join(["c", "d"] * 10)
+    df = spark.createDataFrame(
+        [(1, text_ab), (2, text_cd)], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    got = {(r.a, r.b): r for r in out}
+    assert ("a", "b") in got
+    # tighter association scores higher
+    cd = [r for r in out if (r.a, r.b) == ("c", "d")]
+    if cd:
+        assert got[("a", "b")].pmi_r4 > cd[0].pmi_r4
+    # rows are ordered by pmi desc
+    pmis = [r.pmi_r4 for r in out]
+    assert pmis == sorted(pmis, reverse=True)
