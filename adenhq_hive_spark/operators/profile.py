@@ -299,6 +299,73 @@ def psi_drift(
     )
 
 
+def label_kl(
+    df: DataFrame,
+    label_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group label-mix skew: KL(p(label | group) ‖ p(label)) in
+    nats — the confounding audit for labeled corpora ("does this
+    source's label distribution deviate from the corpus?"; the
+    group-size-weighted sum of these IS the mutual information
+    I(group; label), so MI falls out of the same relation).
+
+    All counts exact BIGINT; each term is the fixed-shape double
+    expression (c_gl/n_g)·ln((c_gl/n_g)/(c_l/n)), summed with the
+    order-fixed in-row fold over labels (the psi_drift/jl_project
+    discipline — a distributed double sum is partial-agg-order
+    dependent and would break the oracle hash).  Absent (group, label)
+    cells contribute 0 (the KL limit), so no smoothing is needed.
+
+    Scale: one (group, label) count shuffle; marginals and terms are
+    metadata-sized rollups of it.  Emits (group, n_docs, kl_r6)
+    ordered by group.
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(label_col).alias("lbl")
+    ).agg(F.count("*").alias("c_gl"))
+    n_g = cnt.groupBy("grp").agg(F.sum("c_gl").alias("n_g"))
+    c_l = cnt.groupBy("lbl").agg(F.sum("c_gl").alias("c_l"))
+    n = cnt.agg(F.sum("c_gl").alias("n"))
+    terms = (
+        cnt.join(F.broadcast(n_g), "grp")
+        .join(F.broadcast(c_l), "lbl")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "grp",
+            "lbl",
+            "n_g",
+            (
+                (F.col("c_gl").cast("double") / F.col("n_g"))
+                * F.log(
+                    (F.col("c_gl").cast("double") / F.col("n_g"))
+                    / (F.col("c_l").cast("double") / F.col("n"))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.first("n_g").alias("n_docs"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("lbl", "term"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"],
+                ),
+                6,
+            ).alias("kl_r6"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "kl_r6",
+        )
+        .orderBy(group_col)
+    )
+
+
 def label_agreement(
     df: DataFrame,
     col_a: str,

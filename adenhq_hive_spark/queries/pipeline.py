@@ -7397,3 +7397,85 @@ Q(QuerySpec(
         LIMIT 50
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_sessionize",
+    doc="Batch gap-based sessionization of the event log (operators/"
+        "sessions.py:sessionize, 30-min gap): lag-diff boundary flags "
+        "-> running-sum session numbers -> per-session rollup, (ts, "
+        "event_id)-tiebroken so replayed history matches the streaming "
+        "session window's assignments (q58's batch complement). One "
+        "user-key shuffle serves both windows; integer-second "
+        "durations.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sessions", fromlist=["sessionize"]
+    ).sessionize(load_table(spark, sf, "events")),
+    oracle_sql_str="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) + 1
+                   AS session_n
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+               CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                    AS BIGINT) AS duration_s
+        FROM sess
+        GROUP BY user_id, session_n
+        ORDER BY user_id, session_n
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_label_kl",
+    doc="Per-source label-mix skew: KL(p(lang | source) || p(lang)) in "
+        "nats (operators/profile.py:label_kl) — the confounding audit "
+        "for labeled corpora; the n_g-weighted sum of these rows IS "
+        "I(source; lang). Exact BIGINT counts, fixed-shape double "
+        "terms, order-fixed in-row fold over labels (the psi_drift "
+        "discipline), ROUND(..,6).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile", fromlist=["label_kl"]
+    ).label_kl(load_table(spark, sf, "documents"), "lang"),
+    oracle_sql_str="""
+        WITH cnt AS (
+          SELECT source AS grp, lang AS lbl, COUNT(*) AS c_gl
+          FROM documents GROUP BY 1, 2
+        ),
+        ng AS (SELECT grp, SUM(c_gl) AS n_g FROM cnt GROUP BY grp),
+        cl AS (SELECT lbl, SUM(c_gl) AS c_l FROM cnt GROUP BY lbl),
+        nn AS (SELECT SUM(c_gl) AS n FROM cnt),
+        terms AS (
+          SELECT c.grp, c.lbl, ng.n_g,
+                 (CAST(c.c_gl AS DOUBLE) / ng.n_g)
+                 * ln((CAST(c.c_gl AS DOUBLE) / ng.n_g)
+                      / (CAST(cl.c_l AS DOUBLE) / nn.n)) AS term
+          FROM cnt c
+          JOIN ng ON ng.grp = c.grp
+          JOIN cl ON cl.lbl = c.lbl
+          CROSS JOIN nn
+        )
+        SELECT grp AS source,
+               CAST(MIN(n_g) AS BIGINT) AS n_docs,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(term ORDER BY lbl)),
+                   (a, x) -> a + x), 6) AS kl_r6
+        FROM terms
+        GROUP BY grp
+        ORDER BY source
+    """,
+))

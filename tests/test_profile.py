@@ -136,3 +136,68 @@ def test_psi_rejects_bad_buckets(spark):
     df = spark.createDataFrame([("a", 1)], ["source", "n_chars"])
     with _pytest.raises(ValueError):
         psi_drift(df, n_buckets=1)
+
+
+# ---- label_kl ----------------------------------------------------------------
+
+
+def test_label_kl_zero_when_mix_matches_corpus(spark):
+    from adenhq_hive_spark.operators.profile import label_kl
+
+    # both sources have the identical 50/50 label mix -> KL = 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 5
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = label_kl(df, "lang").collect()
+    assert [(r.source, r.n_docs, r.kl_r6) for r in out] == [
+        ("a", 10, 0.0), ("b", 10, 0.0)
+    ]
+
+
+def test_label_kl_matches_reference_formula(spark):
+    import math
+    from collections import Counter
+
+    from adenhq_hive_spark.operators.profile import label_kl
+
+    rows = (
+        [("a", "x")] * 8 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 7
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r.source: r.kl_r6 for r in label_kl(df, "lang").collect()}
+
+    n = len(rows)
+    c_l = Counter(l for _, l in rows)
+    for src in ("a", "b"):
+        cells = Counter(l for s, l in rows if s == src)
+        n_g = sum(cells.values())
+        kl = sum(
+            (c / n_g) * math.log((c / n_g) / (c_l[l] / n))
+            for l, c in cells.items()
+        )
+        assert got[src] == round(kl, 6)
+
+
+def test_label_kl_weighted_sum_is_mutual_information(spark):
+    """n_g-weighted mean of the per-group KLs equals I(group; label)."""
+    import math
+    from collections import Counter
+
+    from adenhq_hive_spark.operators.profile import label_kl
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 1 + [("b", "y")] * 5 + [
+        ("b", "z")
+    ] * 2
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = label_kl(df, "lang").collect()
+    n = len(rows)
+    mi_from_rows = sum(r.n_docs / n * r.kl_r6 for r in out)
+
+    joint = Counter(rows)
+    c_s = Counter(s for s, _ in rows)
+    c_l = Counter(l for _, l in rows)
+    mi = sum(
+        (c / n) * math.log((c / n) / ((c_s[s] / n) * (c_l[l] / n)))
+        for (s, l), c in joint.items()
+    )
+    assert abs(mi_from_rows - mi) < 1e-5
