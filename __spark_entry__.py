@@ -8,7 +8,7 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-243 as of the round-7 window, 232 oracle-backed + 11 rows-only by
+249 as of the round-8 window, 240 oracle-backed + 9 rows-only by
 design) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
@@ -30,48 +30,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 7 — the ledger-closing window): the
-# artifact caps at 50 entries, so the 50 slots rotate each round to
-# convert local-only passes into driver-visible green rows.
-# Cumulative driver ledger after r6: 204 of the 232 r6-registered
-# queries have appeared in some round's artifact (CORRECTNESS_r01-r06),
-# every oracle-bearing one green.  This window holds ALL 29 remaining
-# never-driver-sampled queries (the r7 pool from COVERAGE.md: 22
-# r5-built oracle-backed entries + pl_pack_ffd [hash-backed since r6]
-# + the four r6 operators pl_budget_fill/pl_quantile_norm/
-# pl_interleave/pl_mad_outliers + the 2 recall-gated rows-only ANN
-# entries pl_pq_topk/pl_ivfpq_topk), the six new-this-round queries
-# (pl_token_events LLM streaming-token surface, pl_kappa/pl_prf label
-# agreement, pl_cms_registers/pl_cms_estimate Count-Min Sketch,
-# pl_kmv_distinct KMV cardinality), the q06 cross-round canary, and 14
-# stratified regression canaries — one driver-green r1-r5 row per
-# operator family (limit/offset q01, distinct-agg q09, exact median
-# q17, snowflake join q24, as-of q33, window top-k q36, dedup set-op
-# q46, JSON q55, tumbling q57, session q58, exact dedup, portable
-# MinHash, quality scoring, language-ID).  After this window
-# every registered query has a driver-witnessed row in some artifact.
+# ROTATING SAMPLE WINDOW (round 8): the artifact caps at 50 entries, so
+# the 50 slots rotate each round.  The cumulative ledger CLOSED in r7
+# (all 243 then-registered queries driver-witnessed across
+# CORRECTNESS_r01-r07), so this window is the r7 verdict's prescribed
+# shape: the round's fixes, the new operators, changed-plan
+# re-witnesses, and stratified regression canaries with witness age
+# minimized (every r2 row, then r3 rows spanning the §2 families).
 _CORE = [
-    "q06",
-    # -- the 29 never-driver-sampled (closes the ledger) --
-    "pl_attribution", "pl_bigram_logprob", "pl_blocklist",
-    "pl_budget_fill", "pl_char_entropy", "pl_chat_format",
-    "pl_dataset_card", "pl_dedup_incr_indexed", "pl_event_sequences",
-    "pl_event_transitions", "pl_interleave", "pl_ivfpq_recall",
-    "pl_ivfpq_topk", "pl_jl_project", "pl_lang_mismatch",
-    "pl_length_buckets", "pl_mad_outliers", "pl_pack_ffd",
-    "pl_phash_portable", "pl_pq_recall", "pl_pq_topk", "pl_pref_pairs",
-    "pl_quantile_norm", "pl_source_keywords", "pl_source_overlap",
-    "pl_temperature_mix", "pl_val_coverage", "pl_winnow_pairs",
-    "pl_zipf_coverage",
+    # -- round-8 fixes (r7 verdict #1/#8): the -0.0 repair and the two
+    #    ANN entries converted from no_oracle errs to containment rows
+    "pl_jl_project", "pl_pq_topk", "pl_ivfpq_topk",
     # -- new this round --
-    "pl_token_events", "pl_kappa", "pl_prf",
-    "pl_cms_registers", "pl_cms_estimate", "pl_kmv_distinct",
-    "pl_knn_purity", "pl_winsorize", "pl_scd2", "pl_seq_motif",
-    "pl_label_errors",
-    # -- stratified regression canaries (driver-green r1-r5) --
-    "q01", "q17", "q24", "q33",
-    "q57",
-    "pl_dedup_exact", "pl_minhash_portable", "pl_quality", "pl_lang_id",
+    "pl_hist_quantiles", "pl_kripp_alpha", "pl_cluster_split",
+    "pl_pmi_colloc", "pl_sessionize", "pl_label_kl",
+    # -- changed-plan / changed-oracle re-witnesses (pair expansion
+    #    rewrite; winsorize p0 clamp; scd2 LEAD tiebreak; CMS refactor)
+    "pl_ngram_jaccard", "pl_containment", "pl_dedup_incremental",
+    "pl_minhash_portable", "pl_winsorize", "pl_scd2",
+    "pl_cms_registers", "pl_cms_estimate",
+    # -- oldest canaries: every row last witnessed in r2 --
+    "pl_approx_distinct", "pl_fingerprint", "pl_ivf_topk", "pl_lsh_topk",
+    "pl_media_meta", "pl_minhash_lsh", "pl_simhash", "pl_vocab",
+    # -- r3-witnessed canaries spanning the §2 families --
+    "q02", "q09", "q13", "q22", "q25", "q26", "q28", "q34", "q36",
+    "q38", "q42", "q43", "q44", "q45", "q47", "q48", "q54", "q55",
+    "pl_asof_operator", "pl_chunk", "pl_cosine_topk", "pl_decontaminate",
+    "pl_ivf_recall", "pl_lsh_recall", "pl_tfidf",
 ]
 
 

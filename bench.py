@@ -112,6 +112,12 @@ HEADLINE = [
     "pl_scd2",           # SCD2 dimension build from the change log (r7)
     "pl_seq_motif",      # strict-funnel motif counting (r7)
     "pl_label_errors",   # confident-learning label-error mining (r7)
+    "pl_hist_quantiles", # HDR log-histogram quantile sketch (r8)
+    "pl_kripp_alpha",    # Krippendorff's alpha agreement (r8)
+    "pl_cluster_split",  # leakage-safe cluster-aware split (r8)
+    "pl_pmi_colloc",     # PMI/NPMI bigram collocations (r8)
+    "pl_sessionize",     # batch gap sessionization (r8)
+    "pl_label_kl",       # per-source label-mix KL audit (r8)
 ]
 
 
