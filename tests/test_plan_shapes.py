@@ -763,3 +763,46 @@ def test_seq_motif_single_shuffle_no_window(spark):
     plan = _plan(QUERIES["pl_seq_motif"].run(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
+
+
+def test_r8_ops_plan_shapes(spark):
+    """Round-8 operators: the scale posture locked in.
+
+    - hist_quantiles: partial aggregation on the (group, bucket) key
+      (the sketch's constant-size shuffle) and no cartesian product
+    - pmi_colloc: total-ordered top-n via TakeOrderedAndProject, and
+      partial agg on the bigram count
+    - cluster_split: exact mode is hash-key groupBy + join, no
+      cartesian, no window over the corpus
+    - label_kl: the (group,label) count is partially aggregated; no
+      corpus-sized join (terms join the metadata-sized marginals)
+    """
+    p_hist = _plan(QUERIES["pl_hist_quantiles"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_hist or "partial_sum" in p_hist
+    assert "CartesianProduct" not in p_hist
+
+    p_pmi = _plan(QUERIES["pl_pmi_colloc"].run(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p_pmi
+    assert "partial_count" in p_pmi
+
+    p_split = _plan(QUERIES["pl_cluster_split"].run(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p_split
+    assert "Window" not in p_split
+
+    p_kl = _plan(QUERIES["pl_label_kl"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_kl
+    assert "CartesianProduct" not in p_kl
+
+
+def test_sessionize_single_exchange_two_windows(spark):
+    """Both windows (lag + running sum) and the session rollup reuse
+    ONE user-key ordering: exactly one hashpartitioning exchange on
+    user_id reaches the plan (the rollup on (user, session_n) rides
+    the same partitioning)."""
+    plan = _plan(QUERIES["pl_sessionize"].run(spark, SF_SMOKE))
+    import re as _re
+
+    user_exchanges = _re.findall(
+        r"Exchange hashpartitioning\(user_id", plan
+    )
+    assert len(user_exchanges) == 1, plan[:2000]
