@@ -96,7 +96,11 @@ def main() -> None:
                 timeout=duck_cap,
             )
             if proc.returncode == 0 and proc.stdout.strip():
-                results[name].update(json.loads(proc.stdout.strip()))
+                # the runner's JSON is the LAST stdout line — imports may
+                # emit chatter above it
+                results[name].update(
+                    json.loads(proc.stdout.strip().splitlines()[-1])
+                )
             else:
                 results[name]["duck_err"] = (
                     f"rc={proc.returncode} {proc.stderr[-200:]}"
