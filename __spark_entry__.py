@@ -8,8 +8,8 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-249 as of the round-8 window, 240 oracle-backed + 9 rows-only by
-design) is registered in ``adenhq_hive_spark.queries``.
+256 as of the round-8 second session, 247 oracle-backed + 9 rows-only
+by design) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
 entries, and may iterate either in insertion order or sorted.  To make the
@@ -49,13 +49,20 @@ _CORE = [
     "pl_ngram_jaccard", "pl_containment", "pl_dedup_incremental",
     "pl_minhash_portable", "pl_winsorize", "pl_scd2",
     "pl_cms_registers", "pl_cms_estimate",
+    # -- new in the round-8 second session: the experiment-analysis +
+    #    privacy tier and the KMV set-op / readability additions --
+    "pl_welch_ttest", "pl_bootstrap_ci", "pl_cusum", "pl_kanon",
+    "pl_dp_counts", "pl_kmv_jaccard", "pl_readability",
     # -- oldest canaries: every row last witnessed in r2 --
     "pl_approx_distinct", "pl_fingerprint", "pl_ivf_topk", "pl_lsh_topk",
     "pl_media_meta", "pl_minhash_lsh", "pl_simhash", "pl_vocab",
-    # -- r3-witnessed canaries spanning the §2 families --
-    "q02", "q09", "q13", "q22", "q25", "q26", "q28", "q34", "q36",
-    "q38", "q42", "q43", "q44", "q45", "q47", "q48", "q54", "q55",
-    "pl_asof_operator", "pl_chunk", "pl_cosine_topk", "pl_decontaminate",
+    # -- r3-witnessed canaries spanning the §2 families (q02/q26/q38/
+    #    q44/q47/q54 and pl_chunk rotated out this session to make room
+    #    for the new operators: their families stay covered by q22/q25/
+    #    q28/q34/q36/q45/q55 and the text-tier pl rows) --
+    "q09", "q13", "q22", "q25", "q28", "q34", "q36",
+    "q42", "q43", "q45", "q48", "q55",
+    "pl_asof_operator", "pl_cosine_topk", "pl_decontaminate",
     "pl_ivf_recall", "pl_lsh_recall", "pl_tfidf",
 ]
 

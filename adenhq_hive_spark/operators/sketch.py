@@ -807,3 +807,144 @@ def hist_quantiles(
         )
         .orderBy(group_col, "pct")
     )
+
+
+# ---- KMV set operations ------------------------------------------------------
+#
+# kmv_distinct answers "how many distinct?"; the same k-minimum-values
+# signatures support SET operations between groups (Beyer et al. 2007,
+# "On synopses for distinct-value estimation under multiset operations"):
+# the k smallest hashes of the UNION of two sets are computable from the
+# two signatures alone, and the fraction of that union-signature present
+# in both sets is an unbiased Jaccard estimator.  This is what makes the
+# sketch tier compositional — per-shard signatures merge into any
+# group-pair overlap without rescanning data.
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise Jaccard similarity estimates between groups' distinct
+    value sets from per-group KMV signatures.
+
+    Build: per-group k smallest distinct 32-bit md5-slice hashes, with
+    the same partition-local numpy prefilter as kmv_distinct (<= k rows
+    per (partition, group) enter the shuffle — lossless, since the
+    global k smallest per group are inside every partition's k
+    smallest).  Estimate per pair (a, b):
+
+      K = k smallest of (sig_a UNION sig_b)  (the union signature)
+      jaccard ~= |{h in K : h in sig_a AND h in sig_b}| / |K|
+
+    Exact integer arithmetic end-to-end except the final division
+    (single double op, ROUND 6 + signed-zero guard) — full oracle hash.
+
+    Emits (src_a, src_b, k_used, n_both, jaccard_r6) for every unordered
+    group pair, ordered.  Scale: signatures are O(groups x k) rows
+    regardless of corpus size; the pair stage is algebra over
+    signatures — at 1000 executors the corpus is touched once.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+
+    def local_kmin_grouped(it):
+        best: dict[str, np.ndarray] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for grp, sub in pdf.groupby("grp", sort=False):
+                prev = best.get(grp, np.empty(0, dtype=np.int64))
+                vals = np.unique(
+                    np.concatenate(
+                        [prev, sub["hv"].to_numpy(dtype=np.int64)]
+                    )
+                )
+                best[grp] = vals[:k]
+        if best:
+            yield pd.DataFrame(
+                {
+                    "grp": np.repeat(
+                        list(best.keys()),
+                        [len(v) for v in best.values()],
+                    ),
+                    "hv": np.concatenate(list(best.values())),
+                }
+            )
+
+    from .dedup import _materialize
+
+    # the signature is referenced three times below (group census + both
+    # sides of the pair expansion); persist the O(groups x k) relation so
+    # the corpus is scanned exactly ONCE (plan-gated in
+    # tests/test_plan_shapes.py)
+    sig = _materialize(
+        hashed.mapInPandas(local_kmin_grouped, "grp string, hv long")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("grp").orderBy("hv")),
+        )
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+    )
+    groups = sig.select("grp").distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb")
+        )
+    )
+    e = (
+        F.broadcast(pairs)
+        .join(
+            sig,
+            (sig["grp"] == F.col("ga")) | (sig["grp"] == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "hv")
+        .agg(
+            F.max((F.col("grp") == F.col("ga")).cast("int")).alias("in_a"),
+            F.max((F.col("grp") == F.col("gb")).cast("int")).alias("in_b"),
+        )
+    )
+    kept = e.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("ga", "gb").orderBy("hv")),
+    ).filter(F.col("rn") <= k)
+    return (
+        kept.groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+        .select(
+            F.col("ga").alias("src_a"),
+            F.col("gb").alias("src_b"),
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("n_both").cast("long").alias("n_both"),
+            (
+                F.round(
+                    F.col("n_both").cast("double")
+                    / F.col("k_used").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard_r6"),
+        )
+        .orderBy("src_a", "src_b")
+    )

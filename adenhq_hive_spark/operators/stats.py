@@ -1,0 +1,363 @@
+"""Experiment-analysis statistics: Welch's t-test, Poisson-bootstrap
+confidence intervals, and CUSUM changepoint detection.
+
+The reference exposes generic "run an analysis over a metric column"
+surfaces (analytics tool suite; SURVEY.md §2.4/§2.8 map them to
+aggregation + scalar-function tiers); these operators give that tier the
+three inference primitives every experimentation / data-quality pipeline
+ends up needing: compare two cohorts (t-test), bound an estimate
+(bootstrap CI), and detect when a monitored series shifted (CUSUM).
+
+Determinism contract (shared with the rest of the repo):
+
+- Cross-row sums of doubles NEVER use a raw double accumulator — a
+  distributed double sum is partial-aggregation-order dependent, which
+  breaks the oracle hash.  Value sums go through DECIMAL (exact,
+  order-independent; the relational money-sum discipline) and CUSUM's
+  running sums go through ROUND(z*1e6) BIGINTs (exact prefix sums — a
+  DuckDB windowed double sum runs on a segment tree whose association
+  order differs from a sequential fold).
+- Final statistics are fixed-shape scalar double expressions over those
+  exact aggregates (single divisions / sqrt), then ROUND(.., 6) with the
+  `+ 0.0` signed-zero guard (the r8 pl_jl_project repair — applied on
+  BOTH engine and oracle sides wherever a rounded double can be zero).
+
+Scale shape: each operator is one corpus scan with map-side partial
+aggregation; shuffles carry O(groups) (t-test), O(groups x B replicate)
+(bootstrap), or O(groups x days) (CUSUM) rows — all metadata-sized at
+any corpus size.  The Poisson bootstrap is the at-scale bootstrap (each
+row enters replicate r with an independent Poisson(1) weight, so no
+global resample pass exists; Kleiner et al.'s BLB and Chamandy et al.,
+"Estimating uncertainty for massive data streams" are the public
+groundings) — the resample randomness is a deterministic md5 inverse-CDF
+so the oracle can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Inverse-CDF thresholds for Poisson(1) on a uniform integer in
+# [0, 1e6): weight w is the first index whose cumulative floor exceeds
+# the draw.  floor(1e6 * cum_pmf) — keep in sync with the oracle CASE
+# ladder in queries/pipeline.py.
+POISSON1_THRESHOLDS = (
+    367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989, 999998,
+)
+
+_DEC = "decimal(38,6)"
+
+
+def _zero_guard(col):
+    """Collapse -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0) after rounding —
+    the r8 signed-zero discipline for every rounded double the hash
+    sees."""
+    return col + F.lit(0.0)
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts of a metric
+    column (Welch 1947; the default two-sample test precisely because it
+    does not assume equal variances).
+
+    One corpus scan, conditional aggregation — no join between the two
+    cohorts' rollups.  Per-cohort n / sum / sum-of-squares accumulate as
+    exact DECIMAL(38,6) (per-row double->decimal casts are the same
+    HALF_UP rule on both engines — the relational money-sum precedent),
+    then mean, sample variance, t, and the Welch–Satterthwaite degrees
+    of freedom are fixed-shape double expressions over the exact sums:
+
+      t  = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)
+      df = (v_a/n_a + v_b/n_b)^2 /
+           ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1))
+
+    Emits ONE row: (group_a, group_b, n_a, n_b, mean_a_r6, mean_b_r6,
+    var_a_r6, var_b_r6, t_r6, df_r4).  Cohorts with n < 2 yield NULL
+    t/df (never divide by zero).
+
+    Scale: the shuffle after map-side combine is one row per partition;
+    at 100 TB this is a scan-bound single-pass aggregate.
+    """
+    v = F.col(value_col).cast("double")
+    is_a = F.col(group_col) == group_a
+    is_b = F.col(group_col) == group_b
+    agg = (
+        df.filter(is_a | is_b)
+        .select(
+            is_a.cast("long").alias("w_a"),
+            is_b.cast("long").alias("w_b"),
+            v.cast(_DEC).alias("vd"),
+            (v * v).cast(_DEC).alias("v2d"),
+        )
+        .agg(
+            F.sum("w_a").alias("n_a"),
+            F.sum("w_b").alias("n_b"),
+            F.sum(F.when(F.col("w_a") == 1, F.col("vd"))).alias("s_a"),
+            F.sum(F.when(F.col("w_b") == 1, F.col("vd"))).alias("s_b"),
+            F.sum(F.when(F.col("w_a") == 1, F.col("v2d"))).alias("ss_a"),
+            F.sum(F.when(F.col("w_b") == 1, F.col("v2d"))).alias("ss_b"),
+        )
+    )
+
+    def _stats(n, s, ss):
+        nd = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        ssd = F.col(ss).cast("double")
+        mean = sd / nd
+        var = F.when(
+            F.col(n) > 1, (ssd - sd * sd / nd) / (nd - 1.0)
+        )
+        return mean, var
+
+    mean_a, var_a = _stats("n_a", "s_a", "ss_a")
+    mean_b, var_b = _stats("n_b", "s_b", "ss_b")
+    se2_a = var_a / F.col("n_a").cast("double")
+    se2_b = var_b / F.col("n_b").cast("double")
+    se2 = se2_a + se2_b
+    t = F.when(se2 > 0, (mean_a - mean_b) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            se2_a * se2_a / (F.col("n_a").cast("double") - 1.0)
+            + se2_b * se2_b / (F.col("n_b").cast("double") - 1.0)
+        ),
+    )
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _zero_guard(F.round(mean_a, 6)).alias("mean_a_r6"),
+        _zero_guard(F.round(mean_b, 6)).alias("mean_b_r6"),
+        _zero_guard(F.round(var_a, 6)).alias("var_a_r6"),
+        _zero_guard(F.round(var_b, 6)).alias("var_b_r6"),
+        _zero_guard(F.round(t, 6)).alias("t_r6"),
+        _zero_guard(F.round(dof, 4)).alias("df_r4"),
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    b: int = 64,
+    lo_pct: float = 2.5,
+    hi_pct: float = 97.5,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap — the resampling scheme that works on unbounded /
+    sharded data because each row independently enters replicate r with
+    weight ~ Poisson(1) (E[total weight] = n), so no replicate ever
+    needs a global sample pass.
+
+    Determinism: the Poisson draw is the inverse CDF applied to
+    u = int(md5(id || '#' || r)[0:8], 16) mod 1e6 — a fixed integer
+    threshold ladder (POISSON1_THRESHOLDS), replayable bit-for-bit by
+    the DuckDB oracle.  Replicate means are exact-DECIMAL weighted sums
+    over exact BIGINT weight totals; the CI bounds are nearest-rank
+    order statistics (rank ceil(pct/100 * B)) over the B replicate
+    means, tie-broken by replicate index — no interpolation, no float
+    accumulation anywhere.
+
+    Emits one row per group: (group_col, n, b, mean_r6, lo_r6, hi_r6),
+    ordered by group.
+
+    Scale: ONE scan; the explode(sequence(0, B-1)) runs inside the scan
+    stage and map-side combine reduces it to O(groups x B) shuffle rows.
+    Per-row CPU is B md5 evaluations — the portability tax (a production
+    build would swap xxhash64 in; md5 is what both engines share).
+    """
+    if b < 4:
+        raise ValueError("b must be >= 4")
+    lo_rank = max(1, -(-int(lo_pct * b) // 100))  # ceil(lo_pct/100*b)
+    hi_rank = max(1, -(-int(hi_pct * b) // 100))
+    v = F.col(value_col).cast("double")
+
+    u6 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("_id").cast("string"),
+                        F.lit("#"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    w = F.lit(len(POISSON1_THRESHOLDS))
+    for i in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u6 < POISSON1_THRESHOLDS[i], i).otherwise(w)
+
+    rep = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("_id"),
+            v.alias("v"),
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
+        .select(
+            "grp",
+            "r",
+            w.cast("long").alias("w"),
+            "v",
+        )
+        .groupBy("grp", "r")
+        .agg(
+            F.sum("w").alias("n_r"),
+            F.sum(
+                (F.col("w").cast("double") * F.col("v")).cast(_DEC)
+            ).alias("s_r"),
+        )
+        .select(
+            "grp",
+            "r",
+            F.when(
+                F.col("n_r") > 0,
+                F.col("s_r").cast("double") / F.col("n_r").cast("double"),
+            ).alias("mean_r"),
+        )
+    )
+    wnd = Window.partitionBy("grp").orderBy("mean_r", "r")
+    ranked = rep.withColumn("rn", F.row_number().over(wnd))
+    ci = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("mean_r"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("mean_r"))).alias("hi"),
+    )
+    base = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v.cast(_DEC)).alias("s"),
+        )
+        .select(
+            "grp",
+            "n",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean"
+            ),
+        )
+    )
+    return (
+        base.join(ci, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.lit(b).cast("long").alias("b"),
+            _zero_guard(F.round(F.col("mean"), 6)).alias("mean_r6"),
+            _zero_guard(F.round(F.col("lo"), 6)).alias("lo_r6"),
+            _zero_guard(F.round(F.col("hi"), 6)).alias("hi_r6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection on each group's daily event
+    counts (Page 1954) — the monitoring primitive for "did this source's
+    volume shift?".
+
+    S+_t = max(0, S+_{t-1} + z_t - k) accumulates evidence of an upward
+    shift (S- symmetrically downward), alarm when S exceeds h.  The
+    recursion is rewritten to pure window algebra via the prefix-sum
+    identity  S+_t = P_t - min(0, min_{j<=t} P_j)  with
+    P_t = sum_{i<=t} (z_i - k) — a running sum and a running min, both
+    expressible on any engine.
+
+    Determinism: z_t = (x_t - mean)/sd is a fixed-shape per-row double
+    expression over exact BIGINT daily counts, immediately quantized to
+    a BIGINT via ROUND(z*1e6) — ALL window accumulation then runs in
+    exact integers (a windowed double sum differs between a sequential
+    fold and DuckDB's segment tree), and S is divided back to a r6
+    double at the end.
+
+    Emits one row per (group, day): (group_col, day, x, s_pos_r6,
+    s_neg_r6, alarm_pos, alarm_neg), ordered.
+
+    Scale: the daily rollup is the only data-sized shuffle; windows then
+    run over O(groups x days) rows.  A group's full history must sort
+    within one task — bounded by days-per-group, not corpus rows.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    stats = daily.groupBy("grp").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.col("ss").cast("double") / nd - mean * mean
+    j = daily.join(F.broadcast(stats), "grp").withColumn(
+        "z6",
+        # gate on var > 0 (not sqrt(var) > 0) so neither engine ever
+        # evaluates sqrt of a float-noise-negative variance
+        F.when(
+            var > 0,
+            F.round(
+                (F.col("x").cast("double") - mean) / F.sqrt(var), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double"),
+    )
+    k6 = int(round(slack * 1_000_000))
+    h6 = int(round(threshold * 1_000_000))
+    zi = F.round(F.col("z6") * 1e6).cast("long")
+    stepped = j.select(
+        "grp",
+        "day",
+        "x",
+        (zi - F.lit(k6)).alias("d_pos"),
+        (-zi - F.lit(k6)).alias("d_neg"),
+    )
+    wrun = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = stepped.withColumn("p_pos", F.sum("d_pos").over(wrun)).withColumn(
+        "p_neg", F.sum("d_neg").over(wrun)
+    )
+    s_pos = F.col("p_pos") - F.least(F.lit(0), F.min("p_pos").over(wrun))
+    s_neg = F.col("p_neg") - F.least(F.lit(0), F.min("p_neg").over(wrun))
+    return (
+        p.withColumn("sp", s_pos)
+        .withColumn("sn", s_neg)
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            F.col("x").cast("long").alias("x"),
+            (F.col("sp").cast("double") / 1e6).alias("s_pos_r6"),
+            (F.col("sn").cast("double") / 1e6).alias("s_neg_r6"),
+            (F.col("sp") > h6).alias("alarm_pos"),
+            (F.col("sn") > h6).alias("alarm_neg"),
+        )
+        .orderBy(group_col, "day")
+    )

@@ -1124,3 +1124,56 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_r4"), "a", "b")
         .limit(top_n)
     )
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade level per document —
+    the classic readability pair (Flesch 1948; Kincaid et al. 1975),
+    the standard complexity feature next to the quality/gopher tiers
+    when curating by audience level.
+
+    Counts are engine-portable regex aggregates (Spark
+    regexp_extract_all / DuckDB regexp_extract_all, identical patterns):
+    words = runs of [A-Za-z]+, sentences = runs of [.!?]+ (floored at
+    1), syllables ~= vowel-group runs [aeiouyAEIOUY]+ — the published
+    vowel-cluster approximation; a dictionary syllabifier is a model
+    artifact, not an operator.  The two scores are fixed-shape per-row
+    double expressions over those exact INTs, ROUND 4 with the
+    signed-zero guard (reading-ease is a difference of terms and CAN
+    round to -0.0).  Empty/wordless docs emit NULL scores, never a
+    division by zero.
+
+      ease  = 206.835 - 1.015*(W/S) - 84.6*(Y/W)
+      grade = 0.39*(W/S) + 11.8*(Y/W) - 15.59
+
+    Emits (doc_id, words, sentences, syllables, ease_r4, grade_r4),
+    ordered by doc_id.  Scale: embarrassingly parallel map over the
+    corpus — no shuffle at all before the output sort.
+    """
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0))
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0))
+    )
+    sylls = F.size(F.regexp_extract_all(t, F.lit("[aeiouyAEIOUY]+"), 0))
+    base = df.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sents.cast("long").alias("sentences"),
+        sylls.cast("long").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = (
+        F.col("syllables").cast("double") / F.col("words").cast("double")
+    )
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    nz = F.col("words") > 0
+    return base.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (F.when(nz, F.round(ease, 4)) + F.lit(0.0)).alias("ease_r4"),
+        (F.when(nz, F.round(grade, 4)) + F.lit(0.0)).alias("grade_r4"),
+    ).orderBy("doc_id")

@@ -7479,3 +7479,471 @@ Q(QuerySpec(
         ORDER BY source
     """,
 ))
+
+
+# ---- round 8 second batch: experiment-analysis + privacy tier ---------------
+#
+# Three inference primitives (Welch t-test, Poisson-bootstrap CI, CUSUM
+# changepoints — operators/stats.py), two release audits (k-anonymity /
+# l-diversity, DP noisy counts — operators/privacy.py), the KMV set-op
+# (sketch.py:kmv_jaccard) and Flesch readability (text.py:readability).
+# All seven are single-scan shapes with metadata-sized shuffles and full
+# oracle hashes; every rounded double carries the + 0.0 signed-zero
+# guard on BOTH sides (the r8 pl_jl_project discipline).
+
+
+def _welch_q(spark, sf):
+    from ..operators.stats import welch_ttest
+
+    return welch_ttest(
+        load_table(spark, sf, "events"),
+        "value", "event_type", "purchase", "view",
+    )
+
+
+Q(QuerySpec(
+    name="pl_welch_ttest",
+    doc="Welch's unequal-variance t-test between the purchase and view "
+        "cohorts' event values (operators/stats.py:welch_ttest) — the "
+        "two-sample comparison primitive of the experiment-analysis "
+        "tier. One conditional-aggregation scan (no per-cohort join); "
+        "n/sum/sum-of-squares accumulate as exact DECIMAL(38,6) (the "
+        "relational money-sum discipline — order-independent), then "
+        "mean/variance/t and the Welch-Satterthwaite df are fixed-shape "
+        "double expressions, ROUND 6/4 with the signed-zero guard. "
+        "Scale: map-side combine reduces the shuffle to one row per "
+        "partition at any corpus size.",
+    builder=_welch_q,
+    oracle_sql_str="""
+        WITH agg AS (
+          SELECT
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS n_a,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+            SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(38,6)) END) AS s_a,
+            SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(38,6)) END) AS s_b,
+            SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value * value AS DECIMAL(38,6)) END) AS ss_a,
+            SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value * value AS DECIMAL(38,6)) END) AS ss_b
+          FROM events
+          WHERE event_type IN ('purchase', 'view')
+        ),
+        stats AS (
+          SELECT n_a, n_b,
+                 CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+                 CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+                 CASE WHEN n_a > 1 THEN
+                   (CAST(ss_a AS DOUBLE)
+                    - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                      / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0) END AS var_a,
+                 CASE WHEN n_b > 1 THEN
+                   (CAST(ss_b AS DOUBLE)
+                    - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                      / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0) END AS var_b
+          FROM agg
+        ),
+        se AS (
+          SELECT *,
+                 var_a / CAST(n_a AS DOUBLE) AS se2_a,
+                 var_b / CAST(n_b AS DOUBLE) AS se2_b
+          FROM stats
+        )
+        SELECT 'purchase' AS group_a, 'view' AS group_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(mean_a, 6) + 0.0 AS mean_a_r6,
+               ROUND(mean_b, 6) + 0.0 AS mean_b_r6,
+               ROUND(var_a, 6) + 0.0 AS var_a_r6,
+               ROUND(var_b, 6) + 0.0 AS var_b_r6,
+               ROUND(CASE WHEN (se2_a + se2_b) > 0 THEN
+                 (mean_a - mean_b) / sqrt(se2_a + se2_b) END, 6) + 0.0
+                 AS t_r6,
+               ROUND(CASE WHEN (se2_a + se2_b) > 0 THEN
+                 ((se2_a + se2_b) * (se2_a + se2_b))
+                 / (se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+                    + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0))
+                 END, 4) + 0.0 AS df_r4
+        FROM se
+    """,
+))
+
+
+def _bootstrap_q(spark, sf):
+    from ..operators.stats import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        load_table(spark, sf, "events"),
+        "event_id", "value", "event_type", b=64,
+    )
+
+
+Q(QuerySpec(
+    name="pl_bootstrap_ci",
+    doc="Per-event-type 95% bootstrap CI for the mean value via the "
+        "POISSON bootstrap (operators/stats.py:poisson_bootstrap_ci; "
+        "Chamandy et al. — each row enters replicate r with weight ~ "
+        "Poisson(1), so no global resample pass exists: the at-scale "
+        "bootstrap). Randomness is the md5 inverse-CDF integer ladder "
+        "(POISSON1_THRESHOLDS), replayed bit-for-bit by the oracle; "
+        "replicate means are exact-DECIMAL weighted sums; CI bounds are "
+        "nearest-rank order statistics over the B=64 replicate means. "
+        "Scale: ONE scan, explode(B) folded by map-side combine to "
+        "O(groups x B) shuffle rows; per-row cost is B md5 calls (the "
+        "portability tax — a deployment swaps in xxhash64).",
+    builder=_bootstrap_q,
+    oracle_sql_str="""
+        WITH rep AS (
+          SELECT e.event_type AS grp, r.r AS r, e.value AS v,
+                 CAST(('0x' || substr(md5(
+                   CAST(e.event_id AS VARCHAR) || '#'
+                   || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000000 AS u6
+          FROM events e CROSS JOIN range(0, 64) r(r)
+        ),
+        wtd AS (
+          SELECT grp, r, v,
+                 CASE WHEN u6 < 367879 THEN 0
+                      WHEN u6 < 735758 THEN 1
+                      WHEN u6 < 919698 THEN 2
+                      WHEN u6 < 981011 THEN 3
+                      WHEN u6 < 996340 THEN 4
+                      WHEN u6 < 999405 THEN 5
+                      WHEN u6 < 999916 THEN 6
+                      WHEN u6 < 999989 THEN 7
+                      WHEN u6 < 999998 THEN 8
+                      ELSE 9 END AS w
+          FROM rep
+        ),
+        means AS (
+          SELECT grp, r,
+                 CASE WHEN SUM(w) > 0 THEN
+                   CAST(SUM(CAST(CAST(w AS DOUBLE) * v
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(SUM(w) AS DOUBLE) END AS mean_r
+          FROM wtd GROUP BY grp, r
+        ),
+        ranked AS (
+          SELECT grp, mean_r,
+                 ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY mean_r NULLS FIRST, r)
+                   AS rn
+          FROM means
+        ),
+        ci AS (
+          SELECT grp,
+                 MAX(CASE WHEN rn = 2 THEN mean_r END) AS lo,
+                 MAX(CASE WHEN rn = 63 THEN mean_r END) AS hi
+          FROM ranked GROUP BY grp
+        ),
+        base AS (
+          SELECT event_type AS grp, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM events GROUP BY event_type
+        )
+        SELECT b.grp AS event_type, CAST(b.n AS BIGINT) AS n,
+               CAST(64 AS BIGINT) AS b,
+               ROUND(b.mean, 6) + 0.0 AS mean_r6,
+               ROUND(c.lo, 6) + 0.0 AS lo_r6,
+               ROUND(c.hi, 6) + 0.0 AS hi_r6
+        FROM base b JOIN ci c ON c.grp = b.grp
+        ORDER BY event_type
+    """,
+))
+
+
+def _cusum_q(spark, sf):
+    from ..operators.stats import cusum_changepoints
+
+    return cusum_changepoints(
+        load_table(spark, sf, "events"), "ts", "event_type",
+    )
+
+
+Q(QuerySpec(
+    name="pl_cusum",
+    doc="Two-sided CUSUM changepoint scan over each event type's daily "
+        "volume (operators/stats.py:cusum_changepoints; Page 1954). "
+        "The max-recursion S+ = max(0, S+ + z - k) is rewritten to "
+        "window algebra via S+_t = P_t - min(0, min_prefix(P)) — a "
+        "running sum and a running min; all accumulation runs in exact "
+        "BIGINTs after z quantizes to ROUND(z*1e6) (a windowed double "
+        "sum is association-order dependent: DuckDB uses a segment "
+        "tree, a sequential fold does not). Scale: the daily rollup is "
+        "the only data-sized shuffle; windows run over O(groups x "
+        "days) rows.",
+    builder=_cusum_q,
+    oracle_sql_str="""
+        WITH daily AS (
+          SELECT event_type AS grp,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT grp, COUNT(*) AS n_days, SUM(x) AS s, SUM(x*x) AS ss
+          FROM daily GROUP BY grp
+        ),
+        z AS (
+          SELECT d.grp, d.day, d.x,
+                 CASE WHEN (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) > 0
+                 THEN ROUND(
+                   (CAST(d.x AS DOUBLE)
+                    - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))),
+                   6)
+                 ELSE 0.0 END AS z6
+          FROM daily d JOIN st USING (grp)
+        ),
+        steps AS (
+          SELECT grp, day, x,
+                 CAST(ROUND(z6 * 1000000.0, 0) AS BIGINT) - 500000
+                   AS d_pos,
+                 -CAST(ROUND(z6 * 1000000.0, 0) AS BIGINT) - 500000
+                   AS d_neg
+          FROM z
+        ),
+        p AS (
+          SELECT grp, day, x,
+                 SUM(d_pos) OVER w AS p_pos,
+                 SUM(d_neg) OVER w AS p_neg
+          FROM steps
+          WINDOW w AS (PARTITION BY grp ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)
+        ),
+        s AS (
+          SELECT grp, day, x,
+                 p_pos - LEAST(0, MIN(p_pos) OVER w) AS sp,
+                 p_neg - LEAST(0, MIN(p_neg) OVER w) AS sn
+          FROM p
+          WINDOW w AS (PARTITION BY grp ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT grp AS event_type, day, CAST(x AS BIGINT) AS x,
+               CAST(sp AS DOUBLE) / 1000000.0 AS s_pos_r6,
+               CAST(sn AS DOUBLE) / 1000000.0 AS s_neg_r6,
+               sp > 4000000 AS alarm_pos,
+               sn > 4000000 AS alarm_neg
+        FROM s ORDER BY event_type, day
+    """,
+))
+
+
+def _kanon_q(spark, sf):
+    from ..operators.privacy import k_anonymity
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_custkey",
+    )
+    return k_anonymity(
+        orders,
+        ("o_orderstatus", "o_orderpriority", "month"),
+        "o_custkey", k=5, l_div=5,
+    )
+
+
+Q(QuerySpec(
+    name="pl_kanon",
+    doc="k-anonymity + l-diversity audit over the (status, priority, "
+        "order-month) quasi-identifier with customer key as the "
+        "sensitive attribute (operators/privacy.py:k_anonymity; "
+        "Sweeney 2002, Machanavajjhala 2007): per equivalence class, "
+        "exact n and distinct-sensitive count with at_risk flags at "
+        "k=5 / l=5 — the pre-release re-identification check next to "
+        "the pl_pii_redact scrub tier. Scale: one class-tuple rollup "
+        "(the DISTINCT expands x2, still keyed by class) — shuffle "
+        "rows = |classes| at any corpus size.",
+    builder=_kanon_q,
+    oracle_sql_str="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                 AS month,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS l_distinct,
+               COUNT(*) < 5 AS at_risk_k,
+               COUNT(DISTINCT o_custkey) < 5 AS at_risk_l
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+))
+
+
+def _dp_counts_q(spark, sf):
+    from ..operators.privacy import dp_counts
+
+    return dp_counts(
+        load_table(spark, sf, "documents"), ("source", "lang"),
+        epsilon=1.0,
+    )
+
+
+Q(QuerySpec(
+    name="pl_dp_counts",
+    doc="Per-(source, lang) counts released through the Laplace "
+        "mechanism at epsilon=1 (operators/privacy.py:dp_counts; Dwork "
+        "2006 — count sensitivity 1, scale b=1/epsilon). The draw is "
+        "the Laplace inverse CDF on an md5-derived uniform in (-1,1), "
+        "deterministic per group key so the oracle replays it exactly "
+        "(a release would salt with a sealed nonce; mechanism "
+        "unchanged). ln is the bit-portable libm call the logprob "
+        "tiers rely on; noisy counts ROUND 4 with the signed-zero "
+        "guard. Scale: one count rollup, O(groups) everything.",
+    builder=_dp_counts_q,
+    oracle_sql_str="""
+        WITH c AS (
+          SELECT source, lang, COUNT(*) AS n FROM documents
+          GROUP BY source, lang
+        ),
+        u AS (
+          SELECT source, lang, n,
+                 CAST(CAST(('0x' || substr(md5(source || '|' || lang),
+                   1, 8)) AS BIGINT) % 1999999 - 999999 AS DOUBLE)
+                 / 1000000.0 AS u
+          FROM c
+        )
+        SELECT source, lang, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE)
+                 + (-1.0) * sign(u) * ln(1.0 - abs(u)), 4) + 0.0
+                 AS noisy_r4,
+               CAST(1.0 AS DOUBLE) AS epsilon
+        FROM u ORDER BY source, lang
+    """,
+))
+
+
+def _kmv_jaccard_q(spark, sf):
+    from ..operators.sketch import kmv_jaccard
+
+    toks = (
+        load_table(spark, sf, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return kmv_jaccard(toks, "token", "source", k=256)
+
+
+Q(QuerySpec(
+    name="pl_kmv_jaccard",
+    doc="Pairwise vocabulary-overlap (Jaccard) estimates between all "
+        "source pairs from per-source KMV signatures (operators/"
+        "sketch.py:kmv_jaccard; Beyer et al. 2007) — the SET-operation "
+        "member of the mergeable-summary tier: the k smallest hashes "
+        "of a union are computable from the two signatures alone, and "
+        "the both-sides fraction of that union signature estimates "
+        "Jaccard. Partition-local numpy k-min prefilter bounds the "
+        "shuffle to <= k rows per (partition, group); the pair stage "
+        "is algebra over O(groups x k) signature rows — 190 pairs here "
+        "never rescan the corpus. Exact integers except one ROUND-6 "
+        "division with the signed-zero guard.",
+    builder=_kmv_jaccard_q,
+    oracle_sql_str=r"""
+        WITH tok AS (
+          SELECT source AS grp,
+                 unnest(string_split_regex(text, '\s+')) AS t
+          FROM documents
+        ),
+        h AS (
+          SELECT DISTINCT grp,
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv
+          FROM tok WHERE t <> ''
+        ),
+        sig AS (
+          SELECT grp, hv FROM (
+            SELECT grp, hv,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv)
+                     AS rn
+            FROM h
+          ) WHERE rn <= 256
+        ),
+        g AS (SELECT DISTINCT grp FROM sig),
+        p AS (
+          SELECT a.grp AS ga, b.grp AS gb
+          FROM g a JOIN g b ON a.grp < b.grp
+        ),
+        e AS (
+          SELECT p.ga, p.gb, s.hv,
+                 MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+                 MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+          FROM p JOIN sig s ON s.grp = p.ga OR s.grp = p.gb
+          GROUP BY 1, 2, 3
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb
+                                         ORDER BY hv) AS rn
+            FROM e
+          ) WHERE rn <= 256
+        )
+        SELECT ga AS src_a, gb AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+               ROUND(CAST(SUM(in_a * in_b) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS jaccard_r6
+        FROM kept GROUP BY ga, gb ORDER BY src_a, src_b
+    """,
+))
+
+
+def _readability_q(spark, sf):
+    from ..operators.text import readability
+
+    return readability(load_table(spark, sf, "documents"))
+
+
+Q(QuerySpec(
+    name="pl_readability",
+    doc="Flesch reading-ease + Flesch-Kincaid grade per document "
+        "(operators/text.py:readability; Flesch 1948, Kincaid 1975) — "
+        "the audience-level complexity feature next to the quality/"
+        "gopher tiers. Word/sentence/vowel-group counts are identical "
+        "regexp_extract_all aggregates on both engines; the scores are "
+        "fixed-shape per-row double expressions over exact INTs, ROUND "
+        "4 with the signed-zero guard (reading-ease is a difference "
+        "and CAN round to -0.0); wordless docs emit NULLs, never a "
+        "zero division. Scale: embarrassingly parallel map, no "
+        "shuffle before the output sort.",
+    builder=_readability_q,
+    oracle_sql_str="""
+        WITH base AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+                 greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS sentences,
+                 len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                   AS syllables
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(words AS BIGINT) AS words,
+               CAST(sentences AS BIGINT) AS sentences,
+               CAST(syllables AS BIGINT) AS syllables,
+               CASE WHEN words > 0 THEN ROUND(
+                 206.835
+                 - 1.015 * (CAST(words AS DOUBLE)
+                            / CAST(sentences AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE)), 4) END + 0.0
+                 AS ease_r4,
+               CASE WHEN words > 0 THEN ROUND(
+                 0.39 * (CAST(words AS DOUBLE)
+                         / CAST(sentences AS DOUBLE))
+                 + 11.8 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE)) - 15.59, 4) END
+                 + 0.0 AS grade_r4
+        FROM base ORDER BY doc_id
+    """,
+))

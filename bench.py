@@ -118,6 +118,13 @@ HEADLINE = [
     "pl_pmi_colloc",     # PMI/NPMI bigram collocations (r8)
     "pl_sessionize",     # batch gap sessionization (r8)
     "pl_label_kl",       # per-source label-mix KL audit (r8)
+    "pl_welch_ttest",    # Welch two-cohort t-test (r8 batch 2)
+    "pl_bootstrap_ci",   # Poisson-bootstrap mean CI (r8 batch 2)
+    "pl_cusum",          # CUSUM daily-volume changepoints (r8 batch 2)
+    "pl_kanon",          # k-anonymity / l-diversity audit (r8 batch 2)
+    "pl_dp_counts",      # DP Laplace noisy counts (r8 batch 2)
+    "pl_kmv_jaccard",    # KMV pairwise vocabulary Jaccard (r8 batch 2)
+    "pl_readability",    # Flesch reading-ease / FK grade (r8 batch 2)
 ]
 
 

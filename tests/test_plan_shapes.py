@@ -806,3 +806,53 @@ def test_sessionize_single_exchange_two_windows(spark):
         r"Exchange hashpartitioning\(user_id", plan
     )
     assert len(user_exchanges) == 1, plan[:2000]
+
+
+def test_r8_batch2_plan_shapes(spark):
+    """Round-8 second batch: the scale posture locked in.
+
+    - welch_ttest: ONE scan (one FileScan), partial aggregation, no
+      join between the two cohorts' rollups, no cartesian
+    - bootstrap_ci: the explode(B) folds into partial aggregation
+      before the (group, replicate) shuffle; no cartesian
+    - kanon: single groupBy with partial aggregation (the DISTINCT
+      expand keeps the class key), no window, no join
+    - dp_counts: one partial-agg rollup, no window
+    - kmv_jaccard: corpus is scanned once (signatures), the pair stage
+      broadcasts the tiny pair relation — no SortMergeJoin anywhere
+    - readability: pure map + sort — no aggregation, no join
+    - cusum: the daily rollup is partially aggregated; group stats
+      broadcast back (no SortMergeJoin)
+    """
+    p_welch = _plan(QUERIES["pl_welch_ttest"].run(spark, SF_SMOKE))
+    assert p_welch.count("FileScan parquet") == 1
+    assert "partial_sum" in p_welch or "partial_count" in p_welch
+    assert "Join" not in p_welch
+
+    p_boot = _plan(QUERIES["pl_bootstrap_ci"].run(spark, SF_SMOKE))
+    assert "partial_sum" in p_boot
+    assert "CartesianProduct" not in p_boot
+
+    p_kanon = _plan(QUERIES["pl_kanon"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_kanon
+    assert "Join" not in p_kanon and "Window" not in p_kanon
+
+    p_dp = _plan(QUERIES["pl_dp_counts"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_dp
+    assert "Window" not in p_dp
+
+    # the O(groups x k) signature is persisted and referenced three
+    # times — InMemoryTableScan proves the corpus parquet is read once
+    # (the FileScan string recurs only inside the printed cached subtree)
+    p_kmv = _plan(QUERIES["pl_kmv_jaccard"].run(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in p_kmv
+    assert "SortMergeJoin" not in p_kmv
+    assert "BroadcastHashJoin" in p_kmv or "BroadcastNestedLoopJoin" in p_kmv
+
+    p_read = _plan(QUERIES["pl_readability"].run(spark, SF_SMOKE))
+    assert "HashAggregate" not in p_read
+    assert "Join" not in p_read
+
+    p_cusum = _plan(QUERIES["pl_cusum"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_cusum
+    assert "SortMergeJoin" not in p_cusum

@@ -456,3 +456,77 @@ def test_hist_quantiles_rejects_negative(spark):
     )
     with pytest.raises(Exception, match="negative"):
         hist_quantiles(df, "n_chars").collect()
+
+
+# ---- kmv_jaccard -------------------------------------------------------------
+
+
+def _tok_df(spark, groups):
+    rows = [(g, t) for g, toks in groups.items() for t in toks]
+    return spark.createDataFrame(rows, "src string, tok string")
+
+
+def test_kmv_jaccard_exact_below_k(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_jaccard
+
+    # |union| = 150 < k=256: the union signature IS the union, so the
+    # estimate equals exact Jaccard 50/150
+    df = _tok_df(spark, {
+        "a": [f"t{i}" for i in range(100)],
+        "b": [f"t{i}" for i in range(50, 150)],
+    })
+    r = kmv_jaccard(df, "tok", "src", k=256).collect()
+    assert len(r) == 1
+    assert (r[0].src_a, r[0].src_b) == ("a", "b")
+    assert r[0].k_used == 150 and r[0].n_both == 50
+    assert r[0].jaccard_r6 == round(50 / 150, 6)
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_jaccard
+
+    df = _tok_df(spark, {
+        "a": [f"x{i}" for i in range(20)],
+        "b": [f"x{i}" for i in range(20)],
+        "c": [f"y{i}" for i in range(20)],
+    })
+    out = {(r.src_a, r.src_b): r for r in
+           kmv_jaccard(df, "tok", "src", k=64).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")].jaccard_r6 == 1.0
+    assert out[("a", "c")].jaccard_r6 == 0.0
+    assert out[("b", "c")].jaccard_r6 == 0.0
+
+
+def test_kmv_jaccard_estimates_at_k_below_cardinality(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_jaccard
+
+    # 1000-value sets sharing 500: true J = 500/1500 = 1/3; k=64 keeps
+    # the union signature a sample — estimate lands near the truth
+    df = _tok_df(spark, {
+        "a": [f"v{i}" for i in range(1000)],
+        "b": [f"v{i}" for i in range(500, 1500)],
+    })
+    r = kmv_jaccard(df, "tok", "src", k=64).collect()[0]
+    assert r.k_used == 64
+    assert abs(r.jaccard_r6 - 1 / 3) < 0.2
+
+
+def test_kmv_jaccard_duplicates_do_not_move_the_estimate(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_jaccard
+
+    base = {"a": ["p", "q", "r"], "b": ["q", "r", "s"]}
+    dup = {"a": ["p", "q", "r"] * 7, "b": ["q", "r", "s"] * 3}
+    r1 = kmv_jaccard(_tok_df(spark, base), "tok", "src", k=16).collect()
+    r2 = kmv_jaccard(_tok_df(spark, dup), "tok", "src", k=16).collect()
+    assert r1 == r2  # set semantics: multiplicity is invisible
+
+
+def test_kmv_jaccard_rejects_tiny_k(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_jaccard
+
+    df = _tok_df(spark, {"a": ["x"], "b": ["x"]})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_jaccard(df, "tok", "src", k=1)

@@ -1,0 +1,148 @@
+"""Experiment-analysis tier (operators/stats.py): hand-computed Welch
+t-test cases, Poisson-bootstrap invariants, and a reference-recursion
+check for the CUSUM window rewrite."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from adenhq_hive_spark.operators.stats import (
+    POISSON1_THRESHOLDS,
+    cusum_changepoints,
+    poisson_bootstrap_ci,
+    welch_ttest,
+)
+
+
+def _vals(spark, a, b):
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+def test_welch_hand_computed(spark):
+    a = [1, 2, 3, 4]
+    b = [2, 4, 6, 8, 10]
+    r = welch_ttest(_vals(spark, a, b), "v", "grp", "a", "b").collect()[0]
+    mean_a, mean_b = 2.5, 6.0
+    var_a = sum((x - mean_a) ** 2 for x in a) / 3  # 5/3
+    var_b = sum((x - mean_b) ** 2 for x in b) / 4  # 10
+    se2 = var_a / 4 + var_b / 5
+    t = (mean_a - mean_b) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (var_a / 4) ** 2 / 3 + (var_b / 5) ** 2 / 4
+    )
+    assert (r.n_a, r.n_b) == (4, 5)
+    assert r.mean_a_r6 == pytest.approx(mean_a)
+    assert r.mean_b_r6 == pytest.approx(mean_b)
+    assert r.var_a_r6 == pytest.approx(round(var_a, 6))
+    assert r.var_b_r6 == pytest.approx(round(var_b, 6))
+    assert r.t_r6 == pytest.approx(round(t, 6))
+    assert r.df_r4 == pytest.approx(round(dof, 4))
+
+
+def test_welch_singleton_cohort_yields_nulls_not_div_zero(spark):
+    r = welch_ttest(
+        _vals(spark, [5], [1, 2, 3]), "v", "grp", "a", "b"
+    ).collect()[0]
+    assert r.n_a == 1 and r.mean_a_r6 == pytest.approx(5.0)
+    assert r.var_a_r6 is None and r.t_r6 is None and r.df_r4 is None
+
+
+def test_welch_identical_cohorts_t_zero(spark):
+    r = welch_ttest(
+        _vals(spark, [1, 2, 3], [1, 2, 3]), "v", "grp", "a", "b"
+    ).collect()[0]
+    assert r.t_r6 == 0.0
+    # signed-zero guard: 0.0, never -0.0
+    assert math.copysign(1.0, r.t_r6) == 1.0
+
+
+def test_poisson_thresholds_are_the_inverse_cdf(spark):
+    cum, p = 0.0, math.exp(-1)
+    for i, th in enumerate(POISSON1_THRESHOLDS):
+        cum += p
+        assert th == math.floor(cum * 1_000_000)
+        p = p / (i + 1)
+
+
+def test_bootstrap_constant_values_pin_ci_to_mean(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 7.0) for i in range(50)], "id long, grp string, v double"
+    )
+    r = poisson_bootstrap_ci(df, "id", "v", "grp", b=8).collect()[0]
+    assert (r.n, r.b) == (50, 8)
+    assert r.mean_r6 == r.lo_r6 == r.hi_r6 == pytest.approx(7.0)
+
+
+def test_bootstrap_deterministic_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(40)],
+        "id long, grp string, v double",
+    )
+    out1 = poisson_bootstrap_ci(df, "id", "v", "grp", b=16).collect()
+    out2 = poisson_bootstrap_ci(df, "id", "v", "grp", b=16).collect()
+    assert out1 == out2  # md5 inverse-CDF: replayable, no RNG state
+    for r in out1:
+        assert r.lo_r6 <= r.hi_r6
+        assert r.lo_r6 <= r.mean_r6 + 5 and r.hi_r6 >= r.mean_r6 - 5
+
+
+def test_bootstrap_rejects_tiny_b(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, v double")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "id", "v", "grp", b=2)
+
+
+def _cusum_reference(xs, slack=0.5, threshold=4.0):
+    """The textbook max-recursion over the SAME quantized z the operator
+    uses — validates the prefix-sum window rewrite."""
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum(x * x for x in xs) / n - mean * mean
+    sd = math.sqrt(var) if var > 0 else 0.0
+    out = []
+    sp = sn = 0
+    k6 = int(round(slack * 1e6))
+    for x in xs:
+        z6 = int(round(round((x - mean) / sd, 6) * 1e6)) if sd > 0 else 0
+        sp = max(0, sp + z6 - k6)
+        sn = max(0, sn + (-z6) - k6)
+        out.append((sp / 1e6, sn / 1e6, sp > threshold * 1e6))
+    return out
+
+
+def test_cusum_matches_reference_recursion_and_alarms(spark):
+    # 20 quiet days then a level shift — alarm must fire after the shift
+    xs = [100, 102, 98, 101, 99, 100, 103, 97, 100, 101,
+          99, 100, 102, 98, 100, 101, 99, 100, 130, 135]
+    rows = []
+    for day, x in enumerate(xs, start=1):
+        ts = "2024-02-%02d 12:00:00" % day
+        rows += [("g", ts)] * x
+    df = spark.createDataFrame(rows, "grp string, ts string").selectExpr(
+        "grp", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = cusum_changepoints(df, "ts", "grp").collect()
+    ref = _cusum_reference(xs)
+    assert len(out) == len(ref)
+    for row, (sp, sn, alarm) in zip(out, ref):
+        assert row.s_pos_r6 == pytest.approx(sp, abs=1e-9)
+        assert row.s_neg_r6 == pytest.approx(sn, abs=1e-9)
+        assert row.alarm_pos == alarm
+    assert out[-1].alarm_pos and not out[0].alarm_pos
+    assert not any(r.alarm_neg for r in out)
+
+
+def test_cusum_constant_series_is_silent(spark):
+    rows = [("g", "2024-03-%02d 00:00:01" % d) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, ts string").selectExpr(
+        "grp", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = cusum_changepoints(df, "ts", "grp").collect()
+    assert all(
+        r.s_pos_r6 == 0.0 and r.s_neg_r6 == 0.0
+        and not r.alarm_pos and not r.alarm_neg
+        for r in out
+    )

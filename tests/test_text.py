@@ -766,3 +766,46 @@ def test_pmi_collocations_min_count_floor_and_order(spark):
     # rows are ordered by pmi desc
     pmis = [r.pmi_r4 for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+# ---- readability -------------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    from adenhq_hive_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+    )
+    r = readability(df).collect()[0]
+    # words: The cat sat The dog ran = 6; sentences: . ! = 2
+    # vowel groups: e / a / a / e / o / a = 6
+    assert (r.words, r.sentences, r.syllables) == (6, 2, 6)
+    ease = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    grade = 0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59
+    assert r.ease_r4 == round(ease, 4)
+    assert r.grade_r4 == round(grade, 4)
+
+
+def test_readability_wordless_rows_yield_nulls(spark):
+    from adenhq_hive_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "1234 !!! 5678"), (3, "Ok.")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    assert out[1].words == 0 and out[1].ease_r4 is None
+    assert out[2].words == 0 and out[2].grade_r4 is None
+    assert out[3].words == 1 and out[3].sentences == 1
+    assert out[3].ease_r4 is not None
+
+
+def test_readability_sentence_floor_prevents_div_zero(spark):
+    from adenhq_hive_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "no terminal punctuation here")], "doc_id long, text string"
+    )
+    r = readability(df).collect()[0]
+    assert r.sentences == 1 and r.ease_r4 is not None
