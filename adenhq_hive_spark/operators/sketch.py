@@ -851,13 +851,16 @@ def kmv_jaccard(
         raise ValueError("k must be >= 2")
     from pyspark.sql import Window
 
-    hashed = df.select(
-        F.col(group_col).cast("string").alias("grp"),
-        F.conv(
-            F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
-            16,
-            10,
+    # md5 over every token is CPU-bound: spread a single-split scan
+    # across cores before hashing (no-op at real scale)
+    hashed = _spread(
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("string").alias("val"),
         )
+    ).select(
+        "grp",
+        F.conv(F.substring(F.md5(F.col("val")), 1, 8), 16, 10)
         .cast("long")
         .alias("hv"),
     )

@@ -1150,13 +1150,17 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     ordered by doc_id.  Scale: embarrassingly parallel map over the
     corpus — no shuffle at all before the output sort.
     """
+    from .sketch import _spread
+
     t = F.col(text_col)
     words = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0))
     sents = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0))
     )
     sylls = F.size(F.regexp_extract_all(t, F.lit("[aeiouyAEIOUY]+"), 0))
-    base = df.select(
+    # three regex passes per doc are CPU-bound: spread an under-split
+    # scan across cores first (no-op at real scale)
+    base = _spread(df.select("doc_id", text_col)).select(
         "doc_id",
         words.cast("long").alias("words"),
         sents.cast("long").alias("sentences"),

@@ -7600,7 +7600,8 @@ Q(QuerySpec(
           SELECT e.event_type AS grp, r.r AS r, e.value AS v,
                  CAST(('0x' || substr(md5(
                    CAST(e.event_id AS VARCHAR) || '#'
-                   || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT)
+                   || CAST(r.r // 4 AS VARCHAR)),
+                   1 + CAST(r.r % 4 AS INT) * 8, 8)) AS BIGINT)
                  % 1000000 AS u6
           FROM events e CROSS JOIN range(0, 64) r(r)
         ),
@@ -7823,10 +7824,13 @@ Q(QuerySpec(
 
 
 def _kmv_jaccard_q(spark, sf):
-    from ..operators.sketch import kmv_jaccard
+    from ..operators.sketch import _spread, kmv_jaccard
 
+    # spread the COMPACT docs relation before the token explode (32x
+    # cheaper shuffle than round-robining the exploded tokens; the
+    # in-operator _spread then no-ops)
     toks = (
-        load_table(spark, sf, "documents")
+        _spread(load_table(spark, sf, "documents").select("source", "text"))
         .select(
             "source",
             F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
