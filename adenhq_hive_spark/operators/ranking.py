@@ -8,11 +8,21 @@ Spark's own sort uses: range-partition on the keys (so partition index
 order IS key order), rank locally inside each partition, then add the
 prefix-sum of partition row counts as an offset.
 
-Everything is ONE declarative plan — the offsets come from a window over
-the per-(partition, group) count relation (P·|groups| rows, metadata-
-sized), never from a driver-side collect — so Catalyst's ReuseExchange
-computes the range shuffle once and the operator adds no extra job, no
-eager materialization, and no recompute-determinism caveat.
+The offsets come from a triangular join over the per-(partition, group)
+count relation (P·|groups| rows, metadata-sized), never from a
+driver-side collect.
+
+CORRECTNESS CAVEAT, learned the hard way (r8 second session): the
+range-partitioned relation MUST be materialized once before branching.
+repartitionByRange samples its boundaries per physical exchange, and
+when Catalyst does NOT reuse the exchange between the counts branch and
+the window branch (observed on a join-shaped consumer at sf0.1 — 96% of
+ranks wrong, nondeterministic across runs), the two branches see
+DIFFERENT partitionings and the offsets no longer describe the windowed
+partitions.  ``_materialize`` (persist, or reliable checkpoint when a
+checkpoint dir is configured) pins one boundary draw for every reader;
+lost blocks re-read the already-written shuffle files, so recompute
+cannot re-sample.
 """
 
 from __future__ import annotations
@@ -51,13 +61,19 @@ def exact_rank(
     prefer a lazy broadcast of the total as a COLUMN when the consumer
     is another Spark expression, as curriculum_order does).
     """
+    from .dedup import _materialize
+
     spark = df.sparkSession
     part_cols = list(part_cols)
     order_cols = list(order_cols)
     keys = part_cols + order_cols
     P = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
-    parted = df.repartitionByRange(P, *keys).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialized ONCE: both the counts branch and the window branch
+    # must see the SAME sampled range boundaries (module docstring)
+    parted = _materialize(
+        df.repartitionByRange(P, *keys).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = parted.groupBy("_pid", *part_cols).agg(
         F.count("*").alias("_cnt")

@@ -372,3 +372,264 @@ def cusum_changepoints(
         )
         .orderBy(group_col, "day")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two cohorts —
+    the nonparametric partner to :func:`welch_ttest` (Mann & Whitney
+    1947): compares distributions by rank, robust to outliers and
+    non-normality.
+
+    EXACT INTEGER rank algebra: grouping by distinct value, the
+    doubled midrank of a tie class equals 2*(count below) + (count in
+    class) + 1 — an integer — so the doubled rank sum 2R_a =
+    sum_v c_a(v) * (2*below(v) + c(v) + 1) accumulates in BIGINTs with
+    no floating ranks anywhere.  U_a = R_a - n_a(n_a+1)/2; the normal
+    approximation uses the tie-corrected variance
+
+      var = (n_a*n_b/12) * ((n+1) - sum_v(c^3 - c) / (n*(n-1)))
+
+    with the tie sum carried in DECIMAL(38,0) (c^3 overflows BIGINT on
+    extreme ties) and the variance assembled by interleaved double
+    divisions so no integer product exceeds BIGINT at any corpus size
+    (the kappa discipline).  z applies the 0.5 continuity correction
+    toward the null.
+
+    Emits ONE row: (group_a, group_b, n_a, n_b, u2_a (=2*U_a, exact
+    BIGINT), u_a_r1, z_r6).  Degenerate cases (a cohort empty, or all
+    values tied so var = 0) yield NULL z.
+
+    Scale: one scan -> one (value)-keyed count aggregation (shuffle =
+    distinct-value cardinality; for continuous metrics that is ~n, so
+    the prefix sum below NEVER uses a global-ordered window — it
+    buckets on value with a DETERMINISTIC equal-width grid and adds
+    per-bucket prefix offsets: no stage holds more than one bucket's
+    rows in a task, and every branch sees identical bucket boundaries,
+    which sampled repartitionByRange does not guarantee) -> a one-row
+    fold.
+    """
+    is_a = F.col(group_col) == group_a
+    is_b = F.col(group_col) == group_b
+    per_v = (
+        df.filter(is_a | is_b)
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(is_a.cast("long")).alias("c_a"),
+            F.sum(is_b.cast("long")).alias("c_b"),
+        )
+        .withColumn("c", F.col("c_a") + F.col("c_b"))
+    )
+    # distributed exclusive prefix sum of c in value order.  NOT
+    # repartitionByRange: its sampled boundaries are nondeterministic
+    # per subtree, so the offsets branch and the window branch can
+    # disagree (observed as a wrong rank sum at sf0.1).  Instead an
+    # EXPLICIT equal-width value bucketing — deterministic, order-
+    # preserving, identical in every branch; per-bucket totals fold to
+    # a broadcast exclusive prefix, the local cumsum windows per
+    # bucket.  (Equal-width can skew on pathological value
+    # distributions — correctness is unaffected; swap in sketch-based
+    # quantile boundaries if a deployment hits it.)
+    P = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    mm = per_v.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    bucketed = per_v.crossJoin(F.broadcast(mm)).withColumn(
+        "_bkt",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.lit(P - 1),
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * P
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    bcounts = bucketed.groupBy("_bkt").agg(F.sum("c").alias("_cnt"))
+    lo = bcounts.select(
+        F.col("_bkt").alias("_lo_bkt"), F.col("_cnt").alias("_lo_cnt")
+    )
+    offsets = (
+        bcounts.join(
+            F.broadcast(lo), F.col("_lo_bkt") < F.col("_bkt"), "left"
+        )
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_off"))
+    )
+    local_w = (
+        Window.partitionBy("_bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        bucketed.withColumn("_lcum", F.sum("c").over(local_w))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "below", F.col("_off") + F.col("_lcum") - F.col("c")
+        )
+    )
+    agg = ranked.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.sum(
+            F.col("c_a")
+            * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
+        ).alias("r2_a"),
+        F.sum(
+            (
+                F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+                - F.col("c").cast("decimal(38,0)")
+            )
+        ).alias("tie3"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    nd = n.cast("double")
+    # 2*U_a = 2R_a - n_a(n_a+1): keep exact; halve only in the double
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    u = u2.cast("double") / 2.0
+    mu = n_a * n_b / 2.0
+    var = (
+        (n_a * n_b / 12.0)
+        * (
+            (nd + 1.0)
+            - F.col("tie3").cast("double") / (nd * (nd - 1.0))
+        )
+    )
+    # continuity correction toward the null, sign-aware
+    cc = F.when(u > mu, u - 0.5).when(u < mu, u + 0.5).otherwise(u)
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        (cc - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        _zero_guard(F.round(u, 1)).alias("u_a_r1"),
+        _zero_guard(F.round(z, 6)).alias("z_r6"),
+    )
+
+
+def autocorr_daily(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-1..K autocorrelation of each group's daily event counts —
+    the seasonality/persistence diagnostic next to :func:`
+    cusum_changepoints` (a strong weekly cycle shows as an acf_7
+    spike; near-zero everywhere means volume is memoryless).
+
+    The standard ACF estimator r_k = sum_t (x_t - m)(x_{t+k} - m) /
+    sum_t (x_t - m)^2 is assembled from EXACT integer aggregates by
+    clearing denominators with n^2:
+
+      n^2 * num_k = n^2*S_xy(k) - n*s*S_pair(k) + (n-k)*s^2
+      n^2 * den   = n^2*S_xx    - n*s^2
+
+    (s = sum x, S_xx = sum x^2 over all days, S_xy(k)/S_pair(k) over
+    the (n-k) lag pairs) — every term a DECIMAL(38,0) product of
+    BIGINT day-counts, so both engines agree bit-for-bit before ONE
+    double division, ROUND 6.  The lag pairing is lead(x, k) over the
+    day order.
+
+    Emits (group_col, lag, n_days, n_pairs, acf_r6), ordered; lags
+    with fewer than 2 pairs or a constant series yield NULL acf.
+
+    Scale: the daily rollup is the only data-sized shuffle; the K
+    lead-windows and folds run over O(groups x days) rows.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    wd = Window.partitionBy("grp").orderBy("day")
+    lagged = daily.select(
+        "grp",
+        "x",
+        *[
+            F.lead("x", k).over(wd).alias(f"x_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    dec = "decimal(38,0)"
+    per_lag = []
+    for k in range(1, max_lag + 1):
+        xk = F.col(f"x_{k}")
+        per_lag.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.sum(
+                    F.when(
+                        xk.isNotNull(),
+                        F.col("x").cast(dec) * xk.cast(dec),
+                    )
+                ).alias("s_xy"),
+                F.sum(
+                    F.when(xk.isNotNull(), (F.col("x") + xk).cast(dec))
+                ).alias("s_pair"),
+                F.sum(xk.isNotNull().cast("long")).alias("n_pairs"),
+            )
+        )
+    folded = lagged.groupBy("grp").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("s_xx"),
+        F.array(*per_lag).alias("lags"),
+    )
+    e = folded.select(
+        "grp", "n_days", "s", "s_xx", F.explode("lags").alias("L")
+    ).select(
+        "grp",
+        "n_days",
+        F.col("L.lag").alias("lag"),
+        F.col("L.n_pairs").alias("n_pairs"),
+        (
+            F.col("n_days").cast(dec) * F.col("n_days").cast(dec)
+            * F.col("L.s_xy")
+            - F.col("n_days").cast(dec) * F.col("s").cast(dec)
+            * F.col("L.s_pair")
+            + (F.col("n_days") - F.col("L.lag")).cast(dec)
+            * F.col("s").cast(dec) * F.col("s").cast(dec)
+        ).alias("num"),
+        (
+            F.col("n_days").cast(dec) * F.col("n_days").cast(dec)
+            * F.col("s_xx")
+            - F.col("n_days").cast(dec) * F.col("s").cast(dec)
+            * F.col("s").cast(dec)
+        ).alias("den"),
+    )
+    return e.select(
+        F.col("grp").alias(group_col),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(
+            (F.col("n_pairs") > 1) & (F.col("den") > 0),
+            _zero_guard(
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"),
+                    6,
+                )
+            ),
+        ).alias("acf_r6"),
+    ).orderBy(group_col, "lag")

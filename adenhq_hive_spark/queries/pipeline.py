@@ -7951,3 +7951,175 @@ Q(QuerySpec(
         FROM base ORDER BY doc_id
     """,
 ))
+
+
+def _mannwhitney_q(spark, sf):
+    from ..operators.stats import mann_whitney_u
+
+    return mann_whitney_u(
+        load_table(spark, sf, "events"),
+        "value", "event_type", "purchase", "view",
+    )
+
+
+Q(QuerySpec(
+    name="pl_mannwhitney",
+    doc="Mann-Whitney U (Wilcoxon rank-sum) test between the purchase "
+        "and view cohorts (operators/stats.py:mann_whitney_u) — the "
+        "nonparametric partner to pl_welch_ttest. EXACT INTEGER rank "
+        "algebra: doubled midranks 2*below + c + 1 per tie class, "
+        "doubled rank sum and 2*U_a as BIGINTs, tie-corrected variance "
+        "with the c^3 sum in DECIMAL(38,0); z by interleaved double "
+        "divisions (the kappa discipline) with the 0.5 continuity "
+        "correction. The value-order prefix sum buckets on a deterministic "
+        "equal-width grid with per-bucket prefix offsets — no "
+        "single-task global window at any value cardinality, and no "
+        "sampled range boundaries (which differ per plan branch).",
+    builder=_mannwhitney_q,
+    oracle_sql_str="""
+        WITH per_v AS (
+          SELECT value AS v,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END) AS c_a,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                     END) AS c_b
+          FROM events
+          WHERE event_type IN ('purchase', 'view')
+          GROUP BY value
+        ),
+        cc AS (SELECT v, c_a, c_b, c_a + c_b AS c FROM per_v),
+        ranked AS (
+          SELECT *,
+                 SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+                   AS below
+          FROM cc
+        ),
+        agg AS (
+          SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b,
+                 SUM(c_a * (2 * below + c + 1)) AS r2_a,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+                     * CAST(c AS DECIMAL(38,0))
+                     - CAST(c AS DECIMAL(38,0))) AS tie3
+          FROM ranked
+        ),
+        fin AS (
+          SELECT n_a, n_b,
+                 r2_a - n_a * (n_a + 1) AS u2,
+                 CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u,
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+                 (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - CAST(tie3 AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+                   AS var
+          FROM agg
+        )
+        SELECT 'purchase' AS group_a, 'view' AS group_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(u2 AS BIGINT) AS u2_a,
+               ROUND(u, 1) + 0.0 AS u_a_r1,
+               ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0 THEN
+                 (CASE WHEN u > mu THEN u - 0.5
+                       WHEN u < mu THEN u + 0.5
+                       ELSE u END - mu) / sqrt(var) END, 6) + 0.0
+                 AS z_r6
+        FROM fin
+    """,
+))
+
+
+def _autocorr_q(spark, sf):
+    from ..operators.stats import autocorr_daily
+
+    return autocorr_daily(
+        load_table(spark, sf, "events"), "ts", "event_type", max_lag=7,
+    )
+
+
+def _autocorr_oracle() -> str:
+    leads = ",\n                 ".join(
+        f"LEAD(x, {k}) OVER w AS x_{k}" for k in range(1, 8)
+    )
+    folds = []
+    for k in range(1, 8):
+        folds.append(
+            f"SUM(CASE WHEN x_{k} IS NOT NULL THEN "
+            f"CAST(x AS DECIMAL(38,0)) * CAST(x_{k} AS DECIMAL(38,0)) "
+            f"END) AS s_xy_{k},\n                 "
+            f"SUM(CASE WHEN x_{k} IS NOT NULL THEN "
+            f"CAST(x + x_{k} AS DECIMAL(38,0)) END) AS s_pair_{k},\n"
+            f"                 "
+            f"SUM(CASE WHEN x_{k} IS NOT NULL THEN 1 ELSE 0 END) "
+            f"AS n_pairs_{k}"
+        )
+    unions = "\n          UNION ALL\n          ".join(
+        f"SELECT grp, n_days, s, s_xx, {k} AS lag, s_xy_{k} AS s_xy, "
+        f"s_pair_{k} AS s_pair, n_pairs_{k} AS n_pairs FROM folded"
+        for k in range(1, 8)
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type AS grp,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT grp, x,
+                 {leads}
+          FROM daily
+          WINDOW w AS (PARTITION BY grp ORDER BY day)
+        ),
+        folded AS (
+          SELECT grp, COUNT(*) AS n_days, SUM(x) AS s,
+                 SUM(CAST(x AS DECIMAL(38,0))
+                     * CAST(x AS DECIMAL(38,0))) AS s_xx,
+                 {",".join(folds)}
+          FROM lagged GROUP BY grp
+        ),
+        lags AS (
+          {unions}
+        )
+        SELECT grp AS event_type, CAST(lag AS INT) AS lag,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CASE WHEN n_pairs > 1 AND
+                 (CAST(n_days AS DECIMAL(38,0))
+                  * CAST(n_days AS DECIMAL(38,0)) * s_xx
+                  - CAST(n_days AS DECIMAL(38,0))
+                    * CAST(s AS DECIMAL(38,0))
+                    * CAST(s AS DECIMAL(38,0))) > 0
+               THEN ROUND(
+                 CAST(CAST(n_days AS DECIMAL(38,0))
+                      * CAST(n_days AS DECIMAL(38,0)) * s_xy
+                      - CAST(n_days AS DECIMAL(38,0))
+                        * CAST(s AS DECIMAL(38,0)) * s_pair
+                      + CAST(n_days - lag AS DECIMAL(38,0))
+                        * CAST(s AS DECIMAL(38,0))
+                        * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+                 / CAST(CAST(n_days AS DECIMAL(38,0))
+                        * CAST(n_days AS DECIMAL(38,0)) * s_xx
+                        - CAST(n_days AS DECIMAL(38,0))
+                          * CAST(s AS DECIMAL(38,0))
+                          * CAST(s AS DECIMAL(38,0)) AS DOUBLE), 6)
+                 + 0.0 END AS acf_r6
+        FROM lags ORDER BY event_type, lag
+    """
+
+
+Q(QuerySpec(
+    name="pl_autocorr",
+    doc="Lag 1-7 autocorrelation of each event type's daily volume "
+        "(operators/stats.py:autocorr_daily) — the seasonality/"
+        "persistence diagnostic beside pl_cusum and pl_ewma (a weekly "
+        "cycle shows as an acf_7 spike). The ACF numerator and "
+        "denominator are assembled from exact BIGINT day-counts with "
+        "denominators cleared by n^2 — every term a DECIMAL(38,0) "
+        "product, ONE double division per (group, lag), ROUND 6 with "
+        "the signed-zero guard. Scale: daily rollup is the only "
+        "data-sized shuffle; the 7 lead-windows run over O(groups x "
+        "days) rows.",
+    builder=_autocorr_q,
+    oracle_sql_str=_autocorr_oracle(),
+))

@@ -125,6 +125,8 @@ HEADLINE = [
     "pl_dp_counts",      # DP Laplace noisy counts (r8 batch 2)
     "pl_kmv_jaccard",    # KMV pairwise vocabulary Jaccard (r8 batch 2)
     "pl_readability",    # Flesch reading-ease / FK grade (r8 batch 2)
+    "pl_mannwhitney",    # Mann-Whitney U rank-sum test (r8 batch 3)
+    "pl_autocorr",       # daily-volume ACF lags 1-7 (r8 batch 3)
 ]
 
 

@@ -841,11 +841,13 @@ def test_r8_batch2_plan_shapes(spark):
     assert "partial_count" in p_dp
     assert "Window" not in p_dp
 
-    # the O(groups x k) signature is persisted and referenced three
-    # times — InMemoryTableScan proves the corpus parquet is read once
-    # (the FileScan string recurs only inside the printed cached subtree)
+    # the O(groups x k) signature is materialized once and referenced
+    # three times — an InMemoryTableScan (persist) or ExistingRDD scan
+    # (checkpoint, when an earlier test configured a checkpoint dir)
+    # proves the corpus parquet is read once (the FileScan string
+    # recurs only inside the printed cached subtree)
     p_kmv = _plan(QUERIES["pl_kmv_jaccard"].run(spark, SF_SMOKE))
-    assert "InMemoryTableScan" in p_kmv
+    assert "InMemoryTableScan" in p_kmv or "ExistingRDD" in p_kmv
     assert "SortMergeJoin" not in p_kmv
     assert "BroadcastHashJoin" in p_kmv or "BroadcastNestedLoopJoin" in p_kmv
 
@@ -856,3 +858,27 @@ def test_r8_batch2_plan_shapes(spark):
     p_cusum = _plan(QUERIES["pl_cusum"].run(spark, SF_SMOKE))
     assert "partial_count" in p_cusum
     assert "SortMergeJoin" not in p_cusum
+
+
+def test_mannwhitney_no_global_window(spark):
+    """The value-order prefix sum must be the deterministic-bucket +
+    offset shape, never a single-task global window (and never sampled
+    repartitionByRange, whose boundaries differ per plan branch):
+    every Window node keys on _bkt."""
+    plan = _plan(QUERIES["pl_mannwhitney"].run(spark, SF_SMOKE))
+    assert "rangepartitioning" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "_bkt" in seg, seg
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_single_daily_rollup(spark):
+    """Lags ride ONE partial-aggregated daily rollup and one grp-keyed
+    window pass — no per-lag rescans, no joins."""
+    plan = _plan(QUERIES["pl_autocorr"].run(spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

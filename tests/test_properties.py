@@ -381,3 +381,33 @@ def test_duplicated_spans_matches_python_reference(spark, docs):
         for r in duplicated_spans(df, k=4, min_words=8).collect()
     )
     assert got == _py_spans(corpus)
+
+
+def test_exact_rank_consistent_under_join_shaped_consumers(spark):
+    """Regression (r8): repartitionByRange samples boundaries per
+    physical exchange; without the one-shot materialization inside
+    exact_rank, a join-shaped consumer evaluated the counts branch and
+    the window branch under DIFFERENT partitionings (96% of ranks
+    wrong at 100k rows, nondeterministic).  Pin: ranks equal the
+    single-window reference under exactly that consumer shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.ranking import exact_rank
+
+    df = (
+        spark.range(100_000)
+        .select(
+            F.col("id"),
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                       16, 10).cast("long") % 1_000_000
+            ).cast("double").alias("v"),
+        )
+    )
+    ref = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    op = exact_rank(df, order_cols=("v", "id"), rank_col="rk2")
+    j = ref.join(op, ["id", "v"])
+    assert j.filter(F.col("rk") != F.col("rk2")).count() == 0

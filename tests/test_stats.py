@@ -146,3 +146,117 @@ def test_cusum_constant_series_is_silent(spark):
         and not r.alarm_pos and not r.alarm_neg
         for r in out
     )
+
+
+# ---- mann_whitney_u ----------------------------------------------------------
+
+
+def test_mwu_separated_cohorts_hand_computed(spark):
+    from adenhq_hive_spark.operators.stats import mann_whitney_u
+
+    r = mann_whitney_u(
+        _vals(spark, [1, 2, 3], [4, 5, 6]), "v", "grp", "a", "b"
+    ).collect()[0]
+    # a occupies ranks 1-3: R_a = 6, U_a = 6 - 3*4/2 = 0
+    assert (r.n_a, r.n_b, r.u2_a) == (3, 3, 0)
+    assert r.u_a_r1 == 0.0
+    mu, var = 4.5, (9 / 12) * 7  # no ties
+    z = (0.0 + 0.5 - mu) / math.sqrt(var)  # continuity toward null
+    assert r.z_r6 == pytest.approx(round(z, 6))
+
+
+def test_mwu_midranks_and_tie_correction(spark):
+    from adenhq_hive_spark.operators.stats import mann_whitney_u
+
+    r = mann_whitney_u(
+        _vals(spark, [1, 1, 2], [1, 2, 2]), "v", "grp", "a", "b"
+    ).collect()[0]
+    # v=1: midrank 2 (x2 for a), v=2: midrank 5 (x1) -> R_a = 9, U_a = 3
+    assert r.u2_a == 6 and r.u_a_r1 == 3.0
+    var = (9 / 12) * (7 - 48 / 30)  # tie3 = 2*(27-3) = 48
+    z = (3.0 + 0.5 - 4.5) / math.sqrt(var)
+    assert r.z_r6 == pytest.approx(round(z, 6))
+
+
+def test_mwu_u_sums_to_na_nb(spark):
+    from adenhq_hive_spark.operators.stats import mann_whitney_u
+
+    df = _vals(spark, [3, 1, 4, 1, 5], [9, 2, 6, 5])
+    ab = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    ba = mann_whitney_u(df, "v", "grp", "b", "a").collect()[0]
+    assert ab.u2_a + ba.u2_a == 2 * ab.n_a * ab.n_b
+    assert ba.z_r6 == pytest.approx(-ab.z_r6)
+
+
+def test_mwu_identical_constant_cohorts_null_z(spark):
+    from adenhq_hive_spark.operators.stats import mann_whitney_u
+
+    r = mann_whitney_u(
+        _vals(spark, [7, 7], [7, 7]), "v", "grp", "a", "b"
+    ).collect()[0]
+    assert r.z_r6 is None  # var = 0: all values in one tie class
+
+
+# ---- autocorr_daily ----------------------------------------------------------
+
+
+def _daily_events(spark, xs, grp="g", month="04"):
+    rows = []
+    for day, x in enumerate(xs, start=1):
+        rows += [(grp, "2024-%s-%02d 09:00:00" % (month, day))] * x
+    return spark.createDataFrame(rows, "grp string, ts string").selectExpr(
+        "grp", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+
+
+def test_autocorr_hand_computed_ramp(spark):
+    from adenhq_hive_spark.operators.stats import autocorr_daily
+
+    out = {
+        r.lag: r
+        for r in autocorr_daily(
+            _daily_events(spark, [1, 2, 3, 4, 5]), "ts", "grp", max_lag=3
+        ).collect()
+    }
+    # mean 3, devs [-2,-1,0,1,2], den 10
+    assert out[1].acf_r6 == pytest.approx(0.4)    # (2+0+0+2)/10
+    assert out[2].acf_r6 == pytest.approx(-0.1)   # (0-1+0)/10
+    assert out[3].acf_r6 == pytest.approx(-0.4)   # (-2-2+0)/10
+    assert out[1].n_days == 5 and out[1].n_pairs == 4
+
+
+def test_autocorr_constant_and_short_series_null(spark):
+    from adenhq_hive_spark.operators.stats import autocorr_daily
+
+    out = autocorr_daily(
+        _daily_events(spark, [3, 3, 3, 3]), "ts", "grp", max_lag=4
+    ).collect()
+    assert all(r.acf_r6 is None for r in out)  # den = 0 (constant)
+    out2 = {
+        r.lag: r
+        for r in autocorr_daily(
+            _daily_events(spark, [1, 5], month="05"), "ts", "grp",
+            max_lag=3,
+        ).collect()
+    }
+    assert out2[1].acf_r6 is None  # n_pairs = 1
+    assert out2[2].n_pairs == 0 and out2[2].acf_r6 is None
+    from adenhq_hive_spark.operators.stats import autocorr_daily as ad
+    with pytest.raises(ValueError):
+        ad(_daily_events(spark, [1]), "ts", "grp", max_lag=0)
+
+
+def test_autocorr_weekly_cycle_spikes_at_lag_7(spark):
+    from adenhq_hive_spark.operators.stats import autocorr_daily
+
+    xs = [100, 60, 60, 60, 60, 60, 60] * 4  # weekly spike, 28 days
+    out = {
+        r.lag: r
+        for r in autocorr_daily(
+            _daily_events(spark, xs), "ts", "grp", max_lag=7
+        ).collect()
+    }
+    # a perfect cycle estimates (n-k)/n = 21/28 at lag 7 (the standard
+    # finite-sample attenuation of the full-mean ACF estimator)
+    assert out[7].acf_r6 == pytest.approx(0.75)
+    assert out[7].acf_r6 > out[1].acf_r6 + 0.5
