@@ -165,8 +165,11 @@ def poisson_bootstrap_ci(
     bit-for-bit by the DuckDB oracle.  One md5 digest is 32 hex chars =
     FOUR independent 8-hex uniforms, so B replicates cost B/4 digests
     per row (measured 4x on the md5-bound wall clock, both engines).
-    Replicate means are exact-DECIMAL weighted sums
-    over exact BIGINT weight totals; the CI bounds are nearest-rank
+    Replicate means quantize w*v to 1e-6 (q = floor(w*v*1e6 + 0.5),
+    the same definition on both engines) and sum q in a scaled-BIGINT
+    hi/lo split — exact, order-independent, and on Spark's codegen fast
+    path where a DECIMAL aggregation buffer cost +4 s at sf1; the CI
+    bounds are nearest-rank
     order statistics (rank ceil(pct/100 * B)) over the B replicate
     means, tie-broken by replicate index — no interpolation, no float
     accumulation anywhere.
@@ -185,17 +188,15 @@ def poisson_bootstrap_ci(
     hi_rank = max(1, -(-int(hi_pct * b) // 100))
     v = F.col(value_col).cast("double")
 
-    digest = F.md5(
-        F.concat(
-            F.col("_id").cast("string"),
-            F.lit("#"),
-            (F.col("r") / 4).cast("long").cast("string"),
-        )
-    )
+    # double explode: the digest column is bound to the OUTER (salt
+    # group) generator, so the JVM computes B/4 md5+concat per row —
+    # a single explode over r with md5(id # r div 4) re-evaluates the
+    # digest for all four r sharing a salt (measured 86 s -> engine
+    # md5 work /4 at sf10)
     u6 = (
         F.conv(
-            digest.substr(
-                (F.lit(1) + (F.col("r") % 4) * 8).cast("int"), F.lit(8)
+            F.col("digest").substr(
+                (F.lit(1) + F.col("s") * 8).cast("int"), F.lit(8)
             ),
             16,
             10,
@@ -213,6 +214,7 @@ def poisson_bootstrap_ci(
     # (the sketch-tier _spread finding) — round-robin the narrow
     # projection across cores first, a no-op whenever the scan already
     # saturates the cluster (i.e. always, at real scale)
+    n_salts = (b + 3) // 4
     rep = (
         _spread(
             df.select(
@@ -221,26 +223,58 @@ def poisson_bootstrap_ci(
                 v.alias("v"),
             )
         )
-        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
+        .withColumn(
+            "g", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        .withColumn(
+            "digest",
+            F.md5(
+                F.concat(
+                    F.col("_id").cast("string"),
+                    F.lit("#"),
+                    F.col("g").cast("string"),
+                )
+            ),
+        )
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("r", F.col("g") * 4 + F.col("s"))
+        .filter(F.col("r") < b)
         .select(
             "grp",
             "r",
             w.cast("long").alias("w"),
             "v",
         )
+        .withColumn(
+            "q",
+            F.floor(
+                F.col("w").cast("double") * F.col("v") * 1000000.0
+                + F.lit(0.5)
+            ).cast("long"),
+        )
         .groupBy("grp", "r")
         .agg(
             F.sum("w").alias("n_r"),
-            F.sum(
-                (F.col("w").cast("double") * F.col("v")).cast(_DEC)
-            ).alias("s_r"),
+            # scaled-BIGINT hi/lo split (the relational _fast_money
+            # shape): Spark's DECIMAL aggregation buffer runs off the
+            # codegen fast path and cost +4 s at sf1 here; the split
+            # stays in longs and is overflow-proof past 1e13 rows.
+            # BOTH engines define the sum over q = floor(w*v*1e6 + .5)
+            # so parity is by construction, not by cast-rule luck.
+            F.sum(F.expr("q DIV 1000000")).alias("s_hi"),
+            F.sum(F.expr("q % 1000000")).alias("s_lo"),
         )
         .select(
             "grp",
             "r",
             F.when(
                 F.col("n_r") > 0,
-                F.col("s_r").cast("double") / F.col("n_r").cast("double"),
+                F.expr(
+                    "CAST(CAST(s_hi AS DECIMAL(38,0)) * 1000000 + s_lo"
+                    " AS DOUBLE)"
+                )
+                / 1000000.0
+                / F.col("n_r").cast("double"),
             ).alias("mean_r"),
         )
     )
@@ -250,18 +284,26 @@ def poisson_bootstrap_ci(
         F.max(F.when(F.col("rn") == lo_rank, F.col("mean_r"))).alias("lo"),
         F.max(F.when(F.col("rn") == hi_rank, F.col("mean_r"))).alias("hi"),
     )
+    q0 = F.floor(v * 1000000.0 + F.lit(0.5)).cast("long")
     base = (
-        df.groupBy(F.col(group_col).alias("grp"))
+        df.select(F.col(group_col).alias("grp"), q0.alias("q0"))
+        .groupBy("grp")
         .agg(
             F.count("*").alias("n"),
-            F.sum(v.cast(_DEC)).alias("s"),
+            F.sum(F.expr("q0 DIV 1000000")).alias("s_hi"),
+            F.sum(F.expr("q0 % 1000000")).alias("s_lo"),
         )
         .select(
             "grp",
             "n",
-            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
-                "mean"
-            ),
+            (
+                F.expr(
+                    "CAST(CAST(s_hi AS DECIMAL(38,0)) * 1000000 + s_lo"
+                    " AS DOUBLE)"
+                )
+                / 1000000.0
+                / F.col("n").cast("double")
+            ).alias("mean"),
         )
     )
     return (

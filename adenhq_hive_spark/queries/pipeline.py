@@ -7622,8 +7622,9 @@ Q(QuerySpec(
         means AS (
           SELECT grp, r,
                  CASE WHEN SUM(w) > 0 THEN
-                   CAST(SUM(CAST(CAST(w AS DOUBLE) * v
-                                 AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(SUM(CAST(floor(CAST(w AS DOUBLE) * v
+                     * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0
                    / CAST(SUM(w) AS DOUBLE) END AS mean_r
           FROM wtd GROUP BY grp, r
         ),
@@ -7642,7 +7643,9 @@ Q(QuerySpec(
         ),
         base AS (
           SELECT event_type AS grp, COUNT(*) AS n,
-                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 CAST(SUM(CAST(floor(value * 1000000.0 + 0.5)
+                   AS BIGINT)) AS DOUBLE)
+                 / 1000000.0
                  / CAST(COUNT(*) AS DOUBLE) AS mean
           FROM events GROUP BY event_type
         )
