@@ -53,19 +53,20 @@ _CORE = [
     #    privacy tier and the KMV set-op / readability additions --
     "pl_welch_ttest", "pl_bootstrap_ci", "pl_cusum", "pl_kanon",
     "pl_dp_counts", "pl_kmv_jaccard", "pl_readability",
-    "pl_mannwhitney", "pl_autocorr",
+    "pl_mannwhitney", "pl_autocorr", "pl_srm", "pl_cuped",
     # -- oldest canaries: every row last witnessed in r2 --
     "pl_approx_distinct", "pl_fingerprint", "pl_ivf_topk", "pl_lsh_topk",
     "pl_media_meta", "pl_minhash_lsh", "pl_simhash", "pl_vocab",
     # -- r3-witnessed canaries spanning the §2 families (q02/q26/q38/
-    #    q44/q47/q48/q54, pl_chunk and pl_tfidf rotated out this
-    #    session to make room for the new operators: their families
-    #    stay covered by q22/q25/q28/q34/q36/q45/q55, the date-heavy
-    #    new rows (cusum/kanon/autocorr), and the text-tier pl rows) --
+    #    q42/q44/q47/q48/q54, pl_chunk, pl_tfidf and pl_ivf_recall
+    #    rotated out this session to make room for the new operators:
+    #    their families stay covered by q22/q25/q28/q34/q36/q43/q45/
+    #    q55, pl_lsh_recall, the date-heavy new rows (cusum/kanon/
+    #    autocorr), and the text-tier pl rows) --
     "q09", "q13", "q22", "q25", "q28", "q34", "q36",
-    "q42", "q43", "q45", "q55",
+    "q43", "q45", "q55",
     "pl_asof_operator", "pl_cosine_topk", "pl_decontaminate",
-    "pl_ivf_recall", "pl_lsh_recall",
+    "pl_lsh_recall",
 ]
 
 

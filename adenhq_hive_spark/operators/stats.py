@@ -1,12 +1,17 @@
-"""Experiment-analysis statistics: Welch's t-test, Poisson-bootstrap
-confidence intervals, and CUSUM changepoint detection.
+"""Experiment-analysis statistics: Welch's t-test, Mann-Whitney U,
+Poisson-bootstrap confidence intervals, CUSUM changepoint detection,
+daily-volume autocorrelation, the SRM assignment guardrail, and CUPED
+variance reduction.
 
 The reference exposes generic "run an analysis over a metric column"
 surfaces (analytics tool suite; SURVEY.md §2.4/§2.8 map them to
 aggregation + scalar-function tiers); these operators give that tier the
 three inference primitives every experimentation / data-quality pipeline
-ends up needing: compare two cohorts (t-test), bound an estimate
-(bootstrap CI), and detect when a monitored series shifted (CUSUM).
+ends up needing: compare two cohorts (t-test parametrically,
+Mann-Whitney by rank), bound an estimate (bootstrap CI), detect when a
+monitored series shifted (CUSUM), characterize its memory (ACF), check
+the assignment itself (SRM), and shrink the sample size a test needs
+(CUPED).
 
 Determinism contract (shared with the rest of the repo):
 
@@ -675,3 +680,187 @@ def autocorr_daily(
             ),
         ).alias("acf_r6"),
     ).orderBy(group_col, "lag")
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str | None = None,
+    salt: str = "srm",
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 split (the first
+    check every experimentation platform runs — Fabijan et al. 2019:
+    a skewed assignment ratio invalidates the experiment before any
+    metric is read).
+
+    Units are assigned to arms by the deterministic md5 parity of
+    unit_col (the engine's hash_split contract), so the oracle replays
+    the assignment.  For two arms at expected 50/50 the chi-square
+    statistic collapses to exact integer algebra:
+
+      chi2 = (n_0 - n_1)^2 / n
+
+    — ONE double division over BIGINTs, ROUND 6.  `mismatch` flags
+    chi2 > 3.841 (df=1 critical value at p = 0.05).
+
+    Emits one row per group (or a single '_all' row): (group?, n,
+    n_arm0, n_arm1, chi2_r6, mismatch), ordered.  Scale: one count
+    rollup, O(groups) shuffle.
+    """
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(unit_col).cast("string"), F.lit("#" + salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    from .sketch import _spread
+
+    grp = (
+        F.col(group_col) if group_col is not None else F.lit("_all")
+    ).alias("grp")
+    cols = [unit_col] + ([group_col] if group_col is not None else [])
+    agg = (
+        # per-row md5 is CPU-bound — spread an under-split scan first
+        _spread(df.select(*cols))
+        .select(grp, arm.alias("arm"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("arm") == 0).cast("long")).alias("n_arm0"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n_arm1"),
+        )
+    )
+    d = F.col("n_arm0") - F.col("n_arm1")
+    chi2 = (d * d).cast("double") / F.col("n").cast("double")
+    out_group = "grp" if group_col is None else group_col
+    return agg.select(
+        F.col("grp").alias(out_group),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_arm0").cast("long").alias("n_arm0"),
+        F.col("n_arm1").cast("long").alias("n_arm1"),
+        _zero_guard(F.round(chi2, 6)).alias("chi2_r6"),
+        (chi2 > 3.841).alias("mismatch"),
+    ).orderBy(out_group)
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    ts_col: str,
+    split_ts: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    use each unit's PRE-period metric as a control covariate so the
+    experiment needs  var(post - theta*pre) / var(post)  of the sample
+    size, with  theta = cov(pre, post) / var(pre).
+
+    Per-unit pre/post means are exact scaled-BIGINT averages quantized
+    to 1e-6 (q = floor(mean*1e6 + 0.5) over hi/lo-split sums — the
+    bootstrap discipline); theta and the variances then come from
+    n-cleared DECIMAL(38,0) products of those BIGINTs (the autocorr
+    discipline), so both engines agree bit-for-bit before three double
+    divisions.
+
+    Emits ONE row: (n_units, theta_r6, var_post_r6, var_adj_r6,
+    reduction_pct_r4 = 100*(1 - var_adj/var_post)).  Units need >= 1
+    event in EACH period to enter (the standard CUPED cohort); a
+    degenerate pre-period (var_pre = 0) yields NULL theta and zero
+    reduction.
+
+    Scale: one (unit, period) rollup, one unit-level fold — shuffles
+    keyed by unit then constant.  var_adj = var_post - cov^2/var_pre
+    algebraically, so no second pass over adjusted values is needed.
+    """
+    period = F.col(ts_col) >= F.lit(split_ts).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * 1000000.0 + F.lit(0.5)).cast("long")
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            period.cast("int").alias("post"),
+            q.alias("q"),
+        )
+        .groupBy("u", "post")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.expr("q DIV 1000000")).alias("hi"),
+            F.sum(F.expr("q % 1000000")).alias("lo"),
+        )
+        .withColumn(
+            "mean6",
+            # per-unit mean, re-quantized to 1e-6 as a BIGINT: all
+            # cross-unit moments below stay in exact integer algebra
+            F.floor(
+                F.expr(
+                    "CAST(CAST(hi AS DECIMAL(38,0)) * 1000000 + lo"
+                    " AS DOUBLE)"
+                )
+                / F.col("c").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    wide = (
+        per_unit.groupBy("u")
+        .agg(
+            F.max(F.when(F.col("post") == 0, F.col("mean6"))).alias("pre6"),
+            F.max(F.when(F.col("post") == 1, F.col("mean6"))).alias(
+                "post6"
+            ),
+        )
+        .filter(F.col("pre6").isNotNull() & F.col("post6").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    m = wide.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pre6")).alias("s_x"),
+        F.sum(F.col("post6")).alias("s_y"),
+        F.sum(F.col("pre6").cast(dec) * F.col("pre6").cast(dec)).alias(
+            "s_xx"
+        ),
+        F.sum(F.col("post6").cast(dec) * F.col("post6").cast(dec)).alias(
+            "s_yy"
+        ),
+        F.sum(F.col("pre6").cast(dec) * F.col("post6").cast(dec)).alias(
+            "s_xy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    # n-cleared moments: n*sum - sum*sum, each a DECIMAL(38,0) value
+    def _ncl(spp, sa, sb):
+        return (
+            F.col("n").cast(dec) * F.col(spp)
+            - F.col(sa).cast(dec) * F.col(sb).cast(dec)
+        ).cast("double")
+
+    var_x = _ncl("s_xx", "s_x", "s_x")  # n^2 * var * 1e12, unscaled
+    var_y = _ncl("s_yy", "s_y", "s_y")
+    cov = _ncl("s_xy", "s_x", "s_y")
+    theta = F.when(var_x > 0, cov / var_x)
+    # population variances in metric units: divide by n^2 * 1e12
+    scale = nd * nd * 1e12
+    var_post = var_y / scale
+    var_adj = F.when(var_x > 0, (var_y - cov * cov / var_x) / scale).otherwise(
+        var_y / scale
+    )
+    reduction = F.when(
+        var_y > 0, 100.0 * (F.lit(1.0) - var_adj / var_post)
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        F.col("n").cast("long").alias("n_units"),
+        _zero_guard(F.round(theta, 6)).alias("theta_r6"),
+        _zero_guard(F.round(var_post, 6)).alias("var_post_r6"),
+        _zero_guard(F.round(var_adj, 6)).alias("var_adj_r6"),
+        _zero_guard(F.round(reduction, 4)).alias("reduction_pct_r4"),
+    )

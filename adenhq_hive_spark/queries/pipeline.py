@@ -8126,3 +8126,143 @@ Q(QuerySpec(
     builder=_autocorr_q,
     oracle_sql_str=_autocorr_oracle(),
 ))
+
+
+def _srm_q(spark, sf):
+    from ..operators.stats import srm_check
+
+    return srm_check(
+        load_table(spark, sf, "events"), "user_id", "event_type",
+    )
+
+
+Q(QuerySpec(
+    name="pl_srm",
+    doc="Sample-ratio-mismatch guardrail per event-type segment "
+        "(operators/stats.py:srm_check; Fabijan et al. 2019 — the "
+        "first check an experimentation platform runs). Arms by "
+        "deterministic md5 parity of user_id; for 50/50 two-arm the "
+        "chi-square collapses to (n0-n1)^2/n — exact BIGINTs, one "
+        "double division, mismatch flag at the df=1 p=.05 critical "
+        "value 3.841. Scale: one count rollup, O(groups).",
+    builder=_srm_q,
+    oracle_sql_str="""
+        WITH a AS (
+          SELECT event_type AS grp,
+                 CAST(('0x' || substr(md5(
+                   CAST(user_id AS VARCHAR) || '#srm'), 1, 8))
+                   AS BIGINT) % 2 AS arm
+          FROM events
+        ),
+        c AS (
+          SELECT grp, COUNT(*) AS n,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_arm0,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_arm1
+          FROM a GROUP BY grp
+        )
+        SELECT grp AS event_type, CAST(n AS BIGINT) AS n,
+               CAST(n_arm0 AS BIGINT) AS n_arm0,
+               CAST(n_arm1 AS BIGINT) AS n_arm1,
+               ROUND(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1)
+                 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS chi2_r6,
+               CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+                 / CAST(n AS DOUBLE) > 3.841 AS mismatch
+        FROM c ORDER BY event_type
+    """,
+))
+
+
+def _cuped_q(spark, sf):
+    from ..operators.stats import cuped_adjust
+
+    return cuped_adjust(
+        load_table(spark, sf, "events"),
+        "user_id", "value", "ts", "2024-01-16 00:00:00",
+    )
+
+
+Q(QuerySpec(
+    name="pl_cuped",
+    doc="CUPED variance reduction over the user metric (operators/"
+        "stats.py:cuped_adjust; Deng, Xu, Kohavi & Walker WSDM 2013): "
+        "theta = cov(pre, post)/var(pre) over per-user period means, "
+        "var_adj = var_post - cov^2/var_pre — the experiment-"
+        "sensitivity multiplier. Per-unit means are scaled-BIGINT "
+        "averages quantized to 1e-6; cross-unit moments are n-cleared "
+        "DECIMAL(38,0) integer products (the autocorr discipline), so "
+        "both engines agree bit-for-bit before three double "
+        "divisions. Scale: one (unit, period) rollup then a "
+        "constant-size fold.",
+    builder=_cuped_q,
+    oracle_sql_str="""
+        WITH per AS (
+          SELECT user_id AS u,
+                 CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS post,
+                 COUNT(*) AS c,
+                 SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                   AS sq
+          FROM events GROUP BY 1, 2
+        ),
+        m6 AS (
+          SELECT u, post,
+                 CAST(floor(CAST(sq AS DOUBLE) / CAST(c AS DOUBLE)
+                      + 0.5) AS BIGINT) AS mean6
+          FROM per
+        ),
+        wide AS (
+          SELECT u,
+                 MAX(CASE WHEN post = 0 THEN mean6 END) AS pre6,
+                 MAX(CASE WHEN post = 1 THEN mean6 END) AS post6
+          FROM m6 GROUP BY u
+        ),
+        coh AS (
+          SELECT * FROM wide
+          WHERE pre6 IS NOT NULL AND post6 IS NOT NULL
+        ),
+        mom AS (
+          SELECT COUNT(*) AS n,
+                 SUM(pre6) AS s_x, SUM(post6) AS s_y,
+                 SUM(CAST(pre6 AS DECIMAL(38,0))
+                     * CAST(pre6 AS DECIMAL(38,0))) AS s_xx,
+                 SUM(CAST(post6 AS DECIMAL(38,0))
+                     * CAST(post6 AS DECIMAL(38,0))) AS s_yy,
+                 SUM(CAST(pre6 AS DECIMAL(38,0))
+                     * CAST(post6 AS DECIMAL(38,0))) AS s_xy
+          FROM coh
+        ),
+        ncl AS (
+          SELECT n,
+                 CAST(CAST(n AS DECIMAL(38,0)) * s_xx
+                   - CAST(s_x AS DECIMAL(38,0))
+                     * CAST(s_x AS DECIMAL(38,0)) AS DOUBLE) AS var_x,
+                 CAST(CAST(n AS DECIMAL(38,0)) * s_yy
+                   - CAST(s_y AS DECIMAL(38,0))
+                     * CAST(s_y AS DECIMAL(38,0)) AS DOUBLE) AS var_y,
+                 CAST(CAST(n AS DECIMAL(38,0)) * s_xy
+                   - CAST(s_x AS DECIMAL(38,0))
+                     * CAST(s_y AS DECIMAL(38,0)) AS DOUBLE) AS cov
+          FROM mom
+        )
+        SELECT CAST(n AS BIGINT) AS n_units,
+               ROUND(CASE WHEN var_x > 0 THEN cov / var_x END, 6)
+                 + 0.0 AS theta_r6,
+               ROUND(var_y / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * 1e12), 6) + 0.0 AS var_post_r6,
+               ROUND(CASE WHEN var_x > 0 THEN
+                   (var_y - cov * cov / var_x)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)
+                 ELSE var_y / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * 1e12) END, 6) + 0.0 AS var_adj_r6,
+               ROUND(CASE WHEN var_y > 0 THEN
+                   100.0 * (1.0 - (CASE WHEN var_x > 0 THEN
+                     (var_y - cov * cov / var_x)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)
+                   ELSE var_y / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * 1e12) END)
+                   / (var_y / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * 1e12)))
+                 ELSE 0.0 END, 4) + 0.0 AS reduction_pct_r4
+        FROM ncl
+    """,
+))

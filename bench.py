@@ -127,6 +127,8 @@ HEADLINE = [
     "pl_readability",    # Flesch reading-ease / FK grade (r8 batch 2)
     "pl_mannwhitney",    # Mann-Whitney U rank-sum test (r8 batch 3)
     "pl_autocorr",       # daily-volume ACF lags 1-7 (r8 batch 3)
+    "pl_srm",            # sample-ratio-mismatch guardrail (r8 batch 4)
+    "pl_cuped",          # CUPED variance reduction (r8 batch 4)
 ]
 
 

@@ -882,3 +882,18 @@ def test_autocorr_single_daily_rollup(spark):
     assert plan.count("FileScan parquet") == 1
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_srm_and_cuped_plan_shapes(spark):
+    """SRM: one partial-aggregated count rollup, no joins, no windows.
+    CUPED: one (unit, period) rollup then constant-size folds — no
+    corpus-sized join, no window, no cartesian."""
+    p_srm = _plan(QUERIES["pl_srm"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_srm or "partial_sum" in p_srm
+    assert "Join" not in p_srm and "Window" not in p_srm
+
+    p_cuped = _plan(QUERIES["pl_cuped"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_cuped or "partial_sum" in p_cuped
+    assert "Window" not in p_cuped
+    assert "CartesianProduct" not in p_cuped
+    assert "SortMergeJoin" not in p_cuped

@@ -260,3 +260,108 @@ def test_autocorr_weekly_cycle_spikes_at_lag_7(spark):
     # finite-sample attenuation of the full-mean ACF estimator)
     assert out[7].acf_r6 == pytest.approx(0.75)
     assert out[7].acf_r6 > out[1].acf_r6 + 0.5
+
+
+# ---- srm_check ---------------------------------------------------------------
+
+
+def test_srm_invariants_and_balanced_split(spark):
+    from adenhq_hive_spark.operators.stats import srm_check
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(10_000)], "u long, grp string"
+    )
+    r = srm_check(df, "u", "grp").collect()[0]
+    assert r.n == 10_000 and r.n_arm0 + r.n_arm1 == r.n
+    d = r.n_arm0 - r.n_arm1
+    assert r.chi2_r6 == pytest.approx(round(d * d / 10_000, 6))
+    assert not r.mismatch  # md5 parity splits 10k units ~50/50
+
+
+def test_srm_degenerate_assignment_flags(spark):
+    from adenhq_hive_spark.operators.stats import srm_check
+
+    # 1000 events from ONE unit: every row lands in the same arm
+    df = spark.createDataFrame([(42,)] * 1000, "u long")
+    r = srm_check(df, "u").collect()[0]
+    assert {r.n_arm0, r.n_arm1} == {0, 1000}
+    assert r.chi2_r6 == pytest.approx(1000.0)
+    assert r.mismatch
+
+
+def test_srm_deterministic(spark):
+    from adenhq_hive_spark.operators.stats import srm_check
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "u long, grp string",
+    )
+    assert (
+        srm_check(df, "u", "grp").collect()
+        == srm_check(df, "u", "grp").collect()
+    )
+
+
+# ---- cuped_adjust ------------------------------------------------------------
+
+
+def _cuped_rows(spark, pre_post):
+    rows = []
+    for u, (pre, post) in enumerate(pre_post):
+        if pre is not None:
+            rows.append((u, float(pre), "2024-01-05 00:00:00"))
+        if post is not None:
+            rows.append((u, float(post), "2024-01-20 00:00:00"))
+    return spark.createDataFrame(
+        rows, "u long, v double, ts string"
+    ).selectExpr("u", "v", "CAST(ts AS TIMESTAMP) AS ts")
+
+
+def test_cuped_perfect_covariate_reduces_100pct(spark):
+    from adenhq_hive_spark.operators.stats import cuped_adjust
+
+    df = _cuped_rows(spark, [(1, 2), (2, 4), (3, 6), (4, 8)])
+    r = cuped_adjust(df, "u", "v", "ts", "2024-01-16 00:00:00").collect()[0]
+    assert r.n_units == 4
+    assert r.theta_r6 == pytest.approx(2.0)
+    assert r.var_adj_r6 == pytest.approx(0.0)
+    assert r.reduction_pct_r4 == pytest.approx(100.0)
+
+
+def test_cuped_constant_post_zero_reduction_and_cohort_filter(spark):
+    from adenhq_hive_spark.operators.stats import cuped_adjust
+
+    # user 9 has no post-period events -> excluded from the cohort
+    df = _cuped_rows(spark, [(1, 5), (2, 5), (3, 5), (7, None)])
+    r = cuped_adjust(df, "u", "v", "ts", "2024-01-16 00:00:00").collect()[0]
+    assert r.n_units == 3
+    assert r.theta_r6 == pytest.approx(0.0)  # cov(pre, const) = 0
+    assert r.var_post_r6 == pytest.approx(0.0)
+    assert r.reduction_pct_r4 == pytest.approx(0.0)
+
+
+def test_cuped_multi_event_means_and_known_theta(spark):
+    from adenhq_hive_spark.operators.stats import cuped_adjust
+    import statistics as st
+
+    # per-user PRE mean = avg of two events; post single event
+    pre_pairs = {1: (1, 3), 2: (2, 6), 3: (10, 2)}  # means 2, 4, 6
+    post = {1: 5, 2: 1, 3: 9}
+    rows = []
+    for u, (a, b) in pre_pairs.items():
+        rows += [(u, float(a), "2024-01-02 00:00:00"),
+                 (u, float(b), "2024-01-10 00:00:00")]
+    for u, p in post.items():
+        rows.append((u, float(p), "2024-01-22 00:00:00"))
+    df = spark.createDataFrame(
+        rows, "u long, v double, ts string"
+    ).selectExpr("u", "v", "CAST(ts AS TIMESTAMP) AS ts")
+    r = cuped_adjust(df, "u", "v", "ts", "2024-01-16 00:00:00").collect()[0]
+    xs, ys = [2, 4, 6], [5, 1, 9]
+    mx, my = st.mean(xs), st.mean(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 3
+    vx = sum((x - mx) ** 2 for x in xs) / 3
+    vy = sum((y - my) ** 2 for y in ys) / 3
+    assert r.theta_r6 == pytest.approx(round(cov / vx, 6))
+    assert r.var_post_r6 == pytest.approx(round(vy, 6))
+    assert r.var_adj_r6 == pytest.approx(round(vy - cov * cov / vx, 6))
