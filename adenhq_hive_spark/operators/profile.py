@@ -616,3 +616,86 @@ def classification_report(
             6,
         ).alias("f1_r6"),
     ).orderBy("cls")
+
+
+def cramers_v(
+    df: "DataFrame",
+    col_a: str,
+    col_b: str,
+) -> "DataFrame":
+    """Cramér's V association between two categorical columns — the
+    [0, 1]-normalized chi-square (Cramér 1946), the audit next to
+    :func:`label_kl`: KL says HOW a group's mix deviates, V says how
+    strongly two labelings are coupled overall.
+
+      chi2 = sum_ij (o_ij - e_ij)^2 / e_ij,  e_ij = r_i * c_j / n
+      V    = sqrt(chi2 / (n * (min(R, C) - 1)))
+
+    Exact integer contingency counts; each cell's term is the
+    fixed-shape double  ((o*n - r*c)^2 as DECIMAL(38,0) -> double) /
+    (n*r*c as double)  — no rational e_ij ever materializes — and the
+    cell terms fold in fixed (a, b) order via the order-fixed in-row
+    fold (the label_kl/psi discipline).  Single-category degenerate
+    tables (min(R, C) = 1) emit V = NULL.
+
+    Emits ONE row: (n, rows_a, cols_b, chi2_r6, v_r6).
+
+    Scale: one (a, b) contingency aggregation; marginals and the fold
+    are rollups of it — O(R x C) everything after the scan.
+    """
+    raw = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = raw.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = raw.groupBy("b").agg(F.sum("o").alias("c"))
+    nn = raw.agg(F.sum("o").alias("n"))
+    # densify: UNOBSERVED (a, b) cells still contribute (e_ij)^2/e_ij
+    # = e_ij to chi2 — a sparse fold understates association (the
+    # psi_drift grid discipline)
+    grid = ra.select("a").crossJoin(cb.select("b"))
+    cnt = grid.join(raw, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    dec = "decimal(38,0)"
+    # dev stays exact in DECIMAL(38,0); squaring happens AFTER the
+    # double cast (a 38x38 decimal product overflows both engines'
+    # precision caps, and dev -> double rounds identically on both)
+    dev = (
+        F.col("o").cast(dec) * F.col("n").cast(dec)
+        - F.col("r").cast(dec) * F.col("c").cast(dec)
+    ).cast("double")
+    term = (dev * dev) / (
+        F.col("n").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    cells = (
+        cnt.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(nn))
+        .select("a", "b", "n", term.alias("term"))
+    )
+    folded = cells.groupBy("n").agg(
+        F.count("*").alias("n_cells"),
+        F.count_distinct("a").alias("rows_a"),
+        F.count_distinct("b").alias("cols_b"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2"),
+    )
+    dof = F.least(F.col("rows_a"), F.col("cols_b")) - 1
+    v = F.when(
+        dof > 0,
+        F.sqrt(
+            F.col("chi2") / (F.col("n").cast("double") * dof.cast("double"))
+        ),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("rows_a").cast("long").alias("rows_a"),
+        F.col("cols_b").cast("long").alias("cols_b"),
+        (F.round(F.col("chi2"), 6) + F.lit(0.0)).alias("chi2_r6"),
+        (F.round(v, 6) + F.lit(0.0)).alias("v_r6"),
+    )

@@ -8266,3 +8266,191 @@ Q(QuerySpec(
         FROM ncl
     """,
 ))
+
+
+def _retention_q(spark, sf):
+    from ..operators.sessions import retention_matrix
+
+    return retention_matrix(
+        load_table(spark, sf, "events"), "user_id", "ts",
+    )
+
+
+Q(QuerySpec(
+    name="pl_retention",
+    doc="Weekly cohort retention triangle over event users (operators/"
+        "sessions.py:retention_matrix) — cohort = ISO Monday week of "
+        "first activity; cell (cohort, offset) = fraction active that "
+        "week. Exact BIGINT counts, one ROUND-6 division per cell. "
+        "Scale: one (unit, week) distinct rollup keyed by unit; the "
+        "triangle itself is O(cohorts x offsets) metadata.",
+    builder=_retention_q,
+    oracle_sql_str="""
+        WITH uw AS (
+          SELECT DISTINCT user_id AS u,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+          FROM events
+        ),
+        fst AS (SELECT u, MIN(wk) AS cohort FROM uw GROUP BY u),
+        cn AS (
+          SELECT cohort, COUNT(*) AS cohort_n FROM fst GROUP BY cohort
+        ),
+        j AS (
+          SELECT f.cohort,
+                 date_diff('day', CAST(f.cohort AS DATE),
+                           CAST(uw.wk AS DATE)) // 7 AS week_offset
+          FROM uw JOIN fst f ON f.u = uw.u
+        ),
+        act AS (
+          SELECT cohort, week_offset, COUNT(*) AS active_n
+          FROM j GROUP BY 1, 2
+        )
+        SELECT act.cohort AS cohort_week,
+               CAST(week_offset AS INT) AS week_offset,
+               CAST(cohort_n AS BIGINT) AS cohort_n,
+               CAST(active_n AS BIGINT) AS active_n,
+               ROUND(CAST(active_n AS DOUBLE)
+                     / CAST(cohort_n AS DOUBLE), 6) + 0.0
+                 AS retention_r6
+        FROM act JOIN cn USING (cohort)
+        ORDER BY cohort_week, week_offset
+    """,
+))
+
+
+def _km_q(spark, sf):
+    from ..operators.sessions import kaplan_meier
+
+    return kaplan_meier(
+        load_table(spark, sf, "events"), "user_id", "ts", "event_type",
+    )
+
+
+Q(QuerySpec(
+    name="pl_kaplan_meier",
+    doc="Kaplan-Meier survival over user lifetimes per event type "
+        "(operators/sessions.py:kaplan_meier; Kaplan & Meier 1958) — "
+        "retention with right-censoring: units whose last event falls "
+        "within 7 days of the corpus end leave the risk set without "
+        "counting as deaths. The product-limit estimator runs as exp "
+        "of an ordered prefix sum of ln(1 - d/n) terms quantized to "
+        "1e-6 BIGINTs (the CUSUM discipline); a full-wipe step pins "
+        "S = 0 with no ln(0). Scale: the (group, unit) rollup is the "
+        "only data-sized stage; the curve is O(groups x lifetimes).",
+    builder=_km_q,
+    oracle_sql_str="""
+        WITH pu AS (
+          SELECT event_type AS grp, user_id AS u,
+                 MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (SELECT MAX(ts) AS gmax FROM events),
+        units AS (
+          SELECT grp,
+                 date_diff('day', CAST(first_ts AS DATE),
+                           CAST(last_ts AS DATE)) AS t,
+                 CASE WHEN last_ts < gmax - INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END AS observed
+          FROM pu CROSS JOIN g
+        ),
+        by_t AS (
+          SELECT grp, t, COUNT(*) AS c_all, SUM(observed) AS deaths
+          FROM units GROUP BY 1, 2
+        ),
+        risk AS (
+          SELECT *,
+                 SUM(c_all) OVER (PARTITION BY grp ORDER BY t DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n_risk
+          FROM by_t
+        ),
+        st AS (
+          SELECT *,
+                 CASE WHEN deaths = 0 THEN 0
+                      WHEN deaths < n_risk THEN
+                        CAST(ROUND(ln(1.0 - CAST(deaths AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)) * 1000000.0, 0)
+                          AS BIGINT)
+                 END AS term6
+          FROM risk
+        ),
+        acc AS (
+          SELECT *,
+                 MAX(CASE WHEN term6 IS NULL THEN 1 ELSE 0 END)
+                   OVER w AS wiped,
+                 SUM(term6) OVER w AS lnsum6
+          FROM st
+          WINDOW w AS (PARTITION BY grp ORDER BY t
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT grp AS event_type, CAST(t AS INT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(deaths AS BIGINT) AS deaths,
+               CASE WHEN wiped = 1 THEN 0.0
+                    ELSE ROUND(exp(CAST(lnsum6 AS DOUBLE)
+                                   / 1000000.0), 6) END + 0.0
+                 AS surv_r6
+        FROM acc WHERE deaths > 0
+        ORDER BY event_type, t_days
+    """,
+))
+
+
+Q(QuerySpec(
+    name="pl_cramers_v",
+    doc="Cramér's V association between source and language over the "
+        "corpus (operators/profile.py:cramers_v) — the normalized "
+        "chi-square partner to pl_label_kl. Exact integer contingency "
+        "counts; each cell term is ((o*n - r*c) as DECIMAL(38,0) -> "
+        "double)^2 / (n*r*c) so no rational expected count ever "
+        "materializes; terms fold in fixed (a, b) order (the psi/"
+        "label_kl discipline). Scale: one (a, b) aggregation, O(R x C) "
+        "everything after.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.profile", fromlist=["cramers_v"]
+    ).cramers_v(load_table(spark, sf, "documents"), "source", "lang"),
+    oracle_sql_str="""
+        WITH raw AS (
+          SELECT source AS a, lang AS b, COUNT(*) AS o
+          FROM documents GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, SUM(o) AS r FROM raw GROUP BY a),
+        cb AS (SELECT b, SUM(o) AS c FROM raw GROUP BY b),
+        nn AS (SELECT SUM(o) AS n FROM raw),
+        cnt AS (
+          SELECT g.a, g.b, COALESCE(raw.o, 0) AS o
+          FROM (SELECT a, b FROM ra CROSS JOIN cb) g
+          LEFT JOIN raw ON raw.a = g.a AND raw.b = g.b
+        ),
+        cells AS (
+          SELECT cnt.a, cnt.b, nn.n,
+                 CAST(CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                      - CAST(r AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0)) AS DOUBLE)
+                 * CAST(CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                        - CAST(r AS DECIMAL(38,0))
+                          * CAST(c AS DECIMAL(38,0)) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                    * CAST(c AS DOUBLE)) AS term
+          FROM cnt JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn
+        ),
+        folded AS (
+          SELECT n, COUNT(*) AS n_cells,
+                 COUNT(DISTINCT a) AS rows_a,
+                 COUNT(DISTINCT b) AS cols_b,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(term ORDER BY a, b)),
+                   (x, y) -> x + y) AS chi2
+          FROM cells GROUP BY n
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(rows_a AS BIGINT) AS rows_a,
+               CAST(cols_b AS BIGINT) AS cols_b,
+               ROUND(chi2, 6) + 0.0 AS chi2_r6,
+               ROUND(CASE WHEN least(rows_a, cols_b) - 1 > 0 THEN
+                 sqrt(chi2 / (CAST(n AS DOUBLE)
+                   * CAST(least(rows_a, cols_b) - 1 AS DOUBLE)))
+                 END, 6) + 0.0 AS v_r6
+        FROM folded
+    """,
+))

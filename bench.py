@@ -129,6 +129,9 @@ HEADLINE = [
     "pl_autocorr",       # daily-volume ACF lags 1-7 (r8 batch 3)
     "pl_srm",            # sample-ratio-mismatch guardrail (r8 batch 4)
     "pl_cuped",          # CUPED variance reduction (r8 batch 4)
+    "pl_retention",      # weekly cohort retention triangle (r8 batch 5)
+    "pl_kaplan_meier",   # KM survival w/ right-censoring (r8 batch 5)
+    "pl_cramers_v",      # chi-square association, source x lang (r8 b5)
 ]
 
 

@@ -897,3 +897,23 @@ def test_srm_and_cuped_plan_shapes(spark):
     assert "Window" not in p_cuped
     assert "CartesianProduct" not in p_cuped
     assert "SortMergeJoin" not in p_cuped
+
+
+def test_lifecycle_tier_plan_shapes(spark):
+    """retention: unit-keyed rollups + broadcast cohort sizes, no
+    cartesian over data (the a x b grid join is metadata-sized).
+    kaplan_meier: one data-sized (group, unit) rollup, windows over the
+    O(groups x lifetimes) curve, broadcast gmax — no SortMergeJoin.
+    cramers_v: contingency rollup + broadcast marginals + in-row fold."""
+    p_ret = _plan(QUERIES["pl_retention"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_ret
+    assert "SortMergeJoin" not in p_ret
+
+    p_km = _plan(QUERIES["pl_kaplan_meier"].run(spark, SF_SMOKE))
+    assert "partial_min" in p_km or "partial_max" in p_km
+    assert "SortMergeJoin" not in p_km
+
+    p_cv = _plan(QUERIES["pl_cramers_v"].run(spark, SF_SMOKE))
+    assert "partial_count" in p_cv
+    assert "SortMergeJoin" not in p_cv
+    assert "BroadcastHashJoin" in p_cv or "BroadcastNestedLoopJoin" in p_cv

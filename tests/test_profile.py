@@ -201,3 +201,34 @@ def test_label_kl_weighted_sum_is_mutual_information(spark):
         for (s, l), c in joint.items()
     )
     assert abs(mi_from_rows - mi) < 1e-5
+
+
+# ---- cramers_v ---------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark):
+    import pytest
+
+    from adenhq_hive_spark.operators.profile import cramers_v
+
+    rows = [("x", "1")] * 10 + [("y", "2")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert (r.n, r.rows_a, r.cols_b) == (20, 2, 2)
+    assert r.chi2_r6 == pytest.approx(20.0)  # chi2 = n for perfect 2x2
+    assert r.v_r6 == pytest.approx(1.0)
+
+
+def test_cramers_v_independence_and_degenerate(spark):
+    from adenhq_hive_spark.operators.profile import cramers_v
+
+    rows = [(a, b) for a in "xy" for b in "12"] * 8
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.chi2_r6 == 0.0 and r.v_r6 == 0.0
+    # single-category column: dof = 0 -> NULL V
+    df2 = spark.createDataFrame(
+        [("only", b) for b in "123"], "a string, b string"
+    )
+    r2 = cramers_v(df2, "a", "b").collect()[0]
+    assert r2.v_r6 is None

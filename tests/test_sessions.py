@@ -80,3 +80,91 @@ def test_sessionize_matches_session_window_boundaries(spark):
     )
     want = sorted((r.user_id, r.n, r.s, r.e) for r in sw)
     assert got == want
+
+
+# ---- retention_matrix --------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+
+
+def test_retention_hand_computed_triangle(spark):
+    from adenhq_hive_spark.operators.sessions import retention_matrix
+
+    # cohort week of 2024-01-01 (Mon): users 1, 2; user 1 returns the
+    # next week; user 3 starts the next week
+    df = _ev(spark, [
+        (1, "2024-01-02 10:00:00"), (2, "2024-01-03 11:00:00"),
+        (1, "2024-01-09 09:00:00"),
+        (3, "2024-01-10 12:00:00"),
+    ])
+    out = {
+        (str(r.cohort_week)[:10], r.week_offset): r
+        for r in retention_matrix(df, "user_id", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)].cohort_n == 2
+    assert out[("2024-01-01", 0)].retention_r6 == 1.0
+    assert out[("2024-01-01", 1)].active_n == 1
+    assert out[("2024-01-01", 1)].retention_r6 == 0.5
+    assert out[("2024-01-08", 0)].cohort_n == 1
+
+
+def test_retention_multiple_events_one_week_count_once(spark):
+    from adenhq_hive_spark.operators.sessions import retention_matrix
+
+    df = _ev(spark, [(1, "2024-02-05 01:00:00")] * 5)
+    r = retention_matrix(df, "user_id", "ts").collect()
+    assert len(r) == 1 and r[0].cohort_n == 1 and r[0].active_n == 1
+
+
+# ---- kaplan_meier ------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_computed_with_censoring(spark):
+    from adenhq_hive_spark.operators.sessions import kaplan_meier
+
+    rows = []
+    spans = {  # user -> (first, last)
+        1: ("2024-01-01", "2024-01-03"),   # t=2, observed
+        2: ("2024-01-01", "2024-01-05"),   # t=4, observed
+        3: ("2024-01-01", "2024-01-28"),   # t=27, censored
+        4: ("2024-01-02", "2024-01-04"),   # t=2, observed
+        5: ("2024-01-10", "2024-01-29"),   # t=19, censored (gmax anchor)
+    }
+    for u, (a, b) in spans.items():
+        rows += [(u, "g", a + " 08:00:00"), (u, "g", b + " 08:00:00")]
+    df = spark.createDataFrame(
+        rows, "user_id long, grp string, ts string"
+    ).selectExpr("user_id", "grp", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {r.t_days: r for r in
+           kaplan_meier(df, "user_id", "ts", "grp").collect()}
+    # only death steps are emitted
+    assert set(out) == {2, 4}
+    assert (out[2].n_risk, out[2].deaths) == (5, 2)
+    assert out[2].surv_r6 == pytest.approx(0.6, abs=1e-4)
+    assert (out[4].n_risk, out[4].deaths) == (3, 1)
+    assert out[4].surv_r6 == pytest.approx(0.4, abs=1e-4)
+
+
+def test_kaplan_meier_full_wipe_pins_zero(spark):
+    from adenhq_hive_spark.operators.sessions import kaplan_meier
+
+    # both units die at t=1 (well before the censor horizon anchored
+    # by unit 9's last event) -> S(1) = 0 exactly, no ln(0)
+    rows = [
+        (1, "g", "2024-01-01 00:00:00"), (1, "g", "2024-01-02 00:00:00"),
+        (2, "g", "2024-01-01 00:00:00"), (2, "g", "2024-01-02 00:00:00"),
+        (9, "h", "2024-02-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, grp string, ts string"
+    ).selectExpr("user_id", "grp", "CAST(ts AS TIMESTAMP) AS ts")
+    out = [r for r in kaplan_meier(df, "user_id", "ts", "grp").collect()
+           if r.grp == "g"]
+    assert len(out) == 1
+    assert out[0].surv_r6 == 0.0
+    import math as _m
+    assert _m.copysign(1.0, out[0].surv_r6) == 1.0  # signed-zero guard
