@@ -385,7 +385,11 @@ def main() -> None:
                     )
                     .withColumn(
                         "ts",
-                        F.timestampadd("MILLISECOND", F.col("_rep"), F.col("ts")),
+                        # timestamp_add is the pyspark-4 name
+                        # (timestampadd exists only as a SQL function)
+                        F.timestamp_add(
+                            "MILLISECOND", F.col("_rep"), F.col("ts")
+                        ),
                     )
                     .drop("_rep")
                 )
