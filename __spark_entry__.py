@@ -54,7 +54,7 @@ _CORE = [
     "pl_welch_ttest", "pl_bootstrap_ci", "pl_cusum", "pl_kanon",
     "pl_dp_counts", "pl_kmv_jaccard", "pl_readability",
     "pl_mannwhitney", "pl_autocorr", "pl_srm", "pl_cuped",
-    "pl_retention", "pl_kaplan_meier", "pl_cramers_v",
+    "pl_retention", "pl_kaplan_meier", "pl_cramers_v", "pl_gini",
     # -- oldest canaries: every row last witnessed in r2 --
     "pl_approx_distinct", "pl_fingerprint", "pl_ivf_topk", "pl_lsh_topk",
     "pl_media_meta", "pl_minhash_lsh", "pl_simhash", "pl_vocab",
@@ -68,7 +68,9 @@ _CORE = [
     #    batch 5 — agg stays covered by q13, similarity by
     #    pl_lsh_recall + the r2 topk canaries, curation by the text-
     #    tier pl rows)
-    "q13", "q22", "q25", "q28", "q34", "q36",
+    #    (q34 rotated out last: temporal joins stay covered by
+    #    pl_asof_operator, equi/semi joins by q25/q28)
+    "q13", "q22", "q25", "q28", "q36",
     "q43", "q45", "q55",
     "pl_asof_operator", "pl_lsh_recall",
 ]

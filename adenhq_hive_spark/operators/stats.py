@@ -864,3 +864,78 @@ def cuped_adjust(
         _zero_guard(F.round(var_adj, 6)).alias("var_adj_r6"),
         _zero_guard(F.round(reduction, 4)).alias("reduction_pct_r4"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of value concentration across units
+    (Gini 1912; the inequality lens on activity/spend/volume: 0 = all
+    units equal, -> 1 = one unit holds everything).
+
+    Per-unit totals quantize to 1e-6 scaled BIGINTs (hi/lo split);
+    units rank within their group by (total, unit) through the
+    hardened :func:`~adenhq_hive_spark.operators.ranking.exact_rank`
+    (range-partition + offsets — no group ever sorts in one task), and
+    the sorted-rank identity
+
+      G = (2 * sum_i i * x_i) / (n * sum_i x_i) - (n + 1) / n
+
+    is assembled from exact DECIMAL(38,0) rank-weighted sums — one
+    fixed-shape double expression per group, ROUND 6, signed-zero
+    guard.  Groups with a zero value sum or a single unit emit NULL.
+
+    Emits (group_col, n_units, gini_r6), ordered.  Scale: the
+    (group, unit) rollup is data-sized; ranking is the exact_rank
+    shape; everything after is O(groups).
+    """
+    from .ranking import exact_rank
+
+    q = F.floor(
+        F.col(value_col).cast("double") * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    per_unit = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(unit_col).alias("u"),
+            q.alias("q"),
+        )
+        .groupBy("grp", "u")
+        .agg(
+            F.sum(F.expr("q DIV 1000000")).alias("hi"),
+            F.sum(F.expr("q % 1000000")).alias("lo"),
+        )
+        .select(
+            "grp",
+            "u",
+            F.expr(
+                "CAST(CAST(hi AS DECIMAL(38,0)) * 1000000 + lo"
+                " AS DECIMAL(38,0))"
+            ).alias("x"),
+        )
+    )
+    ranked = exact_rank(
+        per_unit, order_cols=("x", "u"), part_cols=("grp",),
+        rank_col="rk",
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rk").cast(dec) * F.col("x")).alias("srx"),
+    )
+    nd = F.col("n").cast("double")
+    g = F.when(
+        (F.col("n") > 1) & (F.col("sx") > 0),
+        (2.0 * F.col("srx").cast("double"))
+        / (nd * F.col("sx").cast("double"))
+        - (nd + 1.0) / nd,
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_units"),
+        _zero_guard(F.round(g, 6)).alias("gini_r6"),
+    ).orderBy(group_col)

@@ -8454,3 +8454,52 @@ Q(QuerySpec(
         FROM folded
     """,
 ))
+
+
+def _gini_q(spark, sf):
+    from ..operators.stats import gini_concentration
+
+    return gini_concentration(
+        load_table(spark, sf, "events"), "user_id", "value", "event_type",
+    )
+
+
+Q(QuerySpec(
+    name="pl_gini",
+    doc="Per-event-type Gini coefficient of per-user value "
+        "concentration (operators/stats.py:gini_concentration) — the "
+        "inequality audit beside pl_skew_report. Per-unit totals "
+        "quantize to 1e-6 scaled BIGINTs; ranks come from the hardened "
+        "distributed exact_rank (range partition + offsets — no group "
+        "sorts in one task); the sorted-rank identity G = 2*sum(i*x_i)"
+        "/(n*sum x) - (n+1)/n folds from exact DECIMAL(38,0) "
+        "rank-weighted sums, one double expression per group.",
+    builder=_gini_q,
+    oracle_sql_str="""
+        WITH pu AS (
+          SELECT event_type AS grp, user_id AS u,
+                 SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                   AS x
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT grp, u, x,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, u)
+                   AS rk
+          FROM pu
+        ),
+        a AS (
+          SELECT grp, COUNT(*) AS n, SUM(x) AS sx,
+                 SUM(CAST(rk AS DECIMAL(38,0))
+                     * CAST(x AS DECIMAL(38,0))) AS srx
+          FROM r GROUP BY grp
+        )
+        SELECT grp AS event_type, CAST(n AS BIGINT) AS n_units,
+               ROUND(CASE WHEN n > 1 AND sx > 0 THEN
+                 (2.0 * CAST(srx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+               END, 6) + 0.0 AS gini_r6
+        FROM a ORDER BY event_type
+    """,
+))

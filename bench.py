@@ -132,6 +132,7 @@ HEADLINE = [
     "pl_retention",      # weekly cohort retention triangle (r8 batch 5)
     "pl_kaplan_meier",   # KM survival w/ right-censoring (r8 batch 5)
     "pl_cramers_v",      # chi-square association, source x lang (r8 b5)
+    "pl_gini",           # per-group value-concentration Gini (r8 b5)
 ]
 
 

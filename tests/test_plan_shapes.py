@@ -917,3 +917,16 @@ def test_lifecycle_tier_plan_shapes(spark):
     assert "partial_count" in p_cv
     assert "SortMergeJoin" not in p_cv
     assert "BroadcastHashJoin" in p_cv or "BroadcastNestedLoopJoin" in p_cv
+
+
+def test_gini_uses_distributed_rank(spark):
+    """Gini ranks per-unit totals through exact_rank: range partition
+    (materialized once) + broadcast offsets — the plan must carry a
+    rangepartitioning exchange and no single-task global window."""
+    plan = _plan(QUERIES["pl_gini"].run(spark, SF_SMOKE))
+    assert (
+        "rangepartitioning" in plan
+        or "InMemoryTableScan" in plan
+        or "ExistingRDD" in plan
+    )
+    assert "CartesianProduct" not in plan

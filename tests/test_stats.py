@@ -365,3 +365,46 @@ def test_cuped_multi_event_means_and_known_theta(spark):
     assert r.theta_r6 == pytest.approx(round(cov / vx, 6))
     assert r.var_post_r6 == pytest.approx(round(vy, 6))
     assert r.var_adj_r6 == pytest.approx(round(vy - cov * cov / vx, 6))
+
+
+# ---- gini_concentration ------------------------------------------------------
+
+
+def _gini_df(spark, vals, grp="g"):
+    rows = [(i, grp, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "u long, grp string, v double")
+
+
+def test_gini_hand_computed(spark):
+    from adenhq_hive_spark.operators.stats import gini_concentration
+
+    # equal values -> 0; one-holder -> (n-1)/n
+    r = gini_concentration(
+        _gini_df(spark, [5, 5, 5, 5]), "u", "v", "grp"
+    ).collect()[0]
+    assert r.gini_r6 == pytest.approx(0.0)
+    r2 = gini_concentration(
+        _gini_df(spark, [0, 0, 0, 12]), "u", "v", "grp"
+    ).collect()[0]
+    assert r2.gini_r6 == pytest.approx(0.75)
+    # textbook case [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    r3 = gini_concentration(
+        _gini_df(spark, [1, 2, 3, 4]), "u", "v", "grp"
+    ).collect()[0]
+    assert r3.gini_r6 == pytest.approx(0.25)
+
+
+def test_gini_aggregates_per_unit_and_degenerates(spark):
+    from adenhq_hive_spark.operators.stats import gini_concentration
+
+    # unit 0 appears twice (3 + 1 = 4): totals [4, 4] -> G = 0
+    df = spark.createDataFrame(
+        [(0, "g", 3.0), (0, "g", 1.0), (1, "g", 4.0),
+         (9, "h", 2.0)],
+        "u long, grp string, v double",
+    )
+    out = {r.grp: r for r in
+           gini_concentration(df, "u", "v", "grp").collect()}
+    assert out["g"].n_units == 2
+    assert out["g"].gini_r6 == pytest.approx(0.0)
+    assert out["h"].gini_r6 is None  # single unit
