@@ -85,7 +85,7 @@ def test_sessionize_matches_session_window_boundaries(spark):
 # ---- retention_matrix --------------------------------------------------------
 
 
-def _ev(spark, rows):
+def _ret_events(spark, rows):
     return spark.createDataFrame(
         rows, "user_id long, ts string"
     ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
@@ -96,7 +96,7 @@ def test_retention_hand_computed_triangle(spark):
 
     # cohort week of 2024-01-01 (Mon): users 1, 2; user 1 returns the
     # next week; user 3 starts the next week
-    df = _ev(spark, [
+    df = _ret_events(spark, [
         (1, "2024-01-02 10:00:00"), (2, "2024-01-03 11:00:00"),
         (1, "2024-01-09 09:00:00"),
         (3, "2024-01-10 12:00:00"),
@@ -115,7 +115,7 @@ def test_retention_hand_computed_triangle(spark):
 def test_retention_multiple_events_one_week_count_once(spark):
     from adenhq_hive_spark.operators.sessions import retention_matrix
 
-    df = _ev(spark, [(1, "2024-02-05 01:00:00")] * 5)
+    df = _ret_events(spark, [(1, "2024-02-05 01:00:00")] * 5)
     r = retention_matrix(df, "user_id", "ts").collect()
     assert len(r) == 1 and r[0].cohort_n == 1 and r[0].active_n == 1
 
