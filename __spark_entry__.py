@@ -8,7 +8,7 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-256 as of the round-8 second session, 247 oracle-backed + 9 rows-only
+264 as of the round-8 second session, 255 oracle-backed + 9 rows-only
 by design) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
@@ -58,18 +58,15 @@ _CORE = [
     # -- oldest canaries: every row last witnessed in r2 --
     "pl_approx_distinct", "pl_fingerprint", "pl_ivf_topk", "pl_lsh_topk",
     "pl_media_meta", "pl_minhash_lsh", "pl_simhash", "pl_vocab",
-    # -- r3-witnessed canaries spanning the §2 families (q02/q26/q38/
-    #    q42/q44/q47/q48/q54, pl_chunk, pl_tfidf and pl_ivf_recall
-    #    rotated out this session to make room for the new operators:
-    #    their families stay covered by q22/q25/q28/q34/q36/q43/q45/
-    #    q55, pl_lsh_recall, the date-heavy new rows (cusum/kanon/
-    #    autocorr), and the text-tier pl rows) --
-    #    (q09, pl_cosine_topk, pl_decontaminate also rotated out for
-    #    batch 5 — agg stays covered by q13, similarity by
-    #    pl_lsh_recall + the r2 topk canaries, curation by the text-
-    #    tier pl rows)
-    #    (q34 rotated out last: temporal joins stay covered by
-    #    pl_asof_operator, equi/semi joins by q25/q28)
+    # -- r3-witnessed canaries spanning the §2 families.  Rotated out
+    #    this session for the 15 new operators: q02/q09/q26/q34/q38/
+    #    q42/q44/q47/q48/q54 and pl_chunk/pl_tfidf/pl_ivf_recall/
+    #    pl_cosine_topk/pl_decontaminate — every vacated family stays
+    #    covered (agg/cube q13, regex q22, joins q25/q28 + temporal
+    #    pl_asof_operator, windows q36, top-k q43, set ops q45, JSON
+    #    q55, similarity pl_lsh_recall + the r2 topk canaries, text
+    #    curation by the text-tier pl rows, dates by cusum/kanon/
+    #    autocorr/retention) --
     "q13", "q22", "q25", "q28", "q36",
     "q43", "q45", "q55",
     "pl_asof_operator", "pl_lsh_recall",

@@ -249,12 +249,13 @@ def main() -> None:
             sf1_times: dict[str, float] = {}
             for name in rel:
                 samples = []
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.perf_counter()
                     specs[name].run(spark, sf1_dir).write.mode(
                         "overwrite"
                     ).format("noop").save()
                     samples.append(time.perf_counter() - t0)
+                # min-of-3: the first sample doubles as the cache warm-up
                 sf1_times[name] = round(min(samples), 4)
                 log(f"sf1 {name}: {sf1_times[name]:.3f}s")
             import duckdb as _duck
@@ -273,10 +274,12 @@ def main() -> None:
                 if oracle is None:
                     continue
                 samples = []
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.perf_counter()
                     con1.execute(oracle).fetchall()
                     samples.append(time.perf_counter() - t0)
+                # min-of-3: sample 1 pays the cold parquet page reads —
+                # without it the ratio carried ~30% run-to-run noise
                 sf1_duck[name] = round(min(samples), 4)
             con1.close()
             e_tot = round(sum(sf1_times.values()), 4)
@@ -287,7 +290,7 @@ def main() -> None:
                 "engine_total": e_tot,
                 "duckdb_total": d_tot,
                 "ratio_total": round(e_tot / d_tot, 2) if d_tot else None,
-                "runs": 2,
+                "runs": 3,
             }
             log(f"sf1 relational: engine {e_tot}s vs duckdb {d_tot}s")
         except Exception as exc:  # never fail the bench on the sf1 tier
