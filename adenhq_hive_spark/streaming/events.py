@@ -824,3 +824,117 @@ def span_scrub_stream(
         )
 
     return doc_stream.writeStream.foreachBatch(write)
+
+
+_CUSUM_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("day", T.DateType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("s_pos_r6", T.DoubleType()),
+    T.StructField("s_neg_r6", T.DoubleType()),
+    T.StructField("alarm_pos", T.BooleanType()),
+    T.StructField("alarm_neg", T.BooleanType()),
+])
+
+_CUSUM_STATE = T.StructType([
+    T.StructField("sp6", T.LongType()),
+    T.StructField("sn6", T.LongType()),
+    T.StructField("open_days", T.StringType()),  # JSON {iso_day: count}
+])
+
+
+def cusum_stream(
+    stream: DataFrame,
+    target_mean: float,
+    target_sd: float,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.stats.cusum_changepoints`:
+    the textbook ONLINE CUSUM (Page 1954 is inherently sequential — the
+    batch op's retrospective mean/sd become an explicit IN-CONTROL
+    target (mean, sd) here, which is exactly how a production control
+    chart is parameterized).
+
+    Per key the state is the two quantized cumulative sums (sp6, sn6 —
+    BIGINTs, the batch op's exact-integer discipline: z quantizes to
+    ROUND(z*1e6) before any accumulation, so a replay reproduces the
+    stream bit-for-bit) plus the open-day buffer of the anomaly_stream
+    day-closing contract: a day closes when a strictly later day
+    arrives for its key, every emitted row is final, and a NULL ts
+    never wedges the newest-open-day slot.
+
+    PARITY: feeding the batch operator's own global mean/sd as the
+    target reproduces its s_pos/s_neg/alarms exactly (pinned in
+    tests/test_streaming.py) — the two formulations differ only in
+    where the reference comes from.
+
+    Scale: state is two BIGINTs + a small JSON per key; pre-aggregate
+    per (key, day) in the micro-batch before the stateful stage at
+    high volume (same note as anomaly_stream).
+    """
+    import json
+
+    if target_sd <= 0:
+        raise ValueError("target_sd must be > 0")
+    k6 = int(round(slack * 1_000_000))
+    h6 = int(round(threshold * 1_000_000))
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sp6, sn6, open_json = (
+            state.get if state.exists else (0, 0, "{}")
+        )
+        open_days: dict[str, int] = json.loads(open_json)
+        for pdf in pdfs:
+            per_day = pdf["day"].astype(str).value_counts()
+            for day, c in per_day.items():
+                open_days[day] = open_days.get(day, 0) + int(c)
+        out_rows = []
+        if open_days:
+            newest = max(open_days)
+            for day in sorted(d for d in open_days if d < newest):
+                x = open_days.pop(day)
+                z6 = int(round(
+                    round((x - target_mean) / target_sd, 6) * 1e6
+                ))
+                sp6 = max(0, sp6 + z6 - k6)
+                sn6 = max(0, sn6 + (-z6) - k6)
+                out_rows.append((
+                    key[0], day, x,
+                    sp6 / 1e6, sn6 / 1e6,
+                    sp6 > h6, sn6 > h6,
+                ))
+        state.update((sp6, sn6, json.dumps(open_days)))
+        if not out_rows:
+            yield pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in _CUSUM_OUT}
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": [r[0] for r in out_rows],
+                "day": [pd.Timestamp(r[1]).date() for r in out_rows],
+                "x": [r[2] for r in out_rows],
+                "s_pos_r6": [r[3] for r in out_rows],
+                "s_neg_r6": [r[4] for r in out_rows],
+                "alarm_pos": [r[5] for r in out_rows],
+                "alarm_neg": [r[6] for r in out_rows],
+            }
+        )
+
+    return (
+        stream.select("event_type", F.to_date("ts").alias("day"))
+        .filter(F.col("day").isNotNull())  # the anomaly_stream NaT guard
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1220,3 +1220,71 @@ def test_span_scrub_stream_scrubs_later_arrivals_only(spark, tmp_path):
     assert out[13].clean_text == _w("e", 4) and out[13].n_removed == 12
     # metadata columns ride through the scrub
     assert out[10].source == "s2" and out[1].source == "s1"
+
+
+def test_cusum_stream_parity_with_batch_operator(
+    spark, stream, batch_events, tmp_path
+):
+    """Online CUSUM fed the batch operator's own per-key mean/sd as the
+    in-control target must reproduce the batch s_pos/s_neg/alarms
+    exactly on every CLOSED day (the newest day per key stays open by
+    the day-closing contract)."""
+    from adenhq_hive_spark.operators.stats import cusum_changepoints
+    from adenhq_hive_spark.streaming.events import cusum_stream
+
+    key = "click"
+    batch = {
+        str(r.day.date()): r
+        for r in cusum_changepoints(
+            batch_events.filter(F.col("event_type") == key),
+            "ts",
+            "event_type",
+        ).collect()
+    }
+    # the batch op's retrospective reference for this key
+    daily = (
+        batch_events.filter(F.col("event_type") == key)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .count()
+        .collect()
+    )
+    xs = [r["count"] for r in daily]
+    mean = sum(xs) / len(xs)
+    var = sum(x * x for x in xs) / len(xs) - mean * mean
+    sd = var ** 0.5
+
+    q = run_to_completion(
+        cusum_stream(
+            stream.filter(F.col("event_type") == key),
+            target_mean=mean,
+            target_sd=sd,
+        ),
+        "cusum_stream_tbl",
+        str(tmp_path / "ck_cusum"),
+        output_mode="update",
+    )
+    try:
+        got = {
+            str(r.day): r
+            for r in spark.sql("SELECT * FROM cusum_stream_tbl").collect()
+        }
+    finally:
+        q.stop()
+
+    newest = max(batch)
+    closed = {d for d in batch if d < newest}
+    assert set(got) == closed and len(got) > 5
+    for day in closed:
+        b, s = batch[day], got[day]
+        assert s.x == b.x
+        assert s.s_pos_r6 == pytest.approx(b.s_pos_r6, abs=2e-6)
+        assert s.s_neg_r6 == pytest.approx(b.s_neg_r6, abs=2e-6)
+        assert s.alarm_pos == b.alarm_pos
+        assert s.alarm_neg == b.alarm_neg
+
+
+def test_cusum_stream_rejects_bad_sd(spark, stream):
+    from adenhq_hive_spark.streaming.events import cusum_stream
+
+    with pytest.raises(ValueError):
+        cusum_stream(stream, target_mean=0.0, target_sd=0.0)
