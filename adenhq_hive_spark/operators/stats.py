@@ -61,6 +61,16 @@ def _zero_guard(col):
     return col + F.lit(0.0)
 
 
+def _q6(col):
+    """THE 1e-6 quantization contract: q = floor(x * 1e6 + 0.5) as a
+    BIGINT — one definition shared by the bootstrap replicate sums,
+    CUPED unit means, and Gini totals so the engine can never silently
+    diverge from the matching floor(...) in the oracle SQL (the CMS
+    shared-bucket-expression discipline).  floor(+0.5) rounds half
+    toward +inf — consistent on both engines by construction."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)).cast("long")
+
+
 def welch_ttest(
     df: DataFrame,
     value_col: str,
@@ -251,11 +261,7 @@ def poisson_bootstrap_ci(
             "v",
         )
         .withColumn(
-            "q",
-            F.floor(
-                F.col("w").cast("double") * F.col("v") * 1000000.0
-                + F.lit(0.5)
-            ).cast("long"),
+            "q", _q6(F.col("w").cast("double") * F.col("v"))
         )
         .groupBy("grp", "r")
         .agg(
@@ -289,7 +295,7 @@ def poisson_bootstrap_ci(
         F.max(F.when(F.col("rn") == lo_rank, F.col("mean_r"))).alias("lo"),
         F.max(F.when(F.col("rn") == hi_rank, F.col("mean_r"))).alias("hi"),
     )
-    q0 = F.floor(v * 1000000.0 + F.lit(0.5)).cast("long")
+    q0 = _q6(v)
     base = (
         df.select(F.col(group_col).alias("grp"), q0.alias("q0"))
         .groupBy("grp")
@@ -784,7 +790,7 @@ def cuped_adjust(
     """
     period = F.col(ts_col) >= F.lit(split_ts).cast("timestamp")
     v = F.col(value_col).cast("double")
-    q = F.floor(v * 1000000.0 + F.lit(0.5)).cast("long")
+    q = _q6(v)
     per_unit = (
         df.select(
             F.col(unit_col).alias("u"),
@@ -894,9 +900,7 @@ def gini_concentration(
     """
     from .ranking import exact_rank
 
-    q = F.floor(
-        F.col(value_col).cast("double") * 1000000.0 + F.lit(0.5)
-    ).cast("long")
+    q = _q6(F.col(value_col).cast("double"))
     per_unit = (
         df.select(
             F.col(group_col).alias("grp"),
