@@ -930,3 +930,13 @@ def test_gini_uses_distributed_rank(spark):
         or "ExistingRDD" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_exact_rank_materialization_barrier_stays(spark):
+    """Pin the exact_rank fix: the range-partitioned relation MUST be
+    materialized (InMemoryTableScan under persist, ExistingRDD under a
+    checkpoint dir) so the counts branch and the window branch read ONE
+    boundary draw — removing the barrier silently reintroduces the
+    nondeterministic-boundary rank corruption (r8 second session)."""
+    plan = _plan(QUERIES["pl_hist_quantiles"].run(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan
