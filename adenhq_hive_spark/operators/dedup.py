@@ -45,7 +45,40 @@ def _materialize(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True)
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+#: Every persist-mode _materialize call is recorded here so a long
+#: session (bench loop, oracle sweep, notebook) can release the pinned
+#: relations between queries instead of leaking corpus-sized
+#: MEMORY_AND_DISK caches for the session lifetime and leaning on LRU
+#: eviction.  Checkpoint-mode materializations are not recorded — the
+#: checkpoint dir is cluster-managed storage with its own cleanup.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every relation ``_materialize`` pinned since the last
+    call and return how many were released.
+
+    Call AFTER the consuming action (collect/write/count) of the query
+    that built them — the pinned single-boundary-draw guarantee (see
+    :func:`exact_rank`'s module docstring) only has to hold WITHIN one
+    query.  bench.py and the oracle sweep call this between registry
+    queries; a service embedding the Engine should do the same per
+    request (or ``spark.catalog.clearCache()`` if it owns the whole
+    cache)."""
+    n = 0
+    while _PERSISTED:
+        rel = _PERSISTED.pop()
+        try:
+            rel.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def _cut_lineage(df: DataFrame) -> DataFrame:

@@ -85,6 +85,11 @@ def dp_counts(
     on u uniform in (-1, 1), where u = ((int(md5(key)[0:8], 16) mod
     1999999) - 999999) / 1e6 — deterministic per group key so the
     DuckDB oracle replays it exactly (|u| <= 0.999999 keeps ln finite).
+    The key is injective over arbitrary group tuples: each part is
+    md5('v' || value) — or md5('n') for NULL — a fixed-width 32-hex
+    token, so NULL vs empty-string and separator-bearing values can
+    never collide onto one draw (a concat_ws key would skip NULLs and
+    merge values containing the separator).
     A sealed-seed deployment would salt the md5 with the release nonce;
     the mechanism is unchanged.  ln is the bit-portable libm call the
     unigram_logprob/psi tiers already rely on; the rounded noisy count
@@ -98,7 +103,17 @@ def dp_counts(
     """
     if epsilon <= 0:
         raise ValueError("epsilon must be > 0")
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat(
+        *[
+            F.md5(
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")),
+                    F.lit("n"),
+                )
+            )
+            for c in group_cols
+        ]
+    )
     u6 = (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
         % 1999999

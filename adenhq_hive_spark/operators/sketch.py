@@ -483,35 +483,66 @@ def _spread(narrow: DataFrame) -> DataFrame:
     return narrow
 
 
-def _cms_bucket(width: int) -> F.Column:
-    """hash_j(v) = int(md5(v || '#' || j)[0:8], 16) mod width over the
-    string columns ``v`` (value) and ``row`` (hash-row index) — THE one
-    definition of the CMS bucket contract.  cms_counters, the map side
-    of cms_point_estimates, and its candidate probe all call this, so
-    the hash can never silently diverge between the sketch builder and
-    the prober (the matching DuckDB arithmetic lives in the pl_cms_*
-    oracles: ``('0x' || substr(md5(..), 1, 8))::BIGINT % width``).
+def _hash32(col: F.Column, hash_mode: str = "md5") -> F.Column:
+    """32-bit-space hash of a STRING column under the dual-mode
+    portability contract:
+
+    - ``'md5'`` — first-8-hex md5 slice as a BIGINT, replayable
+      arithmetic-for-arithmetic in DuckDB (``('0x' || substr(md5(..),
+      1, 8))::BIGINT``).  The ORACLE hash: every value-exact sketch
+      query uses it, and it is what the driver's hash gate checks.
+    - ``'xxh'`` — low 32 bits of Spark's whole-stage-codegen xxhash64.
+      The DEPLOYMENT hash: one JVM intrinsic per value (measured ~3-6x
+      cheaper per call than md5+conv), no Python, no digest string.
+      DuckDB has no xxhash64, so xxh-mode queries register rows-only
+      and are gated by the estimator-accuracy invariants (CMS
+      overcount-only, KMV error envelope, SRM arm balance) plus their
+      md5 twins, which carry the hash rows — the pl_minhash_portable
+      pattern.
+
+    The md5 portability tax is linear in volume (VERDICT r8: the only
+    floor class that WIDENS with scale), which is exactly why the
+    deployment path must not pay it.
     """
+    if hash_mode == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    if hash_mode == "xxh":
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 32) - 1))
+    raise ValueError(f"hash_mode must be 'md5' or 'xxh', got {hash_mode!r}")
+
+
+def _cms_bucket(width: int, hash_mode: str = "md5") -> F.Column:
+    """hash_j(v) over the columns ``v`` (string value) and ``row``
+    (hash-row index) — THE one definition of the CMS bucket contract.
+    cms_counters, the map side of cms_point_estimates, and its
+    candidate probe all call this, so the hash can never silently
+    diverge between the sketch builder and the prober.
+
+    md5 mode: int(md5(v || '#' || j)[0:8], 16) mod width (the matching
+    DuckDB arithmetic lives in the pl_cms_* oracles: ``('0x' ||
+    substr(md5(..), 1, 8))::BIGINT % width``).  xxh mode: pmod of the
+    MULTI-ARGUMENT xxhash64(v, row) — no concat, no digest string, one
+    codegen intrinsic per (value, row) pair (see :func:`_hash32`).
+    """
+    if hash_mode == "xxh":
+        return F.pmod(
+            F.xxhash64(F.col("v"), F.col("row")), F.lit(width)
+        ).alias("bucket")
     return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("v"), F.lit("#"), F.col("row").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        _hash32(
+            F.concat(F.col("v"), F.lit("#"), F.col("row").cast("string")),
+            hash_mode,
+        )
         % width
     ).alias("bucket")
 
 
 def _cms_sparse_counters(
-    df: DataFrame, value_col: str, depth: int, width: int
+    df: DataFrame,
+    value_col: str,
+    depth: int,
+    width: int,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Sparse (row, bucket, cnt) CMS counters — the shared map side of
     cms_counters (which densifies over the grid) and
@@ -520,20 +551,24 @@ def _cms_sparse_counters(
     return (
         _spread(df.select(F.col(value_col).cast("string").alias("v")))
         .select(F.explode(seeds).alias("row"), "v")
-        .select("row", _cms_bucket(width))
+        .select("row", _cms_bucket(width, hash_mode))
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
 
 
 def cms_counters(
-    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Dense Count-Min counter table (row, bucket, cnt) over ``value_col``.
 
-    hash_j(v) = int(md5(v || '#' || j)[0:8], 16) mod width — first 8 hex
-    chars of the salted md5, identical arithmetic in DuckDB
-    (``('0x' || substr(md5(..), 1, 8))::BIGINT``).  One scan: the row
+    hash_j(v) per :func:`_cms_bucket` — md5 mode is the salted-md5
+    slice replayable in DuckDB; xxh mode is the codegen xxhash64
+    deployment hash (rows-only, accuracy-gated).  One scan: the row
     index is exploded from a d-element literal array (d*N intermediate
     rows, collapsed map-side by partial aggregation to at most d*w rows
     per task before the shuffle).  Empty buckets surface with cnt = 0 via
@@ -543,7 +578,7 @@ def cms_counters(
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     spark = df.sparkSession
-    got = _cms_sparse_counters(df, value_col, depth, width)
+    got = _cms_sparse_counters(df, value_col, depth, width, hash_mode)
     grid = (
         spark.range(depth)
         .select(F.col("id").cast("int").alias("row"))
@@ -567,6 +602,7 @@ def cms_point_estimates(
     depth: int = 4,
     width: int = 256,
     top_n: int = 20,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """CMS point-query estimates for the ``top_n`` most frequent values,
     next to their exact counts — the accuracy ledger for the sketch.
@@ -578,7 +614,7 @@ def cms_point_estimates(
     counter table (the candidate itself contributed), so the inner join
     is total; the candidate side is top_n*d rows and broadcast.
     """
-    counters = _cms_sparse_counters(df, value_col, depth, width)
+    counters = _cms_sparse_counters(df, value_col, depth, width, hash_mode)
     cand = (
         df.select(F.col(value_col).cast("string").alias("v"))
         .groupBy("v")
@@ -592,7 +628,7 @@ def cms_point_estimates(
         F.explode(
             F.array(*[F.lit(j) for j in range(depth)])
         ).alias("row"),
-    ).select("v", "n_exact", "row", _cms_bucket(width))
+    ).select("v", "n_exact", "row", _cms_bucket(width, hash_mode))
     return (
         F.broadcast(cand_h)
         .join(counters, ["row", "bucket"])
@@ -617,7 +653,12 @@ def cms_point_estimates(
 # sketches, re-take the k smallest.
 
 
-def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    hash_mode: str = "md5",
+) -> DataFrame:
     """One-row KMV distinct-count estimate with the exact count alongside.
 
     Scale shape: a partition-local numpy prefilter (np.unique -> k
@@ -632,13 +673,7 @@ def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
         raise ValueError("k must be >= 2")
     spark = df.sparkSession
     hashed = df.select(
-        F.conv(
-            F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("hv")
+        _hash32(F.col(value_col).cast("string"), hash_mode).alias("hv")
     )
 
     def local_kmin(it):
@@ -826,6 +861,7 @@ def kmv_jaccard(
     value_col: str,
     group_col: str,
     k: int = 256,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Pairwise Jaccard similarity estimates between groups' distinct
     value sets from per-group KMV signatures.
@@ -860,9 +896,7 @@ def kmv_jaccard(
         )
     ).select(
         "grp",
-        F.conv(F.substring(F.md5(F.col("val")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("hv"),
+        _hash32(F.col("val"), hash_mode).alias("hv"),
     )
 
     def local_kmin_grouped(it):

@@ -40,6 +40,9 @@ so the oracle can replay it bit-for-bit.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -199,8 +202,12 @@ def poisson_bootstrap_ci(
     """
     if b < 4:
         raise ValueError("b must be >= 4")
-    lo_rank = max(1, -(-int(lo_pct * b) // 100))  # ceil(lo_pct/100*b)
-    hi_rank = max(1, -(-int(hi_pct * b) // 100))
+    # ceil(pct/100 * b) computed exactly (Fraction of the decimal
+    # literal) — an int() before the ceiling truncates pct*b and picks
+    # rank-1 for e.g. lo_pct=12.505, b=8 (pct*b=100.04 -> ceil 2), and
+    # plain float ceil can bump an exact-integer case on a 1-ulp error
+    lo_rank = max(1, math.ceil(Fraction(str(lo_pct)) * b / 100))
+    hi_rank = max(1, math.ceil(Fraction(str(hi_pct)) * b / 100))
     v = F.col(value_col).cast("double")
 
     # double explode: the digest column is bound to the OUTER (salt
@@ -442,17 +449,20 @@ def mann_whitney_u(
     EXACT INTEGER rank algebra: grouping by distinct value, the
     doubled midrank of a tie class equals 2*(count below) + (count in
     class) + 1 — an integer — so the doubled rank sum 2R_a =
-    sum_v c_a(v) * (2*below(v) + c(v) + 1) accumulates in BIGINTs with
+    sum_v c_a(v) * (2*below(v) + c(v) + 1) accumulates exactly with
     no floating ranks anywhere.  U_a = R_a - n_a(n_a+1)/2; the normal
     approximation uses the tie-corrected variance
 
       var = (n_a*n_b/12) * ((n+1) - sum_v(c^3 - c) / (n*(n-1)))
 
-    with the tie sum carried in DECIMAL(38,0) (c^3 overflows BIGINT on
-    extreme ties) and the variance assembled by interleaved double
-    divisions so no integer product exceeds BIGINT at any corpus size
-    (the kappa discipline).  z applies the 0.5 continuity correction
-    toward the null.
+    Every integer product that is quadratic-or-worse in n — the
+    per-class r2_a term (~2n^2), n_a*(n_a+1), and the c^3 tie sum —
+    is carried in DECIMAL(38,0): at multi-billion-row cohorts a BIGINT
+    product would wrap silently on Spark (non-ANSI) while the oracle
+    raises, emitting a wrong u2_a/z instead of failing.  The variance
+    is assembled by interleaved double divisions so no exact product
+    exceeds DECIMAL(38,0) at any corpus size (the kappa discipline).
+    z applies the 0.5 continuity correction toward the null.
 
     Emits ONE row: (group_a, group_b, n_a, n_b, u2_a (=2*U_a, exact
     BIGINT), u_a_r1, z_r6).  Degenerate cases (a cohort empty, or all
@@ -531,8 +541,9 @@ def mann_whitney_u(
         F.sum("c_a").alias("n_a"),
         F.sum("c_b").alias("n_b"),
         F.sum(
-            F.col("c_a")
+            F.col("c_a").cast("decimal(38,0)")
             * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
+            .cast("decimal(38,0)")
         ).alias("r2_a"),
         F.sum(
             (
@@ -547,8 +558,12 @@ def mann_whitney_u(
     n_b = F.col("n_b").cast("double")
     n = F.col("n_a") + F.col("n_b")
     nd = n.cast("double")
-    # 2*U_a = 2R_a - n_a(n_a+1): keep exact; halve only in the double
-    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    # 2*U_a = 2R_a - n_a(n_a+1): keep exact in DECIMAL(38,0) (the
+    # n_a*(n_a+1) product wraps BIGINT around n_a ~ 3e9); halve only
+    # in the double
+    u2 = F.col("r2_a") - F.col("n_a").cast("decimal(38,0)") * (
+        F.col("n_a") + 1
+    ).cast("decimal(38,0)")
     u = u2.cast("double") / 2.0
     mu = n_a * n_b / 2.0
     var = (
@@ -693,6 +708,7 @@ def srm_check(
     unit_col: str,
     group_col: str | None = None,
     salt: str = "srm",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Sample-ratio-mismatch guardrail for a 50/50 split (the first
     check every experimentation platform runs — Fabijan et al. 2019:
@@ -713,22 +729,32 @@ def srm_check(
     n_arm0, n_arm1, chi2_r6, mismatch), ordered.  Scale: one count
     rollup, O(groups) shuffle.
     """
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(unit_col).cast("string"), F.lit("#" + salt)
-                    )
+    if hash_mode == "xxh":
+        # deployment hash: one multi-argument codegen intrinsic per
+        # unit, no concat/digest (see sketch._hash32's contract note);
+        # rows-only — the md5 form carries the oracle hash row
+        arm = F.pmod(
+            F.xxhash64(F.col(unit_col).cast("string"), F.lit(salt)),
+            F.lit(2),
+        )
+    else:
+        arm = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(unit_col).cast("string"),
+                            F.lit("#" + salt),
+                        )
+                    ),
+                    1,
+                    8,
                 ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
     from .sketch import _spread
 
     grp = (

@@ -7798,7 +7798,9 @@ Q(QuerySpec(
         "mechanism at epsilon=1 (operators/privacy.py:dp_counts; Dwork "
         "2006 — count sensitivity 1, scale b=1/epsilon). The draw is "
         "the Laplace inverse CDF on an md5-derived uniform in (-1,1), "
-        "deterministic per group key so the oracle replays it exactly "
+        "deterministic per group key (fixed-width per-part md5 tokens "
+        "— NULL-safe, separator-collision-free) so the oracle replays "
+        "it exactly "
         "(a release would salt with a sealed nonce; mechanism "
         "unchanged). ln is the bit-portable libm call the logprob "
         "tiers rely on; noisy counts ROUND 4 with the signed-zero "
@@ -7811,7 +7813,9 @@ Q(QuerySpec(
         ),
         u AS (
           SELECT source, lang, n,
-                 CAST(CAST(('0x' || substr(md5(source || '|' || lang),
+                 CAST(CAST(('0x' || substr(md5(
+                     md5(coalesce('v' || source, 'n'))
+                     || md5(coalesce('v' || lang, 'n'))),
                    1, 8)) AS BIGINT) % 1999999 - 999999 AS DOUBLE)
                  / 1000000.0 AS u
           FROM c
@@ -7970,9 +7974,10 @@ Q(QuerySpec(
     doc="Mann-Whitney U (Wilcoxon rank-sum) test between the purchase "
         "and view cohorts (operators/stats.py:mann_whitney_u) — the "
         "nonparametric partner to pl_welch_ttest. EXACT INTEGER rank "
-        "algebra: doubled midranks 2*below + c + 1 per tie class, "
-        "doubled rank sum and 2*U_a as BIGINTs, tie-corrected variance "
-        "with the c^3 sum in DECIMAL(38,0); z by interleaved double "
+        "algebra: doubled midranks 2*below + c + 1 per tie class; the "
+        "doubled rank sum, 2*U_a, and the c^3 tie sum all carried in "
+        "DECIMAL(38,0) (BIGINT products wrap around n~3e9 cohorts); "
+        "z by interleaved double "
         "divisions (the kappa discipline) with the 0.5 continuity "
         "correction. The value-order prefix sum buckets on a deterministic "
         "equal-width grid with per-bucket prefix offsets — no "
@@ -7999,7 +8004,9 @@ Q(QuerySpec(
         ),
         agg AS (
           SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b,
-                 SUM(c_a * (2 * below + c + 1)) AS r2_a,
+                 SUM(CAST(c_a AS DECIMAL(38,0))
+                     * CAST(2 * below + c + 1 AS DECIMAL(38,0)))
+                   AS r2_a,
                  SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
                      * CAST(c AS DECIMAL(38,0))
                      - CAST(c AS DECIMAL(38,0))) AS tie3
@@ -8007,8 +8014,11 @@ Q(QuerySpec(
         ),
         fin AS (
           SELECT n_a, n_b,
-                 r2_a - n_a * (n_a + 1) AS u2,
-                 CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u,
+                 r2_a - CAST(n_a AS DECIMAL(38,0))
+                   * CAST(n_a + 1 AS DECIMAL(38,0)) AS u2,
+                 CAST(r2_a - CAST(n_a AS DECIMAL(38,0))
+                   * CAST(n_a + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+                   AS u,
                  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
                  (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
                  * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
@@ -8502,4 +8512,119 @@ Q(QuerySpec(
                END, 6) + 0.0 AS gini_r6
         FROM a ORDER BY event_type
     """,
+))
+
+
+# ---- xxhash64 deployment tier (round 9) -------------------------------------
+#
+# VERDICT r8: the md5 portability tax is the only floor class whose
+# DuckDB ratio WIDENS with volume (JVM md5 ~3x slower per call).  The
+# dual-mode contract (operators/sketch.py:_hash32): the md5 form of each
+# sketch query stays registered and carries the full oracle hash row
+# (the portable twin); the *_xxh form below is the DEPLOYMENT path —
+# same algebra, hash swapped for the whole-stage-codegen xxhash64
+# intrinsic.  DuckDB has no xxhash64, so these register rows-only and
+# are gated in tests/test_sketch.py / test_stats.py by the invariants
+# that hold for ANY uniform hash: CMS est >= exact, KMV inside the
+# 1/sqrt(k) error envelope, SRM arm counts summing to n on a fair
+# split.  Excluded from the driver's 50-slot correctness window by
+# design (rows-only entries cannot produce hash rows — VERDICT r8 #3).
+
+
+Q(QuerySpec(
+    name="pl_cms_registers_xxh",
+    doc="DEPLOYMENT form of pl_cms_registers: identical Count-Min "
+        "algebra (4 x 256 dense counter grid over lineitem part "
+        "demand) with the bucket hash swapped from the salted-md5 "
+        "slice to the multi-argument xxhash64(v, row) codegen "
+        "intrinsic — no concat, no digest string, no Python. The md5 "
+        "twin carries the oracle hash row; this form is what a 100 TB "
+        "run should execute (the md5 portability tax is linear in "
+        "volume and exists only to let DuckDB replay the sketch).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch", fromlist=["cms_counters"]
+    ).cms_counters(load_table(spark, sf, "lineitem"), "l_partkey",
+                   depth=4, width=256, hash_mode="xxh")
+    .orderBy("row", "bucket"),
+    has_oracle=False,
+))
+
+
+Q(QuerySpec(
+    name="pl_cms_estimate_xxh",
+    doc="DEPLOYMENT form of pl_cms_estimate: exact top-20 parts next "
+        "to their CMS estimate under the xxhash64 bucket hash. The "
+        "one-sided guarantee est >= exact holds for ANY hash choice "
+        "and is pinned for this form in tests/test_sketch.py; the md5 "
+        "twin carries the oracle hash row.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch",
+        fromlist=["cms_point_estimates"],
+    ).cms_point_estimates(load_table(spark, sf, "lineitem"), "l_partkey",
+                          depth=4, width=256, top_n=20,
+                          hash_mode="xxh"),
+    has_oracle=False,
+))
+
+
+Q(QuerySpec(
+    name="pl_kmv_distinct_xxh",
+    doc="DEPLOYMENT form of pl_kmv_distinct: KMV over the low 32 bits "
+        "of xxhash64(o_custkey) instead of the md5 slice — same "
+        "numpy k-min prefilter, same exact-integer estimator "
+        "(k-1)*2^32 DIV h_(k). Estimator accuracy is hash-independent "
+        "(any uniform 32-bit hash); the 1/sqrt(k) envelope gate in "
+        "tests/test_sketch.py runs against THIS form, and the md5 "
+        "twin carries the oracle hash row.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch", fromlist=["kmv_distinct"]
+    ).kmv_distinct(load_table(spark, sf, "orders"), "o_custkey", k=256,
+                   hash_mode="xxh"),
+    has_oracle=False,
+))
+
+
+def _kmv_jaccard_xxh_q(spark, sf):
+    from ..operators.sketch import _spread, kmv_jaccard
+
+    toks = (
+        _spread(load_table(spark, sf, "documents").select("source", "text"))
+        .select(
+            "source",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return kmv_jaccard(toks, "token", "source", k=256, hash_mode="xxh")
+
+
+Q(QuerySpec(
+    name="pl_kmv_jaccard_xxh",
+    doc="DEPLOYMENT form of pl_kmv_jaccard: per-source KMV signatures "
+        "over xxhash64(token) & 0xffffffff — the hash ladder that "
+        "dominates the md5 form's wall clock collapses to one codegen "
+        "intrinsic per token. Signature algebra, union-signature "
+        "Jaccard estimator, and the single persisted corpus scan are "
+        "unchanged; tests gate the estimates against the exact "
+        "pairwise Jaccard envelope, and the md5 twin carries the "
+        "oracle hash row.",
+    builder=_kmv_jaccard_xxh_q,
+    has_oracle=False,
+))
+
+
+Q(QuerySpec(
+    name="pl_srm_xxh",
+    doc="DEPLOYMENT form of pl_srm: unit-to-arm assignment by "
+        "pmod(xxhash64(user_id, 'srm'), 2) instead of md5 parity — "
+        "the assignment hash is the per-row cost of the guardrail, so "
+        "the deployment path must not pay the digest-string tax. "
+        "Chi-square algebra unchanged; tests pin arm-count "
+        "conservation and the fair-split non-flag, and the md5 twin "
+        "carries the oracle hash row.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.stats", fromlist=["srm_check"]
+    ).srm_check(load_table(spark, sf, "events"), "user_id",
+                "event_type", hash_mode="xxh"),
+    has_oracle=False,
 ))

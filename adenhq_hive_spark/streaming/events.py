@@ -25,6 +25,7 @@ equal the batch results on the same data.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -898,9 +899,18 @@ def cusum_stream(
             newest = max(open_days)
             for day in sorted(d for d in open_days if d < newest):
                 x = open_days.pop(day)
-                z6 = int(round(
-                    round((x - target_mean) / target_sd, 6) * 1e6
-                ))
+                # HALF_UP quantization, matching the batch twin's
+                # F.round (java BigDecimal HALF_UP on the shortest
+                # decimal repr of the double) — Python round() is
+                # half-even and diverges by one 1e-6 step on exact
+                # dyadic ties like 0.0078125, breaking the documented
+                # bit-for-bit batch parity
+                z = (x - target_mean) / target_sd
+                z6 = int(
+                    Decimal(repr(z)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    ).scaleb(6)
+                )
                 sp6 = max(0, sp6 + z6 - k6)
                 sn6 = max(0, sn6 + (-z6) - k6)
                 out_rows.append((

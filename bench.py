@@ -133,6 +133,11 @@ HEADLINE = [
     "pl_kaplan_meier",   # KM survival w/ right-censoring (r8 batch 5)
     "pl_cramers_v",      # chi-square association, source x lang (r8 b5)
     "pl_gini",           # per-group value-concentration Gini (r8 b5)
+    "pl_cms_registers_xxh",  # CMS deployment hash (xxhash64, r9)
+    "pl_cms_estimate_xxh",   # CMS estimate deployment hash (r9)
+    "pl_kmv_distinct_xxh",   # KMV deployment hash (r9)
+    "pl_kmv_jaccard_xxh",    # KMV Jaccard deployment hash (r9)
+    "pl_srm_xxh",            # SRM deployment hash (r9)
 ]
 
 
@@ -207,6 +212,8 @@ def main() -> None:
     N_RUNS = 3
     times: dict[str, float] = {}
     spread_pct: dict[str, float] = {}
+    from adenhq_hive_spark.operators.dedup import release_persisted
+
     for name in names:
         samples = []
         for _ in range(N_RUNS):
@@ -215,6 +222,12 @@ def main() -> None:
                 "noop"
             ).save()
             samples.append(time.perf_counter() - t0)
+        # release the _materialize-pinned caches BETWEEN queries (not
+        # between runs — the persisted-index amortization stories like
+        # pl_dedup_incremental_indexed are part of what's measured):
+        # a full-registry pass otherwise accumulates corpus-sized
+        # MEMORY_AND_DISK relations and leans on LRU eviction
+        release_persisted()
         best = min(samples)
         times[name] = round(best, 4)
         spread_pct[name] = round((max(samples) - best) / best * 100, 1)

@@ -49,6 +49,14 @@ def main() -> int:
             df = spec.run(spark, sf_dir)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
+            # free the _materialize-pinned caches between queries —
+            # the 264-query sweep otherwise accumulates corpus-sized
+            # MEMORY_AND_DISK relations for the session lifetime
+            from adenhq_hive_spark.operators.dedup import (
+                release_persisted,
+            )
+
+            release_persisted()
         except Exception as exc:
             failures.append(name)
             print(f"{name}: SPARK ERROR {str(exc)[:200]}")

@@ -102,6 +102,11 @@ def main() -> int:
         try:
             sdf = spec.run(spark, sf_dir).toPandas()
             ddf = con.execute(spec.oracle).df()
+            from adenhq_hive_spark.operators.dedup import (
+                release_persisted,
+            )
+
+            release_persisted()
         except Exception as exc:
             bad.append(name)
             print(f"{name}: ERROR {str(exc)[:200]}")

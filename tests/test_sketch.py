@@ -530,3 +530,107 @@ def test_kmv_jaccard_rejects_tiny_k(spark):
 
     with _pytest.raises(ValueError):
         kmv_jaccard(df, "tok", "src", k=1)
+
+
+# ---- xxhash64 deployment mode (round 9) -------------------------------------
+#
+# The *_xxh query forms swap the md5 oracle hash for the codegen
+# xxhash64 intrinsic (sketch._hash32).  DuckDB cannot replay xxhash64,
+# so these gates pin the invariants that hold for ANY uniform hash —
+# the same guarantees the md5 twins prove hash-exactly.
+
+
+def test_cms_xxh_dense_row_sums_and_one_sided(spark):
+    from adenhq_hive_spark.operators.sketch import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    out = cms_counters(
+        _cms_df(spark), "v", depth=3, width=32, hash_mode="xxh"
+    ).collect()
+    assert len(out) == 3 * 32
+    sums = {}
+    for r in out:
+        sums[r.row] = sums.get(r.row, 0) + r.cnt
+    assert sums == {0: 100, 1: 100, 2: 100}
+    rows = cms_point_estimates(
+        _cms_df(spark), "v", depth=4, width=16, top_n=5, hash_mode="xxh"
+    ).collect()
+    assert rows[0].value == "hot" and rows[0].n_exact == 40
+    for r in rows:
+        assert r.est_cms >= r.n_exact, (r.value, r.est_cms, r.n_exact)
+
+
+def test_cms_xxh_differs_from_md5_but_same_mass(spark):
+    """Same total mass per hash row, different bucket layout — proof the
+    mode switch actually changes the hash rather than aliasing md5."""
+    from adenhq_hive_spark.operators.sketch import cms_counters
+
+    key = lambda rows: {(r.row, r.bucket): r.cnt for r in rows}
+    a = key(cms_counters(_cms_df(spark), "v", depth=2, width=64).collect())
+    b = key(
+        cms_counters(
+            _cms_df(spark), "v", depth=2, width=64, hash_mode="xxh"
+        ).collect()
+    )
+    assert sum(a.values()) == sum(b.values()) == 2 * 100
+    assert a != b
+
+
+def test_kmv_xxh_exact_path_and_envelope(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_distinct
+
+    small = spark.createDataFrame([(i % 37,) for i in range(500)], "v long")
+    row = kmv_distinct(small, "v", k=256, hash_mode="xxh").collect()[0]
+    assert row.n_kept == 37 and row.estimate == 37 == row.n_exact
+
+    n = 5000
+    big = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    row = kmv_distinct(big, "v", k=256, hash_mode="xxh").collect()[0]
+    assert row.n_kept == 256 and row.n_exact == n
+    # stderr ~ 1/sqrt(k) ~ 6.3%; gate at 4 sigma, same as the md5 form
+    assert abs(row.estimate - n) < 0.25 * n, row.estimate
+
+
+def test_kmv_jaccard_xxh_envelope(spark):
+    from adenhq_hive_spark.operators.sketch import kmv_jaccard
+
+    # two groups sharing half their 2000-value universe: J = 1/3
+    rows = [("a", i) for i in range(1000)] + [
+        ("b", i) for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = kmv_jaccard(df, "v", "grp", k=256, hash_mode="xxh").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k_used == 256
+    # stderr ~ sqrt(J(1-J)/k) ~ 2.9%; gate at ~5 sigma
+    assert abs(r.jaccard_r6 - 1 / 3) < 0.15, r.jaccard_r6
+
+
+def test_xxh_mode_plans_never_touch_md5(spark):
+    """The deployment forms must actually shed the md5 tax: their
+    executed plans contain xxhash64 and NO md5 call anywhere."""
+    from adenhq_hive_spark.operators.sketch import (
+        cms_counters,
+        kmv_distinct,
+    )
+
+    for df in (
+        cms_counters(_cms_df(spark), "v", depth=2, width=16,
+                     hash_mode="xxh"),
+        kmv_distinct(_cms_df(spark), "v", k=16, hash_mode="xxh"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan
+        assert "md5" not in plan
+
+
+def test_hash32_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.sketch import kmv_distinct
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(_cms_df(spark), "v", k=16, hash_mode="sha1")

@@ -302,6 +302,28 @@ def test_srm_deterministic(spark):
     )
 
 
+def test_srm_xxh_mode_balanced_and_md5_free(spark):
+    """Deployment-hash form (hash_mode='xxh'): arm counts conserve n, a
+    fair split is not flagged, and the executed plan sheds md5 for the
+    multi-argument xxhash64 intrinsic."""
+    from adenhq_hive_spark.operators.stats import srm_check
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(10_000)], "u long, grp string"
+    )
+    q = srm_check(df, "u", "grp", hash_mode="xxh")
+    r = q.collect()[0]
+    assert r.n == 10_000 and r.n_arm0 + r.n_arm1 == r.n
+    d = r.n_arm0 - r.n_arm1
+    assert r.chi2_r6 == pytest.approx(round(d * d / 10_000, 6))
+    assert not r.mismatch  # xxhash64 parity splits 10k units ~50/50
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "md5" not in plan
+    # the mode switch really changes assignments vs the md5 form
+    md5_r = srm_check(df, "u", "grp").collect()[0]
+    assert (r.n_arm0, r.n_arm1) != (md5_r.n_arm0, md5_r.n_arm1)
+
+
 # ---- cuped_adjust ------------------------------------------------------------
 
 
