@@ -7660,6 +7660,42 @@ Q(QuerySpec(
 ))
 
 
+def _bootstrap_arrow_q(spark, sf):
+    from ..operators.stats import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        load_table(spark, sf, "events"),
+        "event_id", "value", "event_type", b=64, kernel="arrow",
+    )
+
+
+def _same_oracle(name: str) -> str:
+    from . import _REGISTRY
+
+    sql = _REGISTRY[name].oracle_sql_str
+    assert sql is not None
+    return sql
+
+
+Q(QuerySpec(
+    name="pl_bootstrap_ci_arrow",
+    doc="Arrow-kernel form of pl_bootstrap_ci (operators/stats.py:"
+        "_bootstrap_partials_arrow): hashlib md5 into a contiguous "
+        "buffer + np.frombuffer word slicing + vectorized "
+        "searchsorted Poisson ladder, aggregated to O(groups x B) "
+        "partials INSIDE the worker so Arrow never ships the B x N "
+        "explosion. BIT-EXACT to the JVM form (same digests, same "
+        "word layout, same IEEE q = floor((w*v)*1e6+0.5), same "
+        "trunc-div hi/lo split), so it shares pl_bootstrap_ci's "
+        "oracle verbatim — the rare case where a Python stage beats "
+        "codegen: the JVM's per-(row,replicate) md5+hex+conv+CASE "
+        "ladder measured 26.8 s at sf10 vs 8.8 s for this kernel "
+        "(AHEAD of the DuckDB oracle; BASELINE.md r9).",
+    builder=_bootstrap_arrow_q,
+    oracle_sql_str=_same_oracle("pl_bootstrap_ci"),
+))
+
+
 def _cusum_q(spark, sf):
     from ..operators.stats import cusum_changepoints
 

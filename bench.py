@@ -138,6 +138,7 @@ HEADLINE = [
     "pl_kmv_distinct_xxh",   # KMV deployment hash (r9)
     "pl_kmv_jaccard_xxh",    # KMV Jaccard deployment hash (r9)
     "pl_srm_xxh",            # SRM deployment hash (r9)
+    "pl_bootstrap_ci_arrow", # Arrow-kernel Poisson bootstrap (r9)
 ]
 
 

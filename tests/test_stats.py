@@ -89,6 +89,34 @@ def test_bootstrap_deterministic_and_ordered(spark):
         assert r.lo_r6 <= r.mean_r6 + 5 and r.hi_r6 >= r.mean_r6 - 5
 
 
+def test_bootstrap_arrow_kernel_bit_exact_parity(spark):
+    """The Arrow kernel (hashlib md5 + numpy ladder + in-worker
+    partials) must reproduce the JVM path bit-for-bit — including the
+    NULL-id fallthrough (w = len(thresholds)), NULL values, negative
+    values (trunc-div hi/lo split), and the w=0 replicates."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, "g%d" % (i % 3), random.uniform(-50.0, 100.0))
+        for i in range(4000)
+    ]
+    rows.append((None, "g0", 5.0))
+    rows.append((77777, "g1", None))
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    jvm = poisson_bootstrap_ci(df, "id", "v", "grp", b=16).collect()
+    arrow = poisson_bootstrap_ci(
+        df, "id", "v", "grp", b=16, kernel="arrow"
+    ).collect()
+    assert jvm == arrow
+
+
+def test_bootstrap_rejects_bad_kernel(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, v double")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "id", "v", "grp", b=8, kernel="gpu")
+
+
 def test_bootstrap_rejects_tiny_b(spark):
     df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, v double")
     with pytest.raises(ValueError):
