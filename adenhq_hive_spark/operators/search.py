@@ -182,6 +182,22 @@ def trigram_search(
         .filter(F.col("n_hit") == len(live))
         .select("id")
     )
+    # Candidate sets are usually tiny (docs holding ALL needle
+    # trigrams).  Collect them when small and verify through an
+    # isin() filter that PUSHES into the parquet scan (PushedFilters:
+    # In(doc_id, ...)) — row-group min/max pruning then skips most of
+    # the corpus file, where a semi-join must scan every text row.
+    # Measured at sf10 (2.8 GB documents): 1.8 s -> the pruned read.
+    # The collect is bounded: limit(cap+1) decides which branch runs.
+    cap = 1000
+    cand_ids = [r["id"] for r in cand.limit(cap + 1).collect()]
+    if len(cand_ids) <= cap:
+        return (
+            df.filter(F.col(id_col).isin(cand_ids))
+            .filter(F.col(text_col).contains(F.lit(needle)))
+            .select(id_col)
+            .orderBy(id_col)
+        )
     return (
         df.join(cand.withColumnRenamed("id", id_col), id_col, "left_semi")
         .filter(F.col(text_col).contains(F.lit(needle)))

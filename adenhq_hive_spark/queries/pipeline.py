@@ -2952,6 +2952,62 @@ Q(QuerySpec(
 ))
 
 
+def _trigram_probe_q(spark, sf):
+    """Probe-only form: build the bucketed index ONCE per (session,
+    sf_dir) via save_trigram_index, then every run — including every
+    timed bench pass after warm-up — pays only the bucket-pruned probe.
+    This is the amortized deployment shape (r8 verdict #4): a search
+    service answers many needles against one corpus snapshot, exactly
+    like the reference re-querying one loaded file (csv_tool.py keeps
+    the DuckDB relation registered across queries)."""
+    import hashlib as _h
+
+    from ..operators.search import (
+        save_trigram_index,
+        trigram_search_indexed,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    tbl = "trigram_idx_" + _h.md5(sf.encode()).hexdigest()[:10]
+    if not spark.catalog.tableExists(tbl):
+        # a previous SESSION may have left the managed location behind
+        # without a catalog entry (in-memory metastore) — clear it or
+        # saveAsTable raises LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{tbl}", ignore_errors=True)
+        save_trigram_index(docs, table_name=tbl)
+    # without this the planner disables bucketed reading for
+    # filter-only scans and the probe rescans every bucket
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    return trigram_search_indexed(docs, "spark window", table_name=tbl)
+
+
+Q(QuerySpec(
+    name="pl_trigram_probe",
+    doc="Amortized probe over the PERSISTED bucketed trigram index "
+        "(operators/search.py:save_trigram_index + "
+        "trigram_search_indexed): bucketBy(64, trigram) hashes each "
+        "posting list to one file, so the needle's IN-list probe reads "
+        "only matching buckets (SelectedBucketsCount in the plan, "
+        "asserted in tests/test_search.py). Same exact-answer contract "
+        "and the same full-scan LIKE oracle as pl_trigram_search — the "
+        "hash proves the index path never loses a match; the bench row "
+        "measures the probe cost the build-inclusive form amortizes.",
+    builder=_trigram_probe_q,
+    oracle_sql_str="""
+        SELECT doc_id FROM documents
+        WHERE contains(text, 'spark window')
+        ORDER BY doc_id
+    """,
+))
+
+
 Q(QuerySpec(
     name="pl_weighted_sample",
     doc="Quality-weighted deterministic subsampling: keep probability = "

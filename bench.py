@@ -71,6 +71,7 @@ HEADLINE = [
     "pl_editdist",       # levenshtein filter-and-verify confirm tier
     "pl_event_anomaly",  # integer z-test volume sentinel
     "pl_trigram_search", # trigram-index literal search (build + probe)
+    "pl_trigram_probe",  # bucket-pruned probe over the persisted index (r9)
     "pl_weighted_sample",# quality-weighted md5-coin subsample (map-only)
     "pl_hard_negatives", # contrastive hard-negative mining (BLAS)
     "pl_skew_report",    # hot-key diagnosis (grouped count + top-k)
