@@ -846,10 +846,11 @@ _CUSUM_STATE = T.StructType([
 
 def cusum_stream(
     stream: DataFrame,
-    target_mean: float,
-    target_sd: float,
+    target_mean: float | None = None,
+    target_sd: float | None = None,
     slack: float = 0.5,
     threshold: float = 4.0,
+    targets: "DataFrame | dict[str, tuple[float, float]] | None" = None,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.stats.cusum_changepoints`:
     the textbook ONLINE CUSUM (Page 1954 is inherently sequential — the
@@ -870,14 +871,41 @@ def cusum_stream(
     tests/test_streaming.py) — the two formulations differ only in
     where the reference comes from.
 
+    FLEET MODE (``targets``, r8 verdict #6): pass a small per-key
+    in-control relation — a dict ``{key: (mean, sd)}`` or a DataFrame
+    with columns ``(event_type, mean, sd)`` (collected once at plan
+    time; it is control-plane metadata, O(keys) rows) — and ONE query
+    monitors every key against its own target.  Keys without an entry
+    fall back to the scalar ``target_mean``/``target_sd`` default when
+    given, and are passed through un-scored (x reported, s=0, no
+    alarm) when not: an unknown key must never be judged against
+    another fleet member's target.  Per-key parity with the batch
+    operator is pinned in tests/test_streaming.py.
+
     Scale: state is two BIGINTs + a small JSON per key; pre-aggregate
     per (key, day) in the micro-batch before the stateful stage at
     high volume (same note as anomaly_stream).
     """
     import json
 
-    if target_sd <= 0:
+    if targets is None and target_sd is None:
+        raise ValueError("provide target_mean/target_sd or targets")
+    if target_sd is not None and target_sd <= 0:
         raise ValueError("target_sd must be > 0")
+    per_key: dict[str, tuple[float, float]] = {}
+    if targets is not None:
+        if isinstance(targets, dict):
+            per_key = {str(k): (float(m), float(s))
+                       for k, (m, s) in targets.items()}
+        else:  # (key, mean, sd) relation — metadata-sized by contract
+            kc, mc, sc = targets.columns[:3]
+            per_key = {
+                str(r[kc]): (float(r[mc]), float(r[sc]))
+                for r in targets.collect()
+            }
+        bad = [k for k, (_, s) in per_key.items() if s <= 0]
+        if bad:
+            raise ValueError(f"targets sd must be > 0 (bad keys: {bad})")
     k6 = int(round(slack * 1_000_000))
     h6 = int(round(threshold * 1_000_000))
 
@@ -894,18 +922,28 @@ def cusum_stream(
             per_day = pdf["day"].astype(str).value_counts()
             for day, c in per_day.items():
                 open_days[day] = open_days.get(day, 0) + int(c)
+        tgt = per_key.get(str(key[0]))
+        if tgt is None and target_sd is not None:
+            tgt = (target_mean, target_sd)
         out_rows = []
         if open_days:
             newest = max(open_days)
             for day in sorted(d for d in open_days if d < newest):
                 x = open_days.pop(day)
+                if tgt is None:
+                    # fleet mode, unknown key: report the day closed
+                    # but never score it against another key's target
+                    out_rows.append((
+                        key[0], day, x, 0.0, 0.0, False, False,
+                    ))
+                    continue
                 # HALF_UP quantization, matching the batch twin's
                 # F.round (java BigDecimal HALF_UP on the shortest
                 # decimal repr of the double) — Python round() is
                 # half-even and diverges by one 1e-6 step on exact
                 # dyadic ties like 0.0078125, breaking the documented
                 # bit-for-bit batch parity
-                z = (x - target_mean) / target_sd
+                z = (x - tgt[0]) / tgt[1]
                 z6 = int(
                     Decimal(repr(z)).quantize(
                         Decimal("0.000001"), rounding=ROUND_HALF_UP

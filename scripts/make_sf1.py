@@ -35,13 +35,44 @@ import time
 
 import duckdb
 
-KEY_OFF = 1_000_000_000  # far above any sf0.1 key
+KEY_OFF = 1_000_000_000  # fallback floor; the real stride is derived
 
 COPY_TABLES = ("region", "nation", "part", "supplier")
 
 
-def replica_sql(table: str, src: str, i: int) -> str:
-    off = i * KEY_OFF
+def key_stride(con, src: str) -> int:
+    """Replica offset stride: the next power of 10 ABOVE every key in
+    the source.  A fixed 1e9 stride silently COLLIDES when the source
+    is itself a replicated dataset (sf1 keys span 0..9e9+), mapping
+    replica pairs (i, j) with equal i+j onto the same key — the r9
+    audit found .bench_sf10 built sf1->x10 this way had only 19x15000
+    distinct custkeys instead of 100x15000, a ~5x join fanout that
+    inflated every multi-hop join (q25 measured 50 s instead of 5).
+    Deriving the stride from the data makes replication associative:
+    x10 twice == x100 once, key-distinctness preserved by construction.
+    """
+    mx = 0
+    for table, cols in (
+        ("orders", ("o_orderkey", "o_custkey")),
+        ("lineitem", ("l_orderkey",)),
+        ("customer", ("c_custkey",)),
+        ("documents", ("doc_id",)),
+        ("embeddings", ("vec_id",)),
+        ("events", ("event_id", "user_id")),
+    ):
+        for c in cols:
+            v = con.execute(
+                f"SELECT MAX({c}) FROM read_parquet('{src}/{table}.parquet')"
+            ).fetchone()[0]
+            mx = max(mx, int(v or 0))
+    stride = KEY_OFF
+    while stride <= mx:
+        stride *= 10
+    return stride
+
+
+def replica_sql(table: str, src: str, i: int, stride: int = KEY_OFF) -> str:
+    off = i * stride
     p = f"read_parquet('{src}/{table}.parquet')"
     if table == "orders":
         return (f"SELECT o_orderkey + {off} AS o_orderkey, "
@@ -83,6 +114,8 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    stride = key_stride(con, src)
+    print(f"replica key stride: {stride}", flush=True)
     for table in COPY_TABLES:
         t0 = time.time()
         con.execute(
@@ -94,7 +127,7 @@ def main() -> None:
                   "documents", "embeddings"):
         t0 = time.time()
         union = " UNION ALL ".join(
-            f"({replica_sql(table, src, i)})" for i in range(factor)
+            f"({replica_sql(table, src, i, stride)})" for i in range(factor)
         )
         con.execute(
             f"COPY ({union}) TO '{out}/{table}.parquet' "
@@ -104,10 +137,11 @@ def main() -> None:
             f"SELECT COUNT(*) FROM read_parquet('{out}/{table}.parquet')"
         ).fetchone()[0]
         print(f"{table}: {n} rows in {time.time() - t0:.1f}s", flush=True)
-    _replicate_events(src, out, factor)
+    _replicate_events(src, out, factor, stride)
 
 
-def _replicate_events(src: str, out: str, factor: int) -> None:
+def _replicate_events(src: str, out: str, factor: int,
+                      stride: int = KEY_OFF) -> None:
     """events via pyarrow: DuckDB's parquet writer emits TIMESTAMP(us),
     but the Spark catalog and DuckDB oracle both depend on the table's
     INT64 TIMESTAMP(NANOS) physical type — pyarrow preserves it."""
@@ -119,7 +153,7 @@ def _replicate_events(src: str, out: str, factor: int) -> None:
     base = pq.read_table(os.path.join(src, "events.parquet"))
     replicas = []
     for i in range(factor):
-        off = i * KEY_OFF
+        off = i * stride
         replicas.append(
             pa.table(
                 {

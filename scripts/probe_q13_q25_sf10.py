@@ -77,16 +77,18 @@ def main() -> None:
           f"{t_alt:.3f}s", flush=True)
 
     # ---- q25: registered static hints vs AQE free choice ----
+    # (r9: q25 became a scale-mode builder; the two SQL forms now come
+    # from q25_engine_sql rather than slicing the spec's engine_sql)
+    from adenhq_hive_spark.queries.relational import q25_engine_sql
+
     q25 = specs["q25"].run(spark, sf_dir)
     reg_rows = sorted(tuple(r) for r in q25.collect())
-    reg_sql = specs["q25"].engine_sql
-    start = reg_sql.index("/*+")
-    end = reg_sql.index("*/") + 2
-    unhinted = spark.sql(reg_sql[:start] + reg_sql[end:])
+    hinted = spark.sql(q25_engine_sql(hints=True))
+    unhinted = spark.sql(q25_engine_sql(hints=False))
     assert sorted(tuple(r) for r in unhinted.collect()) == reg_rows
-    t_reg25 = _time(spark, specs["q25"].run(spark, sf_dir))
+    t_reg25 = _time(spark, hinted)
     t_free = _time(spark, unhinted)
-    print(f"q25 registered static hints: {t_reg25:.3f}s | AQE free "
+    print(f"q25 static hints: {t_reg25:.3f}s | AQE free "
           f"choice (hints stripped): {t_free:.3f}s", flush=True)
     spark.stop()
 

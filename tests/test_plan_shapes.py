@@ -49,6 +49,31 @@ def test_q25_snowflake_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q25_scale_mode_parity_and_hint_strip(spark):
+    """r8 verdict #5: the sf>=10 hint crossover is mechanical.  Both
+    SQL forms (static hints / AQE) must collect identical values, the
+    stripper must actually remove every hint comment, and the small-sf
+    registered contract must keep the hinted plan."""
+    from adenhq_hive_spark.queries.relational import (
+        Q25_HINTS_MAX_BYTES,
+        q25_engine_sql,
+    )
+
+    hinted = q25_engine_sql(hints=True)
+    plain = q25_engine_sql(hints=False)
+    assert "/*+" in hinted and "BROADCAST" in hinted
+    assert "/*+" not in plain and "*/" not in plain
+    assert Q25_HINTS_MAX_BYTES == 1_000_000_000
+    QUERIES["q25"].run(spark, SF_SMOKE)  # registers the views
+    a = spark.sql(hinted).collect()
+    b = spark.sql(plain).collect()
+    assert a == b
+    # below the crossover the registered form stays hinted: the static
+    # plan broadcasts the dims with no AQE re-plan rounds
+    plan = _plan(QUERIES["q25"].run(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q43_topk_is_take_ordered(spark):
     plan = _plan(QUERIES["q43"].run(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 25
