@@ -1288,3 +1288,82 @@ def test_cusum_stream_rejects_bad_sd(spark, stream):
 
     with pytest.raises(ValueError):
         cusum_stream(stream, target_mean=0.0, target_sd=0.0)
+    with pytest.raises(ValueError):
+        cusum_stream(stream)  # neither scalar target nor fleet targets
+    with pytest.raises(ValueError):
+        cusum_stream(stream, targets={"click": (5.0, 0.0)})
+
+
+def test_cusum_stream_fleet_targets_per_key_batch_parity(
+    spark, stream, batch_events, tmp_path
+):
+    """FLEET MODE (r8 verdict #6): one query, a per-key (mean, sd)
+    target relation — every key must reproduce ITS OWN batch-operator
+    recursion exactly on closed days, and a key absent from the
+    targets (with no scalar fallback) must pass through un-scored."""
+    from adenhq_hive_spark.operators.stats import cusum_changepoints
+    from adenhq_hive_spark.streaming.events import cusum_stream
+
+    batch = {}
+    targets = {}
+    keys = [
+        r.event_type
+        for r in batch_events.select("event_type").distinct().collect()
+    ]
+    for key in keys:
+        sub = batch_events.filter(F.col("event_type") == key)
+        daily = (
+            sub.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .count()
+            .collect()
+        )
+        xs = [r["count"] for r in daily]
+        mean = sum(xs) / len(xs)
+        var = sum(x * x for x in xs) / len(xs) - mean * mean
+        if var <= 0:
+            continue
+        targets[key] = (mean, var ** 0.5)
+        batch[key] = {
+            str(r.day.date()): r
+            for r in cusum_changepoints(sub, "ts", "event_type").collect()
+        }
+    assert len(targets) >= 2
+    # hold one key OUT of the fleet relation: it must close days
+    # un-scored rather than borrow another key's target
+    held_out = sorted(targets)[0]
+    fleet = {k: v for k, v in targets.items() if k != held_out}
+    tdf = spark.createDataFrame(
+        [(k, m, s) for k, (m, s) in fleet.items()],
+        "event_type string, mean double, sd double",
+    )
+    q = run_to_completion(
+        cusum_stream(stream, targets=tdf),
+        "cusum_fleet_tbl",
+        str(tmp_path / "ck_cusum_fleet"),
+        output_mode="update",
+    )
+    try:
+        rows = spark.sql("SELECT * FROM cusum_fleet_tbl").collect()
+    finally:
+        q.stop()
+    got = {(r.event_type, str(r.day)): r for r in rows}
+    checked = unscored = 0
+    for (key, day), s in got.items():
+        if key == held_out:
+            assert s.s_pos_r6 == 0.0 and s.s_neg_r6 == 0.0
+            assert not s.alarm_pos and not s.alarm_neg
+            unscored += 1
+            continue
+        if key not in batch or day not in batch[key]:
+            continue
+        b = batch[key][day]
+        newest = max(batch[key])
+        if day >= newest:
+            continue
+        assert s.x == b.x
+        assert s.s_pos_r6 == pytest.approx(b.s_pos_r6, abs=2e-6)
+        assert s.s_neg_r6 == pytest.approx(b.s_neg_r6, abs=2e-6)
+        assert s.alarm_pos == b.alarm_pos
+        assert s.alarm_neg == b.alarm_neg
+        checked += 1
+    assert checked > 10 and unscored > 0
