@@ -8720,3 +8720,155 @@ Q(QuerySpec(
                 "event_type", hash_mode="xxh"),
     has_oracle=False,
 ))
+
+
+# ---- agentic-loop end-to-end demo (round 9, r8 verdict #8) ------------------
+
+
+def _graph_agent_loop(spark, sf):
+    """EventLoopNode-style iterate-judge-accept loop executed through
+    GraphRunner (reference event_loop_node.py:227-1019): a generate
+    node drafts a summary per document (first 15*2^(attempt-1) words —
+    the deterministic stand-in for an LLM draft), the registered judge
+    surface (functions/llm.py:judge_udf heuristic tier,
+    conversation_judge.py:25-104) scores every draft ACCEPT / RETRY /
+    ESCALATE, RETRY rows loop back through the generate node with a
+    bigger budget via a CONDITIONAL feedback edge on scalar memory,
+    and rows still RETRY after 3 attempts escalate (the reference's
+    max-attempts rule, event_loop_node.py max_iterations).
+
+    Loop control is a per-iteration count() on the shrinking pending
+    relation — the driver-side event-loop heartbeat, bounded by the
+    attempt cap (3 actions total); every per-row transformation stays
+    a lazy DataFrame op.  The whole loop is deterministic, so the
+    DuckDB oracle replays it as a 3-way unrolled CASE cascade and the
+    driver row carries a full hash.
+    """
+    from ..functions.llm import judge_udf
+    from ..plans.graph import EdgeSpec, GraphRunner, GraphSpec, NodeSpec
+
+    judge = judge_udf("heuristic", min_chars=120)
+
+    def load(memory):
+        memory["attempt"] = 0
+        memory["n_pending"] = -1
+        return load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def step(pending, memory):
+        a = memory["attempt"] + 1
+        memory["attempt"] = a
+        k = 15 * (2 ** (a - 1))
+        judged = pending.select(
+            "doc_id",
+            "text",
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, k)
+            ).alias("draft"),
+        ).withColumn("verdict", judge(F.col("draft")))
+        resolved = judged.filter(
+            (F.col("verdict") != "RETRY") | F.lit(a >= 3)
+        ).select(
+            "doc_id",
+            F.when(F.col("verdict") == "RETRY", F.lit("ESCALATE"))
+            .otherwise(F.col("verdict"))
+            .alias("verdict"),
+            F.lit(a).cast("int").alias("n_attempts"),
+            F.length("draft").cast("int").alias("draft_chars"),
+        )
+        done = memory.get("done")
+        memory["done"] = (
+            resolved if done is None else done.unionByName(resolved)
+        )
+        nxt = judged.filter(
+            (F.col("verdict") == "RETRY") & F.lit(a < 3)
+        ).select("doc_id", "text")
+        # the event-loop heartbeat: ONE bounded action per iteration
+        memory["n_pending"] = nxt.count() if a < 3 else 0
+        return nxt
+
+    def finalize(done, memory):
+        return done.orderBy("doc_id")
+
+    g = GraphSpec(
+        nodes={
+            "load": NodeSpec("load", "python", fn=load, output="pending"),
+            "step": NodeSpec("step", "python", fn=step,
+                             inputs=["pending"], output="pending"),
+            "finalize": NodeSpec("finalize", "python", fn=finalize,
+                                 inputs=["done"], output="final"),
+        },
+        edges=[
+            EdgeSpec("load", "step"),
+            # the feedback loop: retry while anything is pending ...
+            EdgeSpec("step", "step", condition="n_pending > 0",
+                     priority=1),
+            # ... else emit the accumulated verdicts
+            EdgeSpec("step", "finalize", condition="n_pending == 0"),
+        ],
+        entry="load",
+        terminals={"finalize"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    return res.memory["final"]
+
+
+Q(QuerySpec(
+    name="pl_graph_agent_loop",
+    doc="Agentic iterate-judge-accept loop end-to-end through "
+        "GraphRunner + the registered judge surface (plans/graph.py "
+        "conditional feedback edges + functions/llm.py judge_udf "
+        "heuristic tier; reference event_loop_node.py:227-1019): "
+        "per-document drafts grow 15 -> 30 -> 60 words until the "
+        "judge ACCEPTs (>= 120 chars, no error/refusal marker), "
+        "ESCALATEs (marker), or the 3-attempt cap escalates. "
+        "Deterministic by construction, so the oracle replays the "
+        "whole loop as an unrolled CASE cascade and the driver row "
+        "carries a full hash. Emits (doc_id, verdict, n_attempts, "
+        "draft_chars) ordered.",
+    builder=_graph_agent_loop,
+    oracle_sql_str="""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        d AS (
+          SELECT doc_id,
+                 array_to_string(ws[1:15], ' ') AS d1,
+                 array_to_string(ws[1:30], ' ') AS d2,
+                 array_to_string(ws[1:60], ' ') AS d3
+          FROM w
+        ),
+        j AS (
+          SELECT doc_id,
+                 length(d1) AS l1, length(d2) AS l2, length(d3) AS l3,
+                 CASE WHEN length(trim(d1)) < 120 THEN 'RETRY'
+                      WHEN lower(d1) LIKE '%i cannot%'
+                        OR lower(d1) LIKE '%error:%'
+                        OR lower(d1) LIKE '%traceback%' THEN 'ESCALATE'
+                      ELSE 'ACCEPT' END AS v1,
+                 CASE WHEN length(trim(d2)) < 120 THEN 'RETRY'
+                      WHEN lower(d2) LIKE '%i cannot%'
+                        OR lower(d2) LIKE '%error:%'
+                        OR lower(d2) LIKE '%traceback%' THEN 'ESCALATE'
+                      ELSE 'ACCEPT' END AS v2,
+                 CASE WHEN length(trim(d3)) < 120 THEN 'RETRY'
+                      WHEN lower(d3) LIKE '%i cannot%'
+                        OR lower(d3) LIKE '%error:%'
+                        OR lower(d3) LIKE '%traceback%' THEN 'ESCALATE'
+                      ELSE 'ACCEPT' END AS v3
+          FROM d
+        )
+        SELECT doc_id,
+               CASE WHEN v1 <> 'RETRY' THEN v1
+                    WHEN v2 <> 'RETRY' THEN v2
+                    WHEN v3 <> 'RETRY' THEN v3
+                    ELSE 'ESCALATE' END AS verdict,
+               CAST(CASE WHEN v1 <> 'RETRY' THEN 1
+                         WHEN v2 <> 'RETRY' THEN 2
+                         ELSE 3 END AS INT) AS n_attempts,
+               CAST(CASE WHEN v1 <> 'RETRY' THEN l1
+                         WHEN v2 <> 'RETRY' THEN l2
+                         ELSE l3 END AS INT) AS draft_chars
+        FROM j ORDER BY doc_id
+    """,
+))

@@ -30,6 +30,34 @@ class TestBigQuery:
         assert res["row_count"] == 10 and res["query_truncated"]
         assert res["schema"] == [{"name": "n", "type": "bigint"}]
 
+    def test_live_connector_seam_when_jar_present(self, spark):
+        """r8 verdict #9: exercise the REAL connector path the day the
+        environment provides the jar.  Skips (does not pass vacuously)
+        when the class is absent; with the jar on the classpath the
+        seam must reach the connector — a credential/config failure
+        comes back as the error ENVELOPE, never NotImplementedError
+        (which is reserved for the missing-jar gate)."""
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+            )
+        except Exception:
+            pytest.skip("spark-bigquery connector jar not on classpath")
+        try:
+            res = run_bigquery_query(
+                spark, "SELECT 1 AS one", max_rows=5
+            )
+        except NotImplementedError:  # pragma: no cover - contract break
+            pytest.fail(
+                "connector present but the seam still raised the "
+                "missing-jar NotImplementedError"
+            )
+        # live success or a config/credential error envelope are both
+        # valid here; the contract is only that the gate opened
+        assert res["success"] in (True, False)
+        if not res["success"]:
+            assert "read-only" not in res["error"]
+
     def test_describe(self, spark):
         from adenhq_hive_spark.catalog import register_views
 

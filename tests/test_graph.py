@@ -484,3 +484,29 @@ def test_graph_execution_adds_no_plan_overhead(spark):
         ]
 
     assert op_sequence(direct) == op_sequence(graphed)
+
+
+def test_agent_loop_feedback_edges_and_verdict_contract(spark):
+    """pl_graph_agent_loop (r9): the iterate-judge-accept loop must
+    actually traverse the conditional feedback edge (multiple 'step'
+    executions), resolve EVERY document exactly once, and respect the
+    judge contract - ACCEPT only at >= 120 draft chars, attempts
+    capped at 3, RETRY never in the final output."""
+    from adenhq_hive_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["pl_graph_agent_loop"].run(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(out) == docs
+    assert len({r.doc_id for r in out}) == docs
+    assert {r.verdict for r in out} <= {"ACCEPT", "ESCALATE"}
+    for r in out:
+        assert 1 <= r.n_attempts <= 3
+        if r.verdict == "ACCEPT":
+            assert r.draft_chars >= 120
+    # at least one doc needed the feedback loop, and not every doc
+    # resolved on the same attempt, otherwise the loop demo degenerates
+    # (at sf0.001 a 15-word draft is almost always < 120 chars, so
+    # attempt 1 rarely accepts — {2, 3} is the expected shape)
+    attempts = {r.n_attempts for r in out}
+    assert max(attempts) >= 2 and len(attempts) >= 2
