@@ -8,8 +8,8 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-264 as of the round-8 second session, 255 oracle-backed + 9 rows-only
-by design) is registered in ``adenhq_hive_spark.queries``.
+272 as of round 9, 258 oracle-backed + 14 rows-only by design (the
+five r9 ``*_xxh`` deployment-hash forms joined the original nine)) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
 entries, and may iterate either in insertion order or sorted.  To make the
@@ -30,48 +30,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 8): the artifact caps at 50 entries, so
-# the 50 slots rotate each round.  The cumulative ledger CLOSED in r7
-# (all 243 then-registered queries driver-witnessed across
-# CORRECTNESS_r01-r07), so this window is the r7 verdict's prescribed
-# shape: the round's fixes, the new operators, changed-plan
-# re-witnesses, and stratified regression canaries with witness age
-# minimized (every r2 row, then r3 rows spanning the §2 families).
+# ROTATING SAMPLE WINDOW (round 9): the artifact caps at 50 entries, so
+# the 50 slots rotate each round.  r8 verdict #3 prescriptions applied:
+# NO rows-only entries in the window (they cannot produce hash rows —
+# the five r8 `no_oracle` errs were foreseeable; their parity/recall
+# gates + portable twins live in pytest), witness age minimized (the
+# r2-witnessed oracle-backed rows and the r3 rows rotated out in r8
+# are all back in), plus this round's fixes and new operators.
 _CORE = [
-    # -- round-8 fixes (r7 verdict #1/#8): the -0.0 repair and the two
-    #    ANN entries converted from no_oracle errs to containment rows
-    "pl_jl_project", "pl_pq_topk", "pl_ivfpq_topk",
-    # -- new this round --
-    "pl_hist_quantiles", "pl_kripp_alpha", "pl_cluster_split",
-    "pl_pmi_colloc", "pl_sessionize", "pl_label_kl",
-    # -- changed-plan / changed-oracle re-witnesses (pair expansion
-    #    rewrite; winsorize p0 clamp; scd2 LEAD tiebreak; CMS refactor)
-    "pl_ngram_jaccard", "pl_containment", "pl_dedup_incremental",
-    "pl_minhash_portable", "pl_winsorize", "pl_scd2",
-    "pl_cms_registers", "pl_cms_estimate",
-    # -- new in the round-8 second session: the experiment-analysis +
-    #    privacy tier and the KMV set-op / readability additions --
-    "pl_welch_ttest", "pl_bootstrap_ci", "pl_cusum", "pl_kanon",
-    "pl_dp_counts", "pl_kmv_jaccard", "pl_readability",
-    "pl_mannwhitney", "pl_autocorr", "pl_srm", "pl_cuped",
-    "pl_retention", "pl_kaplan_meier", "pl_cramers_v", "pl_gini",
-    # -- oldest canaries: every row last witnessed in r2 --
-    "pl_approx_distinct", "pl_fingerprint", "pl_ivf_topk", "pl_lsh_topk",
-    "pl_media_meta", "pl_minhash_lsh", "pl_simhash", "pl_vocab",
-    # -- r3-witnessed canaries spanning the §2 families.  Rotated out
-    #    this session for the 15 new operators: q02/q09/q26/q34/q38/
-    #    q42/q44/q47/q48/q54 and pl_chunk/pl_tfidf/pl_ivf_recall/
-    #    pl_cosine_topk/pl_decontaminate — every vacated family stays
-    #    covered (agg/cube q13, regex q22, joins q25/q28 + temporal
-    #    pl_asof_operator, windows q36, top-k q43, set ops q45, JSON
-    #    q55, similarity pl_lsh_recall + the r2 topk canaries, text
-    #    curation by the text-tier pl rows, dates by cusum/kanon/
-    #    autocorr/retention) --
-    "q13", "q22", "q25", "q28", "q36",
-    "q43", "q45", "q55",
+    # -- round-9 fixes / changed plans (re-witness): dp_counts NULL-safe
+    #    key, mannwhitney DECIMAL products, bootstrap rank + kernel
+    #    refactor, q25 scale-mode builder, trigram isin-verify path,
+    #    sketch dual-mode refactor touched these call sites
+    "pl_dp_counts", "pl_mannwhitney", "pl_bootstrap_ci", "q25",
+    "pl_trigram_search", "pl_cms_registers", "pl_cms_estimate",
+    "pl_kmv_distinct", "pl_srm", "pl_kmv_jaccard", "pl_cusum",
+    # -- new round-9 oracle-backed queries --
+    "pl_bootstrap_ci_arrow", "pl_trigram_probe", "pl_graph_agent_loop",
+    # -- oldest witnesses: the r2-witnessed oracle-backed rows --
+    "pl_fingerprint", "pl_media_meta", "pl_vocab",
+    # -- the r3-witnessed rows rotated out in r8, rotated back in --
+    "q02", "q09", "q26", "q34", "q38", "q42", "q44", "q47", "q48",
+    "q54", "pl_chunk", "pl_tfidf", "pl_ivf_recall", "pl_cosine_topk",
+    "pl_decontaminate",
+    # -- family-coverage keepers (agg/cube, regex, joins, windows,
+    #    top-k, set ops, JSON, streaming images, as-of, similarity) --
+    "q13", "q22", "q28", "q36", "q43", "q45", "q55", "q57", "q58",
     "pl_asof_operator", "pl_lsh_recall",
+    # -- aging headline rows refreshed (flagship agg, exact median,
+    #    as-of SQL, correlated subquery, top-k IN, deterministic split,
+    #    quality battery) --
+    "q06", "q17", "q33", "q59", "q60", "pl_hash_split", "pl_quality",
 ]
-
 
 def _export_names() -> dict[str, str]:
     """Map exported key -> canonical registry name, core-first."""
