@@ -343,6 +343,17 @@ def test_kmv_prefilter_parity_and_partition_stability(spark):
     base = kmv_distinct(df, "v", k=64).collect()[0]
     shuffled = kmv_distinct(df.repartition(16), "v", k=64).collect()[0]
     assert base == shuffled
+    # both lossless k-min plans agree (r9 prefilter modes), under
+    # adversarial partitioning too
+    np_plan = kmv_distinct(df, "v", k=64, prefilter="numpy").collect()[0]
+    np_shuf = kmv_distinct(
+        df.repartition(16), "v", k=64, prefilter="numpy"
+    ).collect()[0]
+    assert base == np_plan == np_shuf
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, "v", k=64, prefilter="heap")
     plain_kth = (
         df.select(
             F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8),
