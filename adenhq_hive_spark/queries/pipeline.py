@@ -8916,3 +8916,129 @@ Q(QuerySpec(
         FROM j ORDER BY doc_id
     """,
 ))
+
+
+def _graph_tool_loop(spark, sf):
+    """Agentic TOOL-EXECUTION loop (reference event_loop_node.py's tool
+    path): each iteration the agent calls the registered read-only SQL
+    tool surface (engine.Engine.sql — the reference csv_sql envelope:
+    success flag, rows, read-only gate) with a progressively BROADER
+    search pattern, reads the envelope, and decides ACCEPT (enough
+    hits), RETRY (broaden via the feedback edge), or ESCALATE (ladder
+    exhausted).  The emitted relation is the loop TRACE — one row per
+    tool call actually made — so the oracle pins not just the final
+    answer but the control-flow path itself.
+    """
+    from ..engine import Engine
+    from ..plans.graph import EdgeSpec, GraphRunner, GraphSpec, NodeSpec
+
+    patterns = [
+        "distributed query optimizer",
+        "spark window",
+        "window",
+    ]
+    want = 50
+    # bind the Engine to THIS sf snapshot — its constructor registers
+    # views for its sf_dir, and the default would shadow spec.run's
+    eng = Engine(spark, sf)
+
+    def init(memory):
+        memory["attempt"] = 0
+        memory["n_hits"] = -1
+        memory["trace"] = []
+        return load_table(spark, sf, "documents").select("doc_id")
+
+    def search(df, memory):
+        a = memory["attempt"] + 1
+        memory["attempt"] = a
+        pat = patterns[a - 1]
+        res = eng.sql(
+            "SELECT COUNT(*) AS n FROM documents WHERE text LIKE "
+            f"'%{pat}%'"
+        )
+        assert res.success, res.error
+        n = int(res.rows[0]["n"])
+        memory["n_hits"] = n
+        if n >= want:
+            verdict = "ACCEPT"
+        elif a < len(patterns):
+            verdict = "RETRY"
+        else:
+            verdict = "ESCALATE"
+        memory["trace"] = memory["trace"] + [(a, pat, n, verdict)]
+        memory["resolved"] = 1 if verdict != "RETRY" else 0
+        return df
+
+    def report(df, memory):
+        return spark.createDataFrame(
+            memory["trace"],
+            "attempt int, pattern string, n_hits bigint, verdict string",
+        ).orderBy("attempt")
+
+    g = GraphSpec(
+        nodes={
+            "init": NodeSpec("init", "python", fn=init, output="docs"),
+            "search": NodeSpec("search", "python", fn=search,
+                               inputs=["docs"], output="docs"),
+            "report": NodeSpec("report", "python", fn=report,
+                               inputs=["docs"], output="final"),
+        },
+        edges=[
+            EdgeSpec("init", "search"),
+            EdgeSpec("search", "search", condition="resolved == 0",
+                     priority=1),
+            EdgeSpec("search", "report", condition="resolved == 1"),
+        ],
+        entry="init",
+        terminals={"report"},
+    )
+    res = GraphRunner(spark).execute(g)
+    assert res.completed
+    return res.memory["final"]
+
+
+Q(QuerySpec(
+    name="pl_graph_tool_loop",
+    doc="Agentic tool-execution loop through GraphRunner + the "
+        "read-only SQL tool surface (engine.Engine.sql envelope; "
+        "reference event_loop_node.py tool path + csv_tool csv_sql): "
+        "search patterns broaden 'distributed query optimizer' -> "
+        "'spark window' -> 'window' until a pattern yields >= 50 "
+        "documents (ACCEPT) or the ladder exhausts (ESCALATE); the "
+        "feedback edge re-enqueues the tool node on RETRY. Emits the "
+        "loop TRACE (attempt, pattern, n_hits, verdict) — the oracle "
+        "replays the control flow as a recursive pattern-ladder CTE, "
+        "pinning which tool calls were made, in what order, with what "
+        "envelopes. Deterministic; full hash row.",
+    builder=_graph_tool_loop,
+    oracle_sql_str="""
+        WITH pats AS (
+          SELECT * FROM (VALUES
+            (1, 'distributed query optimizer'),
+            (2, 'spark window'),
+            (3, 'window')) AS t(attempt, pattern)
+        ),
+        counts AS (
+          SELECT p.attempt, p.pattern,
+                 (SELECT COUNT(*) FROM documents d
+                  WHERE d.text LIKE '%' || p.pattern || '%') AS n_hits
+          FROM pats p
+        ),
+        verdicts AS (
+          SELECT attempt, pattern, n_hits,
+                 CASE WHEN n_hits >= 50 THEN 'ACCEPT'
+                      WHEN attempt < 3 THEN 'RETRY'
+                      ELSE 'ESCALATE' END AS verdict
+          FROM counts
+        ),
+        first_stop AS (
+          SELECT MIN(attempt) AS a FROM verdicts
+          WHERE verdict <> 'RETRY'
+        )
+        SELECT v.attempt, v.pattern, CAST(v.n_hits AS BIGINT) AS n_hits,
+               v.verdict
+        FROM verdicts v, first_stop f
+        WHERE v.attempt <= f.a
+        ORDER BY v.attempt
+    """,
+))
