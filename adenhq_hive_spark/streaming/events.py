@@ -890,6 +890,8 @@ def cusum_stream(
 
     if targets is None and target_sd is None:
         raise ValueError("provide target_mean/target_sd or targets")
+    if (target_mean is None) != (target_sd is None):
+        raise ValueError("target_mean and target_sd come as a pair")
     if target_sd is not None and target_sd <= 0:
         raise ValueError("target_sd must be > 0")
     per_key: dict[str, tuple[float, float]] = {}
@@ -982,6 +984,156 @@ def cusum_stream(
             update,
             outputStructType=_CUSUM_OUT,
             stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_HISTQ_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("day", T.DateType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("p50", T.LongType()),
+    T.StructField("p90", T.LongType()),
+    T.StructField("p99", T.LongType()),
+])
+
+_HISTQ_STATE = T.StructType([
+    T.StructField("hist", T.StringType()),       # JSON {bucket: count}
+    T.StructField("open_days", T.StringType()),  # JSON {day: {bucket: c}}
+])
+
+
+def _hdr_bucket(v: int) -> int:
+    """Python mirror of operators.sketch.hist_bucket_sql — bit-identical
+    for non-negative longs (bit_length == length(bin(v)) for v >= 1)."""
+    if v <= 15:
+        return v
+    s = v.bit_length() - 4
+    return s * 8 + (v >> s)
+
+
+def _hdr_lb(b: int) -> int:
+    """Python mirror of operators.sketch.hist_bucket_lb_sql."""
+    if b <= 15:
+        return b
+    return (8 + (b % 8)) << ((b >> 3) - 1)
+
+
+def hist_quantile_stream(
+    stream: DataFrame,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Streaming twin of :func:`operators.sketch.hist_quantiles`: a
+    RUNNING per-key HDR log-histogram over event values, emitting
+    prefix nearest-rank quantile estimates on every closed day — the
+    mergeable-summary property demonstrated live (merging a closed
+    day's bucket counts into the running sketch IS the batch
+    elementwise-sum merge, pinned by the parity test).
+
+    Per key the state is the running {bucket: count} histogram (at
+    most ~500 entries regardless of volume — the same constant-state
+    bound as the batch sketch) plus the anomaly_stream day-closing
+    buffer of per-open-day bucket counts: a day closes when a strictly
+    later day arrives for its key, its buckets merge into the running
+    histogram, and one final row per closed day reports the estimates
+    over every value seen through that day.
+
+    estimate(p) = lower bound of the first bucket whose cumulative
+    count reaches ceil(p*n/100) (clamped >= 1) — always <= the exact
+    value and within 12.5% of it by the bucket-width bound, exactly
+    the batch contract.  NULL and negative values are filtered (the
+    batch op raises on negatives; a stream must not poison its state).
+
+    PARITY: for any closed day D, the emitted (n, p50, p90, p99)
+    equal hist_quantiles() over the batch image of days <= D
+    (tests/test_streaming.py).
+
+    Scale: state is O(buckets) per key; the micro-batch pre-aggregates
+    to (day, bucket) counts in pandas before touching state, so a
+    high-volume key costs the stateful stage O(distinct buckets), not
+    O(rows).
+    """
+    import json
+
+    pcts = tuple(int(p) for p in percentiles)
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError("percentiles must be in 1..100")
+    if len(pcts) != 3:
+        raise ValueError(
+            "exactly three percentiles (the p50/p90/p99 output shape)"
+        )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hist_json, open_json = (
+            state.get if state.exists else ("{}", "{}")
+        )
+        hist: dict[str, int] = json.loads(hist_json)
+        open_days: dict[str, dict[str, int]] = json.loads(open_json)
+        for pdf in pdfs:
+            vals = pdf["v"].to_numpy()
+            days = pdf["day"].astype(str).to_numpy()
+            for day, v in zip(days, vals):
+                b = str(_hdr_bucket(int(v)))
+                d = open_days.setdefault(day, {})
+                d[b] = d.get(b, 0) + 1
+        out_rows = []
+        if open_days:
+            newest = max(open_days)
+            for day in sorted(d for d in open_days if d < newest):
+                for b, c in open_days.pop(day).items():
+                    hist[b] = hist.get(b, 0) + c
+                n = sum(hist.values())
+                cum = 0
+                ests: dict[int, int] = {}
+                want = {p: max((p * n + 99) // 100, 1) for p in pcts}
+                for b in sorted(hist, key=int):
+                    cum += hist[b]
+                    for p in pcts:
+                        if p not in ests and cum >= want[p]:
+                            ests[p] = _hdr_lb(int(b))
+                out_rows.append(
+                    (key[0], day, n, ests[pcts[0]], ests[pcts[1]],
+                     ests[pcts[2]])
+                )
+        state.update((json.dumps(hist), json.dumps(open_days)))
+        if not out_rows:
+            yield pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in _HISTQ_OUT}
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": [r[0] for r in out_rows],
+                "day": [pd.Timestamp(r[1]).date() for r in out_rows],
+                "n": [r[2] for r in out_rows],
+                "p50": [r[3] for r in out_rows],
+                "p90": [r[4] for r in out_rows],
+                "p99": [r[5] for r in out_rows],
+            }
+        )
+
+    return (
+        stream.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("long").alias("v"),
+        )
+        .filter(
+            F.col("day").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("v") >= 0)
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_HISTQ_OUT,
+            stateStructType=_HISTQ_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

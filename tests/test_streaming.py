@@ -1367,3 +1367,63 @@ def test_cusum_stream_fleet_targets_per_key_batch_parity(
         assert s.alarm_neg == b.alarm_neg
         checked += 1
     assert checked > 10 and unscored > 0
+
+
+def test_hist_quantile_stream_prefix_parity(
+    spark, stream, batch_events, tmp_path
+):
+    """Running HDR quantile sketch (r9): every closed day's emitted
+    (n, p50, p90, p99) must equal the BATCH hist_quantiles over the
+    prefix image (days <= that day, same value filtering) — the
+    mergeable-summary property live: merging closed-day buckets into
+    the running histogram is the batch elementwise-sum merge."""
+    from adenhq_hive_spark.operators.sketch import hist_quantiles
+    from adenhq_hive_spark.streaming.events import hist_quantile_stream
+
+    q = run_to_completion(
+        hist_quantile_stream(stream),
+        "histq_tbl",
+        str(tmp_path / "ck_histq"),
+        output_mode="update",
+    )
+    try:
+        rows = spark.sql("SELECT * FROM histq_tbl").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 5
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    checked = 0
+    for key, rs in sorted(by_key.items())[:2]:  # bound test runtime
+        last = max(rs, key=lambda r: r.day)
+        base = batch_events.filter(
+            (F.col("event_type") == key)
+            & (F.to_date("ts") <= F.lit(str(last.day)))
+            & F.col("value").isNotNull()
+            & (F.col("value").cast("long") >= 0)
+        )
+        b = hist_quantiles(
+            base, "value", group_col="event_type", id_col="event_id"
+        ).collect()
+        ests = {r.pct: r for r in b}
+        assert last.n == ests[50].n
+        assert (last.p50, last.p90, last.p99) == (
+            ests[50].est, ests[90].est, ests[99].est
+        )
+        # sketch contract carried to the stream: est <= exact, within
+        # the 12.5% bucket-width bound
+        for p, got in ((50, last.p50), (90, last.p90), (99, last.p99)):
+            assert got <= ests[p].exact
+            assert ests[p].exact <= max(got + got // 8 + 1, got + 1)
+        checked += 1
+    assert checked == 2
+
+
+def test_hist_quantile_stream_rejects_bad_percentiles(spark, stream):
+    from adenhq_hive_spark.streaming.events import hist_quantile_stream
+
+    with pytest.raises(ValueError):
+        hist_quantile_stream(stream, percentiles=(0, 50, 99))
+    with pytest.raises(ValueError):
+        hist_quantile_stream(stream, percentiles=(50, 99))
