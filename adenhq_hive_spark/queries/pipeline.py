@@ -9042,3 +9042,63 @@ Q(QuerySpec(
         ORDER BY v.attempt
     """,
 ))
+
+
+def _bucketed_join_q(spark, sf):
+    """Co-located fact-fact join over bucketed tables
+    (operators/bucketing.py): orders and lineitem are each materialized
+    ONCE per (session, sf) bucketed 16 ways on the order key, so the
+    join plan has NO Exchange on either side — the shuffle moved to
+    write time, where a 100 TB deployment pays it once instead of per
+    query.  The no-shuffle shape is plan-gated in
+    tests/test_plan_shapes.py; values are hash-checked against the
+    plain-view join oracle, proving the bucketed layout changes the
+    PLAN and not the answer."""
+    import hashlib as _h
+
+    from ..operators.bucketing import ensure_bucketed_table
+
+    tag = _h.md5(sf.encode()).hexdigest()[:10]
+    t_orders, t_line = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    ensure_bucketed_table(
+        spark, load_table(spark, sf, "orders"), t_orders,
+        ["o_orderkey"],
+    )
+    ensure_bucketed_table(
+        spark, load_table(spark, sf, "lineitem"), t_line,
+        ["l_orderkey"],
+    )
+    o = spark.table(t_orders)
+    l = spark.table(t_line)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q(QuerySpec(
+    name="pl_bucketed_join",
+    doc="Shuffle-free fact-fact join via bucketed tables (operators/"
+        "bucketing.py:ensure_bucketed_table — Spark bucketBy, Hive-"
+        "compatible layout): orders x lineitem both bucketed 16 ways "
+        "on the order key at write time, so the SortMergeJoin's "
+        "children are bare bucketed FileScans with NO Exchange "
+        "(plan-gated). The write pays the shuffle once; every "
+        "subsequent join of these tables reads co-located buckets — "
+        "the repeated-big-join shape a 100 TB warehouse runs daily. "
+        "Oracle: the identical join over the plain views.",
+    builder=_bucketed_join_q,
+    oracle_sql_str="""
+        SELECT o.o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                 AS sum_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+))

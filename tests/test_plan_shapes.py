@@ -965,3 +965,43 @@ def test_exact_rank_materialization_barrier_stays(spark):
     nondeterministic-boundary rank corruption (r8 second session)."""
     plan = _plan(QUERIES["pl_hist_quantiles"].run(spark, SF_SMOKE))
     assert "InMemoryTableScan" in plan or "ExistingRDD" in plan
+
+
+def test_bucketed_join_is_shuffle_free_on_the_join_keys(spark):
+    """pl_bucketed_join (r9): with the broadcast shortcut disabled the
+    join of the two bucketed tables must be a SortMergeJoin whose
+    children are bare bucketed FileScans — NO Exchange on either join
+    key (the shuffle happened at write time).  With broadcast enabled
+    (the registered small-sf plan) there must STILL be no key
+    exchange."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["pl_bucketed_join"].run(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "Bucketed: true" in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import hashlib
+
+        tag = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:10]
+        o = spark.table(f"bkt_orders_{tag}")
+        l = spark.table(f"bkt_lineitem_{tag}")
+        j = (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        p2 = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p2
+        assert "hashpartitioning(o_orderkey" not in p2
+        assert "hashpartitioning(l_orderkey" not in p2
+        # both scans read bucketed layout (AQE prints the initial plan
+        # too, so the count doubles)
+        assert p2.count("Bucketed: true") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
