@@ -732,3 +732,28 @@ def test_span_witness_points_at_the_sharing_doc(spark):
     assert out[1].witness_doc == 2   # min gram-holder is 1 itself -> max
     assert out[2].witness_doc == 1   # min gram-holder 1 differs -> min
     assert 3 not in out
+
+
+def test_release_persisted_frees_materialized_relations(spark):
+    """r9 ADVICE closure: _materialize registers persist-mode
+    relations; release_persisted() unpersists them all (the bench /
+    sweep harnesses call it between queries so a long session does
+    not accumulate corpus-sized MEMORY_AND_DISK caches)."""
+    from pyspark import StorageLevel
+
+    from adenhq_hive_spark.operators.dedup import (
+        _PERSISTED,
+        _materialize,
+        release_persisted,
+    )
+
+    release_persisted()  # clean slate (other tests may have pinned)
+    df = _materialize(spark.range(1000).withColumnRenamed("id", "v"))
+    df.count()
+    assert df in _PERSISTED
+    assert df.storageLevel != StorageLevel.NONE
+    n = release_persisted()
+    assert n >= 1
+    assert not _PERSISTED
+    assert df.storageLevel == StorageLevel.NONE
+    assert release_persisted() == 0  # idempotent
