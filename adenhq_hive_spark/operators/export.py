@@ -1,0 +1,159 @@
+"""Training-shard export: deterministic shard assignment, an
+order-independent integrity manifest, and the parquet shard writer —
+the last mile of a curation pipeline (reference analog: data_tools
+save_data/serve_data envelopes; at 100 TB the consumer is a training
+job reading fixed-size shards with a manifest to verify against).
+
+Design contract:
+
+- Shard assignment is a pure function of the ROW (first-8-hex md5 of
+  the id, mod n_shards) — no global ordering, no sampling, so the same
+  corpus always produces the same shards on any cluster layout, and a
+  re-export after an upstream fix changes only the shards whose rows
+  changed.
+- The manifest is computable WITHOUT writing (``shard_manifest`` — the
+  oracle-checkable surface) and recomputable FROM the written files
+  (``verify_shards``), so corruption or a partial write is detected by
+  comparing two independently-derived manifests.
+- The content checksum is an order-independent SUM of per-row 32-bit
+  md5 slices mod 2^32 — commutative, so shard-internal row order
+  (which Spark does not guarantee) cannot flap it, and both engines
+  compute it with the same integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M32 = 1 << 32
+
+
+def _shard_col(id_col: str, n_shards: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_shards
+    ).alias("shard")
+
+
+def _row_crc(text_col: str) -> F.Column:
+    """32-bit md5 slice of the row CONTENT (not the id), summed mod 2^32
+    by the manifest — flags content corruption even when ids survive."""
+    return F.conv(
+        F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-shard manifest WITHOUT writing: (shard, n_docs, n_tokens,
+    content_crc32) ordered by shard — the oracle-checkable image of
+    what :func:`write_shards` materializes.
+
+    n_tokens is the whitespace token count (the pl_tokens contract);
+    content_crc32 = SUM of per-row 32-bit md5 content slices mod 2^32.
+    Scale: one map-only projection + one n_shards-key aggregation.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    rows = df.select(
+        _shard_col(id_col, n_shards),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+            )
+        ).cast("long").alias("_toks"),
+        _row_crc(text_col).alias("_crc"),
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_toks").alias("n_tokens"),
+            (F.sum("_crc") % F.lit(_M32)).alias("content_crc32"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("content_crc32").cast("long").alias("content_crc32"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Write the corpus as ``shard=N/`` parquet partitions plus a
+    ``_manifest`` parquet next to them; returns the manifest.
+
+    partitionBy(shard) gives one directory per shard — the layout a
+    training loader shards workers over — and repartition(shard) keeps
+    it to one task's files per shard directory.  The manifest is
+    computed from the SAME DataFrame in the same job graph, so a
+    divergence found later by :func:`verify_shards` isolates the fault
+    to storage, not the export.
+    """
+    shards = df.select(
+        _shard_col(id_col, n_shards), F.col(id_col), F.col(text_col)
+    )
+    (
+        shards.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/data")
+    )
+    manifest = shard_manifest(df, id_col, text_col, n_shards)
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
+
+
+def verify_shards(spark, path: str, text_col: str = "text") -> DataFrame:
+    """Recompute the manifest FROM the written shard files and join it
+    against the stored one: (shard, ok, stored/actual columns).  A
+    missing shard, a lost row, or a flipped byte in ``text_col`` shows
+    up as ok = false (or a NULL side on a wholly missing shard)."""
+    data = spark.read.parquet(f"{path}/data")
+    actual = (
+        data.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+                )
+            ).cast("long").alias("_toks"),
+            _row_crc(text_col).alias("_crc"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("a_docs"),
+            F.sum("_toks").alias("a_tokens"),
+            (F.sum("_crc") % F.lit(_M32)).alias("a_crc"),
+        )
+    )
+    stored = spark.read.parquet(f"{path}/_manifest")
+    return (
+        stored.join(actual, "shard", "full")
+        .select(
+            "shard",
+            (
+                F.col("n_docs").eqNullSafe(F.col("a_docs"))
+                & F.col("n_tokens").eqNullSafe(F.col("a_tokens"))
+                & F.col("content_crc32").eqNullSafe(F.col("a_crc"))
+            ).alias("ok"),
+            "n_docs", "a_docs", "n_tokens", "a_tokens",
+            "content_crc32", "a_crc",
+        )
+        .orderBy("shard")
+    )

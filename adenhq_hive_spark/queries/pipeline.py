@@ -9102,3 +9102,36 @@ Q(QuerySpec(
         ORDER BY o.o_orderpriority
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_shard_manifest",
+    doc="Training-shard export manifest (operators/export.py:"
+        "shard_manifest): deterministic shard = first-8-hex "
+        "md5(doc_id) mod 8, per-shard (n_docs, n_tokens, "
+        "content_crc32) where the checksum is an ORDER-INDEPENDENT "
+        "sum of per-row 32-bit md5 content slices mod 2^32 — the "
+        "integrity contract a training job verifies against "
+        "(write_shards materializes it, verify_shards recomputes it "
+        "from the files; round-trip pinned in tests/test_export.py). "
+        "Scale: map-only projection + an n_shards-key aggregation.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.export", fromlist=["shard_manifest"]
+    ).shard_manifest(load_table(spark, sf, "documents")),
+    oracle_sql_str=r"""
+        WITH r AS (
+          SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 8 AS shard,
+                 len(list_filter(string_split_regex(text, '\s+'),
+                     t -> t <> '')) AS toks,
+                 CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                   AS crc
+          FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(crc) % 4294967296 AS BIGINT) AS content_crc32
+        FROM r GROUP BY shard ORDER BY shard
+    """,
+))
