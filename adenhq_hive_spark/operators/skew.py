@@ -166,3 +166,53 @@ def compaction_plan(
         "partition string, group_id int, n_files int, total_bytes long, "
         "files array<string>",
     ).orderBy("partition", "group_id")
+
+
+def salted_topk(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+    salts: int = 16,
+) -> DataFrame:
+    """Top-k rows per key under KEY SKEW: two-phase window instead of
+    one.  ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...)`` sorts
+    each key inside ONE task — a hot key (half the corpus in one
+    event_type) serializes there.  Phase 1 partitions by (key, salt)
+    — salt = pmod(xxhash64(tiebreak), salts), deterministic per ROW —
+    and keeps each bucket's local top-k; phase 2 re-ranks the
+    surviving <= k*salts rows per key.  No task ever sorts more than
+    max(hot_key_rows/salts, k*salts) rows.
+
+    EXACT by containment: every global top-k row is inside its own
+    salt bucket's top-k (same total order), so phase 2 sees all of
+    them; ``(order_col DESC, tiebreak_col ASC)`` must be a total order
+    (tiebreak unique) or ranks at bucket boundaries are ambiguous —
+    the exact_rank contract.  Parity with the direct single-window
+    plan is pinned in tests/test_skew.py.
+
+    Emits the input columns plus ``rank`` (1..k per key).
+    """
+    if k < 1 or salts < 1:
+        raise ValueError("k and salts must be >= 1")
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(salts))
+    )
+    w1 = Window.partitionBy(part_col, "_salt").orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(part_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -9135,3 +9135,38 @@ Q(QuerySpec(
         FROM r GROUP BY shard ORDER BY shard
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_salted_topk",
+    doc="Top-3 events by value per event_type via the two-phase SALTED "
+        "window (operators/skew.py:salted_topk): the direct "
+        "single-window plan sorts each key in one task — event_type is "
+        "exactly the hot-key shape (5 keys over the whole corpus) that "
+        "serializes at 100 TB. Phase 1 ranks within (key, "
+        "pmod(xxhash64(event_id), 16)) buckets and keeps local top-3; "
+        "phase 2 re-ranks the <= 48 survivors per key. Exact by "
+        "containment under the (value DESC, event_id ASC) total order; "
+        "the oracle is the plain single-window SQL, so the hash proves "
+        "the salted plan changes the task shape and not the answer.",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.skew", fromlist=["salted_topk"]
+    ).salted_topk(
+        load_table(spark, sf, "events").select(
+            "event_id", "event_type", "value"
+        ),
+        "event_type", "value", "event_id", k=3, salts=16,
+    ).orderBy("event_type", "rank"),
+    oracle_sql_str="""
+        WITH r AS (
+          SELECT event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC NULLS LAST,
+                                             event_id ASC) AS rank
+          FROM events
+        )
+        SELECT event_id, event_type, value, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3
+        ORDER BY event_type, rank
+    """,
+))
