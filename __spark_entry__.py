@@ -8,7 +8,7 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-276 as of round 9, 265 oracle-backed + 11 rows-only by design — the
+277 as of round 9, 266 oracle-backed + 11 rows-only by design — the
 five r9 ``*_xxh`` deployment-hash forms joined; pl_lsh_topk /
 pl_ivf_topk / pl_approx_distinct converted to witness hash rows) is registered in ``adenhq_hive_spark.queries``.
 

@@ -999,3 +999,77 @@ def kmv_jaccard(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def approx_quantile_witness(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Driver-visible correctness witness for Spark's built-in
+    Greenwald-Khanna quantile sketch (``percentile_approx``): the GK
+    guarantee is that the returned value's RANK is within ±n/accuracy
+    of the target rank.  This operator recounts ranks of the returned
+    values against the raw data in the same plan — n_lt (values
+    strictly below) must not exceed target + εn and n_le (values at or
+    below) must reach target - εn — and emits one boolean per (group,
+    pct).  Engine sketch internals can never hash-match another
+    engine; the GUARANTEE can (constant-TRUE oracle), which is the
+    same pattern as pl_approx_distinct's error witness.
+
+    ε is doubled over the nominal 1/accuracy to keep the witness from
+    flapping on boundary arithmetic; the observed error on the
+    testdata is far inside even the nominal bound.
+
+    Scale: one grouped sketch pass + one broadcast of the O(groups x
+    pcts) quantile relation + one recount pass — two scans total, and
+    the witness is only for audits; production reads the sketch alone.
+    """
+    if accuracy < 100:
+        raise ValueError("accuracy must be >= 100")
+    qs = [p / 100.0 for p in pcts]
+    if any(q <= 0 or q >= 1 for q in qs):
+        raise ValueError("pcts must be in 1..99")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    approx = base.groupBy("grp").agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        ).alias("qv"),
+        F.count("*").alias("n"),
+    )
+    probes = approx.select(
+        "grp",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(int(p)) for p in pcts]).alias("pct"),
+                F.col("qv").alias("val"),
+            )
+        ).alias("z"),
+    ).select(
+        "grp", "n", F.col("z.pct").alias("pct"), F.col("z.val").alias("val")
+    )
+    counted = (
+        base.join(F.broadcast(probes), "grp")
+        .groupBy("grp", "pct", "n", "val")
+        .agg(
+            F.sum((F.col("v") < F.col("val")).cast("long")).alias("n_lt"),
+            F.sum((F.col("v") <= F.col("val")).cast("long")).alias("n_le"),
+        )
+    )
+    target = F.ceil(F.col("pct") * F.col("n") / 100.0)
+    eps = 2.0 * F.col("n").cast("double") / accuracy
+    return counted.select(
+        F.col("grp").alias(group_col),
+        F.col("pct").cast("int").alias("pct"),
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("n_lt").cast("double") <= target + eps)
+            & (F.col("n_le").cast("double") >= target - eps)
+        ).alias("rank_ok"),
+    ).orderBy(group_col, "pct")

@@ -9170,3 +9170,31 @@ Q(QuerySpec(
         ORDER BY event_type, rank
     """,
 ))
+
+
+Q(QuerySpec(
+    name="pl_approx_quantile",
+    doc="Greenwald-Khanna built-in quantile sketch witness (operators/"
+        "sketch.py:approx_quantile_witness): percentile_approx(value, "
+        "[.5,.9,.99], accuracy=10000) per event_type, with the GK rank "
+        "guarantee RECOUNTED against the raw data in the same plan — "
+        "n_lt <= target + 2n/accuracy and n_le >= target - "
+        "2n/accuracy per (group, pct). Sketch internals can never "
+        "hash-match another engine; the guarantee can (constant-TRUE "
+        "oracle) — the pl_approx_distinct witness pattern, completing "
+        "driver-visible coverage of Spark's built-in sketch family "
+        "(HLL++ distinct + GK quantiles).",
+    builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.sketch",
+        fromlist=["approx_quantile_witness"],
+    ).approx_quantile_witness(
+        load_table(spark, sf, "events"), "value", "event_type",
+    ),
+    oracle_sql_str="""
+        SELECT t.event_type, p.pct, t.n, TRUE AS rank_ok
+        FROM (SELECT event_type, COUNT(*) AS n FROM events
+              WHERE value IS NOT NULL GROUP BY event_type) t
+        CROSS JOIN (VALUES (50), (90), (99)) AS p(pct)
+        ORDER BY t.event_type, p.pct
+    """,
+))

@@ -645,3 +645,25 @@ def test_hash32_rejects_unknown_mode(spark):
 
     with _pytest.raises(ValueError):
         kmv_distinct(_cms_df(spark), "v", k=16, hash_mode="sha1")
+
+
+def test_approx_quantile_witness_holds_and_rejects_bad_params(spark):
+    """GK quantile witness (r9): rank_ok must hold on a skewed
+    synthetic distribution (the guarantee is distribution-free), n
+    must count non-null values only, and parameter validation."""
+    from adenhq_hive_spark.operators.sketch import approx_quantile_witness
+
+    rows = [(i, "a", float(i) ** 2) for i in range(3000)]
+    rows += [(i, "b", 1.0) for i in range(2000)]  # massive tie block
+    rows.append((99999, "a", None))
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = approx_quantile_witness(df, "v", "grp").collect()
+    assert len(out) == 6
+    assert all(r.rank_ok for r in out)
+    assert {r.grp: r.n for r in out} == {"a": 3000, "b": 2000}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        approx_quantile_witness(df, "v", "grp", accuracy=10)
+    with _pytest.raises(ValueError):
+        approx_quantile_witness(df, "v", "grp", pcts=(0, 50, 99))
