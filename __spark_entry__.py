@@ -51,9 +51,14 @@ _CORE = [
     # -- oldest witnesses: the r2-witnessed oracle-backed rows --
     "pl_fingerprint", "pl_media_meta", "pl_vocab",
     # -- the r3-witnessed rows rotated out in r8, rotated back in --
-    "q02", "q09", "q26", "q34", "q38", "q42", "q44", "q47", "q48",
-    "q54", "pl_chunk", "pl_tfidf", "pl_ivf_recall", "pl_cosine_topk",
-    "pl_decontaminate",
+    "q09", "q26", "q44", "pl_chunk", "pl_tfidf", "pl_ivf_recall",
+    "pl_cosine_topk", "pl_decontaminate",
+    # -- never-witnessed: the three rows-only -> witness conversions
+    #    and the four late-round additions (priority over one more
+    #    age-refresh pass for rows green since r3) --
+    "pl_lsh_topk", "pl_ivf_topk", "pl_approx_distinct",
+    "pl_bucketed_join", "pl_shard_manifest", "pl_salted_topk",
+    "pl_approx_quantile",
     # -- family-coverage keepers (agg/cube, regex, joins, windows,
     #    top-k, set ops, JSON, streaming images, as-of, similarity) --
     "q13", "q22", "q28", "q36", "q43", "q45", "q55", "q57", "q58",

@@ -140,6 +140,12 @@ HEADLINE = [
     "pl_kmv_jaccard_xxh",    # KMV Jaccard deployment hash (r9)
     "pl_srm_xxh",            # SRM deployment hash (r9)
     "pl_bootstrap_ci_arrow", # Arrow-kernel Poisson bootstrap (r9)
+    "pl_bucketed_join",      # write-time-shuffled co-located join (r9)
+    "pl_shard_manifest",     # training-shard integrity manifest (r9)
+    "pl_salted_topk",        # two-phase hot-key window top-k (r9)
+    "pl_approx_quantile",    # GK quantile sketch witness (r9)
+    "pl_graph_agent_loop",   # iterate-judge-accept agent loop (r9)
+    "pl_graph_tool_loop",    # tool-execution agent loop (r9)
 ]
 
 
