@@ -18,7 +18,12 @@ Design contract:
 - The content checksum is an order-independent SUM of per-row 32-bit
   md5 slices mod 2^32 — commutative, so shard-internal row order
   (which Spark does not guarantee) cannot flap it, and both engines
-  compute it with the same integer arithmetic.
+  compute it with the same integer arithmetic.  The sum accumulates in
+  DECIMAL(38,0): a BIGINT sum of 32-bit slices wraps silently past
+  ~2^32 rows per shard under Spark's non-ANSI arithmetic, while the
+  DuckDB oracle sums in HUGEINT — at the tens-of-billions-doc design
+  target that divergence is reachable, so both manifest computations
+  use the exact accumulator (same discipline as stats.mann_whitney_u).
 """
 
 from __future__ import annotations
@@ -76,7 +81,9 @@ def shard_manifest(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_toks").alias("n_tokens"),
-            (F.sum("_crc") % F.lit(_M32)).alias("content_crc32"),
+            (
+                F.sum(F.col("_crc").cast("decimal(38,0)")) % F.lit(_M32)
+            ).alias("content_crc32"),
         )
         .select(
             F.col("shard").cast("long").alias("shard"),
@@ -139,7 +146,9 @@ def verify_shards(spark, path: str, text_col: str = "text") -> DataFrame:
         .agg(
             F.count("*").alias("a_docs"),
             F.sum("_toks").alias("a_tokens"),
-            (F.sum("_crc") % F.lit(_M32)).alias("a_crc"),
+            (
+                F.sum(F.col("_crc").cast("decimal(38,0)")) % F.lit(_M32)
+            ).cast("long").alias("a_crc"),
         )
     )
     stored = spark.read.parquet(f"{path}/_manifest")

@@ -659,6 +659,7 @@ def kmv_distinct(
     k: int = 256,
     hash_mode: str = "md5",
     prefilter: str = "jvm",
+    include_exact: bool = True,
 ) -> DataFrame:
     """One-row KMV distinct-count estimate with the exact count alongside.
 
@@ -679,7 +680,13 @@ def kmv_distinct(
 
     Both are exact: the global k smallest distinct hashes are inside
     every partition's k smallest distinct.  Driver traffic is O(k).
-    Output: (k, n_kept, kth_hash, estimate, n_exact).
+    Output: (k, n_kept, kth_hash, estimate[, n_exact]).
+
+    ``include_exact=False`` drops the n_exact audit column — the
+    DEPLOYMENT shape: the exact COUNT(DISTINCT) is the one stage whose
+    cost scales with cardinality (a full two-exchange distinct), and a
+    sketch whose ledger column costs more than the sketch defeats the
+    point at 100 TB.  The md5 accuracy-ledger form keeps it.
     """
     if prefilter not in ("jvm", "numpy"):
         raise ValueError(f"prefilter must be 'jvm' or 'numpy', got {prefilter!r}")
@@ -712,20 +719,24 @@ def kmv_distinct(
     agg = topk.agg(
         F.count("*").alias("n_kept"), F.max("hv").alias("kth_hash")
     )
-    exact = df.select(
-        F.count_distinct(F.col(value_col)).alias("n_exact")
-    )
     est = F.when(
         F.col("n_kept") < k, F.col("n_kept").cast("long")
     ).otherwise(
         F.expr(f"{(k - 1) * (1 << 32)} DIV kth_hash").cast("long")
     )
-    return agg.crossJoin(exact).select(
+    cols = [
         F.lit(k).cast("long").alias("k"),
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("kth_hash").cast("long").alias("kth_hash"),
         est.alias("estimate"),
-        F.col("n_exact").cast("long").alias("n_exact"),
+    ]
+    if not include_exact:
+        return agg.select(*cols)
+    exact = df.select(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    return agg.crossJoin(exact).select(
+        *cols, F.col("n_exact").cast("long").alias("n_exact")
     )
 
 

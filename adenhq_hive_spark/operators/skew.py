@@ -188,9 +188,13 @@ def salted_topk(
     EXACT by containment: every global top-k row is inside its own
     salt bucket's top-k (same total order), so phase 2 sees all of
     them; ``(order_col DESC, tiebreak_col ASC)`` must be a total order
-    (tiebreak unique) or ranks at bucket boundaries are ambiguous —
-    the exact_rank contract.  Parity with the direct single-window
-    plan is pinned in tests/test_skew.py.
+    — tiebreak_col must be UNIQUE and NON-NULL (the exact_rank
+    contract; xxhash64 of a NULL tiebreak would also fold every NULL
+    row into one salt bucket).  Defensively, NULLS sort LAST on the
+    tiebreak in BOTH phases so a contract violation still orders the
+    same way as the DuckDB oracle's ASC default (NULLS LAST) in
+    pl_salted_topk.  Parity with the direct single-window plan is
+    pinned in tests/test_skew.py.
 
     Emits the input columns plus ``rank`` (1..k per key).
     """
@@ -202,7 +206,7 @@ def salted_topk(
         "_salt", F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(salts))
     )
     w1 = Window.partitionBy(part_col, "_salt").orderBy(
-        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+        F.col(order_col).desc(), F.col(tiebreak_col).asc_nulls_last()
     )
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))
@@ -210,7 +214,7 @@ def salted_topk(
         .drop("_r1", "_salt")
     )
     w2 = Window.partitionBy(part_col).orderBy(
-        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+        F.col(order_col).desc(), F.col(tiebreak_col).asc_nulls_last()
     )
     return (
         survivors.withColumn("rank", F.row_number().over(w2))

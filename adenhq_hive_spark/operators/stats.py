@@ -328,7 +328,10 @@ def poisson_bootstrap_ci(
     accumulation anywhere.
 
     Emits one row per group: (group_col, n, b, mean_r6, lo_r6, hi_r6),
-    ordered by group.
+    ordered by group.  The group column is emitted as its STRING form
+    in both kernels (the arrow kernel's mapInPandas schema fixes it to
+    string; the jvm path casts to match) — kernel choice never changes
+    the output schema or values.
 
     Scale: ONE scan; the explode(sequence(0, B-1)) runs inside the scan
     stage and map-side combine reduces it to O(groups x B) shuffle rows.
@@ -382,7 +385,11 @@ def poisson_bootstrap_ci(
         agg_rep = (
         _spread(
             df.select(
-                F.col(group_col).alias("grp"),
+                # string-cast to match the arrow kernel's mapInPandas
+                # output schema ('grp string') — both kernels emit the
+                # group key as its string form, so kernel choice never
+                # changes the result schema (the bit-exact contract)
+                F.col(group_col).cast("string").alias("grp"),
                 F.col(id_col).alias("_id"),
                 v.alias("v"),
             )
@@ -446,7 +453,9 @@ def poisson_bootstrap_ci(
     )
     q0 = _q6(v)
     base = (
-        df.select(F.col(group_col).alias("grp"), q0.alias("q0"))
+        df.select(
+            F.col(group_col).cast("string").alias("grp"), q0.alias("q0")
+        )
         .groupBy("grp")
         .agg(
             F.count("*").alias("n"),

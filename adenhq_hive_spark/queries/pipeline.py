@@ -3024,12 +3024,23 @@ def _trigram_probe_q(spark, sf):
         if wh.scheme in ("", "file"):
             shutil.rmtree(f"{wh.path}/{tbl}", ignore_errors=True)
         save_trigram_index(docs, table_name=tbl)
-    # without this the planner disables bucketed reading for
-    # filter-only scans and the probe rescans every bucket
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
-    return trigram_search_indexed(docs, "spark window", table_name=tbl)
+    # the planner disables bucketed reading for filter-only scans
+    # unless autoBucketedScan is off; scope the flag to THIS query by
+    # executing the probe eagerly under it and restoring afterwards —
+    # a session-wide set would leave every later query in the same
+    # session (bench sweep, oracle sweep, driver) order-dependent
+    flag = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(flag)
+    spark.conf.set(flag, "false")
+    try:
+        probe = trigram_search_indexed(
+            docs, "spark window", table_name=tbl
+        )
+        # eager: the bucket-pruned scan runs NOW, under the flag; the
+        # returned plan is a materialized (small) result set
+        return probe.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(flag, prev)
 
 
 Q(QuerySpec(
@@ -6975,10 +6986,13 @@ Q(QuerySpec(
         "(operators/sketch.py:kmv_distinct — Bar-Yossef 2002 / Beyer "
         "2007): k=256 smallest distinct 32-bit md5-slice hashes, "
         "estimate = (k-1)*2^32 DIV h_(k) in exact integer arithmetic "
-        "(exact-path n_kept when distinct < k). Partition-local numpy "
-        "k-min prefilter bounds the shuffle to k rows per partition; "
-        "driver traffic O(k). n_exact rides along; the test gates the "
-        "estimator inside the 1/sqrt(k) error envelope.",
+        "(exact-path n_kept when distinct < k). Default prefilter="
+        "'jvm': distinct -> TakeOrderedAndProject, map-side partial "
+        "dedup keeps the shuffle per-partition-distinct-sized (the "
+        "numpy k-min prefilter remains for distinct~rows regimes); "
+        "driver traffic O(k). n_exact rides along as the accuracy "
+        "ledger; the test gates the estimator inside the 1/sqrt(k) "
+        "error envelope.",
     builder=lambda spark, sf: __import__(
         "adenhq_hive_spark.operators.sketch", fromlist=["kmv_distinct"]
     ).kmv_distinct(load_table(spark, sf, "orders"), "o_custkey", k=256),
@@ -8706,16 +8720,19 @@ Q(QuerySpec(
 Q(QuerySpec(
     name="pl_kmv_distinct_xxh",
     doc="DEPLOYMENT form of pl_kmv_distinct: KMV over the low 32 bits "
-        "of xxhash64(o_custkey) instead of the md5 slice — same "
-        "numpy k-min prefilter, same exact-integer estimator "
-        "(k-1)*2^32 DIV h_(k). Estimator accuracy is hash-independent "
-        "(any uniform 32-bit hash); the 1/sqrt(k) envelope gate in "
-        "tests/test_sketch.py runs against THIS form, and the md5 "
-        "twin carries the oracle hash row.",
+        "of xxhash64(o_custkey) instead of the md5 slice — same jvm "
+        "distinct->TakeOrdered k-min plan, same exact-integer "
+        "estimator (k-1)*2^32 DIV h_(k), and include_exact=False: the "
+        "n_exact audit column (a full two-exchange COUNT DISTINCT) is "
+        "the md5 ledger twin's job, not the deployment sketch's. "
+        "Estimator accuracy is hash-independent (any uniform 32-bit "
+        "hash); the 1/sqrt(k) envelope gate in tests/test_sketch.py "
+        "runs against THIS form, and the md5 twin carries the oracle "
+        "hash row.",
     builder=lambda spark, sf: __import__(
         "adenhq_hive_spark.operators.sketch", fromlist=["kmv_distinct"]
     ).kmv_distinct(load_table(spark, sf, "orders"), "o_custkey", k=256,
-                   hash_mode="xxh"),
+                   hash_mode="xxh", include_exact=False),
     has_oracle=False,
 ))
 
