@@ -126,6 +126,83 @@ def write_shards(
     return manifest
 
 
+def write_shards_stream(
+    doc_stream: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+):
+    """Streaming shard export: ``foreachBatch`` writes each micro-batch
+    into the SAME shard layout as :func:`write_shards` plus a per-epoch
+    manifest DELTA; :func:`finalize_manifest` folds the deltas into the
+    ``_manifest`` that :func:`verify_shards` checks.  Returns the
+    writeStream builder (caller sets checkpointLocation and starts).
+
+    Exactly-once: shard assignment is a pure row function, so an epoch's
+    output is DETERMINISTIC; each epoch writes to its own
+    ``data/epoch=N/`` and ``_manifest_deltas/epoch=N/`` directories in
+    overwrite mode, so a replayed epoch (foreachBatch is at-least-once)
+    overwrites itself byte-identically instead of double-appending —
+    the same idempotence contract as decontaminate_stream's sink.
+
+    The manifest checksum composes across epochs BY CONSTRUCTION:
+    content_crc32 is an order-independent modular SUM, so the fold is
+    SUM(delta) mod 2^32 per shard — a streaming export and a one-shot
+    batch export of the same rows produce the SAME final manifest
+    (pinned in tests/test_streaming.py).
+
+    Scale: each micro-batch does one n_shards-way repartition + one
+    n_shards-key agg; state never accumulates in the stream (the ledger
+    lives in the delta files), so a year-long export holds no memory.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        shards = batch_df.select(
+            _shard_col(id_col, n_shards),
+            F.col(id_col), F.col(text_col),
+        )
+        (
+            shards.repartition(n_shards, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/data/epoch={epoch_id}")
+        )
+        (
+            shard_manifest(batch_df, id_col, text_col, n_shards)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_manifest_deltas/epoch={epoch_id}")
+        )
+
+    return doc_stream.writeStream.foreachBatch(write)
+
+
+def finalize_manifest(spark, path: str) -> DataFrame:
+    """Fold the per-epoch manifest deltas into ``_manifest`` (the file
+    :func:`verify_shards` compares against) and return it.  n_docs and
+    n_tokens sum; content_crc32 folds as SUM mod 2^32 (modular sums
+    compose).  DECIMAL(38,0) accumulators, same overflow discipline as
+    the per-shard sums."""
+    deltas = spark.read.parquet(f"{path}/_manifest_deltas")
+    manifest = (
+        deltas.groupBy("shard")
+        .agg(
+            F.sum(F.col("n_docs").cast("decimal(38,0)"))
+            .cast("long").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("decimal(38,0)"))
+            .cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("content_crc32").cast("decimal(38,0)"))
+                % F.lit(_M32)
+            ).cast("long").alias("content_crc32"),
+        )
+        .select("shard", "n_docs", "n_tokens", "content_crc32")
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return spark.read.parquet(f"{path}/_manifest").orderBy("shard")
+
+
 def verify_shards(spark, path: str, text_col: str = "text") -> DataFrame:
     """Recompute the manifest FROM the written shard files and join it
     against the stored one: (shard, ok, stored/actual columns).  A

@@ -248,6 +248,7 @@ def main() -> None:
     # and reused across rounds). Skipped cleanly if the build fails or
     # SPARK_GRAFT_SF1=0.
     sf1 = None
+    sf1_oracles: dict[str, str] = {}
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
@@ -279,67 +280,31 @@ def main() -> None:
                 # min-of-3: the first sample doubles as the cache warm-up
                 sf1_times[name] = round(min(samples), 4)
                 log(f"sf1 {name}: {sf1_times[name]:.3f}s")
-            import duckdb as _duck
-
-            from adenhq_hive_spark.catalog import TABLES as _tables
-
-            con1 = _duck.connect()
-            for t in _tables:
-                con1.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf1_dir}/{t}.parquet')"
-                )
-            sf1_duck: dict[str, float] = {}
-            for name in rel:
-                oracle = specs[name].oracle
-                if oracle is None:
-                    continue
-                samples = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    con1.execute(oracle).fetchall()
-                    samples.append(time.perf_counter() - t0)
-                # min-of-3: sample 1 pays the cold parquet page reads —
-                # without it the ratio carried ~30% run-to-run noise
-                sf1_duck[name] = round(min(samples), 4)
-            con1.close()
             e_tot = round(sum(sf1_times.values()), 4)
-            d_tot = round(sum(sf1_duck.values()), 4)
             sf1 = {
                 "queries": sf1_times,
-                "duckdb": sf1_duck,
                 "engine_total": e_tot,
-                "duckdb_total": d_tot,
-                "ratio_total": round(e_tot / d_tot, 2) if d_tot else None,
                 "runs": 3,
             }
-            log(f"sf1 relational: engine {e_tot}s vs duckdb {d_tot}s")
+            # the DuckDB side runs AFTER spark.stop() in a subprocess
+            # (scripts/duck_time.py) — with the JVM resident the oracle
+            # timings drifted up to ~2x, so the in-artifact ratio needed
+            # a footnote (r9 What's-wrong #1)
+            sf1_oracles = {
+                name: specs[name].oracle for name in rel
+                if specs[name].oracle is not None
+            }
+            log(f"sf1 relational: engine {e_tot}s "
+                f"(duckdb pass deferred to post-JVM subprocess)")
         except Exception as exc:  # never fail the bench on the sf1 tier
             log(f"sf1 tier skipped: {exc}")
 
-    duck_times: dict[str, float] = {}
+    duck_oracles: dict[str, str] = {}
     if do_duck:
-        import duckdb
-
-        from adenhq_hive_spark.catalog import TABLES
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        for name in names:
-            oracle = specs[name].oracle
-            if oracle is None:
-                continue
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(oracle).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck_times[name] = round(best, 4)
-            log(f"duckdb {name}: {duck_times[name]:.3f}s")
+        duck_oracles = {
+            name: specs[name].oracle for name in names
+            if specs[name].oracle is not None
+        }
 
     # Streaming throughput: drive the events table through the tumbling-
     # window stream (availableNow semantics) and report end-to-end
@@ -394,10 +359,12 @@ def main() -> None:
         from adenhq_hive_spark.catalog import load_table
 
         REPL = 16
+        STREAM_RUNS = 3  # min-of-N: the 32-file point moved more than
+        # any other headline metric round-to-round (~2x session spread,
+        # r9 What's-wrong #3) — same protocol as the query entries now
         scale: dict[str, int] = {"1": streaming["rows_per_sec"]}
         for n_files in (8, 32):
             data_dir = tempfile.mkdtemp(prefix=f"bench_stream_{n_files}f_")
-            ck2 = tempfile.mkdtemp(prefix="bench_stream_ck_")
             try:
                 ev = load_table(spark, sf_dir, "events")
                 import pyspark.sql.functions as F
@@ -422,34 +389,86 @@ def main() -> None:
                     f"{data_dir}/events"
                 )
                 big_rows = n_rows * REPL
-                src = (
-                    spark.readStream.schema(ev.schema)
-                    .parquet(f"{data_dir}/events")
-                )
-                t0 = time.perf_counter()
-                q = (
-                    tumbling_counts(src)
-                    .writeStream.outputMode("complete")
-                    .format("noop")
-                    .option("checkpointLocation", ck2)
-                    .start()
-                )
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                wall = time.perf_counter() - t0
-                scale[str(n_files)] = round(big_rows / wall)
+                best_wall = float("inf")
+                for _ in range(STREAM_RUNS):
+                    # fresh checkpoint per run — a reused one would
+                    # no-op the stream (everything already committed)
+                    ck2 = tempfile.mkdtemp(prefix="bench_stream_ck_")
+                    try:
+                        src = (
+                            spark.readStream.schema(ev.schema)
+                            .parquet(f"{data_dir}/events")
+                        )
+                        t0 = time.perf_counter()
+                        q = (
+                            tumbling_counts(src)
+                            .writeStream.outputMode("complete")
+                            .format("noop")
+                            .option("checkpointLocation", ck2)
+                            .start()
+                        )
+                        try:
+                            q.processAllAvailable()
+                        finally:
+                            q.stop()
+                        best_wall = min(
+                            best_wall, time.perf_counter() - t0
+                        )
+                    finally:
+                        shutil.rmtree(ck2, ignore_errors=True)
+                scale[str(n_files)] = round(big_rows / best_wall)
                 log(f"streaming {n_files} files x {big_rows} rows: "
-                    f"{scale[str(n_files)]} rows/s")
+                    f"{scale[str(n_files)]} rows/s "
+                    f"(min-of-{STREAM_RUNS})")
             finally:
-                shutil.rmtree(ck2, ignore_errors=True)
                 shutil.rmtree(data_dir, ignore_errors=True)
         streaming["scale"] = scale
         streaming["rows_per_sec"] = max(scale.values())
         streaming["rows"] = n_rows * REPL
     except Exception as exc:  # never fail the batch bench on this
         log(f"streaming bench skipped: {exc}")
+
+    # All Spark work is done — tear the JVM down BEFORE any DuckDB
+    # timing so the oracle numbers come from an unloaded process tree.
+    spark.stop()
+
+    def _duck_subprocess(dir_: str, oracles: dict[str, str],
+                         runs: int) -> dict[str, float]:
+        import subprocess
+
+        here_ = os.path.dirname(os.path.abspath(__file__))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here_, "scripts", "duck_time.py")],
+            input=json.dumps(
+                {"sf_dir": dir_, "queries": oracles, "runs": runs}
+            ),
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "PYTHONPATH": here_},
+        )
+        return json.loads(proc.stdout)
+
+    if sf1 is not None and sf1_oracles:
+        try:
+            sf1_duck = _duck_subprocess(sf1_dir, sf1_oracles, 3)
+            d_tot = round(sum(sf1_duck.values()), 4)
+            sf1["duckdb"] = sf1_duck
+            sf1["duckdb_total"] = d_tot
+            sf1["ratio_total"] = (
+                round(sf1["engine_total"] / d_tot, 2) if d_tot else None
+            )
+            log(f"sf1 duckdb (isolated subprocess): {d_tot}s "
+                f"ratio {sf1['ratio_total']}")
+        except Exception as exc:
+            log(f"sf1 duckdb pass skipped: {exc}")
+
+    duck_times: dict[str, float] = {}
+    if duck_oracles:
+        try:
+            duck_times = _duck_subprocess(sf_dir, duck_oracles, 2)
+            for name, v in sorted(duck_times.items()):
+                log(f"duckdb {name}: {v:.3f}s")
+        except Exception as exc:
+            log(f"duckdb pass skipped: {exc}")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -495,8 +514,9 @@ def main() -> None:
     }
     if sf1:
         out["sf1_engine_total"] = sf1["engine_total"]
-        out["sf1_duckdb_total"] = sf1["duckdb_total"]
-        out["sf1_ratio"] = sf1["ratio_total"]
+        if "duckdb_total" in sf1:
+            out["sf1_duckdb_total"] = sf1["duckdb_total"]
+            out["sf1_ratio"] = sf1["ratio_total"]
     if streaming:
         out["streaming_rows_per_sec"] = streaming["rows_per_sec"]
         if "scale" in streaming:
@@ -524,7 +544,6 @@ def main() -> None:
         out = {k: out[k] for k in ("metric", "value", "unit", "sf")}
         line = json.dumps(out)
     print(line, flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

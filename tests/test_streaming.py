@@ -1427,3 +1427,106 @@ def test_hist_quantile_stream_rejects_bad_percentiles(spark, stream):
         hist_quantile_stream(stream, percentiles=(0, 50, 99))
     with pytest.raises(ValueError):
         hist_quantile_stream(stream, percentiles=(50, 99))
+
+
+def test_write_shards_stream_restart_matches_batch_manifest(spark, tmp_path):
+    """Streaming export folded across a MID-STREAM RESTART must equal
+    the one-shot batch manifest on the same rows (r9 verdict #7): the
+    per-epoch deltas compose because content_crc32 is a modular sum."""
+    import os
+
+    import pandas as pd_
+    from adenhq_hive_spark.operators.export import (
+        finalize_manifest,
+        shard_manifest,
+        verify_shards,
+        write_shards_stream,
+    )
+
+    docs = [
+        (i, f"doc {i} body words " + ("pad " * (i % 4)))
+        for i in range(1, 41)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        pd_.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    write_file("a.parquet", docs[:25], 1_000_000)
+    out = str(tmp_path / "shards")
+    ck = str(tmp_path / "ck")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = write_shards_stream(stream, out, n_shards=4).option(
+            "checkpointLocation", ck
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream()                                  # epoch 0: file a
+    write_file("b.parquet", docs[25:], 2_000_000)
+    run_stream()                                  # restart: file b only
+
+    man = finalize_manifest(spark, out).collect()
+    batch = shard_manifest(
+        spark.createDataFrame(docs, ["doc_id", "text"]), n_shards=4
+    ).collect()
+    assert man == batch
+
+    ver = verify_shards(spark, out).collect()
+    assert ver and all(r.ok for r in ver)
+    assert sum(r.n_docs for r in ver) == len(docs)
+
+
+def test_write_shards_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same input under a fresh checkpoint (= every epoch
+    retried) must overwrite, not double-append: same manifest, same
+    row count."""
+    import os
+
+    import pandas as pd_
+    from adenhq_hive_spark.operators.export import (
+        finalize_manifest,
+        verify_shards,
+        write_shards_stream,
+    )
+
+    docs = [(i, f"document {i} text") for i in range(1, 21)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for j, name in enumerate(["a.parquet", "b.parquet"]):
+        pd_.DataFrame(
+            docs[j * 10:(j + 1) * 10], columns=["doc_id", "text"]
+        ).to_parquet(str(src / name))
+        os.utime(str(src / name), (1_000_000 * (j + 1),) * 2)
+
+    out = str(tmp_path / "shards")
+    first = None
+    for ck in ("ck1", "ck2"):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = write_shards_stream(stream, out, n_shards=4).option(
+            "checkpointLocation", str(tmp_path / ck)
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        man = finalize_manifest(spark, out).collect()
+        if first is None:
+            first = man
+    assert man == first
+    ver = verify_shards(spark, out).collect()
+    assert all(r.ok for r in ver)
+    assert sum(r.n_docs for r in ver) == len(docs)
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == len(docs)
