@@ -1,10 +1,27 @@
 """Skew-mitigation helpers for hot-key joins and partitioned layouts.
 
-AQE's skew-join splitting (on by default in session.py) handles most
-runtime skew; these helpers cover the cases AQE cannot: a broadcast-
-ineligible dimension joined on a key whose distribution is known-skewed
-(salting), and writing date-partitioned layouts so downstream scans
-partition-prune (SURVEY §7 risk register: partition by date keys).
+MEASURED adjudication (BASELINE.md "Round 10: the hot-key regime",
+scripts/make_skew.py + bench_skew.py, one key at 50% of 10M/40M rows):
+
+- AQE's skew split is BYTE-gated on compressed shuffle sizes, so a
+  dictionary-compressible hot key whose join cost is row-proportional
+  hides under the 256m default threshold (AQE gave only 1.06-1.14x).
+  Tuned to the data (factor=2, threshold=32m, advisory=16m) AQE splits
+  and wins outright (3.4x at 40M) — better than :func:`salted_join`
+  (1.4-1.8x), because the split replicates only the dim's matching
+  partition where salting explodes the dim salt-ways.  Order of
+  attack on a skewed join: broadcast if the dim fits; else tune the
+  AQE skew thresholds to row-cost; salt only what AQE cannot see
+  (foreachBatch micro-batch joins, non-AQE engines).
+- Spark 4's WindowGroupLimit rule already two-phases rank-limit
+  windows map-side, so :func:`salted_topk` matches (does not beat)
+  the default plan; its regime is window shapes the rule cannot
+  rewrite — with the rule off, plain serializes (67 s at a 20M-row
+  hot key, linear) while salted stays flat at 3.3-3.8x ahead.
+
+These helpers cover what the optimizer cannot; the layout helpers
+(date-partitioned writes, compaction plans) cover SURVEY §7's
+partition-pruning risk register.
 """
 
 from __future__ import annotations
@@ -27,6 +44,12 @@ def salted_join(
     — use a hash of all columns); the right side is exploded ``salt``
     ways so every (key, salt) bucket finds its match. One hot key now
     spreads over ``salt`` reducers. Output columns = a plain join's.
+
+    Measured on the 50%-hot-key corpus (BASELINE.md r10): 1.4-1.8x
+    over the plain shuffle join with no config dependence — but AQE
+    with skew thresholds tuned to row-cost beats both (3.4x), so on
+    stock Spark prefer tuning AQE and salt only joins AQE cannot see
+    (inside foreachBatch, non-adaptive plans).
 
     Correctness is layout-independent: tests assert equality with the
     unsalted join.
@@ -184,6 +207,14 @@ def salted_topk(
     and keeps each bucket's local top-k; phase 2 re-ranks the
     surviving <= k*salts rows per key.  No task ever sorts more than
     max(hot_key_rows/salts, k*salts) rows.
+
+    SCOPE (measured, BASELINE.md r10): Spark 4's WindowGroupLimit rule
+    already inserts a map-side per-group limit for rank-limit filters,
+    so on stock Spark this operator only MATCHES the plain plan (~20%
+    overhead).  Its regime is rank-limit shapes the rule cannot
+    rewrite and engines without the rule, where the plain window
+    serializes on the hot key (measured 67 s vs 17.6 s at a 20M-row
+    hot key with the rule disabled).
 
     EXACT by containment: every global top-k row is inside its own
     salt bucket's top-k (same total order), so phase 2 sees all of

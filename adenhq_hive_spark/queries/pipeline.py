@@ -9157,15 +9157,16 @@ Q(QuerySpec(
 Q(QuerySpec(
     name="pl_salted_topk",
     doc="Top-3 events by value per event_type via the two-phase SALTED "
-        "window (operators/skew.py:salted_topk): the direct "
-        "single-window plan sorts each key in one task — event_type is "
-        "exactly the hot-key shape (5 keys over the whole corpus) that "
-        "serializes at 100 TB. Phase 1 ranks within (key, "
-        "pmod(xxhash64(event_id), 16)) buckets and keeps local top-3; "
-        "phase 2 re-ranks the <= 48 survivors per key. Exact by "
+        "window (operators/skew.py:salted_topk). Phase 1 ranks within "
+        "(key, pmod(xxhash64(event_id), 16)) buckets and keeps local "
+        "top-3; phase 2 re-ranks the <= 48 survivors per key. Exact by "
         "containment under the (value DESC, event_id ASC) total order; "
         "the oracle is the plain single-window SQL, so the hash proves "
-        "the salted plan changes the task shape and not the answer.",
+        "the salted plan changes the task shape and not the answer. "
+        "Measured scope (BASELINE.md r10, 50%-hot-key corpus): Spark "
+        "4's WindowGroupLimit already de-skews rank-limit windows, so "
+        "this operator's regime is window shapes that rule cannot "
+        "rewrite (3.8x ahead with the rule off; ~matches with it on).",
     builder=lambda spark, sf: __import__(
         "adenhq_hive_spark.operators.skew", fromlist=["salted_topk"]
     ).salted_topk(
