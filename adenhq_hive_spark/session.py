@@ -41,11 +41,20 @@ _DEFAULTS = {
     # re-plans to broadcast/skew variants at runtime. SMJ remains the
     # fallback when the build side cannot hash locally.
     "spark.sql.join.preferSortMergeJoin": "false",
-    # Testdata tables are single small parquet files; default 128m gives a
-    # 1-partition scan. 8m restores scan parallelism locally; a real
-    # cluster deploy overrides this (files there are many and HDFS-block
-    # sized, so the default is already right).
-    "spark.sql.files.maxPartitionBytes": "8m",
+    # Scan split sizing (r10 adjudication, BASELINE.md "the 8m scan-split
+    # tax"): the old flat 8m restored parallelism on the single-file
+    # testdata but at sf30 it shredded lineitem into 659 tasks whose
+    # per-task hash tables dominated aggregation (q09 5.9s -> 1.9s at
+    # 32m). The trio below makes the split size ADAPTIVE:
+    # splitSize = min(maxPartitionBytes, max(openCost, bytes/minPartNum))
+    # — small tables still split ~32 ways (1m floor), big tables get
+    # 32m splits. 32m, not Spark's 128m default: 32 concurrent local
+    # tasks x the decoded width of a 128m parquet split exhausted the
+    # heap (GCLocker retry storms at sf30); a real cluster with
+    # per-executor task slots can raise it back.
+    "spark.sql.files.maxPartitionBytes": "32m",
+    "spark.sql.files.minPartitionNum": "32",
+    "spark.sql.files.openCostInBytes": "1m",
 }
 
 
