@@ -18,9 +18,14 @@ csv_sql calls); this is the multi-table, multi-query generalization.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_SPEC_FILE = "_bucket_spec.json"
 
 
 def ensure_bucketed_table(
@@ -50,3 +55,83 @@ def ensure_bucketed_table(
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.saveAsTable(table_name)
+
+
+def save_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Materialize ``df`` as an EXTERNAL bucketed table at an explicit
+    ``path``, with a ``_bucket_spec.json`` sidecar carrying the bucket
+    spec and schema — the layout that SURVIVES session restart.
+
+    A managed ``saveAsTable`` under the default in-memory catalog
+    leaves the data files behind but loses the bucketing METADATA with
+    the session, so the next session must rebuild (the r9 probe-index
+    gap).  Here the spec travels with the files; a fresh session calls
+    :func:`attach_bucketed_table` (one DDL, zero data movement) and
+    bucket pruning / shuffle-free joins work immediately.
+
+    The sidecar is written with the local filesystem API — at cluster
+    scale swap the two ``open`` calls for the Hadoop FileSystem API (or
+    configure a persistent metastore and skip the sidecar entirely);
+    the layout and attach DDL are storage-agnostic.
+    """
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"DROP TABLE `{table_name}`")
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", os.path.abspath(path))
+        .bucketBy(buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table_name)
+    spec = {
+        "bucket_cols": list(bucket_cols),
+        "buckets": buckets,
+        "sort": sort,
+        "schema": df.schema.jsonValue(),
+    }
+    with open(os.path.join(path, _SPEC_FILE), "w") as f:
+        json.dump(spec, f)
+
+
+def attach_bucketed_table(
+    spark: SparkSession, path: str, table_name: str
+) -> bool:
+    """Register an existing :func:`save_bucketed_table` layout in THIS
+    session's catalog — one ``CREATE TABLE ... CLUSTERED BY ... INTO n
+    BUCKETS LOCATION path`` DDL, no data read or written.  Returns True
+    when the layout existed and was attached (or the table is already
+    registered), False when there is nothing to attach (caller builds).
+
+    This is the cross-session amortization step: build once, every
+    later session attaches in O(1) and probes with bucket pruning
+    (plan-gated in tests/test_search.py)."""
+    if spark.catalog.tableExists(table_name):
+        return True
+    spec_path = os.path.join(path, _SPEC_FILE)
+    if not os.path.exists(spec_path):
+        return False
+    with open(spec_path) as f:
+        spec = json.load(f)
+    schema = StructType.fromJson(spec["schema"])
+    cols = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}"
+        for fld in schema.fields
+    )
+    bcols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+    sort_clause = f" SORTED BY ({bcols})" if spec["sort"] else ""
+    spark.sql(
+        f"CREATE TABLE `{table_name}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bcols}){sort_clause} "
+        f"INTO {spec['buckets']} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )
+    return True

@@ -213,6 +213,7 @@ def save_trigram_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_trigram_df: int | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist the posting lists as a BUCKETED table so probes prune to
     the needle's buckets instead of scanning the whole index.
@@ -222,16 +223,56 @@ def save_trigram_index(
     only the matching buckets (Spark bucket pruning — the executed plan
     shows ``SelectedBucketsCount: m out of n``). The build is the one
     linear corpus pass; re-run to refresh (posting lists are derived
-    state, idempotent by construction)."""
-    (
-        build_trigram_postings(
-            df, text_col, id_col, max_trigram_df=max_trigram_df
+    state, idempotent by construction).
+
+    With ``path`` set, the index is written as an EXTERNAL table with a
+    bucket-spec sidecar (operators/bucketing.py:save_bucketed_table) —
+    the cross-session layout: a fresh session re-attaches it with
+    :func:`ensure_trigram_index` instead of rebuilding."""
+    postings = build_trigram_postings(
+        df, text_col, id_col, max_trigram_df=max_trigram_df
+    )
+    if path is not None:
+        from .bucketing import save_bucketed_table
+
+        save_bucketed_table(
+            df.sparkSession, postings, path, table_name,
+            ["trigram"], buckets=buckets, sort=True,
         )
+        return
+    (
+        postings
         .write.mode("overwrite")
         .bucketBy(buckets, "trigram")
         .sortBy("trigram")
         .saveAsTable(table_name)
     )
+
+
+def ensure_trigram_index(
+    df: DataFrame,
+    path: str,
+    table_name: str = "trigram_index",
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_trigram_df: int | None = None,
+) -> bool:
+    """Attach the persisted trigram index at ``path`` into this
+    session's catalog, building it first ONLY if no index exists there
+    — the search-service amortization across SESSIONS, not just within
+    one (r9 verdict #4).  Returns True when an existing index was
+    attached without a rebuild."""
+    from .bucketing import attach_bucketed_table
+
+    spark = df.sparkSession
+    if attach_bucketed_table(spark, path, table_name):
+        return True
+    save_trigram_index(
+        df, table_name, buckets, text_col, id_col, max_trigram_df,
+        path=path,
+    )
+    return False
 
 
 def trigram_search_indexed(

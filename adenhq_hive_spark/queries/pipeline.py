@@ -3005,25 +3005,24 @@ def _trigram_probe_q(spark, sf):
     like the reference re-querying one loaded file (csv_tool.py keeps
     the DuckDB relation registered across queries)."""
     import hashlib as _h
+    import os as _os
+    from urllib.parse import urlparse
 
     from ..operators.search import (
-        save_trigram_index,
+        ensure_trigram_index,
         trigram_search_indexed,
     )
 
     docs = load_table(spark, sf, "documents")
     tbl = "trigram_idx_" + _h.md5(sf.encode()).hexdigest()[:10]
-    if not spark.catalog.tableExists(tbl):
-        # a previous SESSION may have left the managed location behind
-        # without a catalog entry (in-memory metastore) — clear it or
-        # saveAsTable raises LOCATION_ALREADY_EXISTS
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(f"{wh.path}/{tbl}", ignore_errors=True)
-        save_trigram_index(docs, table_name=tbl)
+    # cross-session layout (r9 verdict #4): the index lives at an
+    # explicit warehouse path with its bucket-spec sidecar; a fresh
+    # session ATTACHES it (one DDL) instead of rebuilding the postings
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    idx_path = _os.path.join(
+        wh.path if wh.scheme in ("", "file") else "/tmp", f"{tbl}_ext"
+    )
+    ensure_trigram_index(docs, idx_path, table_name=tbl)
     # the planner disables bucketed reading for filter-only scans
     # unless autoBucketedScan is off; scope the flag to THIS query by
     # executing the probe eagerly under it and restoring afterwards —
@@ -9072,19 +9071,30 @@ def _bucketed_join_q(spark, sf):
     plain-view join oracle, proving the bucketed layout changes the
     PLAN and not the answer."""
     import hashlib as _h
+    import os as _os
+    from urllib.parse import urlparse
 
-    from ..operators.bucketing import ensure_bucketed_table
+    from ..operators.bucketing import (
+        attach_bucketed_table,
+        save_bucketed_table,
+    )
 
     tag = _h.md5(sf.encode()).hexdigest()[:10]
     t_orders, t_line = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    ensure_bucketed_table(
-        spark, load_table(spark, sf, "orders"), t_orders,
-        ["o_orderkey"],
-    )
-    ensure_bucketed_table(
-        spark, load_table(spark, sf, "lineitem"), t_line,
-        ["l_orderkey"],
-    )
+    # explicit-path external layout: a fresh session ATTACHES the
+    # bucketed tables (one DDL each) instead of re-paying the write-
+    # time shuffle — the cross-session amortization (r9 verdict #4)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    base = wh.path if wh.scheme in ("", "file") else "/tmp"
+    for tbl, src, key in (
+        (t_orders, "orders", "o_orderkey"),
+        (t_line, "lineitem", "l_orderkey"),
+    ):
+        path = _os.path.join(base, f"{tbl}_ext")
+        if not attach_bucketed_table(spark, path, tbl):
+            save_bucketed_table(
+                spark, load_table(spark, sf, src), path, tbl, [key],
+            )
     o = spark.table(t_orders)
     l = spark.table(t_line)
     return (

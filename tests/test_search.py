@@ -421,3 +421,116 @@ def test_hybrid_single_leg_doc_still_surfaces(spark):
     # doc 2 is the only lexical hit for 'unrelated'; semantic-only docs
     # from the cosine leg also appear
     assert 2 in ids
+
+
+def test_cross_session_index_attach_without_rebuild(spark, tmp_path):
+    """The explicit-path index layout survives catalog death (r9
+    verdict #4): build once, drop the catalog entry (what a session
+    restart does under the in-memory metastore — external-table files
+    and sidecar stay), re-attach with one DDL, probe with bucket
+    pruning and NO rebuild."""
+    from adenhq_hive_spark.operators.bucketing import _SPEC_FILE
+    from adenhq_hive_spark.operators.search import (
+        ensure_trigram_index,
+        trigram_search_indexed,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "tri_ext")
+    spark.sql("DROP TABLE IF EXISTS t_tri_ext")
+    try:
+        # first call: nothing at path -> builds (returns False)
+        assert ensure_trigram_index(docs, path, "t_tri_ext",
+                                    buckets=16) is False
+        import os
+
+        assert os.path.exists(os.path.join(path, _SPEC_FILE))
+        truth = sorted(
+            r.doc_id
+            for r in docs.filter(
+                F.col("text").contains("spark window")).collect()
+        )
+        got = [r.doc_id for r in trigram_search_indexed(
+            docs, "spark window", "t_tri_ext").collect()]
+        assert got == truth and len(got) > 0
+
+        # "session restart": catalog entry gone, files + sidecar remain
+        spark.sql("DROP TABLE t_tri_ext")
+        assert not spark.catalog.tableExists("t_tri_ext")
+
+        build_marker = os.path.getmtime(os.path.join(path, _SPEC_FILE))
+        assert ensure_trigram_index(docs, path, "t_tri_ext",
+                                    buckets=16) is True
+        # attach wrote nothing: the sidecar (written last by a build)
+        # is untouched
+        assert os.path.getmtime(
+            os.path.join(path, _SPEC_FILE)) == build_marker
+        got2 = [r.doc_id for r in trigram_search_indexed(
+            docs, "spark window", "t_tri_ext").collect()]
+        assert got2 == truth
+
+        # the attached table still carries the bucket spec: a probe
+        # under the service config is bucket-pruned
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false")
+        try:
+            probe = spark.table("t_tri_ext").filter(
+                F.col("trigram").isin(["spa", "par", "ark"]))
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan
+            import re
+
+            sel, total = map(int, re.search(
+                r"(\d+) out of (\d+)",
+                [l for l in plan.splitlines()
+                 if "SelectedBucketsCount" in l][0]).groups())
+            assert total == 16 and sel < 16
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tri_ext")
+
+
+def test_save_bucketed_table_attach_join_still_shuffle_free(spark, tmp_path):
+    """attach_bucketed_table restores enough metadata that the
+    co-located join contract (no key Exchange) holds in the attaching
+    session too."""
+    from adenhq_hive_spark.operators.bucketing import (
+        attach_bucketed_table,
+        save_bucketed_table,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    for t in ("t_bkt_o", "t_bkt_c"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        save_bucketed_table(spark, orders, str(tmp_path / "o"),
+                            "t_bkt_o", ["o_custkey"], buckets=8)
+        save_bucketed_table(spark, cust, str(tmp_path / "c"),
+                            "t_bkt_c", ["c_custkey"], buckets=8)
+        # catalog death + attach
+        spark.sql("DROP TABLE t_bkt_o")
+        spark.sql("DROP TABLE t_bkt_c")
+        assert attach_bucketed_table(spark, str(tmp_path / "o"), "t_bkt_o")
+        assert attach_bucketed_table(spark, str(tmp_path / "c"), "t_bkt_c")
+
+        j = spark.table("t_bkt_o").join(
+            spark.table("t_bkt_c"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        n = j.count()
+        assert n == orders.join(
+            cust, F.col("o_custkey") == F.col("c_custkey")).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert not re.search(
+            r"Exchange hashpartitioning\((o_custkey|c_custkey)", plan
+        ), "attached bucketed join must not re-shuffle the key"
+    finally:
+        for t in ("t_bkt_o", "t_bkt_c"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
