@@ -343,6 +343,106 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_witness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    recall_floor_pct: int = 90,
+) -> DataFrame:
+    """Oracle-visible witness for the xxhash64 MinHash+LSH tier (r9
+    verdict #6 — the pl_lsh_topk containment pattern): ONE row
+    (n_exact, sound, recall_ok) where
+
+    - n_exact  = |exact jaccard >= threshold pairs| (SQL-computable —
+      the pl_ngram_jaccard oracle's own count);
+    - sound    = every LSH-emitted pair is in the exact set (TRUE BY
+      CONSTRUCTION — candidates are exact-verified post-banding — but
+      recomputed here over the real data, not assumed);
+    - recall_ok = caught * 100 >= n_exact * recall_floor_pct, in exact
+      integer arithmetic (measured recall 0.96-1.0 across all three SF
+      dirs; the floor matches tests/test_dedup.py's 0.9 gate).
+
+    The raw pair surface stays available as
+    :func:`minhash_lsh_pairs`; only the REGISTERED query carries the
+    witness shape, so the driver artifact gets a full hash row instead
+    of a rows-only entry while the hash-family choice stays free.
+    """
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold).select(
+        "id_a", "id_b", F.lit(1).alias("_ex")
+    )
+    emitted = minhash_lsh_pairs(
+        df, text_col, id_col, k, threshold=threshold
+    ).select("id_a", "id_b", F.lit(1).alias("_em"))
+    joined = exact.join(emitted, ["id_a", "id_b"], "full")
+    caught = F.count(
+        F.when(F.col("_ex").isNotNull() & F.col("_em").isNotNull(), 1)
+    )
+    return joined.agg(
+        F.count("_ex").alias("_n_exact"),
+        F.count("_em").alias("_n_emitted"),
+        caught.alias("_n_caught"),
+    ).select(
+        F.col("_n_exact").cast("long").alias("n_exact"),
+        (F.col("_n_caught") == F.col("_n_emitted")).alias("sound"),
+        (F.col("_n_caught") * 100
+         >= F.col("_n_exact") * recall_floor_pct).alias("recall_ok"),
+    )
+
+
+def simhash_witness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_hamming: int = 8,
+    hi_threshold: float = 0.9,
+    recall_floor_pct: int = 70,
+) -> DataFrame:
+    """Oracle-visible witness for the xxhash64 SimHash tier: ONE row
+    (n_hi, pairs_canonical, recall_ok) where
+
+    - n_hi = |exact jaccard >= hi_threshold pairs| (SQL-computable) —
+      the near-identical stratum SimHash exists to catch;
+    - pairs_canonical = every emitted pair has id_a < id_b and appears
+      once (the pair-surface contract, recomputed over real output);
+    - recall_ok = SimHash(hamming <= max_hamming) catches at least
+      recall_floor_pct% of the n_hi stratum, exact integer arithmetic
+      (measured 0.76-0.85 across the three SF dirs at the 70 floor;
+      SimHash is a different similarity than jaccard, so unlike the
+      MinHash witness there is no soundness clause — hamming-close
+      pairs need not be jaccard-close).
+    """
+    hi = ngram_jaccard_pairs(
+        df, text_col, id_col, k, hi_threshold
+    ).select("id_a", "id_b")
+    emitted = simhash_pairs(df, text_col, id_col, k, max_hamming).select(
+        "id_a", "id_b"
+    )
+    canonical = emitted.agg(
+        (
+            F.count("*")
+            == F.count_distinct(F.col("id_a"), F.col("id_b"))
+        ).alias("_uniq"),
+        F.min(F.col("id_a") < F.col("id_b")).alias("_ordered"),
+    ).select(
+        (F.col("_uniq") & F.coalesce("_ordered", F.lit(True))).alias(
+            "pairs_canonical"
+        )
+    )
+    caught = hi.join(emitted, ["id_a", "id_b"], "left_semi")
+    stats = hi.agg(F.count("*").alias("n_hi")).crossJoin(
+        caught.agg(F.count("*").alias("_n_caught"))
+    )
+    return stats.crossJoin(canonical).select(
+        F.col("n_hi").cast("long").alias("n_hi"),
+        "pairs_canonical",
+        (F.col("_n_caught") * 100 >= F.col("n_hi") * recall_floor_pct
+         ).alias("recall_ok"),
+    )
+
+
 def _portable_hash60(col: F.Column) -> F.Column:
     """60-bit integer hash both Spark and DuckDB evaluate identically:
     bigint of the first 15 hex chars of md5 (same family as

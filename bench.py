@@ -53,7 +53,7 @@ HEADLINE = [
     "q59",  # correlated subquery
     "q60",  # top-k IN subquery
     "pl_ngram_jaccard",  # exact near-dup pairs
-    "pl_minhash_lsh",    # minhash+LSH near-dup
+    "pl_minhash_lsh",    # minhash+LSH witness (r10: surface = witness row)
     "pl_cosine_topk",    # brute-force ANN baseline
     "pl_cosine_dedup",   # semantic dedup pairs
     "pl_sliding_window", # sliding-window expansion
