@@ -8,9 +8,15 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-277 as of round 9, 266 oracle-backed + 11 rows-only by design — the
-five r9 ``*_xxh`` deployment-hash forms joined; pl_lsh_topk /
-pl_ivf_topk / pl_approx_distinct converted to witness hash rows) is registered in ``adenhq_hive_spark.queries``.
+277 as of round 10, 268 oracle-backed + 9 rows-only by design.  The 9,
+each with its reason: pl_cms_registers_xxh / pl_cms_estimate_xxh /
+pl_kmv_distinct_xxh / pl_kmv_jaccard_xxh / pl_srm_xxh (xxhash64
+deployment forms whose md5 twins carry the hash rows), pl_bpe /
+pl_bpe_encode (iterative merges, pinned sequential-reference parity in
+tests), pl_media_phash (engine hash family; algebra hash-proven via
+pl_phash_portable), pl_semdedup (cluster-seeded; soundness+recall
+gates in tests).  pl_minhash_lsh / pl_simhash converted to witness
+hash rows in r10) is registered in ``adenhq_hive_spark.queries``.
 
 Key ordering: the driver's CORRECTNESS artifact records only the first 50
 entries, and may iterate either in insertion order or sorted.  To make the
@@ -31,43 +37,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 9): the artifact caps at 50 entries, so
-# the 50 slots rotate each round.  r8 verdict #3 prescriptions applied:
-# NO rows-only entries in the window (they cannot produce hash rows —
-# the five r8 `no_oracle` errs were foreseeable; their parity/recall
-# gates + portable twins live in pytest), witness age minimized (the
-# r2-witnessed oracle-backed rows and the r3 rows rotated out in r8
-# are all back in), plus this round's fixes and new operators.
+# ROTATING SAMPLE WINDOW (round 10): the artifact caps at 50 entries,
+# so the 50 slots rotate each round (r9 verdict #10: rotate the oldest
+# cohorts through, keep 50/50 oracle-backed hash rows, no rows-only
+# slots).  Composition: every plan changed this round is re-witnessed
+# first, then the ENTIRE oldest-witnessed cohort (r3, 17 rows per the
+# cumulative CORRECTNESS ledger), then 25 of the 46-row r4 cohort (the
+# rest is the r11 rotation head).
 _CORE = [
-    # -- round-9 fixes / changed plans (re-witness): dp_counts NULL-safe
-    #    key, mannwhitney DECIMAL products, bootstrap rank + kernel
-    #    refactor, q25 scale-mode builder, trigram isin-verify path,
-    #    sketch dual-mode refactor touched these call sites
-    "pl_dp_counts", "pl_mannwhitney", "pl_bootstrap_ci", "q25",
-    "pl_trigram_search", "pl_cms_registers", "pl_cms_estimate",
-    "pl_kmv_distinct", "pl_srm", "pl_kmv_jaccard", "pl_cusum",
-    # -- new round-9 oracle-backed queries --
-    "pl_bootstrap_ci_arrow", "pl_trigram_probe", "pl_graph_agent_loop",
-    # -- oldest witnesses: the r2-witnessed oracle-backed rows --
-    "pl_fingerprint", "pl_media_meta", "pl_vocab",
-    # -- the r3-witnessed rows rotated out in r8, rotated back in --
-    "q09", "q26", "q44", "pl_chunk", "pl_tfidf", "pl_ivf_recall",
-    "pl_cosine_topk", "pl_decontaminate",
-    # -- never-witnessed: the three rows-only -> witness conversions
-    #    and the four late-round additions (priority over one more
-    #    age-refresh pass for rows green since r3) --
-    "pl_lsh_topk", "pl_ivf_topk", "pl_approx_distinct",
+    # -- round-10 changed/new plans (re-witness): the two rows-only ->
+    #    witness conversions, the attach-path builders, the DECIMAL
+    #    crc accumulator, the nulls-last tiebreak, the bootstrap grp
+    #    string-cast (both kernels)
+    "pl_minhash_lsh", "pl_simhash", "pl_trigram_probe",
     "pl_bucketed_join", "pl_shard_manifest", "pl_salted_topk",
-    "pl_approx_quantile",
-    # -- family-coverage keepers (agg/cube, regex, joins, windows,
-    #    top-k, set ops, JSON, streaming images, as-of, similarity) --
-    "q13", "q22", "q28", "q36", "q43", "q45", "q55", "q57", "q58",
-    "pl_asof_operator", "pl_lsh_recall",
-    # -- aging headline rows refreshed (flagship agg, exact median,
-    #    as-of SQL, correlated subquery, top-k IN, deterministic split,
-    #    quality battery) --
-    "q06", "q17", "q33", "q59", "q60", "pl_hash_split",
-    "pl_graph_tool_loop",
+    "pl_bootstrap_ci", "pl_bootstrap_ci_arrow",
+    # -- the r3-witnessed cohort, in full --
+    "pl_cosine_dedup", "pl_sliding_window", "q02", "q34", "q38",
+    "q39", "q40", "q42", "q47", "q48", "q50", "q54", "q69", "q71",
+    "q72", "q77", "q78",
+    # -- r4-witnessed cohort, first 25 (balance rotates in r11) --
+    "pl_curation_pipeline", "pl_dup_clusters", "pl_fused_clusters",
+    "pl_graph_curation", "pl_normalize_text", "pl_pack_chunks",
+    "pl_pii_redact", "pl_repetition", "pl_simhash_portable",
+    "pl_tokens", "q03", "q04", "q05", "q07", "q08", "q10", "q11",
+    "q12", "q14", "q15", "q16", "q18", "q19", "q20", "q21",
 ]
 
 def _export_names() -> dict[str, str]:
