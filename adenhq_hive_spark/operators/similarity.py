@@ -1059,6 +1059,54 @@ def save_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
 
 
+def pq_append_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental PQ index maintenance: encode a NEW vector batch with
+    the STORED codebooks and append its codes — the operation that
+    keeps a 100 TB ANN index current as embeddings arrive (a rebuild
+    re-trains and re-encodes everything; the append touches only the
+    delta).  The text-tier precedent is update_trigram_postings.
+
+    The codebooks are frozen (k-means centroids drift only if the data
+    distribution drifts — re-run :func:`save_pq_index` for a scheduled
+    re-train); encoding a new vector against frozen books is exactly
+    what the original build did for every vector, so an append-built
+    index and a from-scratch encode of the union are code-identical
+    (pinned in tests/test_similarity.py).  Ids already present are
+    dropped from the delta (append must not duplicate a code row —
+    dedup by anti-join on the stored codes, delta-sized probe).
+
+    Returns the number of code rows appended.
+    """
+    brows = (
+        spark.read.parquet(f"{path}/books").orderBy("j", "c").collect()
+    )
+    if not brows:
+        raise ValueError(f"no PQ codebooks at {path}/books")
+    mm = max(r["j"] for r in brows) + 1
+    nc = max(r["c"] for r in brows) + 1
+    dsub = len(brows[0]["vals"])
+    books = np.empty((mm, nc, dsub), dtype=np.float64)
+    for r in brows:
+        books[r["j"], r["c"]] = r["vals"]
+
+    existing = spark.read.parquet(f"{path}/codes").select("cand_id")
+    v = _unit_vectors(new_vectors, id_col, vec_col, "cand_id")
+    delta = v.join(existing, "cand_id", "left_anti")
+    from .dedup import _materialize
+
+    codes = _materialize(_pq_encode(delta, books))
+    n = codes.count()
+    if n:
+        codes.write.mode("append").parquet(f"{path}/codes")
+    return n
+
+
 def pq_query_index(
     spark,
     path: str,
