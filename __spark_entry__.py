@@ -8,7 +8,7 @@ value-hash → CORRECTNESS_r{N}.json).
 The actual engine lives in ``adenhq_hive_spark/``; this module is the thin
 adapter: every declared query (SURVEY.md §2.11 q01-q93 + the pl_*
 LLM-pipeline/curation set; the registry size is ``len(all_queries())`` —
-277 as of round 10, 268 oracle-backed + 9 rows-only by design.  The 9,
+278 as of round 10, 269 oracle-backed + 9 rows-only by design.  The 9,
 each with its reason: pl_cms_registers_xxh / pl_cms_estimate_xxh /
 pl_kmv_distinct_xxh / pl_kmv_jaccard_xxh / pl_srm_xxh (xxhash64
 deployment forms whose md5 twins carry the hash rows), pl_bpe /
@@ -51,7 +51,7 @@ _CORE = [
     #    string-cast (both kernels)
     "pl_minhash_lsh", "pl_simhash", "pl_trigram_probe",
     "pl_bucketed_join", "pl_shard_manifest", "pl_salted_topk",
-    "pl_bootstrap_ci", "pl_bootstrap_ci_arrow",
+    "pl_bootstrap_ci", "pl_bootstrap_ci_arrow", "pl_toolcall_assembly",
     # -- the r3-witnessed cohort, in full --
     "pl_cosine_dedup", "pl_sliding_window", "q02", "q34", "q38",
     "q39", "q40", "q42", "q47", "q48", "q50", "q54", "q69", "q71",
@@ -61,7 +61,7 @@ _CORE = [
     "pl_graph_curation", "pl_normalize_text", "pl_pack_chunks",
     "pl_pii_redact", "pl_repetition", "pl_simhash_portable",
     "pl_tokens", "q03", "q04", "q05", "q07", "q08", "q10", "q11",
-    "q12", "q14", "q15", "q16", "q18", "q19", "q20", "q21",
+    "q12", "q14", "q15", "q16", "q18", "q19", "q20",
 ]
 
 def _export_names() -> dict[str, str]:

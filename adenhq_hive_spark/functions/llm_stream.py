@@ -124,6 +124,13 @@ def sse_stream_provider(
         )
         events: list[dict] = []
         snapshot: list[str] = []
+        # Mid-stream tool-call assembly (reference litellm.py:903-970):
+        # providers ship function-call ARGUMENTS as JSON fragments spread
+        # across many chunks, keyed by a per-call index; id/name arrive
+        # on the first fragment only. Accumulate per index, emit ONE
+        # tool_call event per call — with the fragments joined and
+        # parsed — when the stream finishes.
+        tool_acc: dict[int, dict[str, str]] = {}
         stop_reason, usage_in, usage_out = "end_turn", 0, 0
         def consume(data: str) -> bool:
             """Process one complete SSE event payload; True = [DONE]."""
@@ -143,6 +150,18 @@ def sse_stream_provider(
                         "text_delta", content=piece,
                         snapshot="".join(snapshot),
                     ))
+                for tc in delta.get("tool_calls") or []:
+                    idx = tc.get("index", 0) or 0
+                    acc = tool_acc.setdefault(
+                        idx, {"id": "", "name": "", "arguments": ""}
+                    )
+                    if tc.get("id"):
+                        acc["id"] = tc["id"]
+                    fn = tc.get("function") or {}
+                    if fn.get("name"):
+                        acc["name"] = fn["name"]
+                    if fn.get("arguments"):
+                        acc["arguments"] += fn["arguments"]
                 if choice.get("finish_reason"):
                     stop_reason = choice["finish_reason"]
             return False
@@ -181,8 +200,25 @@ def sse_stream_provider(
                 "error", error=f"stream failed: {e}", recoverable=False,
             ))
             return events
+        # Tail events in reference order (litellm.py:942-970): assembled
+        # tool_calls sorted by call index, then text_end (only when text
+        # was produced — a pure tool-call turn has no text to end; an
+        # empty stream keeps the event for turn-boundary visibility),
+        # then finish.
+        for _idx, acc in sorted(tool_acc.items()):
+            try:
+                parsed = json.loads(acc["arguments"])
+            except (json.JSONDecodeError, KeyError):
+                # Reference fallback: never drop a call over malformed
+                # JSON — wrap the raw fragment string for the caller.
+                parsed = {"_raw": acc.get("arguments", "")}
+            events.append(_event(
+                "tool_call", tool_use_id=acc["id"], tool_name=acc["name"],
+                tool_input=json.dumps(parsed, sort_keys=True),
+            ))
         full = "".join(snapshot)
-        events.append(_event("text_end", full_text=full))
+        if full or not tool_acc:
+            events.append(_event("text_end", full_text=full))
         events.append(_event(
             "finish", stop_reason=stop_reason, input_tokens=usage_in,
             output_tokens=usage_out, model=model,
@@ -190,6 +226,63 @@ def sse_stream_provider(
         return events
 
     return stream
+
+
+def assemble_tool_calls(
+    df: DataFrame,
+    req_col: str = "req_id",
+    idx_col: str = "tool_idx",
+    chunk_col: str = "chunk_idx",
+    id_col: str = "call_id",
+    name_col: str = "tool_name",
+    frag_col: str = "frag",
+) -> DataFrame:
+    """Mid-stream tool-call assembly as a RELATIONAL operator.
+
+    The reference assembles streamed tool calls one request at a time
+    inside the provider loop (litellm.py:903-970): fragments of the
+    arguments JSON arrive across chunks keyed by call index, id/name on
+    the first fragment only, and the call is complete when the joined
+    fragments parse. ``sse_stream_provider`` mirrors that per-request
+    path; THIS operator is the at-scale form — given a table of recorded
+    chunk fragments (req, call index, chunk order, fragment), assemble
+    every call in one distributed pass:
+
+    - id/name: MAX over the group (constant-when-present per the wire
+      contract, so max = the one non-null value; null-safe).
+    - arguments: order-preserving concat — collect_list of
+      (chunk_idx, frag) structs, array_sort (struct field order = sort
+      key order), transform to the fragment, array_join. Stays inside
+      whole-stage codegen; ONE shuffle on (req, idx).
+    - validity: ``get_json_object(args, '$')`` is NULL exactly when the
+      joined string is not parseable JSON (the reference's
+      json.loads-try) — no Python in the plan. Callers get the raw
+      string plus the discriminant instead of an exception, the flat-row
+      encoding of the reference's ``{"_raw": ...}`` fallback.
+
+    Returns one row per (req, tool_idx): call_id, tool_name, tool_input
+    (joined fragments), n_frags, is_valid.
+    """
+    from pyspark.sql import functions as F
+
+    frags = F.array_sort(
+        F.collect_list(F.struct(F.col(chunk_col), F.col(frag_col)))
+    )
+    args = F.array_join(
+        F.transform(frags, lambda s: s[frag_col]), ""
+    ).alias("tool_input")
+    out = (
+        df.groupBy(F.col(req_col), F.col(idx_col))
+        .agg(
+            F.max(id_col).alias("call_id"),
+            F.max(name_col).alias("tool_name"),
+            args,
+            F.count(frag_col).alias("n_frags"),
+        )
+    )
+    return out.withColumn(
+        "is_valid", F.get_json_object(F.col("tool_input"), "$").isNotNull()
+    )
 
 
 def llm_stream_events(

@@ -9293,3 +9293,126 @@ Q(QuerySpec(
         ORDER BY t.event_type, p.pct
     """,
 ))
+
+
+def _toolcall_assembly_q(spark, sf):
+    """Deterministic streamed-tool-call fragment corpus from documents,
+    assembled by functions/llm_stream.py:assemble_tool_calls (reference
+    litellm.py:903-970's mid-stream accumulation as one distributed
+    groupBy). Two interleaved calls per doc (call 1 on evens), id/name
+    on chunk 0 only, every 7th call-0 truncated mid-stream so the
+    {"_raw"}-class fallback path (is_valid=false, raw fragments kept)
+    is in the hashed result, and arg_doc re-extracted from the
+    assembled JSON proves the joined string actually parses."""
+    from ..functions.llm_stream import assemble_tool_calls
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    args0 = F.concat(
+        F.lit('{"doc": '), F.col("doc_id").cast("string"),
+        F.lit(', "k": '), (F.col("n_chars") % 97).cast("string"),
+        F.lit("}"),
+    )
+    args1 = F.concat(F.lit('{"q": "'), F.col("source"), F.lit('"}'))
+    name0 = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("search"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("grep"))
+        .otherwise(F.lit("write"))
+    )
+    null_s = F.lit(None).cast("string")
+
+    def frag(ti, ci, cid, name, fr):
+        return F.struct(
+            F.lit(ti).alias("tool_idx"), F.lit(ci).alias("chunk_idx"),
+            cid.alias("call_id"), name.alias("tool_name"),
+            fr.alias("frag"),
+        )
+
+    cid0 = F.concat(F.lit("c"), F.col("doc_id").cast("string"), F.lit("_0"))
+    cid1 = F.concat(F.lit("c"), F.col("doc_id").cast("string"), F.lit("_1"))
+    arr = F.array_compact(F.array(
+        frag(0, 0, cid0, name0, F.substring(args0, 1, 6)),
+        frag(0, 1, null_s, null_s, F.substring(args0, 7, 5)),
+        F.when(F.col("doc_id") % 7 != 0,
+               frag(0, 2, null_s, null_s, F.substring(args0, 12, 1000000))),
+        F.when(F.col("doc_id") % 2 == 0,
+               frag(1, 0, cid1, F.lit("fetch"), F.substring(args1, 1, 5))),
+        F.when(F.col("doc_id") % 2 == 0,
+               frag(1, 1, null_s, null_s, F.substring(args1, 6, 1000000))),
+    ))
+    fragments = d.select(
+        F.col("doc_id").cast("string").alias("req_id"), F.inline(arr)
+    )
+    return (
+        assemble_tool_calls(fragments)
+        .withColumn(
+            "arg_doc", F.get_json_object(F.col("tool_input"), "$.doc")
+        )
+        .orderBy(F.col("req_id").cast("long"), "tool_idx")
+    )
+
+
+Q(QuerySpec(
+    name="pl_toolcall_assembly",
+    doc="Mid-stream tool-call assembly at table scale (functions/"
+        "llm_stream.py:assemble_tool_calls; reference litellm.py:903-970"
+        " accumulates streamed function-call argument fragments per call"
+        " index and parses on finish). Here the per-request provider "
+        "loop becomes ONE relational pass: order-preserving fragment "
+        "concat via array_sort(collect_list(struct)) inside codegen, "
+        "id/name null-safe MAX, JSON validity + field re-extraction "
+        "(get_json_object / json_valid+json_extract_string dual form) "
+        "in the hashed output — including the malformed-call fallback "
+        "rows. Full oracle hash.",
+    builder=_toolcall_assembly_q,
+    oracle_sql_str="""
+        WITH d AS (
+          SELECT doc_id, source,
+                 '{"doc": ' || CAST(doc_id AS VARCHAR) || ', "k": '
+                   || CAST(n_chars % 97 AS VARCHAR) || '}' AS args0,
+                 '{"q": "' || source || '"}' AS args1,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'search' WHEN 1 THEN 'grep'
+                   ELSE 'write' END AS name0
+          FROM documents
+        ),
+        frags AS (
+          SELECT CAST(doc_id AS VARCHAR) AS req_id,
+                 0 AS tool_idx, 0 AS chunk_idx,
+                 'c' || CAST(doc_id AS VARCHAR) || '_0' AS call_id,
+                 name0 AS tool_name, substr(args0, 1, 6) AS frag
+          FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 0, 1, NULL, NULL,
+                 substr(args0, 7, 5) FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 0, 2, NULL, NULL,
+                 substr(args0, 12, 1000000) FROM d WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 1, 0,
+                 'c' || CAST(doc_id AS VARCHAR) || '_1', 'fetch',
+                 substr(args1, 1, 5) FROM d WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 1, 1, NULL, NULL,
+                 substr(args1, 6, 1000000) FROM d WHERE doc_id % 2 = 0
+        ),
+        asm AS (
+          SELECT req_id, tool_idx,
+                 max(call_id) AS call_id,
+                 max(tool_name) AS tool_name,
+                 string_agg(frag, '' ORDER BY chunk_idx) AS tool_input,
+                 CAST(count(frag) AS BIGINT) AS n_frags
+          FROM frags GROUP BY req_id, tool_idx
+        )
+        SELECT req_id, tool_idx, call_id, tool_name, tool_input, n_frags,
+               json_valid(tool_input) AS is_valid,
+               CASE WHEN json_valid(tool_input)
+                    THEN json_extract_string(tool_input, '$.doc')
+               END AS arg_doc
+        FROM asm
+        ORDER BY CAST(req_id AS BIGINT), tool_idx
+    """,
+))

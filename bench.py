@@ -146,6 +146,7 @@ HEADLINE = [
     "pl_approx_quantile",    # GK quantile sketch witness (r9)
     "pl_graph_agent_loop",   # iterate-judge-accept agent loop (r9)
     "pl_graph_tool_loop",    # tool-execution agent loop (r9)
+    "pl_toolcall_assembly",  # mid-stream tool-call assembly (r10)
 ]
 
 

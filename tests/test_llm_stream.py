@@ -177,3 +177,108 @@ def test_sse_multiline_data_and_crlf_framing():
         assert evs[-1]["stop_reason"] == "stop"
     finally:
         srv.shutdown()
+
+
+class ToolCallHandler(http.server.BaseHTTPRequestHandler):
+    """SSE server streaming MID-STREAM TOOL CALLS the way OpenAI-
+    compatible providers do (reference litellm.py:903-970's input
+    shape): arguments JSON split across chunks per call index, id/name
+    on the first fragment only, two calls interleaved, one of them
+    deliberately malformed. Prompt 'notext' produces a pure tool-call
+    turn (no content deltas at all)."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"]))
+        )
+        user = [m for m in body["messages"] if m["role"] == "user"][-1]
+        pure_tools = user["content"] == "notext"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.end_headers()
+
+        def send(obj):
+            self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+
+        def tc(idx, frag, call_id=None, name=None):
+            d = {"index": idx, "function": {"arguments": frag}}
+            if call_id:
+                d["id"] = call_id
+            if name:
+                d["function"]["name"] = name
+            return {"choices": [{"delta": {"tool_calls": [d]}}]}
+
+        if not pure_tools:
+            send({"choices": [{"delta": {"content": "Searching."}}]})
+        # call 0 and call 1 interleave; call 1's JSON never closes
+        send(tc(0, '{"qu', call_id="call_a", name="search"))
+        send(tc(1, '{"url": ', call_id="call_b", name="fetch"))
+        send(tc(0, 'ery": "x"'))
+        send(tc(1, '"http://e'))
+        send(tc(0, ', "k": 3}'))
+        send({"choices": [{"delta": {}, "finish_reason": "tool_calls"}],
+              "usage": {"prompt_tokens": 5, "completion_tokens": 9}})
+        self.wfile.write(b"data: [DONE]\n\n")
+
+
+@pytest.fixture()
+def toolcall_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), ToolCallHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions"
+    srv.shutdown()
+
+
+def test_sse_tool_call_assembly_across_chunks(toolcall_server):
+    evs = sse_stream_provider(toolcall_server, model="toy")("go")
+    types = [e["event_type"] for e in evs]
+    # delta, then buffered tail: tool_calls in index order, text_end
+    # (text was produced), finish — reference litellm.py:942-970 order
+    assert types == [
+        "text_delta", "tool_call", "tool_call", "text_end", "finish"]
+    a, b = evs[1], evs[2]
+    assert (a["tool_use_id"], a["tool_name"]) == ("call_a", "search")
+    assert json.loads(a["tool_input"]) == {"query": "x", "k": 3}
+    # malformed arguments -> reference {"_raw": ...} fallback, not a raise
+    assert (b["tool_use_id"], b["tool_name"]) == ("call_b", "fetch")
+    assert json.loads(b["tool_input"]) == {"_raw": '{"url": "http://e'}
+    assert evs[-1]["stop_reason"] == "tool_calls"
+    assert evs[-1]["output_tokens"] == 9
+
+
+def test_sse_pure_tool_call_turn_has_no_text_end(toolcall_server):
+    evs = sse_stream_provider(toolcall_server, model="toy")("notext")
+    types = [e["event_type"] for e in evs]
+    assert types == ["tool_call", "tool_call", "finish"]
+    assert json.loads(evs[0]["tool_input"]) == {"query": "x", "k": 3}
+
+
+def test_assemble_tool_calls_relational(spark):
+    from adenhq_hive_spark.functions.llm_stream import assemble_tool_calls
+
+    # fragments arrive out of order; id/name only on the first chunk
+    rows = [
+        ("r1", 0, 2, None, None, ', "k": 3}'),
+        ("r1", 0, 0, "call_a", "search", '{"qu'),
+        ("r1", 0, 1, None, None, 'ery": "x"'),
+        ("r1", 1, 1, None, None, '"oops'),
+        ("r1", 1, 0, "call_b", "fetch", '{"url": '),
+        ("r2", 0, 0, "call_c", "noop", '{}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "req_id string, tool_idx int, chunk_idx int, "
+              "call_id string, tool_name string, frag string")
+    out = {(r.req_id, r.tool_idx): r
+           for r in assemble_tool_calls(df).collect()}
+    a = out[("r1", 0)]
+    assert (a.call_id, a.tool_name) == ("call_a", "search")
+    assert a.tool_input == '{"query": "x", "k": 3}'
+    assert a.n_frags == 3 and a.is_valid
+    b = out[("r1", 1)]
+    assert b.tool_input == '{"url": "oops' and not b.is_valid
+    c = out[("r2", 0)]
+    assert c.tool_input == "{}" and c.is_valid and c.n_frags == 1
