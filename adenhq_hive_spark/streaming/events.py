@@ -645,6 +645,7 @@ def heavy_hitters_stream(
     text_col: str = "text",
     capacity: int = 1024,
     n_buckets: int = 16,
+    pre_reduce: bool = True,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.sketch.heavy_hitters`: a
     continuously-maintained Misra-Gries candidate sketch over the token
@@ -665,6 +666,18 @@ def heavy_hitters_stream(
 
     State per bucket: a JSON counter map (bounded by capacity) + the
     bucket's exact token total.
+
+    ``pre_reduce`` (default) runs map-side combine before the shuffle
+    to state: a stateless ``mapInPandas`` folds each source partition's
+    token occurrences to (bucket, token, cnt), so the state task for a
+    bucket receives distinct-tokens-per-partition rows instead of raw
+    occurrences — the hot-token bucket (one token at 50% of the stream
+    maps to ONE bucket by design) stops being a row funnel.  MG merge
+    is count-weighted, so folding occurrences into counts before the
+    merge preserves the sketch guarantee exactly (same total, same
+    increments, different grouping — Agarwal et al. mergeability).
+    ``pre_reduce=False`` keeps the row-shuffling plan as the
+    measurement twin.
     """
     import json
 
@@ -681,6 +694,23 @@ def heavy_hitters_stream(
         .alias("bucket"),
     )
 
+    if pre_reduce:
+        def reduce_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = (
+                    pdf.groupby(["bucket", "token"], as_index=False,
+                                sort=False)
+                    .size()
+                    .rename(columns={"size": "cnt"})
+                )
+                yield out[["bucket", "token", "cnt"]]
+
+        toks = toks.mapInPandas(
+            reduce_part, "bucket int, token string, cnt long"
+        )
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -693,8 +723,13 @@ def heavy_hitters_stream(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            total += len(pdf)
-            sk = mg_merge(sk, pdf["token"].value_counts(), capacity)
+            if "cnt" in pdf.columns:  # pre-reduced (token, cnt)
+                batch = pdf.groupby("token")["cnt"].sum()
+                total += int(batch.sum())
+            else:
+                batch = pdf["token"].value_counts()
+                total += len(pdf)
+            sk = mg_merge(sk, batch, capacity)
         state.update((json.dumps({k: int(v) for k, v in sk.items()}), total))
         yield pd.DataFrame(
             {
@@ -1021,9 +1056,28 @@ def _hdr_lb(b: int) -> int:
     return (8 + (b % 8)) << ((b >> 3) - 1)
 
 
+def _hdr_bucket_np(v):
+    """Vectorized ``_hdr_bucket`` — bit-exact for non-negative int64
+    (bit_length via 6-step binary shift, no float log2 edge cases)."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.int64)
+    bl = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = x >> sh
+        has = m > 0
+        bl[has] += sh
+        x = np.where(has, m, x)
+    bl += (x > 0).astype(np.int64)
+    s = bl - 4
+    return np.where(v <= 15, v, s * 8 + (v >> np.maximum(s, 0)))
+
+
 def hist_quantile_stream(
     stream: DataFrame,
     percentiles: tuple[int, ...] = (50, 90, 99),
+    pre_reduce: bool = True,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.sketch.hist_quantiles`: a
     RUNNING per-key HDR log-histogram over event values, emitting
@@ -1050,10 +1104,18 @@ def hist_quantile_stream(
     equal hist_quantiles() over the batch image of days <= D
     (tests/test_streaming.py).
 
-    Scale: state is O(buckets) per key; the micro-batch pre-aggregates
-    to (day, bucket) counts in pandas before touching state, so a
-    high-volume key costs the stateful stage O(distinct buckets), not
-    O(rows).
+    Scale: state is O(buckets) per key.  With ``pre_reduce`` (default)
+    a STATELESS ``mapInPandas`` stage runs map-side combine before the
+    shuffle to state: each source partition folds its rows to
+    (event_type, day, bucket, cnt) — vectorized bucketing + one pandas
+    groupby — so the stateful task for a key receives at most
+    partitions x open-days x ~500 bucket rows per trigger instead of
+    the key's raw row volume.  That is THE hot-key defense for keyed
+    streaming state: a key carrying 50% of the stream no longer
+    funnels 50% of the rows through one state task (the combine
+    happens wherever the rows already are), it funnels a constant-size
+    sketch delta.  ``pre_reduce=False`` keeps the row-shuffling plan
+    as the measurement twin (scripts/bench_skew_streaming.py).
     """
     import json
 
@@ -1076,6 +1138,17 @@ def hist_quantile_stream(
         hist: dict[str, int] = json.loads(hist_json)
         open_days: dict[str, dict[str, int]] = json.loads(open_json)
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if "cnt" in pdf.columns:  # pre-reduced (day, bucket, cnt)
+                days = pdf["day"].astype(str).to_numpy()
+                for day, b, c in zip(
+                    days, pdf["bucket"].to_numpy(), pdf["cnt"].to_numpy()
+                ):
+                    d = open_days.setdefault(day, {})
+                    b = str(int(b))
+                    d[b] = d.get(b, 0) + int(c)
+                continue
             vals = pdf["v"].to_numpy()
             days = pdf["day"].astype(str).to_numpy()
             for day, v in zip(days, vals):
@@ -1118,18 +1191,41 @@ def hist_quantile_stream(
             }
         )
 
+    base = stream.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("long").alias("v"),
+    ).filter(
+        F.col("day").isNotNull()
+        & F.col("v").isNotNull()
+        & (F.col("v") >= 0)
+    )
+
+    if pre_reduce:
+        def reduce_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.assign(
+                    bucket=_hdr_bucket_np(pdf["v"].to_numpy()).astype("int32")
+                )
+                out = (
+                    pdf.groupby(
+                        ["event_type", "day", "bucket"],
+                        as_index=False, sort=False,
+                    )
+                    .size()
+                    .rename(columns={"size": "cnt"})
+                )
+                yield out[["event_type", "day", "bucket", "cnt"]]
+
+        base = base.mapInPandas(
+            reduce_part,
+            "event_type string, day date, bucket int, cnt long",
+        )
+
     return (
-        stream.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.col("value").cast("long").alias("v"),
-        )
-        .filter(
-            F.col("day").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.col("v") >= 0)
-        )
-        .groupBy("event_type")
+        base.groupBy("event_type")
         .applyInPandasWithState(
             update,
             outputStructType=_HISTQ_OUT,
