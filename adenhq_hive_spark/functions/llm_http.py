@@ -30,6 +30,48 @@ import json
 import time
 
 
+def compute_retry_delay(
+    attempt: int,
+    headers=None,
+    backoff_base: float = 0.5,
+    max_delay: float = 30.0,
+) -> float:
+    """Retry delay, preferring server-provided Retry-After over local
+    backoff (reference litellm.py:133-180 priority order):
+
+    1. ``retry-after-ms`` header (milliseconds)
+    2. ``retry-after`` as seconds
+    3. ``retry-after`` as an HTTP-date (RFC 7231)
+    4. capped exponential backoff ``backoff_base * 2^attempt``
+
+    Every branch clamps to ``[0, max_delay]`` — a misbehaving server
+    must not be able to park an executor thread for an hour.
+    ``headers`` is any case-insensitive mapping (urllib's HTTPMessage).
+    """
+    if headers is not None:
+        ms = headers.get("retry-after-ms")
+        if ms is not None:
+            try:
+                return min(max(float(ms) / 1000.0, 0.0), max_delay)
+            except (TypeError, ValueError):
+                pass
+        ra = headers.get("retry-after")
+        if ra is not None:
+            try:
+                return min(max(float(ra), 0.0), max_delay)
+            except (TypeError, ValueError):
+                pass
+            try:
+                from email.utils import parsedate_to_datetime
+
+                dt = parsedate_to_datetime(ra)
+                delay = dt.timestamp() - time.time()
+                return min(max(delay, 0.0), max_delay)
+            except (TypeError, ValueError):
+                pass
+    return min(backoff_base * (2.0 ** attempt), max_delay)
+
+
 def http_chat_provider(
     url: str,
     model: str,
@@ -42,6 +84,7 @@ def http_chat_provider(
     backoff_s: float = 0.5,
     max_workers: int = 8,
     extra_headers: dict[str, str] | None = None,
+    sleep=time.sleep,
 ):
     """Build a ``BatchFn`` speaking OpenAI-compatible chat completions.
 
@@ -50,6 +93,14 @@ def http_chat_provider(
     non-retryable errors or after ``max_retries`` transient failures —
     a failed row fails the batch loudly (silent None rows would leak
     into training data as empty documents).
+
+    Transient classes retried with ``compute_retry_delay`` (server
+    Retry-After honored, else capped exponential backoff): HTTP
+    429/5xx, wire errors, and EMPTY 200 responses — some providers
+    signal quota exhaustion as 200-with-no-content instead of a 429
+    (reference litellm.py:295-350 treats the two identically; a
+    response with tool_calls but no content is NOT empty).
+    ``sleep`` is injectable for deterministic tests.
     """
     headers = {"Content-Type": "application/json"}
     if api_key:
@@ -81,21 +132,31 @@ def http_chat_provider(
             try:
                 with urllib.request.urlopen(req, timeout=timeout) as r:
                     body = json.loads(r.read().decode())
-                return body["choices"][0]["message"]["content"]
+                msg = body["choices"][0]["message"]
+                content = msg.get("content")
+                if not content and not msg.get("tool_calls"):
+                    # 200-with-nothing = stealth rate limit; retry
+                    last_err = RuntimeError(
+                        "LLM returned empty response (no content, no "
+                        "tool_calls) — likely rate limited"
+                    )
+                    sleep(compute_retry_delay(attempt, None, backoff_s))
+                    continue
+                return content or ""
             except urllib.error.HTTPError as e:
                 detail = e.read().decode(errors="replace")[:500]
                 if e.code == 429 or e.code >= 500:
                     last_err = RuntimeError(
                         f"LLM HTTP {e.code} (transient): {detail}"
                     )
-                    time.sleep(min(backoff_s * (2**attempt), 30.0))
+                    sleep(compute_retry_delay(attempt, e.headers, backoff_s))
                     continue
                 raise RuntimeError(
                     f"LLM HTTP {e.code}: {detail}"
                 ) from None
-            except (OSError, KeyError, ValueError) as e:
+            except (OSError, KeyError, IndexError, ValueError) as e:
                 last_err = RuntimeError(f"LLM call failed: {e}")
-                time.sleep(min(backoff_s * (2**attempt), 30.0))
+                sleep(compute_retry_delay(attempt, None, backoff_s))
         raise last_err  # type: ignore[misc]
 
     def batch(prompts: list[str]) -> list[str]:

@@ -92,6 +92,9 @@ def sse_stream_provider(
     temperature: float = 0.0,
     max_tokens: int = 1024,
     timeout: float = 60.0,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    sleep=None,
 ) -> StreamFn:
     """OpenAI-compatible SSE streaming chat: ``stream: true``, parse
     ``data:`` lines into text_delta events with an accumulated snapshot,
@@ -99,12 +102,19 @@ def sse_stream_provider(
     final chunks when the server sends them). A wire or parse error mid-
     stream emits a terminal ``error`` event (recoverable=False) instead
     of raising — a partially-streamed row is DATA about the provider,
-    not a reason to kill the batch (reference StreamErrorEvent)."""
+    not a reason to kill the batch (reference StreamErrorEvent).
+
+    EMPTY streams (no text deltas, no tool calls, no error — the
+    200-with-nothing stealth rate limit) are retried up to
+    ``max_retries`` times with Retry-After-aware backoff before the
+    empty event list is returned as-is (reference litellm.py:975-1014;
+    wire errors stay terminal events by the error-is-data contract
+    above). ``sleep`` is injectable for deterministic tests."""
     headers = {"Content-Type": "application/json"}
     if api_key:
         headers["Authorization"] = f"Bearer {api_key}"
 
-    def stream(prompt: str) -> list[dict]:
+    def _stream_once(prompt: str) -> list[dict]:
         import urllib.error
         import urllib.request
 
@@ -224,6 +234,22 @@ def sse_stream_provider(
             output_tokens=usage_out, model=model,
         ))
         return events
+
+    def stream(prompt: str) -> list[dict]:
+        import time as _time
+
+        from .llm_http import compute_retry_delay
+
+        do_sleep = sleep if sleep is not None else _time.sleep
+        evs: list[dict] = []
+        for attempt in range(max_retries + 1):
+            evs = _stream_once(prompt)
+            types = {e["event_type"] for e in evs}
+            if types & {"text_delta", "tool_call", "error"}:
+                return evs
+            if attempt < max_retries:  # empty stream -> retry
+                do_sleep(compute_retry_delay(attempt, None, backoff_s))
+        return evs
 
     return stream
 

@@ -282,3 +282,59 @@ def test_assemble_tool_calls_relational(spark):
     assert b.tool_input == '{"url": "oops' and not b.is_valid
     c = out[("r2", 0)]
     assert c.tool_input == "{}" and c.is_valid and c.n_frags == 1
+
+
+class EmptyFirstHandler(http.server.BaseHTTPRequestHandler):
+    """First N requests stream NOTHING but a finish chunk (the
+    200-with-nothing stealth rate limit in stream form); then text."""
+
+    empty_n = 0
+    hits = 0
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        self.rfile.read(int(self.headers["Content-Length"]))
+        type(self).hits += 1
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.end_headers()
+        if type(self).empty_n > 0:
+            type(self).empty_n -= 1
+            fin = {"choices": [{"delta": {}, "finish_reason": "stop"}]}
+            self.wfile.write(f"data: {json.dumps(fin)}\n\n".encode())
+            self.wfile.write(b"data: [DONE]\n\n")
+            return
+        for chunk in (
+            {"choices": [{"delta": {"content": "ok"}}]},
+            {"choices": [{"delta": {}, "finish_reason": "stop"}]},
+        ):
+            self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        self.wfile.write(b"data: [DONE]\n\n")
+
+
+def test_sse_empty_stream_retried_then_succeeds():
+    EmptyFirstHandler.empty_n = 2
+    EmptyFirstHandler.hits = 0
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), EmptyFirstHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions"
+        slept = []
+        evs = sse_stream_provider(url, model="toy", sleep=slept.append)("x")
+        assert [e["event_type"] for e in evs] == [
+            "text_delta", "text_end", "finish"]
+        assert evs[0]["content"] == "ok"
+        assert EmptyFirstHandler.hits == 3 and len(slept) == 2
+        # give-up path: empty events returned as-is, no exception
+        EmptyFirstHandler.empty_n = 99
+        EmptyFirstHandler.hits = 0
+        evs = sse_stream_provider(
+            url, model="toy", max_retries=1, sleep=lambda s: None)("x")
+        assert [e["event_type"] for e in evs] == ["text_end", "finish"]
+        assert EmptyFirstHandler.hits == 2
+    finally:
+        srv.shutdown()
