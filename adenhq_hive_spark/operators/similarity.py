@@ -972,6 +972,84 @@ def _pq_encode(v: DataFrame, books: np.ndarray) -> DataFrame:
     return v.select("cand_id", encode("cand_id_v").alias("codes"))
 
 
+def _pq_qerr(v: DataFrame, books: np.ndarray) -> DataFrame:
+    """Distributed quantization error: (cand_id, qerr) where qerr =
+    sum over subspaces of the squared distance to the NEAREST centroid
+    — exactly the error the encoder commits for that vector. Same
+    Arrow-batch argmin as :func:`_pq_encode`, keeping the min instead
+    of the argmin."""
+    dsub = books.shape[2]
+    bc = v.sparkSession.sparkContext.broadcast(books)
+
+    @F.pandas_udf("double")
+    def qerr(vcol: pd.Series) -> pd.Series:
+        if len(vcol) == 0:
+            return pd.Series([], dtype=np.float64)
+        mat = np.array(list(vcol), dtype=np.float64)
+        err = np.zeros(len(mat), dtype=np.float64)
+        for j, cent in enumerate(bc.value):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1)
+        return pd.Series(err)
+
+    return v.select("cand_id", qerr("cand_id_v").alias("qerr"))
+
+
+def pq_staleness(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.25,
+) -> DataFrame:
+    """Codebook-staleness gate for incremental PQ maintenance: should
+    this delta be APPENDED under the frozen codebooks
+    (:func:`pq_append_index`) or has the distribution drifted enough
+    that a RE-TRAIN (:func:`save_pq_index`) is due?
+
+    Metric: mean quantization error of the delta under the stored
+    codebooks vs the train-time mean recorded in ``<path>/meta``.
+    Quantization error is what ADC recall actually depends on — the
+    score error of a stored candidate is bounded by its reconstruction
+    error (Jegou et al. 2011), so a delta whose qerr ratio is ~1 probes
+    as well as the original corpus no matter how its ids or volume
+    differ, while a drifted delta degrades recall BEFORE any probe
+    notices (scripts/probe_pq_retrain.py quantifies the ratio→recall
+    curve on the bench corpus).
+
+    Returns one row: n_delta, delta_qerr, train_qerr, ratio,
+    retrain (ratio > threshold). Distributed: one Arrow-batch pass
+    over the delta, a scalar agg; the driver never sees vectors.
+    """
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    if not meta:
+        raise ValueError(f"no PQ meta at {path}/meta")
+    train_qerr = float(meta[0]["train_qerr"])
+    brows = spark.read.parquet(f"{path}/books").orderBy("j", "c").collect()
+    mm = max(r["j"] for r in brows) + 1
+    nc = max(r["c"] for r in brows) + 1
+    dsub = len(brows[0]["vals"])
+    books = np.empty((mm, nc, dsub), dtype=np.float64)
+    for r in brows:
+        books[r["j"], r["c"]] = r["vals"]
+    v = _unit_vectors(new_vectors, id_col, vec_col, "cand_id")
+    agg = _pq_qerr(v, books).agg(
+        F.count("qerr").alias("n_delta"),
+        F.avg("qerr").alias("delta_qerr"),
+    )
+    return agg.select(
+        "n_delta",
+        F.round("delta_qerr", 6).alias("delta_qerr"),
+        F.lit(round(train_qerr, 6)).alias("train_qerr"),
+        F.round(F.col("delta_qerr") / F.lit(train_qerr), 4).alias("ratio"),
+        (F.col("delta_qerr") / F.lit(train_qerr) > threshold).alias(
+            "retrain"
+        ),
+    )
+
+
 def _pq_collect_queries(q: DataFrame, max_queries: int, who: str):
     """Bounded query-side collect (raise, never silently OOM the
     driver). Returns (qids, qmat) or None when the query side is
@@ -1057,6 +1135,16 @@ def save_pq_index(
     spark.createDataFrame(
         rows, "j int, c int, vals array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    # train-time mean quantization error over the whole corpus — the
+    # baseline pq_staleness compares appended deltas against (one
+    # linear Arrow pass, a scalar)
+    stats = _pq_qerr(v, books).agg(
+        F.count("qerr").alias("n"), F.avg("qerr").alias("train_qerr")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(int(stats["n"]), float(stats["train_qerr"]), m, n_codes)],
+        "n long, train_qerr double, m int, n_codes int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def pq_append_index(

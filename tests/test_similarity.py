@@ -874,3 +874,53 @@ def test_pq_append_index_matches_full_encode(spark, emb, tmp_path):
     top = pq_query_index(spark, path, q, k=10).collect()
     assert any(r.cand_id % 2 == 1 for r in top)
     assert any(r.cand_id % 2 == 0 for r in top)
+
+
+def test_pq_staleness_in_distribution_vs_drifted(spark, emb, tmp_path):
+    """The re-train gate (r10): an in-distribution delta quantizes
+    about as well as the training corpus (ratio ~1, no retrain); a
+    DRIFTED delta (vectors nothing like the trained subspaces) shows a
+    ratio well past the threshold and trips the gate."""
+    from pyspark.sql import functions as F_
+
+    from adenhq_hive_spark.operators.similarity import (
+        pq_staleness,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pq_stale")
+    base = emb.filter(F_.col("vec_id") % 2 == 0)
+    save_pq_index(base, path, m=8, n_codes=8)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n == base.count() and meta.train_qerr > 0
+
+    # in-distribution: the held-out odd half of the same table
+    ok = pq_staleness(
+        spark, path, emb.filter(F_.col("vec_id") % 2 == 1)
+    ).collect()[0]
+    assert ok.n_delta > 0
+    assert 0.8 <= ok.ratio <= 1.2 and not ok.retrain
+
+    # drifted: all mass on one coordinate — unit-norm (the shared
+    # normalization cannot mask it) but unlike anything trained
+    dim = len(emb.first()["embedding"])
+    drift = spark.range(100).select(
+        (F_.col("id") + 1_000_000).alias("vec_id"),
+        F_.array(
+            *[
+                (F_.lit(1.0) if i == 0 else F_.lit(0.0)).cast("float")
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    bad = pq_staleness(spark, path, drift).collect()[0]
+    assert bad.ratio > 1.25 and bad.retrain
+
+
+def test_pq_staleness_requires_meta(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    from adenhq_hive_spark.operators.similarity import pq_staleness
+
+    with _pytest.raises(Exception):
+        pq_staleness(spark, str(tmp_path / "nope"), emb)
