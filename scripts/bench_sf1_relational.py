@@ -39,23 +39,47 @@ def main() -> None:
     specs = all_queries()
     names = [n for n in NAMES if n in specs]
 
+    failed: dict[str, str] = {}
+
     for name in names:  # warm-up: JIT, codegen cache, parquet footers
-        specs[name].run(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        try:
+            specs[name].run(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            failed[name] = str(e)[:200]
         print(f"warmup {name}", file=sys.stderr, flush=True)
 
     engine: dict[str, float] = {}
     for name in names:
+        if name in failed:
+            continue
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            specs[name].run(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                specs[name].run(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            # A 24-entry sweep in ONE 16g JVM accumulates heap state; a
+            # late-entry OOM must cost that entry, not the whole table
+            # (the r10 sf30 sweep died on entry 24 of 24 with 23 results
+            # unprinted). If the OOM killed the SparkContext, the next
+            # entry fails too and the partial JSON still prints.
+            failed[name] = str(e)[:200]
+            print(f"engine {name}: FAILED {failed[name][:80]}",
+                  file=sys.stderr, flush=True)
+            continue
         engine[name] = round(best, 4)
         print(f"engine {name}: {best:.3f}s", file=sys.stderr, flush=True)
+        # nudge old-gen between entries — broadcast/shuffle trackers of
+        # the previous entry are garbage now, not at sweep end
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     spark.stop()
 
     con = duckdb.connect()
@@ -77,7 +101,8 @@ def main() -> None:
         duck[name] = round(best, 4)
         print(f"duckdb {name}: {best:.3f}s", file=sys.stderr, flush=True)
 
-    print(json.dumps({"sf_dir": sf_dir, "engine": engine, "duckdb": duck}))
+    print(json.dumps({"sf_dir": sf_dir, "engine": engine, "duckdb": duck,
+                      "failed": failed}))
 
 
 if __name__ == "__main__":
