@@ -1003,25 +1003,40 @@ def pq_staleness(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 1.25,
+    dup_threshold: float = 0.25,
+    share_threshold: float = 0.3,
 ) -> DataFrame:
     """Codebook-staleness gate for incremental PQ maintenance: should
     this delta be APPENDED under the frozen codebooks
     (:func:`pq_append_index`) or has the distribution drifted enough
     that a RE-TRAIN (:func:`save_pq_index`) is due?
 
-    Metric: mean quantization error of the delta under the stored
-    codebooks vs the train-time mean recorded in ``<path>/meta``.
-    Quantization error is what ADC recall actually depends on — the
-    score error of a stored candidate is bounded by its reconstruction
-    error (Jegou et al. 2011), so a delta whose qerr ratio is ~1 probes
-    as well as the original corpus no matter how its ids or volume
-    differ, while a drifted delta degrades recall BEFORE any probe
-    notices (scripts/probe_pq_retrain.py quantifies the ratio→recall
-    curve on the bench corpus).
+    TWO orthogonal failure modes, two signals (scripts/
+    probe_pq_retrain.py measured both on the bench corpus):
+
+    - **Coverage failure** — the delta occupies regions the codebooks
+      never trained on. Signal: mean quantization error of the delta
+      vs the train-time mean recorded in ``<path>/meta`` (ADC score
+      error is bounded by reconstruction error, Jegou et al. 2011).
+    - **Resolution failure** — the delta CROWDS tighter than the code
+      grid resolves. Mean qerr stays flat or even FALLS here (the
+      probe measured recall collapsing 0.33 -> 0.03 while the qerr
+      ratio read a healthy 0.98). Two sub-modes, two cheap signals
+      over the delta's codes:
+      (a) exact-repeat crowding (re-ingested near-duplicates) — the
+      DUPLICATE-CODE RATE (1 - distinct codes / n);
+      (b) mean-shift / mode-collapse drift (a collapsing upstream
+      encoder) — the per-subspace TOP-CODE SHARE (avg over subspaces
+      of the most popular code's frequency), which the probe measured
+      rising monotonically 0.09 -> 0.15 -> 0.35 -> 0.70 -> 1.0 exactly
+      as recall fell, while the duplicate-code rate stayed ~0 until
+      total collapse.
 
     Returns one row: n_delta, delta_qerr, train_qerr, ratio,
-    retrain (ratio > threshold). Distributed: one Arrow-batch pass
-    over the delta, a scalar agg; the driver never sees vectors.
+    code_dup_rate, code_top_share, retrain (ratio > threshold OR
+    code_dup_rate > dup_threshold OR code_top_share >
+    share_threshold). Distributed: one Arrow-batch encode pass reused
+    by all three signals; the driver never sees vectors.
     """
     meta = spark.read.parquet(f"{path}/meta").collect()
     if not meta:
@@ -1035,18 +1050,40 @@ def pq_staleness(
     for r in brows:
         books[r["j"], r["c"]] = r["vals"]
     v = _unit_vectors(new_vectors, id_col, vec_col, "cand_id")
-    agg = _pq_qerr(v, books).agg(
+    from .dedup import _materialize
+
+    v = _materialize(v)
+    qagg = _pq_qerr(v, books).agg(
         F.count("qerr").alias("n_delta"),
         F.avg("qerr").alias("delta_qerr"),
     )
+    codes = _materialize(_pq_encode(v, books))
+    cagg = codes.agg(
+        F.countDistinct(F.concat_ws(",", "codes")).alias("n_distinct"),
+    )
+    sagg = (
+        codes.select(F.posexplode("codes").alias("j", "code"))
+        .groupBy("j", "code")
+        .count()
+        .groupBy("j")
+        .agg(F.max("count").alias("mx"))
+        .agg(F.avg("mx").alias("top_cnt"))
+    )
+    agg = qagg.crossJoin(cagg).crossJoin(sagg)
+    dup = 1.0 - F.col("n_distinct") / F.col("n_delta")
+    share = F.col("top_cnt") / F.col("n_delta")
     return agg.select(
         "n_delta",
         F.round("delta_qerr", 6).alias("delta_qerr"),
         F.lit(round(train_qerr, 6)).alias("train_qerr"),
         F.round(F.col("delta_qerr") / F.lit(train_qerr), 4).alias("ratio"),
-        (F.col("delta_qerr") / F.lit(train_qerr) > threshold).alias(
-            "retrain"
-        ),
+        F.round(dup, 4).alias("code_dup_rate"),
+        F.round(share, 4).alias("code_top_share"),
+        (
+            (F.col("delta_qerr") / F.lit(train_qerr) > threshold)
+            | (dup > dup_threshold)
+            | (share > share_threshold)
+        ).alias("retrain"),
     )
 
 

@@ -900,6 +900,23 @@ def test_pq_staleness_in_distribution_vs_drifted(spark, emb, tmp_path):
     ).collect()[0]
     assert ok.n_delta > 0
     assert 0.8 <= ok.ratio <= 1.2 and not ok.retrain
+    assert ok.code_dup_rate < 0.25
+
+    # resolution failure: an in-distribution delta that CROWDS (each
+    # held-out vector repeated 10x — collapsed-encoder drift). Mean
+    # qerr cannot see it (same vectors as the healthy delta); the
+    # duplicate-code rate must trip the gate.
+    held = emb.filter(F_.col("vec_id") % 2 == 1).limit(50)
+    crowd = held.crossJoin(spark.range(10)).select(
+        (F_.col("vec_id") * 100 + F_.col("id")).alias("vec_id"),
+        "embedding",
+    )
+    cr = pq_staleness(spark, path, crowd).collect()[0]
+    assert cr.n_delta == 500
+    assert cr.code_dup_rate > 0.8 and cr.retrain
+    # exact-repeat crowding concentrates FULL codes, not subspaces:
+    # the share signal alone must not be what fired
+    assert cr.code_top_share < 0.3
 
     # drifted: all mass on one coordinate — unit-norm (the shared
     # normalization cannot mask it) but unlike anything trained
