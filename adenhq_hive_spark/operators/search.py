@@ -480,15 +480,31 @@ def winnow_fingerprints(
     ground between full k-gram sets (huge) and one-hash-per-doc
     MinHash (whole-doc only).
 
-    All in-row (map-only, no shuffle): hashes via the portable
-    md5-prefix-int idiom (operators/dedup.py:306 — 8 hex chars here,
-    fits 32 bits), window mins via transform+slice+array_min, O(n·w)
-    per doc. Docs shorter than ``k`` chars emit nothing; docs with
-    fewer than ``w`` k-grams emit the min of what exists (the
-    every-doc-fingerprinted clamp both engines share).
+    Hashes use the portable md5-prefix-int idiom (operators/
+    dedup.py:306 — 8 hex chars here, fits 32 bits). Docs shorter than
+    ``k`` chars emit nothing; docs with fewer than ``w`` k-grams emit
+    the min of what exists (the every-doc-fingerprinted clamp both
+    engines share).
+
+    Shape — POSEXPLODE TO ROWS, not a higher-order transform: the
+    original array formulation (transform over sequence with
+    per-position substring+md5, array_min over slices) ran every gram
+    through INTERPRETED expression eval (HigherOrderFunction has no
+    codegen) and paid O(position) per UTF8 substring — O(n^2)
+    byte-walking per doc; jstack showed every hot task inside
+    Substring/Lower nullSafeEval, and hoisting lower() out of the
+    lambda cannot fix it (Catalyst re-inlines single-use aliases). One
+    position-exploded row per gram keeps substring+md5 inside
+    WholeStageCodegen and the window-of-w min becomes a real window
+    function (per-doc partitions sort locally); measured 61.6s -> 23.6s
+    at sf1 on a 6-way scan with EXACT fingerprint-set parity. The
+    explode costs a doc_id shuffle for the window, but that shuffle is
+    300x-smaller hashes, not text.
 
     Output: (id_col, fp) — one row per DISTINCT fingerprint per doc.
     """
+    from pyspark.sql import Window
+
     from ..catalog import spread_small_scan
 
     # the per-position md5 battery runs in the scan stage — spread a
@@ -496,25 +512,29 @@ def winnow_fingerprints(
     # the whole fingerprint pass to 1-2 cores; no-op at cluster scale,
     # see catalog.spread_small_scan)
     df = spread_small_scan(df)
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower({text_col})) "
-        f"- {k} + 1, 0)), i -> substring(lower({text_col}), i, {k}))"
+    low = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    ).filter(F.length("_lt") >= k)
+    pos = low.select(
+        id_col, "_lt",
+        F.explode(F.sequence(F.lit(1), F.length("_lt") - k + 1)).alias("i"),
     )
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
-            "long"
-        ),
+    hashed = pos.select(
+        id_col, "i",
+        F.conv(
+            F.substring(
+                F.md5(F.substring(F.col("_lt"), F.col("i").cast("int"), k)),
+                1, 8,
+            ), 16, 10,
+        ).cast("long").alias("_hh"),
+        (F.length("_lt") - k + 1).alias("_n"),
     )
-    with_h = df.select(F.col(id_col), hashes.alias("_h")).filter(
-        F.size("_h") >= 1
-    )
-    mins = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_h) - {w} "
-        f"+ 1, 1)), j -> array_min(slice(_h, j, {w}))))"
-    )
-    return with_h.select(
-        F.col(id_col), F.explode(mins).alias("fp")
+    wspec = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("fp", F.min("_hh").over(wspec))
+        .filter(F.col("i") <= F.greatest(F.col("_n") - w + 1, F.lit(1)))
+        .select(id_col, "fp")
+        .distinct()
     )
 
 
