@@ -13,20 +13,24 @@ Scale posture (100 TB / billions of edges):
   the textbook Pregel/GraphX shape expressed as DataFrames, so AQE gets to
   re-plan per iteration and skew-join hot hub nodes.
 - The edge relation is annotated with out-degrees ONCE and materialized
-  via ``localCheckpoint(eager=True)`` — unlike ``cache()`` (whose entry
-  in the CacheManager is never released until an explicit unpersist, so
-  repeated invocations in one session accumulate blocks), checkpoint
-  blocks are reclaimed by the ContextCleaner once the DataFrame is
-  garbage-collected, and the checkpoint also truncates lineage. The
-  per-iteration state is a skinny (node, rank) relation.
-- ``checkpoint_every=N`` (optional) localCheckpoints the rank state every
-  N iterations: the registered 3-iteration forms don't need it, but a
-  20+-iteration walk unrolls one join+agg per iteration into a single
-  plan and hits analyzer/codegen blowup without periodic truncation.
-  (localCheckpoint trades re-computability for speed: if an executor is
-  lost mid-job the truncated lineage cannot recompute its blocks — on a
-  long multi-tenant cluster job prefer ``spark.sparkContext.
-  setCheckpointDir`` + reliable ``checkpoint()`` at the same cadence.)
+  via ``dedup._materialize`` — persist(MEMORY_AND_DISK) registered for
+  deterministic release by ``dedup.release_persisted()`` between
+  queries (bench.py and the oracle sweeps already call it). This
+  replaced raw ``localCheckpoint(eager=True)``: its blocks are only
+  reclaimed when the ContextCleaner notices the RDD is garbage, which
+  the r10 sf10 spot-check measured NOT happening across repeated
+  invocations in one JVM — run 1 of pl_pagerank at sf10 completed in
+  189 s and run 2 OOM'd a 16 GB heap even with explicit System.gc()
+  between runs; the corpus-sized edge blocks from run 1 were still
+  resident. Persist blocks are also lineage-backed (executor loss
+  recomputes instead of failing the job). The per-iteration state is a
+  skinny (node, rank) relation.
+- ``checkpoint_every=N`` (optional) cuts the rank-state lineage every
+  N iterations via ``dedup._cut_lineage`` (reliable checkpoint when a
+  checkpoint dir is configured, else localCheckpoint): the registered
+  3-iteration forms don't need it, but a 20+-iteration walk unrolls
+  one join+agg per iteration into a single plan and hits
+  analyzer/codegen blowup without periodic truncation.
 - Ranks are scaled BIGINTs with truncating division (``DIV``): integer
   sums are exact and order-independent, so the result is bit-identical
   across partitionings, engines, and cluster sizes — which is what lets a
@@ -49,6 +53,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .dedup import _cut_lineage, _materialize
 
 SCALE = 10**12
 
@@ -75,28 +81,26 @@ def pagerank_int(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
-    nodes = (
+    nodes = _materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     init = scale // n
     teleport = ((100 - damping_pct) * init) // 100
 
     deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
-    ed = (
+    ed = _materialize(
         edges.join(deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                 "outdeg")
-        .localCheckpoint(eager=True)
     )
 
     pr = nodes.withColumn("r", F.lit(init).cast("long"))
     for i in range(iterations):
         if checkpoint_every and i and i % checkpoint_every == 0:
-            pr = pr.localCheckpoint(eager=True)
+            pr = _cut_lineage(pr)
         contrib = ed.join(pr, ed["e_src"] == pr["node"]).select(
             F.col("e_dst").alias("node"),
             F.expr("r DIV outdeg").alias("c"),
@@ -140,16 +144,14 @@ def personalized_pagerank_int(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
-    nodes = (
+    nodes = _materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    seed_nodes = (
+    seed_nodes = _materialize(
         seeds.select(F.col(seed_col).alias("node")).distinct()
         .join(nodes, "node", "left_semi")
-        .localCheckpoint(eager=True)
     )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
@@ -158,11 +160,10 @@ def personalized_pagerank_int(
     teleport = ((100 - damping_pct) * seed_share) // 100
 
     deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
-    ed = (
+    ed = _materialize(
         edges.join(deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                 "outdeg")
-        .localCheckpoint(eager=True)
     )
     marked = nodes.join(
         seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left"
@@ -180,7 +181,7 @@ def personalized_pagerank_int(
     ).otherwise(F.lit(0).cast("long"))
     for i in range(iterations):
         if checkpoint_every and i and i % checkpoint_every == 0:
-            pr = pr.localCheckpoint(eager=True)
+            pr = _cut_lineage(pr)
         contrib = ed.join(pr, ed["e_src"] == pr["node"]).select(
             F.col("e_dst").alias("node"),
             F.expr("r DIV outdeg").alias("c"),
@@ -223,22 +224,21 @@ def label_propagation(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    nodes = (
+    nodes = _materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    ed = edges.select(
+    ed = _materialize(edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
+    ))
     lab = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label")
     )
     for i in range(iterations):
         if checkpoint_every and i and i % checkpoint_every == 0:
-            lab = lab.localCheckpoint(eager=True)
+            lab = _cut_lineage(lab)
         counts = (
             ed.join(lab, ed["e_src"] == lab["node"])
             .select(F.col("e_dst").alias("node"), "label")
