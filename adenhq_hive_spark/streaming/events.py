@@ -1234,3 +1234,105 @@ def hist_quantile_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_TOOLCALL_OUT = T.StructType([
+    T.StructField("req_id", T.StringType()),
+    T.StructField("tool_idx", T.IntegerType()),
+    T.StructField("call_id", T.StringType()),
+    T.StructField("tool_name", T.StringType()),
+    T.StructField("tool_input", T.StringType()),
+    T.StructField("n_frags", T.LongType()),
+])
+_TOOLCALL_STATE = T.StructType([
+    T.StructField("acc_json", T.StringType()),
+])
+
+
+def toolcall_assembly_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of functions/llm_stream.py:assemble_tool_calls
+    (reference litellm.py:903-970 accumulation as keyed streaming
+    state): tool-call argument FRAGMENTS arrive as a live chunk stream
+    — (req_id, tool_idx, chunk_idx, call_id, tool_name, frag, finish)
+    — possibly out of order and across micro-batches; per-request
+    state accumulates them, and when the request's finish marker (the
+    finish_reason chunk) arrives, one assembled row per call index is
+    emitted and the state is cleared.
+
+    Same output shape as the batch operator plus the SAME validity
+    discriminant (``get_json_object(tool_input, '$')``), applied
+    OUTSIDE the state function so batch and stream share one JSON
+    semantics — parity is stream == batch assemble_tool_calls on the
+    identical fragment corpus (tests/test_streaming.py).
+
+    Scale: state per in-flight request is bounded by the provider's
+    max_tokens (the fragments ARE the argument text); emitted requests
+    free their state immediately, so steady-state memory tracks
+    CONCURRENT requests, not stream history. Fragments pre-shuffle on
+    req_id only — no pre_reduce tier here because fragment order
+    matters and per-request volume is tiny.
+    """
+    import json
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (acc_json,) = state.get if state.exists else ("{}",)
+        acc: dict[str, dict] = json.loads(acc_json)
+        done = acc.pop("__finished__", False)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                if bool(getattr(r, "finish", False)):
+                    done = True
+                    continue
+                slot = acc.setdefault(
+                    str(int(r.tool_idx)),
+                    {"id": "", "name": "", "frags": []},
+                )
+                if isinstance(r.call_id, str) and r.call_id:
+                    slot["id"] = r.call_id
+                if isinstance(r.tool_name, str) and r.tool_name:
+                    slot["name"] = r.tool_name
+                if isinstance(r.frag, str):
+                    slot["frags"].append([int(r.chunk_idx), r.frag])
+        if not done:
+            state.update((json.dumps(acc),))
+            yield pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in _TOOLCALL_OUT}
+            )
+            return
+        rows = []
+        for idx in sorted(acc, key=int):
+            slot = acc[idx]
+            joined = "".join(
+                f for _, f in sorted(slot["frags"], key=lambda p: p[0])
+            )
+            rows.append((key[0], int(idx), slot["id"] or None,
+                         slot["name"] or None, joined, len(slot["frags"])))
+        state.remove()
+        if not rows:
+            yield pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in _TOOLCALL_OUT}
+            )
+            return
+        yield pd.DataFrame({
+            "req_id": [r[0] for r in rows],
+            "tool_idx": [r[1] for r in rows],
+            "call_id": [r[2] for r in rows],
+            "tool_name": [r[3] for r in rows],
+            "tool_input": [r[4] for r in rows],
+            "n_frags": [r[5] for r in rows],
+        })
+
+    assembled = stream.groupBy("req_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOOLCALL_OUT,
+        stateStructType=_TOOLCALL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return assembled.withColumn(
+        "is_valid", F.get_json_object(F.col("tool_input"), "$").isNotNull()
+    )

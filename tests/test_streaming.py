@@ -1581,3 +1581,83 @@ def test_write_shards_stream_epoch_replay_is_idempotent(spark, tmp_path):
     assert sum(r.n_docs for r in ver) == len(docs)
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == len(docs)
+
+
+def test_toolcall_assembly_stream_matches_batch(spark, tmp_path):
+    """Streaming tool-call assembly == batch assemble_tool_calls on the
+    identical fragment corpus (reference litellm.py:903-970 accumulation
+    as keyed streaming state): fragments split across FILES (and thus
+    micro-batches with maxFilesPerTrigger=1), out of chunk order, two
+    interleaved calls, one malformed; emission happens only at the
+    request's finish marker and state is freed after it."""
+    import os
+    import pandas as pd_
+
+    from adenhq_hive_spark.functions.llm_stream import assemble_tool_calls
+    from adenhq_hive_spark.streaming.events import (
+        run_to_completion,
+        toolcall_assembly_stream,
+    )
+
+    cols = ["req_id", "tool_idx", "chunk_idx", "call_id", "tool_name",
+            "frag", "finish"]
+    # r1: two interleaved calls, fragments split across the two files;
+    # r2: single malformed call; r3: finish with no tool calls at all
+    f1 = [
+        ("r1", 0, 0, "call_a", "search", '{"qu', False),
+        ("r1", 1, 0, "call_b", "fetch", '{"url": ', False),
+        ("r2", 0, 1, None, None, '"boom', False),
+        ("r1", 0, 2, None, None, ', "k": 3}', False),  # out of order
+    ]
+    f2 = [
+        ("r1", 0, 1, None, None, 'ery": "x"', False),
+        ("r2", 0, 0, "call_c", "post", '{"p": ', False),
+        ("r1", 0, 0, None, None, None, True),   # finish r1
+        ("r2", 0, 0, None, None, None, True),   # finish r2
+        ("r3", 0, 0, None, None, None, True),   # finish r3 (no calls)
+    ]
+    src = tmp_path / "tc_src"
+    src.mkdir()
+    for name, rows, mtime in (("a.parquet", f1, 1_000_000),
+                              ("b.parquet", f2, 2_000_000)):
+        pdf = pd_.DataFrame(rows, columns=cols)
+        pdf["tool_idx"] = pdf["tool_idx"].astype("int32")
+        pdf["chunk_idx"] = pdf["chunk_idx"].astype("int32")
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    schema = ("req_id string, tool_idx int, chunk_idx int, "
+              "call_id string, tool_name string, frag string, "
+              "finish boolean")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_to_completion(
+        toolcall_assembly_stream(stream), "tc_stream",
+        str(tmp_path / "tc_ck"), output_mode="update",
+    )
+    try:
+        got = {
+            (r.req_id, r.tool_idx):
+                (r.call_id, r.tool_name, r.tool_input, r.n_frags,
+                 r.is_valid)
+            for r in spark.sql("SELECT * FROM tc_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_frags = spark.createDataFrame(
+        [r for r in f1 + f2 if not r[6]], schema
+    ).drop("finish")
+    want = {
+        (r.req_id, r.tool_idx):
+            (r.call_id, r.tool_name, r.tool_input, r.n_frags, r.is_valid)
+        for r in assemble_tool_calls(batch_frags).collect()
+    }
+    assert got == want
+    a = got[("r1", 0)]
+    assert a[2] == '{"query": "x", "k": 3}' and a[4]
+    assert not got[("r2", 0)][4]  # malformed -> is_valid False
+    assert ("r3", 0) not in got   # finish with no calls emits nothing
