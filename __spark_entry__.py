@@ -52,6 +52,9 @@ _CORE = [
     "pl_minhash_lsh", "pl_simhash", "pl_trigram_probe",
     "pl_bucketed_join", "pl_shard_manifest", "pl_salted_topk",
     "pl_bootstrap_ci", "pl_bootstrap_ci_arrow", "pl_toolcall_assembly",
+    # second-session changed plans: winnow posexplode rewrite, graph
+    # tier materialization lifecycle
+    "pl_winnow_pairs", "pl_pagerank", "pl_ppr", "pl_communities",
     # -- the r3-witnessed cohort, in full --
     "pl_cosine_dedup", "pl_sliding_window", "q02", "q34", "q38",
     "q39", "q40", "q42", "q47", "q48", "q50", "q54", "q69", "q71",
@@ -61,7 +64,7 @@ _CORE = [
     "pl_graph_curation", "pl_normalize_text", "pl_pack_chunks",
     "pl_pii_redact", "pl_repetition", "pl_simhash_portable",
     "pl_tokens", "q03", "q04", "q05", "q07", "q08", "q10", "q11",
-    "q12", "q14", "q15", "q16", "q18", "q19", "q20",
+    "q12", "q14", "q15",
 ]
 
 def _export_names() -> dict[str, str]:
