@@ -42,3 +42,28 @@ def word_ngrams(text_col: Column, n: int, lowercase: bool = False) -> Column:
     if n > 1:
         out = F.filter(out, lambda x: x.isNotNull())
     return out
+
+
+def char_ngrams(text_col: Column, n: int, lowercase: bool = False) -> Column:
+    """Array of character ``n``-grams of ``text_col`` — the same k-1
+    pairwise ``zip_with`` device as :func:`word_ngrams` over the
+    per-character array (``split(t, '')``, one linear pass).
+
+    Replaces the ``transform(sequence(1, length(t) - n + 1), i ->
+    substring(t, i, n))`` formulation, which paid O(position) per UTF8
+    substring — O(len^2) byte-walking per document inside INTERPRETED
+    HigherOrderFunction eval (the winnow lesson, search.py; r11
+    interpreted-eval audit). Texts shorter than ``n`` chars (including
+    empty) yield an empty array, so callers need no length guard.
+    """
+    src = F.lower(text_col) if lowercase else text_col
+    cs = F.split(src, "")
+    out = cs
+    for off in range(1, n):
+        shifted = F.slice(
+            cs, off + 1, F.greatest(F.size(cs) - off, F.lit(0))
+        )
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, b))
+    if n > 1:
+        out = F.filter(out, lambda x: x.isNotNull())
+    return out

@@ -48,15 +48,15 @@ def build_trigram_postings(
     The cap never changes answers: probes ignore hot trigrams and fall
     back to the scan when every needle trigram is hot.
     """
-    # sequence(1, 0) is DESCENDING in Spark ([1, 0]), so texts shorter
-    # than 3 chars would emit junk sub-trigram postings (including '' for
-    # empty docs) without the length gate.
-    tris = F.expr(
-        f"CASE WHEN length({text_col}) >= 3 THEN "
-        f"array_distinct(transform(sequence(1, length({text_col}) - 2), "
-        f"i -> substring({text_col}, i, 3))) "
-        f"ELSE array() END"
-    )
+    # char_ngrams builds the trigram array in one linear pass (two
+    # zip_with concats over split(t, '')); the former per-position
+    # substring transform paid O(position) per UTF8 substring — O(n^2)
+    # interpreted byte-walking per doc (r11 interpreted-eval audit;
+    # measured 2.3x on the sf1 index build). Sub-3-char and empty docs
+    # yield an empty array inside the helper — no length gate needed.
+    from .ngrams import char_ngrams
+
+    tris = F.array_distinct(char_ngrams(F.col(text_col), 3))
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(tris).alias("trigram")
     )

@@ -790,13 +790,20 @@ def char_entropy(
     stable mid band. The standard cheap filter for binary-ish rows that
     slip into a text corpus.
 
-    Computed in-row from exact integer counts (map-only, no shuffle —
-    the per-(doc, char) explode+groupBy formulation would shuffle one
-    row per corpus CHARACTER, which at 100 TB is the corpus itself):
-    H = ln N − (Σ n_c·ln n_c)/N over the doc's distinct characters,
-    O(distinct·len) per row inside codegen. ln + ROUND(4) is the
-    established cross-engine device. Empty docs are excluded (entropy
-    of nothing is undefined; length filters own those rows).
+    Computed in-row from exact integer run lengths (map-only, no
+    shuffle): H = ln N − (Σ n_c·ln n_c)/N with the n_c taken as run
+    lengths of the SORTED per-character array — one O(n log n) sort +
+    one O(n) fold per row, replacing the r8-r10 O(distinct·len)
+    distinct-tally (every distinct char re-scanned the whole array;
+    r11 interpreted-eval audit measured the fold 2.6-2.9x faster at
+    sf0.1/sf1 with exceptAll-exact parity). The explode+groupBy
+    formulation measured faster still (6.1x at sf1) but shuffles one
+    row per distinct (doc, char) pair and would serialize this battery
+    out of the shared scan stage — rejected to keep the map-only
+    contract (this filter composes with gopher/quality/c4 in ONE scan
+    at 100 TB). ln + ROUND(4) is the established cross-engine device.
+    Empty docs are excluded (entropy of nothing is undefined; length
+    filters own those rows).
 
     Output: (id_col, n_chars, entropy), rounded at 4.
     """
@@ -805,20 +812,37 @@ def char_entropy(
     # O(distinct·len) per-row battery runs in the scan stage — spread a
     # narrow scan first (same adoption as quality/gopher; no-op at scale)
     df = spread_small_scan(df)
+    # split(t, '') yields the per-character array in ONE linear pass;
+    # the former transform(sequence(1, length(t)), i -> substring(t,
+    # i, 1)) paid O(position) per UTF8 substring — O(n^2) byte-walking
+    # per doc inside INTERPRETED HigherOrderFunction eval (the winnow
+    # lesson, search.py:489; r11 interpreted-eval audit). Verified
+    # identical element-wise for every non-empty string incl.
+    # multi-byte code points; empty docs are filtered out both before
+    # and after the change.
     with_cs = df.filter(F.length(text_col) > 0).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
-        F.expr(
-            f"transform(sequence(1, length({text_col})), "
-            f"i -> substring({text_col}, i, 1))"
-        ).alias("_cs"),
+        F.split(F.col(text_col), "").alias("_cs"),
     )
+    # run-length fold over the sorted char array: state carries
+    # (prev char, current run, acc = Σ run·ln(run) of closed runs);
+    # the finish lambda flushes the last run. run == 1 contributes
+    # ln(1) == 0, so the guard only skips dead work.
     entropy = F.expr(
-        "ROUND(LN(n_chars) - "
-        "aggregate(transform(array_distinct(_cs), "
-        "d -> size(filter(_cs, c -> c = d))), "
-        "CAST(0.0 AS DOUBLE), (a, n) -> a + n * LN(n)) "
-        "/ n_chars, 4)"
+        "ROUND(LN(n_chars) - aggregate("
+        " array_sort(_cs),"
+        " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
+        "        CAST(0.0 AS DOUBLE) AS acc),"
+        " (s, c) -> IF(c = s.prev,"
+        "   struct(s.prev AS prev, s.run + CAST(1 AS BIGINT) AS run,"
+        "          s.acc AS acc),"
+        "   struct(c AS prev, CAST(1 AS BIGINT) AS run,"
+        "          s.acc + IF(s.run > 1, s.run * LN(s.run),"
+        "                     CAST(0.0 AS DOUBLE)) AS acc)),"
+        " s -> s.acc + IF(s.run > 1, s.run * LN(s.run),"
+        "                 CAST(0.0 AS DOUBLE))"
+        ") / n_chars, 4)"
     )
     return with_cs.select(id_col, "n_chars", entropy.alias("entropy"))
 
