@@ -154,6 +154,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat. Hypervisor CPU steal
+    is the ONE contention signal a guest-level load average cannot see:
+    r10's artifact shipped 2-9x regressions on unchanged code while the
+    in-guest load gate read clean, and an r11 probe reproduced a
+    uniform 4-5x slowdown with zero runnable guest processes besides
+    Spark. A per-entry steal percentage makes a contaminated sample
+    self-identifying with certainty, not inference."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return None
+
+
 def _wait_for_idle_host(threshold: float = 2.0,
                         max_wait_s: float = 600.0) -> tuple[float, int]:
     """Gate the measurement on host load: BENCH_r07 shipped with
@@ -218,19 +235,104 @@ def main() -> None:
     # spread — machine variance between sessions measured ~25% on
     # identical code, so cross-round comparisons need the dispersion on
     # record to separate variance from regression.
+    #
+    # SELF-DEFENDING RE-RUNS (r10 verdict #1): BENCH_r10 shipped with
+    # per-entry spreads to 414% and ~20 unchanged entries regressed
+    # 2-9x because a noisy co-tenant arrived mid-sweep AFTER the
+    # start-of-run load gate passed. The artifact must defend itself
+    # per entry, not per sweep: when the three fastest samples of an
+    # entry disagree by more than SPREAD_GATE_PCT, or the min leaves
+    # the prior round's recorded value by more than BAND_FACTOR, take
+    # extra samples (up to MAX_EXTRA_RUNS). Extra samples can only
+    # REMOVE noise, never fake speed: the min of more runs converges
+    # to the true steady-state cost, and a genuine code regression
+    # survives re-sampling and ships with n_samples on record. The
+    # per-entry 1-min load average is recorded alongside so a hot
+    # sample is self-identifying even when the retries run out.
     N_RUNS = 3
+    SPREAD_GATE_PCT = 50.0
+    MAX_EXTRA_RUNS = 5
+    BAND_FACTOR = 1.6
+    # sub-second entries jitter 30-80% in RELATIVE spread from pure
+    # scheduling noise even on an idle host (r11 baseline measured it);
+    # re-sampling only pays when the absolute disagreement is material
+    MIN_ABS_DELTA_S = 0.3
+    STEAL_GATE_PCT = 5.0
     times: dict[str, float] = {}
     spread_pct: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
+    entry_load: dict[str, float] = {}
+    entry_steal: dict[str, float] = {}
     from adenhq_hive_spark.operators.dedup import release_persisted
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_times: dict[str, float] = {}
+    try:
+        details = sorted(
+            f for f in os.listdir(here)
+            if re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
+        )
+        if details:
+            with open(os.path.join(here, details[-1])) as fh:
+                prior_times = json.load(fh).get("queries", {})
+    except Exception as exc:
+        log(f"prior-round band unavailable: {exc}")
+
     for name in names:
-        samples = []
-        for _ in range(N_RUNS):
+        samples: list[float] = []
+        steals: list[float] = []
+
+        def _run_once() -> None:
+            c0 = _cpu_ticks()
             t0 = time.perf_counter()
             specs[name].run(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
             samples.append(time.perf_counter() - t0)
+            c1 = _cpu_ticks()
+            if c0 and c1 and c1[1] > c0[1]:
+                steals.append(
+                    100.0 * (c1[0] - c0[0]) / (c1[1] - c0[1])
+                )
+            else:
+                steals.append(0.0)
+
+        def _best3_spread() -> float:
+            s = sorted(samples)[:3]
+            return (s[-1] - s[0]) / s[0] * 100 if s[0] > 0 else 0.0
+
+        def _steal_of_min() -> float:
+            i = min(range(len(samples)), key=samples.__getitem__)
+            return steals[i]
+
+        def _noisy() -> bool:
+            s = sorted(samples)[:3]
+            spread_hit = (
+                _best3_spread() > SPREAD_GATE_PCT
+                and (s[-1] - s[0]) > MIN_ABS_DELTA_S
+            )
+            prior = prior_times.get(name)
+            band_hit = (
+                prior is not None
+                and min(samples) > prior * BAND_FACTOR
+                and min(samples) - prior > MIN_ABS_DELTA_S
+            )
+            # the winning sample itself ran under hypervisor steal:
+            # its value is inflated with certainty, not suspicion
+            steal_hit = _steal_of_min() > STEAL_GATE_PCT
+            return spread_hit or band_hit or steal_hit
+
+        for _ in range(N_RUNS):
+            _run_once()
+        prior = prior_times.get(name)
+        extra = 0
+        while extra < MAX_EXTRA_RUNS and _noisy():
+            extra += 1
+            log(f"{name}: re-sampling ({extra}/{MAX_EXTRA_RUNS}) — "
+                f"best3 spread {_best3_spread():.0f}%"
+                + (f", min {min(samples):.2f}s vs prior {prior:.2f}s"
+                   if prior is not None else ""))
+            _run_once()
         # release the _materialize-pinned caches BETWEEN queries (not
         # between runs — the persisted-index amortization stories like
         # pl_dedup_incremental_indexed are part of what's measured):
@@ -239,8 +341,16 @@ def main() -> None:
         release_persisted()
         best = min(samples)
         times[name] = round(best, 4)
-        spread_pct[name] = round((max(samples) - best) / best * 100, 1)
-        log(f"{name}: {times[name]:.3f}s (spread {spread_pct[name]:.0f}%)")
+        spread_pct[name] = round(_best3_spread(), 1)
+        n_samples[name] = len(samples)
+        entry_steal[name] = round(_steal_of_min(), 1)
+        try:
+            entry_load[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+        log(f"{name}: {times[name]:.3f}s (spread {spread_pct[name]:.0f}%, "
+            f"n={n_samples[name]}, load {entry_load.get(name)}, "
+            f"steal {entry_steal[name]:.0f}%)")
 
     # sf1 relational tier: the floor argument is settled at sf0.1; the
     # number that matters is the same plans at 10x. Times the 16
@@ -475,7 +585,6 @@ def main() -> None:
 
     # Full per-query detail goes to a local file; stdout carries only the
     # compact scalars (driver tail-capture is 2000 chars).
-    here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1)) for f in os.listdir(here)
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
@@ -485,6 +594,9 @@ def main() -> None:
     detail = {
         "queries": times,
         "spread_pct": spread_pct,
+        "n_samples": n_samples,
+        "load_1m": entry_load,
+        "steal_pct_of_min": entry_steal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": N_RUNS,
     }
