@@ -132,15 +132,21 @@ def http_chat_provider(
             try:
                 with urllib.request.urlopen(req, timeout=timeout) as r:
                     body = json.loads(r.read().decode())
+                    resp_headers = r.headers
                 msg = body["choices"][0]["message"]
                 content = msg.get("content")
                 if not content and not msg.get("tool_calls"):
-                    # 200-with-nothing = stealth rate limit; retry
+                    # 200-with-nothing = stealth rate limit; retry —
+                    # honoring a Retry-After header on THIS response is
+                    # the point of compute_retry_delay, so pass the
+                    # headers captured before the with-block closed
                     last_err = RuntimeError(
                         "LLM returned empty response (no content, no "
                         "tool_calls) — likely rate limited"
                     )
-                    sleep(compute_retry_delay(attempt, None, backoff_s))
+                    sleep(compute_retry_delay(
+                        attempt, resp_headers, backoff_s
+                    ))
                     continue
                 return content or ""
             except urllib.error.HTTPError as e:

@@ -1053,6 +1053,15 @@ def pq_staleness(
     from .dedup import _materialize
 
     v = _materialize(v)
+    # Empty delta: every signal below is an average over zero rows (and
+    # dup/share divide by n_delta=0) — the row would read NULL and a
+    # caller gating re-trains would silently read NULL as "no retrain".
+    # Raise, never silently (the module's bounded-collect contract).
+    if v.isEmpty():
+        raise ValueError(
+            "pq_staleness: new_vectors is empty — nothing to gate; "
+            "pass a non-empty delta batch"
+        )
     qagg = _pq_qerr(v, books).agg(
         F.count("qerr").alias("n_delta"),
         F.avg("qerr").alias("delta_qerr"),

@@ -1249,7 +1249,9 @@ _TOOLCALL_STATE = T.StructType([
 ])
 
 
-def toolcall_assembly_stream(stream: DataFrame) -> DataFrame:
+def toolcall_assembly_stream(
+    stream: DataFrame, finished_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming twin of functions/llm_stream.py:assemble_tool_calls
     (reference litellm.py:903-970 accumulation as keyed streaming
     state): tool-call argument FRAGMENTS arrive as a live chunk stream
@@ -1266,22 +1268,56 @@ def toolcall_assembly_stream(stream: DataFrame) -> DataFrame:
     identical fragment corpus (tests/test_streaming.py).
 
     Scale: state per in-flight request is bounded by the provider's
-    max_tokens (the fragments ARE the argument text); emitted requests
-    free their state immediately, so steady-state memory tracks
-    CONCURRENT requests, not stream history. Fragments pre-shuffle on
-    req_id only — no pre_reduce tier here because fragment order
-    matters and per-request volume is tiny.
+    max_tokens (the fragments ARE the argument text); an emitted
+    request's accumulator is replaced by a FINISHED TOMBSTONE
+    (``{"__finished__": true}``) so a fragment straggling in a LATER
+    micro-batch is dropped instead of silently re-opening state that
+    would never emit and never clear. With ``finished_ttl_ms`` set,
+    tombstones — and orphaned accumulators whose finish marker never
+    arrives — are reaped by a processing-time timeout (refreshed on
+    every update), so steady-state memory tracks CONCURRENT requests,
+    not stream history; use it on continuously-triggered deployments.
+    The default (None) keeps NoTimeout semantics because a
+    ProcessingTimeTimeout stream always has "another batch due", which
+    makes drain-style harnesses (``processAllAvailable`` /
+    availableNow catch-up runs) never observe completion — there the
+    residue is one ~30-byte tombstone per finished request, freed with
+    the checkpoint. Fragments pre-shuffle on req_id only — no
+    pre_reduce tier here because fragment order matters and
+    per-request volume is tiny.
     """
     import json
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c.name: pd.Series(dtype="object") for c in _TOOLCALL_OUT}
+        )
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if finished_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield _empty()
+            return
+
+        def _arm() -> None:
+            if finished_ttl_ms is not None:
+                state.setTimeoutDuration(finished_ttl_ms)
+
         (acc_json,) = state.get if state.exists else ("{}",)
         acc: dict[str, dict] = json.loads(acc_json)
         done = acc.pop("__finished__", False)
+        if done:
+            # finished tombstone: the request already emitted — drop
+            # late fragments whole, keep the tombstone (until the TTL
+            # when one is configured)
+            state.update((json.dumps({"__finished__": True}),))
+            _arm()
+            yield _empty()
+            return
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
                 if bool(getattr(r, "finish", False)):
@@ -1299,9 +1335,8 @@ def toolcall_assembly_stream(stream: DataFrame) -> DataFrame:
                     slot["frags"].append([int(r.chunk_idx), r.frag])
         if not done:
             state.update((json.dumps(acc),))
-            yield pd.DataFrame(
-                {c.name: pd.Series(dtype="object") for c in _TOOLCALL_OUT}
-            )
+            _arm()
+            yield _empty()
             return
         rows = []
         for idx in sorted(acc, key=int):
@@ -1311,11 +1346,10 @@ def toolcall_assembly_stream(stream: DataFrame) -> DataFrame:
             )
             rows.append((key[0], int(idx), slot["id"] or None,
                          slot["name"] or None, joined, len(slot["frags"])))
-        state.remove()
+        state.update((json.dumps({"__finished__": True}),))
+        _arm()
         if not rows:
-            yield pd.DataFrame(
-                {c.name: pd.Series(dtype="object") for c in _TOOLCALL_OUT}
-            )
+            yield _empty()
             return
         yield pd.DataFrame({
             "req_id": [r[0] for r in rows],
@@ -1331,7 +1365,11 @@ def toolcall_assembly_stream(stream: DataFrame) -> DataFrame:
         outputStructType=_TOOLCALL_OUT,
         stateStructType=_TOOLCALL_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if finished_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return assembled.withColumn(
         "is_valid", F.get_json_object(F.col("tool_input"), "$").isNotNull()

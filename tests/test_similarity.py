@@ -941,3 +941,22 @@ def test_pq_staleness_requires_meta(spark, emb, tmp_path):
 
     with _pytest.raises(Exception):
         pq_staleness(spark, str(tmp_path / "nope"), emb)
+
+
+def test_pq_staleness_empty_delta_raises(spark, emb, tmp_path):
+    """An empty delta must raise loudly (r10 advisory): every signal is
+    an average over zero rows and dup/share divide by n_delta=0, so the
+    row would read NULL and a caller gating re-trains would silently
+    read NULL as 'no retrain'."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F_
+
+    from adenhq_hive_spark.operators.similarity import (
+        pq_staleness,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pq_empty")
+    save_pq_index(emb, path, m=8, n_codes=8)
+    with _pytest.raises(ValueError, match="empty"):
+        pq_staleness(spark, path, emb.filter(F_.col("vec_id") < 0))

@@ -1661,3 +1661,63 @@ def test_toolcall_assembly_stream_matches_batch(spark, tmp_path):
     assert a[2] == '{"query": "x", "k": 3}' and a[4]
     assert not got[("r2", 0)][4]  # malformed -> is_valid False
     assert ("r3", 0) not in got   # finish with no calls emits nothing
+
+
+def test_toolcall_assembly_stream_drops_late_fragments(spark, tmp_path):
+    """A fragment arriving in a micro-batch AFTER the request's finish
+    marker must be dropped by the finished tombstone — it must not
+    re-open per-request state (the pre-fix leak: '__finished__' was
+    popped but never written, so a late fragment re-created an
+    accumulator that never emitted and, under NoTimeout, never
+    cleared) and it must not cause a second emission for the call."""
+    import os
+    import pandas as pd_
+
+    from adenhq_hive_spark.streaming.events import (
+        run_to_completion,
+        toolcall_assembly_stream,
+    )
+
+    cols = ["req_id", "tool_idx", "chunk_idx", "call_id", "tool_name",
+            "frag", "finish"]
+    f1 = [("r1", 0, 0, "call_a", "search", '{"q": 1}', False)]
+    f2 = [("r1", 0, 0, None, None, None, True)]    # finish r1
+    f3 = [("r1", 0, 1, None, None, ', "x": 2', False)]  # LATE fragment
+    src = tmp_path / "tc_late_src"
+    src.mkdir()
+    for name, rows, mtime in (("a.parquet", f1, 1_000_000),
+                              ("b.parquet", f2, 2_000_000),
+                              ("c.parquet", f3, 3_000_000)):
+        pdf = pd_.DataFrame(rows, columns=cols)
+        pdf["tool_idx"] = pdf["tool_idx"].astype("int32")
+        pdf["chunk_idx"] = pdf["chunk_idx"].astype("int32")
+        # single-row files with an all-None string column would be
+        # typed INT32 by pyarrow inference — pin the string columns
+        for c in ("req_id", "call_id", "tool_name", "frag"):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    schema = ("req_id string, tool_idx int, chunk_idx int, "
+              "call_id string, tool_name string, frag string, "
+              "finish boolean")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_to_completion(
+        toolcall_assembly_stream(stream), "tc_late",
+        str(tmp_path / "tc_late_ck"), output_mode="update",
+    )
+    try:
+        rows = spark.sql(
+            "SELECT * FROM tc_late WHERE req_id IS NOT NULL"
+        ).collect()
+    finally:
+        q.stop()
+    # exactly ONE emission, from the pre-finish fragment only: the late
+    # fragment neither re-emits nor extends the assembled argument text
+    assert len(rows) == 1
+    assert rows[0].tool_input == '{"q": 1}'
+    assert rows[0].n_frags == 1 and rows[0].is_valid
