@@ -37,34 +37,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 10): the artifact caps at 50 entries,
-# so the 50 slots rotate each round (r9 verdict #10: rotate the oldest
-# cohorts through, keep 50/50 oracle-backed hash rows, no rows-only
-# slots).  Composition: every plan changed this round is re-witnessed
-# first, then the ENTIRE oldest-witnessed cohort (r3, 17 rows per the
-# cumulative CORRECTNESS ledger), then 25 of the 46-row r4 cohort (the
-# rest is the r11 rotation head).
+# ROTATING SAMPLE WINDOW (round 11): the artifact caps at 50 entries,
+# so the 50 slots rotate each round (keep 50/50 oracle-backed hash
+# rows, no rows-only slots).  Composition per the r10 verdict #9:
+# every plan changed this round is re-witnessed first (the r11
+# interpreted-eval rewrites), then the ENTIRE r4-cohort balance (30
+# rows — the 50-key CORRECTNESS_r04 ledger minus the 20 re-witnessed
+# in r10), then the r5-cohort head (17 oldest oracle-backed rows of
+# CORRECTNESS_r05; its balance is the r12 rotation head).
 _CORE = [
-    # -- round-10 changed/new plans (re-witness): the two rows-only ->
-    #    witness conversions, the attach-path builders, the DECIMAL
-    #    crc accumulator, the nulls-last tiebreak, the bootstrap grp
-    #    string-cast (both kernels)
-    "pl_minhash_lsh", "pl_simhash", "pl_trigram_probe",
-    "pl_bucketed_join", "pl_shard_manifest", "pl_salted_topk",
-    "pl_bootstrap_ci", "pl_bootstrap_ci_arrow", "pl_toolcall_assembly",
-    # second-session changed plans: winnow posexplode rewrite, graph
-    # tier materialization lifecycle
-    "pl_winnow_pairs", "pl_pagerank", "pl_ppr", "pl_communities",
-    # -- the r3-witnessed cohort, in full --
-    "pl_cosine_dedup", "pl_sliding_window", "q02", "q34", "q38",
-    "q39", "q40", "q42", "q47", "q48", "q50", "q54", "q69", "q71",
-    "q72", "q77", "q78",
-    # -- r4-witnessed cohort, first 25 (balance rotates in r11) --
-    "pl_curation_pipeline", "pl_dup_clusters", "pl_fused_clusters",
-    "pl_graph_curation", "pl_normalize_text", "pl_pack_chunks",
-    "pl_pii_redact", "pl_repetition", "pl_simhash_portable",
-    "pl_tokens", "q03", "q04", "q05", "q07", "q08", "q10", "q11",
-    "q12", "q14", "q15",
+    # -- round-11 changed plans (re-witness): char_ngrams linear
+    #    trigram extraction (search.py), split+run-length-fold entropy
+    #    (text.py)
+    "pl_trigram_search", "pl_trigram_probe", "pl_char_entropy",
+    # -- r4-witnessed cohort, the full 30-row balance --
+    "q16", "q18", "q19", "q20", "q21", "q23", "q27", "q29", "q30",
+    "q31", "q32", "q35", "q37", "q41", "q46", "q49", "q51", "q52",
+    "q53", "q56", "q61", "q62", "q65", "q66", "q79", "q80",
+    "pl_hash_split", "pl_minhash_portable", "pl_dedup_incremental",
+    "pl_lang_id",
+    # -- r5-cohort head, first 17 oracle-backed (balance -> r12) --
+    "q06", "q63", "q64", "q67", "q68", "q70", "q73", "q74", "q75",
+    "q76", "pl_best_rep_dedup", "pl_bm25", "pl_c4_filter",
+    "pl_ccnet_buckets", "pl_centroids", "pl_contract",
+    "pl_cross_source_dups",
 ]
 
 def _export_names() -> dict[str, str]:
