@@ -501,7 +501,16 @@ def main() -> None:
                 )
                 big_rows = n_rows * REPL
                 best_wall = float("inf")
-                for _ in range(STREAM_RUNS):
+                best_steal = 0.0
+                runs_done = 0
+                # same self-defense as the query entries (r11): if the
+                # WINNING run itself executed under hypervisor steal,
+                # its wall time is known-inflated — take extra runs
+                # (bounded) until a clean one wins or the budget ends
+                while runs_done < STREAM_RUNS or (
+                    best_steal > 5.0 and runs_done < STREAM_RUNS + 3
+                ):
+                    runs_done += 1
                     # fresh checkpoint per run — a reused one would
                     # no-op the stream (everything already committed)
                     ck2 = tempfile.mkdtemp(prefix="bench_stream_ck_")
@@ -510,6 +519,7 @@ def main() -> None:
                             spark.readStream.schema(ev.schema)
                             .parquet(f"{data_dir}/events")
                         )
+                        c0 = _cpu_ticks()
                         t0 = time.perf_counter()
                         q = (
                             tumbling_counts(src)
@@ -522,15 +532,24 @@ def main() -> None:
                             q.processAllAvailable()
                         finally:
                             q.stop()
-                        best_wall = min(
-                            best_wall, time.perf_counter() - t0
-                        )
+                        wall2 = time.perf_counter() - t0
+                        c1 = _cpu_ticks()
+                        if wall2 < best_wall:
+                            best_wall = wall2
+                            if c0 and c1 and c1[1] > c0[1]:
+                                best_steal = (
+                                    100.0 * (c1[0] - c0[0])
+                                    / (c1[1] - c0[1])
+                                )
+                            else:
+                                best_steal = 0.0
                     finally:
                         shutil.rmtree(ck2, ignore_errors=True)
                 scale[str(n_files)] = round(big_rows / best_wall)
                 log(f"streaming {n_files} files x {big_rows} rows: "
                     f"{scale[str(n_files)]} rows/s "
-                    f"(min-of-{STREAM_RUNS})")
+                    f"(min-of-{runs_done}, steal of min "
+                    f"{best_steal:.0f}%)")
             finally:
                 shutil.rmtree(data_dir, ignore_errors=True)
         streaming["scale"] = scale
