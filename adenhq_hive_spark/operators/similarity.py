@@ -638,6 +638,13 @@ def semdedup(
             np.argmax(mat @ bc.value.T, axis=1).astype(np.int32)
         )
 
+    # r11 negative result: spreading the assignment scan
+    # (spread_small_scan(unit)) measured NO gain at sf1 (14.8 s vs
+    # 14.6 s unspread, vs 12.1 s under flat 8m splits) — the 8m-split
+    # advantage on this op lives elsewhere (candidate: the per-cluster
+    # gram stage's upstream layout), queued for the r12 stage-level
+    # breakdown. Left unspread so the training limit() sample and the
+    # plan stay exactly as witnessed.
     assigned = unit.withColumn("cluster_id", nearest("v"))
     thr = float(threshold)
     cap = int(max_cluster_rows)
