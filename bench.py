@@ -171,6 +171,17 @@ def _cpu_ticks() -> tuple[int, int] | None:
         return None
 
 
+def _detail_round(here: str) -> int:
+    """The round number this run's detail file will carry: one past the
+    newest one-line BENCH_r*.json artifact (the driver writes that file
+    AFTER the sweep, so during a round-N sweep the newest is N-1)."""
+    rounds = [
+        int(m.group(1)) for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return max(rounds) + 1 if rounds else 0
+
+
 def _wait_for_idle_host(threshold: float = 2.0,
                         max_wait_s: float = 600.0) -> tuple[float, int]:
     """Gate the measurement on host load: BENCH_r07 shipped with
@@ -268,13 +279,31 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     prior_times: dict[str, float] = {}
     try:
+        # Band-source lineage (r11 verdict #4 / ADVICE): sort detail
+        # files by their integer round (lexicographic breaks r9 vs
+        # r10), never band against this run's own round on an
+        # intra-round re-run, and only band against a detail measured
+        # at the SAME core count (detail files are cpu-stamped from
+        # this round on; unstamped historical files were all 32-core
+        # driver sweeps). A mismatched-cpu band can only add samples,
+        # but it muddies n_samples — exclude it outright.
+        cpus_now = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        this_round = _detail_round(here)
         details = sorted(
-            f for f in os.listdir(here)
-            if re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
+            (int(m.group(1)), f)
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_DETAIL_r(\d+)\.json$", f))
         )
-        if details:
-            with open(os.path.join(here, details[-1])) as fh:
-                prior_times = json.load(fh).get("queries", {})
+        for rnd, f in reversed(details):
+            if rnd >= this_round:
+                continue
+            with open(os.path.join(here, f)) as fh:
+                d = json.load(fh)
+            if int(d.get("cpus", 32)) != cpus_now:
+                continue
+            prior_times = d.get("queries", {})
+            log(f"prior-round band source: {f} (cpus {cpus_now})")
+            break
     except Exception as exc:
         log(f"prior-round band unavailable: {exc}")
 
@@ -604,11 +633,8 @@ def main() -> None:
 
     # Full per-query detail goes to a local file; stdout carries only the
     # compact scalars (driver tail-capture is 2000 chars).
-    rounds = [
-        int(m.group(1)) for f in os.listdir(here)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-    ]
-    detail_name = f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json" if rounds \
+    this_round = _detail_round(here)
+    detail_name = f"BENCH_DETAIL_r{this_round:02d}.json" if this_round \
         else "BENCH_DETAIL.json"
     detail = {
         "queries": times,
@@ -618,6 +644,9 @@ def main() -> None:
         "steal_pct_of_min": entry_steal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": N_RUNS,
+        # cpu-stamp (r11 verdict #4): an 8-core rerun's detail must
+        # never become a 32-core sweep's regression band, and vice versa
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     if sf1:
         detail["sf1_relational"] = sf1
