@@ -610,20 +610,25 @@ def semdedup(
     Output: (id_col, cluster_id, keep, dup_of).
     """
     spark = vectors.sparkSession
-    unit = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("raw"),
-    ).select(
-        "id",
-        F.transform(
-            "raw", lambda x: x.cast("double") / _norm(F.col("raw"))
-        ).alias("v"),
+    # RAW vectors everywhere distributed: normalization happens per
+    # Arrow batch in numpy (_np_unit — bit-identical to the former
+    # SQL-side transform, see its docstring). The former plan evaluated
+    # the O(d) norm fold inside the transform LAMBDA — O(d²) interpreted
+    # eval per row, measured 5.8 s of the 12.5 s sf1 total (46%) as the
+    # scan-stage projection, paid AGAIN by the training sample's
+    # collect. r12 stage breakdown: scripts/exp_semdedup_stages.py.
+    raw = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
 
-    sample = np.array(
-        [r[0] for r in unit.select("v").limit(max_train_rows).collect()],
+    # Training sample: same scan, same limit() row selection (the
+    # projection change cannot move which rows an unordered limit takes
+    # — that is scan-layout-determined), normalized in numpy to the
+    # exact same unit values → identical centroids.
+    sample = _np_unit(np.array(
+        [r[0] for r in raw.select("v").limit(max_train_rows).collect()],
         dtype=np.float64,
-    )
+    ))
     if sample.size == 0:
         return spark.createDataFrame(
             [], f"{id_col} long, cluster_id int, keep boolean, dup_of long"
@@ -633,19 +638,12 @@ def semdedup(
 
     @F.pandas_udf("int")
     def nearest(vcol: pd.Series) -> pd.Series:
-        mat = np.array(list(vcol), dtype=np.float64)
+        mat = _np_unit(np.array(list(vcol), dtype=np.float64))
         return pd.Series(
             np.argmax(mat @ bc.value.T, axis=1).astype(np.int32)
         )
 
-    # r11 negative result: spreading the assignment scan
-    # (spread_small_scan(unit)) measured NO gain at sf1 (14.8 s vs
-    # 14.6 s unspread, vs 12.1 s under flat 8m splits) — the 8m-split
-    # advantage on this op lives elsewhere (candidate: the per-cluster
-    # gram stage's upstream layout), queued for the r12 stage-level
-    # breakdown. Left unspread so the training limit() sample and the
-    # plan stay exactly as witnessed.
-    assigned = unit.withColumn("cluster_id", nearest("v"))
+    assigned = raw.withColumn("cluster_id", nearest("v"))
     thr = float(threshold)
     cap = int(max_cluster_rows)
 
@@ -657,18 +655,35 @@ def semdedup(
                 "n_clusters (SemDeDup wants k ~ sqrt(n))"
             )
         pdf = pdf.sort_values("id").reset_index(drop=True)
-        mat = np.array(list(pdf["v"]), dtype=np.float64)
-        # unit vectors: gram matrix IS the cosine matrix; round like
-        # _pair_cosine so thresholds compare identically across tiers
-        sims = np.round(mat @ mat.T, 4)
+        mat = _np_unit(np.array(list(pdf["v"]), dtype=np.float64))
         m = len(pdf)
         keep = np.ones(m, dtype=bool)
         dup_of = np.full(m, -1, dtype=np.int64)
-        for j in range(1, m):
-            hits = np.nonzero(sims[j, :j] >= thr)[0]
-            if hits.size:
-                keep[j] = False
-                dup_of[j] = pdf["id"].iloc[int(hits[0])]
+        ids = pdf["id"].to_numpy()
+        # unit vectors: gram matrix IS the cosine matrix; round like
+        # _pair_cosine so thresholds compare identically across tiers.
+        # Blocked row-panels instead of the full m×m gram (r12, guide
+        # §5): the former materialization was 2 × m²·8 bytes per task
+        # (10 GB at m=25k, × concurrent tasks) and the per-row Python
+        # loop over sims[j, :j] paid interpreter+slice overhead m times
+        # — the sf10 stage sat for minutes in single-core Python. A
+        # panel is (b, m) with b sized to ~256 MB, the drop rule is
+        # evaluated vectorized (a row's verdict depends only on LOWER
+        # ids, never on other rows' verdicts, so no sequential scan is
+        # needed), and the first-hit index is argmax over the masked
+        # boolean panel — same lowest-id winner as the old loop.
+        block = max(1, 33_554_432 // max(m, 1))
+        for j0 in range(1, m, block):
+            j1 = min(j0 + block, m)
+            panel = np.round(mat[j0:j1] @ mat.T, 4)
+            hit = panel >= thr  # NaN compares False, as before
+            # only pairs (j, i<j) count: mask the upper wedge
+            hit &= np.arange(m)[None, :] < np.arange(j0, j1)[:, None]
+            any_hit = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)
+            rows = np.nonzero(any_hit)[0]
+            keep[j0 + rows] = False
+            dup_of[j0 + rows] = ids[first[rows]]
         dup_col = pd.array(dup_of, dtype="Int64")
         dup_col[keep] = pd.NA
         return pd.DataFrame(
@@ -687,6 +702,29 @@ def semdedup(
     return result.select(
         F.col("id").alias(id_col), "cluster_id", "keep", "dup_of"
     )
+
+
+def _np_unit(mat: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows reproducing the SQL-side
+    ``transform(v, x -> x / sqrt(aggregate(...)))`` arithmetic
+    BIT-FOR-BIT: ``np.cumsum`` accumulates left-to-right exactly like
+    the fold (seed ``0.0 + x0² == x0²``), ``np.sqrt``/division are the
+    same IEEE-754 double ops, and a zero vector divides to a NaN row
+    exactly as ``x / 0.0`` did SQL-side (NaN cosines then compare False
+    against every threshold — zero embeddings never drop or displace).
+
+    Why this exists (r12): evaluating the O(d) norm fold INSIDE a
+    ``transform`` lambda re-runs it per element — O(d²) interpreted
+    Catalyst eval per row (HigherOrderFunction has no codegen), the
+    same quadratic class as the r11 trigram/entropy rewrites. Callers
+    now ship the RAW vectors (half the shuffle bytes — float32 vs the
+    normalized float64) and normalize per Arrow batch here instead.
+    """
+    if mat.size == 0:
+        return mat
+    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return mat / norms[:, None]
 
 
 def _safe_norms(mat: np.ndarray) -> np.ndarray:
