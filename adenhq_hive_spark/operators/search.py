@@ -92,6 +92,7 @@ def trigram_search(
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
     max_trigram_df: int | None = None,
+    tombstone_free: bool = False,
 ) -> DataFrame:
     """Exact literal-containment search via the trigram index.
 
@@ -136,6 +137,53 @@ def trigram_search(
             .filter(F.col("n_hit") == len(tris))
             .select("id")
         )
+        return (
+            df.join(
+                cand.withColumnRenamed("id", id_col), id_col, "left_semi"
+            )
+            .filter(F.col(text_col).contains(F.lit(needle)))
+            .select(id_col)
+            .orderBy(id_col)
+        )
+    if not built_inline and tombstone_free:
+        # Persisted tombstone-free index (built with max_trigram_df=None
+        # — the caller's assertion, e.g. ensure_trigram_index's default):
+        # no hot rows can exist, so the probe needs NO driver round-trip
+        # to learn hot/missing status. One declarative candidate plan
+        # (a missing needle trigram simply yields n_hit < n_tris → empty
+        # result, same answer as the explicit missing-branch) + the
+        # bounded isin-pushdown verify. This takes the probe from 3
+        # scheduled jobs (checkpoint the probe rows, collect hot info,
+        # collect candidates) to 1 before the verify scan — the r11
+        # probe floor was scheduling boundaries, not I/O (r12 item #6).
+        # coalesce(1): the filtered input is ≤ |needle| posting ROWS
+        # (one per trigram — bucket-pruned at the scan), so the
+        # candidate count runs as ONE stage with no Exchange: coalesce
+        # is a narrow dependency and SinglePartition satisfies the
+        # final aggregate's distribution. Parallelism is not lost at
+        # scale: a posting list is one row, so its explosion was
+        # single-task under the exchange plan too; a corpus whose lists
+        # outgrow one task needs the capped (hot-tombstone) index,
+        # which takes the hot-aware path below instead.
+        tris_set = F.col("trigram").isin(tris)
+        cand = (
+            postings.filter(tris_set)
+            .coalesce(1)
+            .select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_hit"))
+            .filter(F.col("n_hit") == len(tris))
+            .select("id")
+        )
+        cap = 1000
+        cand_ids = [r["id"] for r in cand.limit(cap + 1).collect()]
+        if len(cand_ids) <= cap:
+            return (
+                df.filter(F.col(id_col).isin(cand_ids))
+                .filter(F.col(text_col).contains(F.lit(needle)))
+                .select(id_col)
+                .orderBy(id_col)
+            )
         return (
             df.join(
                 cand.withColumnRenamed("id", id_col), id_col, "left_semi"
@@ -281,6 +329,7 @@ def trigram_search_indexed(
     table_name: str = "trigram_index",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tombstone_free: bool = False,
 ) -> DataFrame:
     """Probe a persisted bucketed index (:func:`save_trigram_index`) —
     same exact-answer contract as :func:`trigram_search`, but the probe
@@ -296,7 +345,9 @@ def trigram_search_indexed(
     tests/test_search.py."""
     spark = df.sparkSession
     return trigram_search(
-        df, needle, text_col, id_col, postings=spark.table(table_name)
+        df, needle, text_col, id_col,
+        postings=spark.table(table_name),
+        tombstone_free=tombstone_free,
     )
 
 

@@ -3099,8 +3099,11 @@ def _trigram_probe_q(spark, sf):
     prev = spark.conf.get(flag)
     spark.conf.set(flag, "false")
     try:
+        # tombstone_free: ensure_trigram_index above builds UNCAPPED
+        # (max_trigram_df=None), so no hot rows exist and the probe can
+        # take the single-plan path (no hot-info driver round-trip)
         probe = trigram_search_indexed(
-            docs, "spark window", table_name=tbl
+            docs, "spark window", table_name=tbl, tombstone_free=True
         )
         # eager: the bucket-pruned scan runs NOW, under the flag; the
         # returned plan is a materialized (small) result set
