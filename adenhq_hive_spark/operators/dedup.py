@@ -1012,8 +1012,17 @@ def editdist_verify(
     )
     lev = F.levenshtein("t_a", "t_b")
     mx = F.greatest(F.length("t_a"), F.length("t_b"))
+    mn = F.least(F.length("t_a"), F.length("t_b"))
+    # Length prefilter (guide §3 join-input reduction, r11 verdict #4):
+    # levenshtein >= |len_a - len_b| = mx - mn, so a pair can only reach
+    # sim_threshold when mn*10000 >= mx*thr_num. Testing the integer
+    # length condition FIRST short-circuits the O(len_a*len_b) DP for
+    # pairs that provably fail — output is unchanged by construction
+    # (the bound admits every passer; mx==0 pairs pass it trivially
+    # since 0 >= 0). Same exact integer arithmetic as the main test.
     return (
-        joined.withColumn("lev", lev)
+        joined.filter(mn * 10000 >= mx * thr_num)
+        .withColumn("lev", lev)
         .withColumn("mx", mx)
         .filter(
             (F.col("mx") == 0)
