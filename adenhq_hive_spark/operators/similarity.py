@@ -61,6 +61,12 @@ def _pair_cosine(a: F.Column, b: F.Column) -> F.Column:
 
 _TOPK_SCHEMA = "query_id long, rank int, cand_id long, cosine double"
 
+# semdedup's per-cluster gram pass works in (block, m) row panels of at
+# most this many float64 elements (~256 MB) instead of the full m x m
+# gram; module-level so tests can force tiny panels and prove the
+# blocked pass equals the single-panel result.
+_GRAM_BLOCK_ELEMS = 33_554_432
+
 
 def _unit_vectors(
     df: DataFrame, id_col: str, vec_col: str, ident: str
@@ -646,6 +652,9 @@ def semdedup(
     assigned = raw.withColumn("cluster_id", nearest("v"))
     thr = float(threshold)
     cap = int(max_cluster_rows)
+    # bind at call time: a closure local always ships to the Python
+    # workers by value, so tests can shrink the panel size reliably
+    gram_block_elems = _GRAM_BLOCK_ELEMS
 
     def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > cap:
@@ -672,7 +681,7 @@ def semdedup(
         # ids, never on other rows' verdicts, so no sequential scan is
         # needed), and the first-hit index is argmax over the masked
         # boolean panel — same lowest-id winner as the old loop.
-        block = max(1, 33_554_432 // max(m, 1))
+        block = max(1, gram_block_elems // max(m, 1))
         for j0 in range(1, m, block):
             j1 = min(j0 + block, m)
             panel = np.round(mat[j0:j1] @ mat.T, 4)
@@ -707,11 +716,16 @@ def semdedup(
 def _np_unit(mat: np.ndarray) -> np.ndarray:
     """Unit-normalize rows reproducing the SQL-side
     ``transform(v, x -> x / sqrt(aggregate(...)))`` arithmetic
-    BIT-FOR-BIT: ``np.cumsum`` accumulates left-to-right exactly like
-    the fold (seed ``0.0 + x0² == x0²``), ``np.sqrt``/division are the
-    same IEEE-754 double ops, and a zero vector divides to a NaN row
-    exactly as ``x / 0.0`` did SQL-side (NaN cosines then compare False
-    against every threshold — zero embeddings never drop or displace).
+    BIT-FOR-BIT for every nonzero row: ``np.cumsum`` accumulates
+    left-to-right exactly like the fold (seed ``0.0 + x0² == x0²``)
+    and ``np.sqrt``/division are the same IEEE-754 double ops
+    (pinned by tests/test_similarity.py::
+    test_np_unit_matches_sql_fold_bit_for_bit). A zero vector becomes
+    a NaN row whose cosines compare False against every threshold —
+    zero embeddings never drop or displace. (The old SQL form under
+    the session's ANSI mode RAISED on zero vectors instead, so this
+    path is strictly more tolerant on degenerate input and identical
+    on every input that previously succeeded.)
 
     Why this exists (r12): evaluating the O(d) norm fold INSIDE a
     ``transform`` lambda re-runs it per element — O(d²) interpreted

@@ -767,3 +767,67 @@ def test_release_persisted_frees_materialized_relations(spark):
     assert not _PERSISTED
     assert df.storageLevel == StorageLevel.NONE
     assert release_persisted() == 0  # idempotent
+
+
+def test_editdist_length_prefilter_is_lossless(spark):
+    """r12 length prefilter (lev >= |len_a - len_b|): on a fixture
+    where the prefilter actually fires (a candidate pair with high
+    shingle jaccard but >2x length difference at sim_threshold=0.5),
+    the operator's output must equal a reference computed WITHOUT the
+    prefilter — the bound prunes only provably-failing pairs."""
+    from pyspark.sql import functions as F
+
+    from adenhq_hive_spark.operators.dedup import (
+        editdist_verify,
+        ngram_jaccard_pairs,
+    )
+    from adenhq_hive_spark.operators.text import frac4
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # triple repetition: shares all of base's shingles (high jaccard)
+    # but is ~3x the length -> min_len*10000 < max_len*5000, so the
+    # prefilter short-circuits the DP for this pair
+    tripled = " ".join([base] * 3)
+    near = base[:-1] + "Z"
+    rows = [(1, base), (2, near), (3, tripled),
+            (4, "unrelated words sharing no shingles with the others")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = sorted(
+        map(tuple, editdist_verify(
+            df, candidate_threshold=0.2, sim_threshold=0.5
+        ).collect())
+    )
+
+    # reference: same candidate tier, verify WITHOUT the prefilter
+    thr_num = 5000
+    cand = ngram_jaccard_pairs(df, k=3, threshold=0.2)
+    texts = df.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    joined = (
+        cand.join(texts.withColumnsRenamed({"id": "id_a", "t": "t_a"}), "id_a")
+        .join(texts.withColumnsRenamed({"id": "id_b", "t": "t_b"}), "id_b")
+    )
+    lev = F.levenshtein("t_a", "t_b")
+    mx = F.greatest(F.length("t_a"), F.length("t_b"))
+    want = sorted(
+        map(tuple, joined.withColumn("lev", lev).withColumn("mx", mx)
+            .filter(
+                (F.col("mx") == 0)
+                | ((F.col("mx") - F.col("lev")) * 10000
+                   >= F.col("mx") * thr_num)
+            )
+            .select(
+                "id_a", "id_b", "jaccard",
+                F.when(F.col("mx") == 0, F.lit(1.0))
+                .otherwise(frac4(F.col("mx") - F.col("lev"), F.col("mx")))
+                .alias("edit_sim"),
+            ).collect())
+    )
+    assert got == want
+    # the prefilter must actually have fired: (1,3) was a candidate...
+    cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 3) in cand_pairs
+    # ...and is absent from the verified output (provably-failing pair)
+    assert not any(p[:2] == (1, 3) for p in got)
+    # while the genuine near-dup pair survives
+    assert any(p[:2] == (1, 2) for p in got)

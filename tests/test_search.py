@@ -534,3 +534,49 @@ def test_save_bucketed_table_attach_join_still_shuffle_free(spark, tmp_path):
     finally:
         for t in ("t_bkt_o", "t_bkt_c"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tombstone_free_probe_matches_hot_aware_path(spark):
+    """r12 single-plan probe: over an UNCAPPED persisted index (no hot
+    tombstones can exist), tombstone_free=True must return exactly the
+    hot-aware path's answer — for a present needle AND for a needle
+    with an unindexed trigram (the declarative n_hit < n_tris empty
+    result must equal the explicit missing-branch)."""
+    from adenhq_hive_spark.operators.search import (
+        save_trigram_index,
+        trigram_search_indexed,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark.sql("DROP TABLE IF EXISTS t_tri_idx_tf")
+    save_trigram_index(docs, "t_tri_idx_tf", buckets=16)
+    try:
+        for needle in ("spark window", "zzqxv window"):
+            fast = [
+                r.doc_id
+                for r in trigram_search_indexed(
+                    docs, needle, "t_tri_idx_tf", tombstone_free=True
+                ).collect()
+            ]
+            slow = [
+                r.doc_id
+                for r in trigram_search_indexed(
+                    docs, needle, "t_tri_idx_tf"
+                ).collect()
+            ]
+            want = sorted(
+                r.doc_id
+                for r in docs.filter(
+                    F.col("text").contains(needle)
+                ).collect()
+            )
+            assert fast == slow == want
+        # the present needle must actually return rows for the parity
+        # to be meaningful
+        assert len(
+            trigram_search_indexed(
+                docs, "spark window", "t_tri_idx_tf", tombstone_free=True
+            ).collect()
+        ) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tri_idx_tf")
