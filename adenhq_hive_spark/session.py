@@ -57,6 +57,23 @@ _DEFAULTS = {
     "spark.sql.files.openCostInBytes": "1m",
 }
 
+# Execution memory OFF the GC heap (r12, guide §5). The heavy shuffle
+# aggregations (pl_editdist/pl_dedup_incremental's pair-stream
+# hash-agg at sf10) grow BytesToBytesMap pages and sorter pointer
+# arrays by doubling; on-heap those become 256-512 MB HUMONGOUS G1
+# allocations that collide with JNI-critical sections (GCLocker) and
+# stochastically OOM a 16 GB heap that is nowhere near full — measured
+# 3/3 OOM on-heap vs clean 507 s off-heap (was 790 s in the r11 run
+# that happened to survive) on pl_editdist at sf10. Off-heap, tungsten
+# pages come from mmap'd memory the GC never scans: no humongous
+# regions, no GCLocker interplay, and cached/broadcast data keeps the
+# whole heap. On a cluster this is the same flag per executor, sized
+# like memoryOverhead (a few GB per executor core-group).
+_OFFHEAP = os.environ.get("SPARK_GRAFT_OFFHEAP", "8g")
+if _OFFHEAP not in ("", "0", "off"):
+    _DEFAULTS["spark.memory.offHeap.enabled"] = "true"
+    _DEFAULTS["spark.memory.offHeap.size"] = _OFFHEAP
+
 
 def get_spark(app_name: str = "adenhq_hive_spark", **overrides: str) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
