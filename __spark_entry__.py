@@ -37,30 +37,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 from adenhq_hive_spark.queries import all_queries
 
-# ROTATING SAMPLE WINDOW (round 11): the artifact caps at 50 entries,
+# ROTATING SAMPLE WINDOW (round 12): the artifact caps at 50 entries,
 # so the 50 slots rotate each round (keep 50/50 oracle-backed hash
-# rows, no rows-only slots).  Composition per the r10 verdict #9:
-# every plan changed this round is re-witnessed first (the r11
-# interpreted-eval rewrites), then the ENTIRE r4-cohort balance (30
-# rows — the 50-key CORRECTNESS_r04 ledger minus the 20 re-witnessed
-# in r10), then the r5-cohort head (17 oldest oracle-backed rows of
-# CORRECTNESS_r05; its balance is the r12 rotation head).
+# rows, no rows-only slots).  Composition per the standing r10-verdict
+# rule: every oracle-backed plan changed this round re-witnesses first
+# (the r12 length-prefilter, tombstone-free probe, and the three
+# range-sampling materialization fixes — pl_semdedup itself is
+# rows-only, so its oracle-backed gate pl_semdedup_check carries the
+# witness), then the ENTIRE r5-cohort balance (26 rows — the 50-key
+# CORRECTNESS_r05 ledger minus its 17-row head witnessed in r11, the
+# rows-only entries, and the two already in this round's head), then
+# the r6-cohort head (19 oldest not-yet-rotated oracle-backed rows of
+# CORRECTNESS_r06; its balance is the r13 rotation head).
 _CORE = [
-    # -- round-11 changed plans (re-witness): char_ngrams linear
-    #    trigram extraction (search.py), split+run-length-fold entropy
-    #    (text.py)
-    "pl_trigram_search", "pl_trigram_probe", "pl_char_entropy",
-    # -- r4-witnessed cohort, the full 30-row balance --
-    "q16", "q18", "q19", "q20", "q21", "q23", "q27", "q29", "q30",
-    "q31", "q32", "q35", "q37", "q41", "q46", "q49", "q51", "q52",
-    "q53", "q56", "q61", "q62", "q65", "q66", "q79", "q80",
-    "pl_hash_split", "pl_minhash_portable", "pl_dedup_incremental",
-    "pl_lang_id",
-    # -- r5-cohort head, first 17 oracle-backed (balance -> r12) --
-    "q06", "q63", "q64", "q67", "q68", "q70", "q73", "q74", "q75",
-    "q76", "pl_best_rep_dedup", "pl_bm25", "pl_c4_filter",
-    "pl_ccnet_buckets", "pl_centroids", "pl_contract",
-    "pl_cross_source_dups",
+    # -- round-12 changed plans (re-witness) --
+    "pl_trigram_probe", "pl_editdist", "pl_semdedup_check",
+    "pl_cosine_dedup", "pl_graph_agent_loop",
+    # -- r5-witnessed cohort, the full oracle-backed balance --
+    "pl_curriculum", "pl_dsir", "pl_event_anomaly", "pl_gopher_rules",
+    "pl_hard_negatives", "pl_hot_shingles", "pl_intradoc_dedup",
+    "pl_length_stats", "pl_media_annotate", "pl_mixture_sample",
+    "pl_pack_efficiency", "pl_pack_sequences", "pl_passage_dedup",
+    "pl_profile", "pl_quality_classifier", "pl_quantile_check",
+    "pl_script_mix", "pl_shuffle_shard", "pl_skew_report",
+    "pl_snapshot_diff", "pl_soft_dedup", "pl_source_scorecard",
+    "pl_stratified_sample", "pl_token_budget", "pl_unigram_logprob",
+    "pl_weighted_sample",
+    # -- r6-cohort head, first 19 oracle-backed (balance -> r13) --
+    "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88", "q89",
+    "q90", "q91", "q92", "q93", "pl_asof_forward", "pl_asof_nearest",
+    "pl_assoc_rules", "pl_bloom_decontaminate", "pl_calendar_fill",
+    "pl_communities",
 ]
 
 def _export_names() -> dict[str, str]:

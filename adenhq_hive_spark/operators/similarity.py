@@ -708,9 +708,21 @@ def semdedup(
         _dedup_cluster,
         schema="id long, cluster_id int, keep boolean, dup_of long",
     )
-    return result.select(
+    # Materialize the per-cluster kernel's output ONCE (r12, guide
+    # §2.4/§5): downstream consumers re-execute this subtree — a final
+    # orderBy's range-partitioner SAMPLING pass runs the child before
+    # the sort runs it again (measured 2× the whole operator at sf10:
+    # 145 s vs 73 s warm for pl_semdedup), and pl_semdedup_check fans
+    # the result into two branches. The output is tiny (4 narrow
+    # columns, one row per vector); the gram kernel it pins is the
+    # most expensive stage in the tree. Per-invocation persist only —
+    # released by dedup.release_persisted() between queries; nothing
+    # survives a run.
+    from .dedup import _materialize
+
+    return _materialize(result.select(
         F.col("id").alias(id_col), "cluster_id", "keep", "dup_of"
-    )
+    ))
 
 
 def _np_unit(mat: np.ndarray) -> np.ndarray:

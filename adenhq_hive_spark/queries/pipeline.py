@@ -807,9 +807,14 @@ Q(QuerySpec(
         "all-pairs cosine >= 0.45 (operators/similarity.py:"
         "cosine_dedup_pairs); oracle = DuckDB brute force. The LSH "
         "variant is recall-gated in tests/test_similarity.py.",
+    # _materialize before the global sort: rangepartitioning SAMPLES its
+    # child, which would run the blocked-BLAS pandas kernel twice (r12
+    # range-sampling audit; per-run persist, released between queries)
     builder=lambda spark, sf: __import__(
+        "adenhq_hive_spark.operators.dedup", fromlist=["_materialize"]
+    )._materialize(__import__(
         "adenhq_hive_spark.operators.similarity", fromlist=["cosine_dedup_pairs"]
-    ).cosine_dedup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45)
+    ).cosine_dedup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45))
     .orderBy("id_a", "id_b"),
     oracle_sql_str="""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -8917,7 +8922,13 @@ def _graph_agent_loop(spark, sf):
         return nxt
 
     def finalize(done, memory):
-        return done.orderBy("doc_id")
+        # materialize before the global sort: rangepartitioning SAMPLES
+        # its child first, which would run the judge_udf ArrowEvalPython
+        # cascade twice (r12 range-sampling audit; per-run persist,
+        # released between queries)
+        from ..operators.dedup import _materialize
+
+        return _materialize(done).orderBy("doc_id")
 
     g = GraphSpec(
         nodes={

@@ -55,6 +55,23 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "32m",
     "spark.sql.files.minPartitionNum": "32",
     "spark.sql.files.openCostInBytes": "1m",
+    # G1 GCLocker starvation guard (r12, guide §5/§7.4). 32 concurrent
+    # local tasks hold the GCLocker near-continuously through JNI
+    # decompression (lz4/snappy GetPrimitiveArrayCritical); JDK 17 G1
+    # retries a blocked allocation only GCLockerRetryAllocationCount=2
+    # times before throwing a SPURIOUS OutOfMemoryError with gigabytes
+    # free ("Retried waiting for GCLocker too often allocating 5
+    # words" — observed on pl_editdist/sf10 stage 10 AFTER the
+    # off-heap fix removed the real humongous-allocation pressure).
+    # Raising the retry count lets the allocation wait for the locker
+    # to drain; a genuine OOM still throws once a full GC has run with
+    # the locker free. JVM-launch-time only: applies to fresh
+    # processes (bench, driver, tests), like spark.driver.memory.
+    "spark.driver.extraJavaOptions":
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+    # same posture per executor on a real cluster (no-op in local mode)
+    "spark.executor.extraJavaOptions":
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
 }
 
 # Execution memory OFF the GC heap (r12, guide §5). The heavy shuffle

@@ -49,6 +49,41 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     if arm.startswith("cand"):
         df = ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+    elif arm.startswith("nopre"):
+        # verify tier WITHOUT the r12 length prefilter (attribution
+        # A/B; output identical by the triangle-inequality bound)
+        from pyspark.sql import functions as F
+
+        from adenhq_hive_spark.operators.text import frac4
+
+        cand = ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+        texts = docs.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("t")
+        )
+        joined = (
+            cand.join(
+                texts.withColumnsRenamed({"id": "id_a", "t": "t_a"}), "id_a"
+            ).join(
+                texts.withColumnsRenamed({"id": "id_b", "t": "t_b"}), "id_b"
+            )
+        )
+        lev = F.levenshtein("t_a", "t_b")
+        mx = F.greatest(F.length("t_a"), F.length("t_b"))
+        df = (
+            joined.withColumn("lev", lev)
+            .withColumn("mx", mx)
+            .filter(
+                (F.col("mx") == 0)
+                | ((F.col("mx") - F.col("lev")) * 10000
+                   >= F.col("mx") * 5000)
+            )
+            .select(
+                "id_a", "id_b", "jaccard",
+                F.when(F.col("mx") == 0, F.lit(1.0))
+                .otherwise(frac4(F.col("mx") - F.col("lev"), F.col("mx")))
+                .alias("edit_sim"),
+            )
+        )
     else:
         df = editdist_verify(
             docs, k=3, candidate_threshold=0.3, sim_threshold=0.5

@@ -4,7 +4,7 @@ heavy rows were single-cold-run points; this gives n>=2 with cold/warm
 separated instead of conflated).
 
 Usage: PYTHONPATH=/root/repo python scripts/time_query.py <sf_dir> <name> \
-           [runs] [--cache-decompose]
+           [runs] [--cache-decompose] [--conf k=v ...]
 Prints one JSON line {"name", "sf_dir", "cold_s", "warm_min_s",
 "runs": [...], "steal_pct": [...], "load_1m"}.
 
@@ -36,12 +36,17 @@ def main() -> None:
     n = int(sys.argv[3]) if len(sys.argv) > 3 \
         and not sys.argv[3].startswith("--") else 2
     decompose = "--cache-decompose" in sys.argv
+    overrides = {}
+    for i, a in enumerate(sys.argv):
+        if a == "--conf":
+            k, v = sys.argv[i + 1].split("=", 1)
+            overrides[k] = v
 
     sys.path.insert(0, "/root/repo")
     from adenhq_hive_spark.queries import all_queries
     from adenhq_hive_spark.session import get_spark
 
-    spark = get_spark(f"time-{name}")
+    spark = get_spark(f"time-{name}", **overrides)
     spark.sparkContext.setJobDescription(f"time_query:{name}")
     spec = all_queries()[name]
 

@@ -103,10 +103,20 @@ def test_materialize_uses_reliable_checkpoint_when_configured(spark, tmp_path):
         map(tuple, ngram_jaccard_pairs(docs, cache_shingles=False).collect())
     )
     ck = str(tmp_path / "reliable_ck")
+    jsc = spark.sparkContext._jsc.sc()
+    prev = jsc.getCheckpointDir()  # Option[String] — restore on exit
     spark.sparkContext.setCheckpointDir(ck)
-    got = sorted(
-        map(tuple, ngram_jaccard_pairs(docs, cache_shingles=True).collect())
-    )
+    try:
+        got = sorted(
+            map(tuple,
+                ngram_jaccard_pairs(docs, cache_shingles=True).collect())
+        )
+    finally:
+        # the spark fixture is session-scoped: leaving the checkpoint
+        # dir set flips _materialize into checkpoint mode for EVERY
+        # later test (caught by test_cosine_dedup_is_distributed once
+        # pl_cosine_dedup started materializing before its sort)
+        getattr(jsc, "checkpointDir_$eq")(prev)
     assert got == baseline
     assert any(os.scandir(ck)), "no checkpoint data written to reliable dir"
 
